@@ -1,0 +1,75 @@
+"""cuplyr_spark — a PySpark-native analytics engine with the query surface
+of bbtheo/cuplyr (dplyr verbs over immutable columnar tables), rebuilt
+Spark-first.
+
+The reference (cuplyr 0.1.1) is a single-GPU dplyr backend: R verbs build
+an AST that a 6-pass optimizer lowers to libcudf kernels. Here the whole
+AST/optimizer/lowering stack is replaced by the PySpark DataFrame API and
+Catalyst; this package contributes the *semantics layer* (dplyr verb
+behavior: NA rules, join suffix/key rules, union type promotion, stable
+sort emulation) plus large-scale training-data-pipeline operators
+(deduplication, similarity search, text analysis, multimodal columns)
+that the reference lacks.
+
+Quick start::
+
+    from cuplyr_spark import get_session, read_parquet, desc
+    from cuplyr_spark import agg as A
+
+    spark = get_session()
+    t = read_parquet(spark, "/root/testdata/sf0.01/lineitem.parquet")
+    out = (t.filter("l_quantity > 30")
+            .mutate(revenue="l_extendedprice * (1 - l_discount)")
+            .group_by("l_returnflag")
+            .summarise(total=A.sum("revenue"), n=A.n())
+            .arrange(desc("total"))
+            .collect())
+"""
+
+from cuplyr_spark.session import get_session, stop_session
+from cuplyr_spark.frame import Frame, desc
+from cuplyr_spark.sources.readers import (
+    read_parquet,
+    read_csv,
+    read_json,
+    read_orc,
+    from_pandas,
+    tbl,
+)
+from cuplyr_spark import agg
+from cuplyr_spark.selectors import (
+    starts_with,
+    ends_with,
+    contains,
+    matches,
+    everything,
+    num_range,
+    all_of,
+    any_of,
+    last_col,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_session",
+    "stop_session",
+    "Frame",
+    "desc",
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "from_pandas",
+    "tbl",
+    "agg",
+    "starts_with",
+    "ends_with",
+    "contains",
+    "matches",
+    "everything",
+    "num_range",
+    "all_of",
+    "any_of",
+    "last_col",
+]

@@ -1,0 +1,546 @@
+"""Frame — the engine's single table abstraction.
+
+Maps the reference's ``tbl_gpu`` handle (cuplyr ``R/tbl-gpu.R:133-159``:
+device table pointer + schema + lazy AST + group metadata) onto a thin
+immutable wrapper over a ``pyspark.sql.DataFrame``:
+
+- the DataFrame *is* the lazy plan (Catalyst replaces the reference's
+  AST + 6-pass optimizer, SURVEY §4 — zero custom rules needed);
+- ``groups`` is pure metadata, exactly as in the reference
+  (``R/group-by.R:51-82``);
+- eager mode collapses away: Spark is always lazy; ``compute()`` is
+  persist+materialize, ``collect()`` is the only host transfer.
+
+Every verb returns a NEW Frame (reference tables are immutable,
+``src/ops_mutate.cpp:60-67`` — DataFrames already are).
+
+Verbs and their semantics (file:line cites are into /root/reference):
+
+========== ======================================================
+select      tidyselect incl. helpers; de-selected grouping columns
+            are dropped from groups (``R/select.R:55-115``)
+filter      predicates ANDed; NULL comparisons drop rows
+            (``R/filter.R:137-177``) — native Spark WHERE behavior
+mutate      sequential exprs, later exprs see earlier outputs
+            (``tests/testthat/test-mutate.R:250``); name collision
+            replaces in place preserving position
+            (``R/mutate.R:26-29``)
+arrange     multi-key; NA last when ascending / first when
+            descending (``src/ops_arrange.cpp:74-82``); stable via
+            explicit row-index tiebreaker (Spark sort is not
+            guaranteed stable, reference uses stable_sorted_order)
+group_by    metadata only; ``add=True`` appends (``R/group-by.R``)
+summarise   one shuffle; group cols first in output; result always
+            ungrouped (``.groups="drop"``, ``R/summarise.R:119-125``)
+joins       equi-joins, NULL keys match (null_equality::EQUAL,
+            ``src/ops_join.cpp:161``) -> eqNullSafe; keep=False
+            drops right keys; ``.x``/``.y`` suffixes on conflicts
+            (``R/join.R:70-100``)
+bind_rows   union by name + type promotion lattice (``R/bind.R``)
+bind_cols   positional zip via row index (order-fragile at scale;
+            documented divergence, SURVEY §7)
+head        LIMIT (fixes the reference's dead-code ast_head,
+            ``R/ast.R:114-122``)
+compute     persist + materialize (``R/compute.R:52-83``)
+collect     to pandas (``R/collect.R:55-100``)
+show_query  physical/logical plan (``R/compute.R:222-239``)
+========== ======================================================
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+from collections.abc import Iterable, Mapping
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cuplyr_spark.agg import AggSpec
+from cuplyr_spark.schema import unify_schemas
+from cuplyr_spark.selectors import Selector, resolve_selection
+
+
+class Desc:
+    """Marker for a descending sort key (dplyr ``desc(col)``)."""
+
+    def __init__(self, col: str | Column):
+        self.col = col
+
+
+def desc(col: str | Column) -> Desc:
+    return Desc(col)
+
+
+def _as_column(x: Any) -> Column:
+    """Interpret a verb argument as a Column expression.
+
+    Strings are SQL expressions (plain identifiers become column refs);
+    Columns pass through; any other Python scalar becomes a literal.
+    """
+    if isinstance(x, Column):
+        return x
+    if isinstance(x, str):
+        return F.col(x) if x.isidentifier() else F.expr(x)
+    return F.lit(x)
+
+
+def _qcol(name: str) -> Column:
+    """Column ref by exact name — backticked so dotted names (join
+    suffixes ``v.x``, bind_cols repairs ``a...2``) resolve as top-level
+    columns, not nested-field paths."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+class Frame:
+    """Immutable table handle: DataFrame + grouping metadata."""
+
+    def __init__(self, df: DataFrame, groups: tuple[str, ...] = ()):
+        self._df = df
+        self._groups = tuple(groups)
+
+    # -- accessors ----------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        """Escape hatch: the underlying pyspark DataFrame."""
+        return self._df
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    @property
+    def schema(self) -> T.StructType:
+        return self._df.schema
+
+    def group_vars(self) -> tuple[str, ...]:
+        return self._groups
+
+    def dim(self) -> tuple[int, int]:
+        """(nrows, ncols) — nrows runs a count job."""
+        return (self._df.count(), len(self._df.columns))
+
+    def __repr__(self) -> str:
+        g = f" groups={list(self._groups)}" if self._groups else ""
+        return f"<Frame [{', '.join(self.columns)}]{g}>"
+
+    def _with(self, df: DataFrame, groups: tuple[str, ...] | None = None) -> Frame:
+        return Frame(df, self._groups if groups is None else groups)
+
+    # -- projection (§2.2) ---------------------------------------------
+
+    def select(self, *args: str | Selector | Iterable) -> Frame:
+        """Keep/reorder columns; tidyselect helpers supported.
+
+        Grouping columns that are de-selected are dropped from the
+        group metadata (reference ``R/select.R:98-110``).
+        """
+        cols = resolve_selection(args, self._df.columns)
+        groups = tuple(g for g in self._groups if g in cols)
+        return Frame(self._df.select(*[_qcol(c) for c in cols]), groups)
+
+    def rename(self, **mapping: str) -> Frame:
+        """``rename(new=old)`` — dplyr argument order."""
+        old_to_new = {old: new for new, old in mapping.items()}
+        missing = [o for o in old_to_new if o not in self._df.columns]
+        if missing:
+            raise KeyError(f"rename(): unknown columns {missing}")
+        df = self._df.withColumnsRenamed(old_to_new)
+        groups = tuple(old_to_new.get(g, g) for g in self._groups)
+        return Frame(df, groups)
+
+    def relocate(self, *cols: str, before: str | None = None, after: str | None = None) -> Frame:
+        existing = [c for c in self._df.columns if c not in cols]
+        moved = list(cols)
+        if before is not None:
+            i = existing.index(before)
+        elif after is not None:
+            i = existing.index(after) + 1
+        else:
+            i = 0
+        new_order = existing[:i] + moved + existing[i:]
+        return self._with(self._df.select(*[_qcol(c) for c in new_order]))
+
+    # -- filter (§2.3) -------------------------------------------------
+
+    def filter(self, *predicates: str | Column | bool) -> Frame:
+        """Row filter; multiple predicates are ANDed.
+
+        Richer than the reference grammar (col-op-scalar / col-op-col,
+        ``R/filter.R:137-177``): any Spark boolean expression works.
+        NULL comparison results drop the row, matching both dplyr and
+        SQL WHERE.
+        """
+        if not predicates:
+            return self
+        cols = [_as_column(p) if not isinstance(p, bool) else F.lit(p) for p in predicates]
+        cond = functools.reduce(operator.and_, cols)
+        return self._with(self._df.filter(cond))
+
+    # -- mutate (§2.4) -------------------------------------------------
+
+    def mutate(self, **exprs: Any) -> Frame:
+        """Add/replace columns; exprs evaluated sequentially so later
+        expressions can reference earlier outputs. A colliding name
+        replaces the column in place, preserving position (Spark
+        ``withColumn`` has exactly this rule). Catalyst's
+        CollapseProject fuses the chain into one projection — the
+        reference needed a dedicated batching kernel + toposort for
+        this (``src/ops_mutate_batch.cpp:42-203``).
+        """
+        df = self._df
+        for name, value in exprs.items():
+            df = df.withColumn(name, _as_column(value))
+        return self._with(df)
+
+    def transmute(self, **exprs: Any) -> Frame:
+        """mutate + keep only the results (and grouping columns)."""
+        out = self.mutate(**exprs)
+        keep = [c for c in self._groups if c not in exprs] + list(exprs)
+        return Frame(out._df.select(*[_qcol(c) for c in keep]), self._groups)
+
+    # -- arrange (§2.5) ------------------------------------------------
+
+    def arrange(self, *keys: str | Column | Desc, by_group: bool = False, stable: bool = False) -> Frame:
+        """Multi-key sort with the reference's NA rule: NAs last for
+        ascending keys, first for descending (``src/ops_arrange.cpp:
+        74-82``). ``stable=True`` appends a row-index tiebreaker to
+        emulate the reference's stable sort (Spark's range-partitioned
+        sort is not stable); the index is assigned before sorting and
+        reflects current partition order. ``by_group`` prepends the
+        grouping columns to the sort keys (``R/arrange.R:102-140``).
+        """
+        sort_cols: list[Column] = []
+        if by_group:
+            seen_keys = {k if isinstance(k, str) else None for k in keys}
+            sort_cols.extend(
+                F.col(g).asc_nulls_last() for g in self._groups if g not in seen_keys
+            )
+        for k in keys:
+            if isinstance(k, Desc):
+                c = _as_column(k.col)
+                sort_cols.append(c.desc_nulls_first())
+            else:
+                sort_cols.append(_as_column(k).asc_nulls_last())
+        df = self._df
+        if stable:
+            idx = "__cuplyr_row_idx__"
+            df = df.withColumn(idx, F.monotonically_increasing_id())
+            sort_cols.append(F.col(idx).asc())
+            return self._with(df.orderBy(*sort_cols).drop(idx))
+        return self._with(df.orderBy(*sort_cols))
+
+    # -- grouping + aggregation (§2.6) ----------------------------------
+
+    def group_by(self, *cols: str | Selector, add: bool = False) -> Frame:
+        """Metadata-only, like the reference (``R/group-by.R:51-82``)."""
+        names = resolve_selection(cols, self._df.columns)
+        if add:
+            names = [g for g in self._groups] + [n for n in names if n not in self._groups]
+        return Frame(self._df, tuple(names))
+
+    def ungroup(self) -> Frame:
+        return Frame(self._df, ())
+
+    def summarise(self, **aggs: AggSpec | Column) -> Frame:
+        """One hash aggregation (partial+final, spill-capable — the
+        scale upgrade over the reference's single-pass no-spill
+        groupby, ``src/ops_groupby.cpp:129-160``). Output: group
+        columns first, then aggregates; result is ungrouped
+        (``.groups="drop"`` is the reference's only mode).
+        """
+        cols = [
+            (spec.resolve(self._df) if isinstance(spec, AggSpec) else spec).alias(name)
+            for name, spec in aggs.items()
+        ]
+        if self._groups:
+            out = self._df.groupBy(*[_qcol(g) for g in self._groups]).agg(*cols)
+        else:
+            out = self._df.agg(*cols)
+        return Frame(out, ())
+
+    summarize = summarise
+
+    def count(self, *cols: str, name: str = "n", sort: bool = False) -> Frame:
+        """dplyr ``count()``: group sizes."""
+        groups = list(cols) or list(self._groups)
+        if groups:
+            out = self._df.groupBy(*[_qcol(g) for g in groups]).agg(F.count(F.lit(1)).alias(name))
+        else:
+            out = self._df.agg(F.count(F.lit(1)).alias(name))
+        if sort:
+            out = out.orderBy(F.col(name).desc_nulls_first())
+        return Frame(out, ())
+
+    def distinct(self, *cols: str) -> Frame:
+        """Distinct rows (Spark-native; absent from the reference but
+        free here — SURVEY §2.8)."""
+        if cols:
+            return Frame(self._df.select(*[_qcol(c) for c in cols]).distinct(), ())
+        return self._with(self._df.distinct())
+
+    # -- joins (§2.7) ----------------------------------------------------
+
+    def inner_join(self, other: Frame, by=None, suffix=(".x", ".y"), na_matches="na", keep=False) -> Frame:
+        return self._join(other, by, "inner", suffix, na_matches, keep)
+
+    def left_join(self, other: Frame, by=None, suffix=(".x", ".y"), na_matches="na", keep=False) -> Frame:
+        return self._join(other, by, "left", suffix, na_matches, keep)
+
+    def right_join(self, other: Frame, by=None, suffix=(".x", ".y"), na_matches="na", keep=False) -> Frame:
+        return self._join(other, by, "right", suffix, na_matches, keep)
+
+    def full_join(self, other: Frame, by=None, suffix=(".x", ".y"), na_matches="na", keep=False) -> Frame:
+        return self._join(other, by, "full", suffix, na_matches, keep)
+
+    def semi_join(self, other: Frame, by=None, na_matches="na") -> Frame:
+        """EXISTS filter — Spark left_semi (extension; reference lacks
+        semi/anti, ``README.md:72-78``)."""
+        return self._join(other, by, "left_semi", (".x", ".y"), na_matches, False)
+
+    def anti_join(self, other: Frame, by=None, na_matches="na") -> Frame:
+        return self._join(other, by, "left_anti", (".x", ".y"), na_matches, False)
+
+    def cross_join(self, other: Frame, suffix=(".x", ".y")) -> Frame:
+        lp, rp = "__cuplyr_l__", "__cuplyr_r__"
+        ldf = self._df.select([_qcol(c).alias(lp + c) for c in self._df.columns])
+        rdf = other._df.select([_qcol(c).alias(rp + c) for c in other._df.columns])
+        joined = ldf.crossJoin(rdf)
+        out_cols = []
+        conflicts = set(self._df.columns) & set(other._df.columns)
+        for c in self._df.columns:
+            out_cols.append(_qcol(lp + c).alias(c + suffix[0] if c in conflicts else c))
+        for c in other._df.columns:
+            out_cols.append(_qcol(rp + c).alias(c + suffix[1] if c in conflicts else c))
+        return Frame(joined.select(*out_cols), ())
+
+    def _join(self, other: Frame, by, how: str, suffix, na_matches: str, keep: bool) -> Frame:
+        """Shared mutating/filtering join implementation.
+
+        Semantics matched to the reference (``R/join.R:168-428``):
+        - ``by=None`` -> natural join on common column names;
+          ``by="k"``/list -> same-name keys; ``by={"lk": "rk"}`` ->
+          renamed keys.
+        - ``na_matches="na"`` (reference's only mode,
+          ``src/ops_join.cpp:161``) -> eqNullSafe; ``"never"`` -> ==.
+        - ``keep=False`` drops right key columns; the output key column
+          coalesces left/right values so right/full joins surface keys
+          from unmatched right rows (dplyr behavior).
+        - Non-key name conflicts get ``suffix`` (default .x/.y).
+        - Column order: x columns, then y non-key columns.
+
+        Implementation: both sides are prefixed to globally unique
+        names before the join, which makes self-joins and repeated
+        column names unambiguous; the prefix projections are zero-cost
+        (Catalyst collapses them into the scan).
+        """
+        by_map = self._resolve_by(other, by)
+        lp, rp = "__cuplyr_l__", "__cuplyr_r__"
+        ldf = self._df.select([_qcol(c).alias(lp + c) for c in self._df.columns])
+        rdf = other._df.select([_qcol(c).alias(rp + c) for c in other._df.columns])
+
+        def key_eq(lk: str, rk: str) -> Column:
+            l, r = _qcol(lp + lk), _qcol(rp + rk)
+            return l.eqNullSafe(r) if na_matches == "na" else l == r
+
+        cond = functools.reduce(operator.and_, [key_eq(lk, rk) for lk, rk in by_map.items()])
+        joined = ldf.join(rdf, cond, how)
+
+        if how in ("left_semi", "left_anti"):
+            out = joined.select([_qcol(lp + c).alias(c) for c in self._df.columns])
+            return Frame(out, self._groups)
+
+        left_keys = set(by_map.keys())
+        right_keys = set(by_map.values())
+        if keep:
+            conflicts = set(self._df.columns) & set(other._df.columns)
+        else:
+            conflicts = (set(self._df.columns) & set(other._df.columns)) - {
+                c for c in by_map if c == by_map[c]
+            }
+        out_cols: list[Column] = []
+        for c in self._df.columns:
+            if not keep and c in left_keys:
+                rk = by_map[c]
+                # Unmatched right rows (right/full join) carry the key
+                # value only on the right side.
+                out_cols.append(F.coalesce(_qcol(lp + c), _qcol(rp + rk)).alias(c))
+            else:
+                name = c + suffix[0] if c in conflicts else c
+                out_cols.append(_qcol(lp + c).alias(name))
+        for c in other._df.columns:
+            if not keep and c in right_keys:
+                continue
+            name = c + suffix[1] if c in conflicts else c
+            out_cols.append(_qcol(rp + c).alias(name))
+        return Frame(joined.select(*out_cols), self._groups)
+
+    def _resolve_by(self, other: Frame, by) -> dict[str, str]:
+        if by is None:
+            common = [c for c in self._df.columns if c in set(other._df.columns)]
+            if not common:
+                raise ValueError("join: no common columns for a natural join")
+            return {c: c for c in common}
+        if isinstance(by, str):
+            return {by: by}
+        if isinstance(by, Mapping):
+            return dict(by)
+        if isinstance(by, (list, tuple)):
+            return {c: c for c in by}
+        raise TypeError(f"join: cannot interpret by={by!r}")
+
+    # -- combination (§2.8) ----------------------------------------------
+
+    def bind_rows(self, *others: Frame, id: str | None = None, labels: list[str] | None = None) -> Frame:
+        """Vertical concat by column NAME with the reference's type
+        promotion lattice (``R/bind.R:267-453``): BOOL<INT<LONG<DOUBLE,
+        anything+STRING->STRING; missing columns are NULL-filled.
+        ``id=`` prepends a source-label column. Groups are cleared
+        (``R/bind.R:192-196``). Executes as a zero-shuffle union.
+        """
+        frames = [self, *others]
+        target = unify_schemas([f._df.schema for f in frames])
+        if labels is None:
+            labels = [str(i + 1) for i in range(len(frames))]
+        aligned: list[DataFrame] = []
+        for i, f in enumerate(frames):
+            have = set(f._df.columns)
+            cols = [
+                (_qcol(name).cast(dtype) if name in have else F.lit(None).cast(dtype)).alias(name)
+                for name, dtype in target
+            ]
+            if id is not None:
+                cols = [F.lit(labels[i]).alias(id)] + cols
+            aligned.append(f._df.select(*cols))
+        return Frame(functools.reduce(DataFrame.unionAll, aligned), ())
+
+    def bind_cols(self, *others: Frame) -> Frame:
+        """Horizontal concat by POSITION via an explicit row index.
+
+        Inherently order-dependent: Spark has no global row order, so
+        the zip uses each input's current partition order (reference
+        semantics are host-order, SURVEY §7 documents the divergence).
+        The index join is fine at test scale; at 100 TB prefer joining
+        on a real key. Name conflicts are repaired vectr-style with
+        positional suffixes (reference ``R/bind.R:237-261``).
+        """
+        frames = [self, *others]
+        idx = "__cuplyr_zip_idx__"
+        indexed = []
+        seen: dict[str, int] = {}
+        for f in frames:
+            renames = {}
+            for c in f._df.columns:
+                if c in seen:
+                    seen[c] += 1
+                    renames[c] = f"{c}...{seen[c]}"
+                else:
+                    seen[c] = 1
+            df = f._df.withColumnsRenamed(renames) if renames else f._df
+            w = Window.orderBy(F.monotonically_increasing_id())
+            indexed.append(df.withColumn(idx, F.row_number().over(w)))
+        out = functools.reduce(lambda a, b: a.join(b, idx, "inner"), indexed)
+        ordered = [c for df in indexed for c in df.columns if c != idx]
+        return Frame(out.select(*[_qcol(c) for c in ordered]), self._groups)
+
+    def union(self, other: Frame) -> Frame:
+        """SQL UNION (dedup) — Spark-native extension."""
+        return Frame(self._df.unionByName(other._df).distinct(), ())
+
+    def intersect(self, other: Frame) -> Frame:
+        return Frame(self._df.intersect(other._df), ())
+
+    def setdiff(self, other: Frame) -> Frame:
+        return Frame(self._df.exceptAll(other._df).distinct(), ())
+
+    # -- limit / head (§2.9) ----------------------------------------------
+
+    def head(self, n: int = 6) -> Frame:
+        """First-n limit (real semantics for the reference's dead-code
+        ``ast_head``, ``R/ast.R:114-122``). ``arrange(...).head(k)``
+        compiles to TakeOrderedAndProject — no global sort."""
+        return self._with(self._df.limit(n))
+
+    limit = head
+
+    def slice_max(self, order_by: str | Column, n: int = 1, with_ties: bool = False) -> Frame:
+        """Top-n by a column (per group if grouped) — window-based."""
+        return self._slice_ranked(_as_column(order_by).desc_nulls_last(), n, with_ties)
+
+    def slice_min(self, order_by: str | Column, n: int = 1, with_ties: bool = False) -> Frame:
+        return self._slice_ranked(_as_column(order_by).asc_nulls_last(), n, with_ties)
+
+    def _slice_ranked(self, key: Column, n: int, with_ties: bool) -> Frame:
+        rank_fn = F.rank() if with_ties else F.row_number()
+        if self._groups:
+            w = Window.partitionBy(*self._groups).orderBy(key)
+            rk = "__cuplyr_rank__"
+            out = (
+                self._df.withColumn(rk, rank_fn.over(w))
+                .filter(F.col(rk) <= n)
+                .drop(rk)
+            )
+            return self._with(out)
+        # Ungrouped top-n: global sort + limit lowers to
+        # TakeOrderedAndProject (no single-partition window).
+        if with_ties:
+            w = Window.orderBy(key)
+            rk = "__cuplyr_rank__"
+            out = self._df.withColumn(rk, F.rank().over(w)).filter(F.col(rk) <= n).drop(rk)
+            return self._with(out)
+        return self._with(self._df.orderBy(key).limit(n))
+
+    # -- materialization / lifecycle (§2.1) ---------------------------------
+
+    def compute(self) -> Frame:
+        """Execute and keep distributed (reference ``compute()``,
+        ``R/compute.R:52-83``): persist + force materialization."""
+        df = self._df.persist()
+        df.count()
+        return Frame(df, self._groups)
+
+    def collapse(self) -> Frame:
+        """Reference's optimization barrier (``R/compute.R:104-122``).
+        No precise Catalyst analog; localCheckpoint is the closest
+        (cuts lineage / fences optimization). Documented divergence."""
+        return Frame(self._df.localCheckpoint(eager=False), self._groups)
+
+    def unpersist(self) -> Frame:
+        return Frame(self._df.unpersist(), self._groups)
+
+    def collect(self):
+        """Device->host transfer analog: Arrow-backed toPandas()."""
+        return self._df.toPandas()
+
+    def collect_rows(self) -> list:
+        return self._df.collect()
+
+    def show(self, n: int = 10, truncate: bool = True) -> None:
+        self._df.show(n, truncate)
+
+    def show_query(self, mode: str = "formatted") -> None:
+        """Reference ``show_query()`` printed the pending AST; here the
+        honest answer is Catalyst's plan."""
+        self._df.explain(mode)
+
+    def explain_str(self, mode: str = "formatted") -> str:
+        return self._df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            self._df._jdf.queryExecution(), mode
+        )
+
+    # -- scale hints ------------------------------------------------------
+
+    def broadcast(self) -> Frame:
+        """Mark as broadcast-join candidate (small dimension tables)."""
+        return Frame(F.broadcast(self._df), self._groups)
+
+    def repartition(self, n: int, *cols: str) -> Frame:
+        if cols:
+            return self._with(self._df.repartition(n, *cols))
+        return self._with(self._df.repartition(n))
+
+    def coalesce(self, n: int) -> Frame:
+        return self._with(self._df.coalesce(n))

@@ -1,0 +1,95 @@
+"""Sources / sinks (SURVEY §2.1).
+
+The reference has exactly one source (in-memory R data.frame ->
+host-to-device transfer, cuplyr ``src/transfer_io.cpp:604-643``) and one
+sink (collect back to tibble). Here the ingest surface is Spark's
+format-native scan layer — parquet first (columnar, predicate pushdown,
+partition pruning), which is what the 100 TB deployment actually reads.
+``from_pandas`` preserves the reference's data.frame entry point via the
+Arrow fast path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from cuplyr_spark.frame import Frame
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def tbl(df: DataFrame) -> Frame:
+    """Wrap an existing DataFrame (the ``as_tbl_gpu`` analog)."""
+    return Frame(df)
+
+
+def from_pandas(spark: SparkSession, pdf, schema: T.StructType | None = None) -> Frame:
+    """In-memory ingest (reference ``tbl_gpu(data.frame)``), Arrow path."""
+    return Frame(spark.createDataFrame(pdf, schema=schema))
+
+
+def read_parquet(spark: SparkSession, path: str) -> Frame:
+    return Frame(spark.read.parquet(path))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> Frame:
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # Schema inference re-reads the data; acceptable for ad-hoc use,
+        # pass an explicit schema in production pipelines.
+        reader = reader.option("inferSchema", True)
+    return Frame(reader.csv(path))
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options) -> Frame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return Frame(reader.json(path))
+
+
+def read_orc(spark: SparkSession, path: str) -> Frame:
+    return Frame(spark.read.orc(path))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> dict[str, Frame]:
+    """Load the driver's TPC-H-ish test tables from a scale-factor dir."""
+    out = {}
+    for name in tables:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            out[name] = read_parquet(spark, p)
+    return out
+
+
+def write_parquet(frame: Frame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    writer = frame.df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(frame: Frame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    frame.df.write.mode(mode).option("header", header).csv(path)
