@@ -33,7 +33,11 @@ from pyspark.sql import types as T
 def _as_col(x: str | Column) -> Column:
     if isinstance(x, Column):
         return x
-    return F.col(x) if x.isidentifier() else F.expr(x)
+    if x.isidentifier():
+        return F.col(x)
+    from cuplyr_spark.functions.expr import compile_expr
+
+    return compile_expr(x)
 
 
 # Aggregates whose input must be numeric (bool operands -> 0/1 int).

@@ -59,6 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cuplyr_spark.agg import AggSpec
+from cuplyr_spark.functions.expr import compile_expr
 from cuplyr_spark.schema import unify_schemas
 from cuplyr_spark.selectors import Selector, resolve_selection
 
@@ -83,7 +84,7 @@ def _as_column(x: Any) -> Column:
     if isinstance(x, Column):
         return x
     if isinstance(x, str):
-        return F.col(x) if x.isidentifier() else F.expr(x)
+        return F.col(x) if x.isidentifier() else compile_expr(x)
     return F.lit(x)
 
 
@@ -454,7 +455,7 @@ class Frame:
         return Frame(self._df.intersect(other._df), ())
 
     def setdiff(self, other: Frame) -> Frame:
-        return Frame(self._df.exceptAll(other._df).distinct(), ())
+        return Frame(self._df.subtract(other._df), ())
 
     # -- limit / head (§2.9) ----------------------------------------------
 

@@ -1,0 +1,179 @@
+"""R/dplyr-style expression compiler: string -> pyspark Column.
+
+The reference parses verb arguments textually into (col, op, rhs)
+triples and nested binary trees (cuplyr ``R/mutate.R:180-394``,
+``R/filter.R:137-244``). Here the string is parsed with Python's
+``ast`` module and compiled directly to Column expressions, so the
+whole reference grammar — and much more — works:
+
+- arithmetic ``+ - * /`` with Spark/Catalyst type promotion;
+- ``^`` is POWER (R semantics; Spark SQL would read it as XOR — the
+  compiler is exactly what prevents that divergence); ``**`` too;
+- ``%`` is MOD and ``//`` is floor-division (the kernel-level ``%%``
+  and ``%/%`` of ``src/ops_common.hpp:21-30``);
+- comparisons ``== != < <= > >=``, chained comparisons, ``in`` ->
+  ``isin``;
+- boolean ``and/or/not`` and ``& | ~``;
+- literals (int/float/str/True/False/None), unary minus;
+- function calls resolved against an R-names table (``ceiling`` ->
+  ``ceil``, ``is_na``/``is.na`` -> ``isnull`` …) then against
+  ``pyspark.sql.functions``;
+- ``if_else(cond, a, b)`` -> CASE WHEN.
+
+Anything that is not valid Python syntax (e.g. SQL like
+``CAST(x AS INT)`` or ``date '1998-09-02'``) falls back to
+``F.expr`` — Spark SQL remains a first-class escape hatch.
+"""
+
+from __future__ import annotations
+
+import ast
+import operator
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# R-name -> pyspark.sql.functions name (identity entries omitted: any
+# name not listed is tried against F directly).
+_FN_ALIASES = {
+    "ceiling": "ceil",
+    "trunc": "expr_trunc",  # handled specially (F.trunc is for dates)
+    "is_na": "isnull",
+    "is.na": "isnull",
+    "str_length": "length",
+    "str_to_lower": "lower",
+    "str_to_upper": "upper",
+    "str_trim": "trim",
+    "n_distinct": "count_distinct",
+    "paste0": "concat",
+    "if_else": "expr_if_else",
+    "ifelse": "expr_if_else",
+    "coalesce": "coalesce",
+}
+
+_BIN_OPS = {
+    ast.Add: operator.add,
+    ast.Sub: operator.sub,
+    ast.Mult: operator.mul,
+    ast.Div: operator.truediv,
+    ast.Mod: operator.mod,
+    ast.Pow: lambda a, b: F.pow(a, b),
+    ast.BitXor: lambda a, b: F.pow(a, b),  # R: ^ is power
+    ast.FloorDiv: lambda a, b: F.floor(a / b),  # R: %/%
+    ast.BitAnd: operator.and_,
+    ast.BitOr: operator.or_,
+}
+
+_CMP_OPS = {
+    ast.Eq: operator.eq,
+    ast.NotEq: operator.ne,
+    ast.Lt: operator.lt,
+    ast.LtE: operator.le,
+    ast.Gt: operator.gt,
+    ast.GtE: operator.ge,
+}
+
+
+class ExprError(ValueError):
+    pass
+
+
+def compile_expr(text: str) -> Column:
+    """Compile an expression string to a Column.
+
+    Tries the R-style grammar first; falls back to Spark SQL
+    (``F.expr``) when the string isn't valid Python syntax.
+    """
+    try:
+        tree = ast.parse(text, mode="eval")
+    except SyntaxError:
+        return F.expr(text)
+    try:
+        return _compile(tree.body)
+    except ExprError:
+        # Parsed as Python but uses something only Spark SQL knows.
+        return F.expr(text)
+
+
+def _compile(node: ast.AST) -> Column:
+    if isinstance(node, ast.Constant):
+        return F.lit(node.value)
+    if isinstance(node, ast.Name):
+        return F.col(node.id)
+    if isinstance(node, ast.Attribute):
+        # Dotted names produced by this engine (join suffixes `v.x`,
+        # bind_cols repairs) are top-level columns, not struct fields.
+        parts = []
+        cur: ast.AST = node
+        while isinstance(cur, ast.Attribute):
+            parts.append(cur.attr)
+            cur = cur.value
+        if not isinstance(cur, ast.Name):
+            raise ExprError("unsupported attribute base")
+        parts.append(cur.id)
+        name = ".".join(reversed(parts))
+        return F.col("`" + name.replace("`", "``") + "`")
+    if isinstance(node, ast.BinOp):
+        fn = _BIN_OPS.get(type(node.op))
+        if fn is None:
+            raise ExprError(f"unsupported operator {ast.dump(node.op)}")
+        return fn(_compile(node.left), _compile(node.right))
+    if isinstance(node, ast.UnaryOp):
+        if isinstance(node.op, ast.USub):
+            return -_compile(node.operand)
+        if isinstance(node.op, (ast.Not, ast.Invert)):
+            return ~_compile(node.operand)
+        raise ExprError("unsupported unary op")
+    if isinstance(node, ast.BoolOp):
+        op = operator.and_ if isinstance(node.op, ast.And) else operator.or_
+        cols = [_compile(v) for v in node.values]
+        out = cols[0]
+        for c in cols[1:]:
+            out = op(out, c)
+        return out
+    if isinstance(node, ast.Compare):
+        out = None
+        left = _compile(node.left)
+        for cmp_op, comparator in zip(node.ops, node.comparators):
+            if isinstance(cmp_op, (ast.In, ast.NotIn)):
+                if not isinstance(comparator, (ast.List, ast.Tuple, ast.Set)):
+                    raise ExprError("`in` needs a literal list")
+                values = [ast.literal_eval(e) for e in comparator.elts]
+                piece = left.isin(values)
+                if isinstance(cmp_op, ast.NotIn):
+                    piece = ~piece
+            else:
+                fn = _CMP_OPS.get(type(cmp_op))
+                if fn is None:
+                    raise ExprError("unsupported comparison")
+                right = _compile(comparator)
+                piece = fn(left, right)
+                left = right  # chained comparisons: a < b < c
+            out = piece if out is None else (out & piece)
+        return out
+    if isinstance(node, ast.Call):
+        return _compile_call(node)
+    if isinstance(node, ast.IfExp):
+        return F.when(_compile(node.test), _compile(node.body)).otherwise(
+            _compile(node.orelse)
+        )
+    raise ExprError(f"unsupported syntax: {ast.dump(node)[:60]}")
+
+
+def _compile_call(node: ast.Call) -> Column:
+    if not isinstance(node.func, ast.Name):
+        raise ExprError("only simple function names are supported")
+    name = _FN_ALIASES.get(node.func.id, node.func.id)
+    args = [_compile(a) for a in node.args]
+    if name == "expr_if_else":
+        if len(args) != 3:
+            raise ExprError("if_else(cond, yes, no)")
+        return F.when(args[0], args[1]).otherwise(args[2])
+    if name == "expr_trunc":
+        # R trunc(): toward zero. Spark F.trunc is date-only.
+        (x,) = args
+        return F.when(x < 0, F.ceil(x)).otherwise(F.floor(x)).cast("double")
+    fn = getattr(F, name, None)
+    if fn is None or not callable(fn):
+        raise ExprError(f"unknown function {name!r}")
+    return fn(*args)

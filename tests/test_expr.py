@@ -1,0 +1,87 @@
+"""Expression-compiler tests (cuplyr_spark.functions.expr): the
+R-style grammar of the reference's mutate/filter parsers
+(``R/mutate.R:180-394``, ``R/filter.R:137-244``) plus the SQL
+fallback."""
+
+import pandas as pd
+import pytest
+
+from cuplyr_spark import from_pandas
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return from_pandas(
+        spark,
+        pd.DataFrame(
+            {"a": [4.0, 9.0, -2.5], "b": [2.0, 3.0, 2.0], "s": ["x", "y", "z"]}
+        ),
+    )
+
+
+def test_power_is_r_semantics(t):
+    """`^` must be POWER, not Spark SQL's XOR."""
+    out = t.mutate(p="a ^ 2").collect()
+    assert out["p"].tolist() == [16.0, 81.0, 6.25]
+    out2 = t.mutate(p="a ** 2").collect()
+    assert out2["p"].tolist() == [16.0, 81.0, 6.25]
+
+
+def test_mod_and_floordiv(t):
+    out = t.mutate(m="a % b", fd="a // b").collect()
+    assert out["m"].tolist() == [0.0, 0.0, -0.5]
+    assert out["fd"].tolist() == [2.0, 3.0, -2.0]
+
+
+def test_nested_arithmetic(t):
+    out = t.mutate(x="(a + b) * 2 - 1").collect()
+    assert out["x"].tolist() == [11.0, 23.0, -2.0]
+
+
+def test_functions_r_names(t):
+    out = t.mutate(
+        r=("round(a)"),
+        c="ceiling(b / 2)",
+        f="floor(a)",
+        sq="sqrt(abs(a))",
+        tr="trunc(a)",
+    ).collect()
+    assert out["c"].tolist() == [1.0, 2.0, 1.0]
+    assert out["tr"].tolist() == [4.0, 9.0, -2.0]  # toward zero
+
+
+def test_boolean_and_in(t):
+    out = t.filter("a > 0 and b == 2.0").collect()
+    assert len(out) == 1
+    out2 = t.filter("s in ['x', 'z']").collect()
+    assert sorted(out2["s"]) == ["x", "z"]
+    out3 = t.filter("not (a > 0)").collect()
+    assert out3["a"].tolist() == [-2.5]
+
+
+def test_if_else(t):
+    out = t.mutate(sign="if_else(a >= 0, 'pos', 'neg')").collect()
+    assert out["sign"].tolist() == ["pos", "pos", "neg"]
+
+
+def test_chained_comparison(t):
+    out = t.filter("0 < a < 5").collect()
+    assert out["a"].tolist() == [4.0]
+
+
+def test_sql_fallback(t):
+    """Invalid Python but valid Spark SQL goes through F.expr."""
+    out = t.mutate(c="CAST(a AS INT)").collect()
+    assert out["c"].tolist() == [4, 9, -2]
+
+
+def test_string_functions(t):
+    out = t.mutate(u="upper(s)", l2="length(s)").collect()
+    assert out["u"].tolist() == ["X", "Y", "Z"]
+    assert out["l2"].tolist() == [1, 1, 1]
+
+
+def test_is_na(spark):
+    t = from_pandas(spark, pd.DataFrame({"x": [1.0, None]}))
+    out = t.mutate(na="is_na(x)").collect()
+    assert out["na"].tolist() == [False, True]

@@ -1,0 +1,157 @@
+"""Grouping + aggregation tests vs DuckDB oracle (SURVEY §2.6)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from cuplyr_spark import agg as A
+from cuplyr_spark import from_pandas, read_parquet
+from tests.helpers import assert_frame_matches, oracle
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def test_grouped_summarise_all_aggs(lineitem, duck):
+    got = (
+        lineitem.group_by("l_returnflag", "l_linestatus")
+        .summarise(
+            sum_qty=A.sum("l_quantity"),
+            avg_price=A.mean("l_extendedprice"),
+            min_disc=A.min("l_discount"),
+            max_tax=A.max("l_tax"),
+            n=A.n(),
+            sd_qty=A.sd("l_quantity"),
+            var_qty=A.var("l_quantity"),
+        )
+        .collect()
+    )
+    want = oracle(
+        duck,
+        """SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               avg(l_extendedprice) AS avg_price,
+               min(l_discount) AS min_disc,
+               max(l_tax) AS max_tax,
+               count(*) AS n,
+               stddev_samp(l_quantity) AS sd_qty,
+               var_samp(l_quantity) AS var_qty
+           FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    )
+    assert_frame_matches(got, want, rel=1e-9)
+
+
+def test_group_cols_come_first(lineitem):
+    out = lineitem.group_by("l_returnflag").summarise(n=A.n())
+    assert out.columns == ["l_returnflag", "n"]
+    assert out.group_vars() == ()  # .groups="drop"
+
+
+def test_ungrouped_summarise_one_row(lineitem, duck):
+    got = lineitem.summarise(n=A.n(), total=A.sum("l_quantity")).collect()
+    want = oracle(duck, "SELECT count(*) AS n, sum(l_quantity) AS total FROM lineitem")
+    assert len(got) == 1
+    assert_frame_matches(got, want)
+
+
+def test_expression_in_aggregate(lineitem, duck):
+    """sum(pred) / mean(pred) — reference R/summarise.R:204-397."""
+    got = (
+        lineitem.group_by("l_returnflag")
+        .summarise(
+            n_big=A.sum("l_quantity > 40"),
+            frac_big=A.mean("l_quantity > 40"),
+            max_rev=A.max("l_extendedprice * (1 - l_discount)"),
+        )
+        .collect()
+    )
+    want = oracle(
+        duck,
+        """SELECT l_returnflag,
+               sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS n_big,
+               avg(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS frac_big,
+               max(l_extendedprice * (1 - l_discount)) AS max_rev
+           FROM lineitem GROUP BY l_returnflag""",
+    )
+    assert_frame_matches(got, want)
+
+
+def test_result_types(lineitem):
+    """sum(int)->long, mean->double, n->long, min/max preserve
+    (reference R/summarise.R:490-503)."""
+    out = lineitem.group_by("l_returnflag").summarise(
+        s_int=A.sum("l_linenumber"),
+        s_dbl=A.sum("l_quantity"),
+        m=A.mean("l_linenumber"),
+        n=A.n(),
+        mn=A.min("l_linenumber"),
+        mx=A.max("l_quantity"),
+    )
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["s_int"] == "bigint"
+    assert types["s_dbl"] == "double"
+    assert types["m"] == "double"
+    assert types["n"] == "bigint"
+    assert types["mn"] == "int"
+    assert types["mx"] == "double"
+
+
+def test_na_semantics(spark):
+    """sum/mean/min/max exclude NULLs; n() counts all rows."""
+    t = from_pandas(spark, pd.DataFrame({"g": ["a", "a", "a"], "x": [1.0, None, 3.0]}))
+    out = t.group_by("g").summarise(s=A.sum("x"), m=A.mean("x"), n=A.n(), c=A.count("x")).collect()
+    assert out["s"].tolist() == [4.0]
+    assert out["m"].tolist() == [2.0]
+    assert out["n"].tolist() == [3]  # includes the NULL row
+    assert out["c"].tolist() == [2]  # count(col) excludes NULLs
+
+
+def test_sum_boolean_column(spark):
+    """dplyr sum(logical) counts TRUEs — bool cast applies to plain
+    boolean columns too, not only comparison expressions."""
+    t = from_pandas(spark, pd.DataFrame({"b": [True, False, True]}))
+    out = t.summarise(s=A.sum("b")).collect()
+    assert out["s"].tolist() == [2]
+
+
+def test_group_by_add(lineitem):
+    g = lineitem.group_by("l_returnflag").group_by("l_linestatus", add=True)
+    assert g.group_vars() == ("l_returnflag", "l_linestatus")
+    assert lineitem.group_by("l_returnflag").group_by("l_linestatus").group_vars() == (
+        "l_linestatus",
+    )
+
+
+def test_ungroup(lineitem):
+    assert lineitem.group_by("l_returnflag").ungroup().group_vars() == ()
+
+
+def test_count_verb(lineitem, duck):
+    got = lineitem.count("l_returnflag", "l_linestatus").collect()
+    want = oracle(
+        duck,
+        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2",
+    )
+    assert_frame_matches(got, want)
+
+
+def test_n_distinct(lineitem, duck):
+    got = lineitem.summarise(d=A.n_distinct("l_orderkey")).collect()
+    want = oracle(duck, "SELECT count(DISTINCT l_orderkey) AS d FROM lineitem")
+    assert_frame_matches(got, want)
+
+
+def test_summarise_on_all_null_group(spark):
+    t = from_pandas(spark, pd.DataFrame({"g": ["a", "a"], "x": [None, None]}, dtype=object).astype({"g": str}))
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("x", T.DoubleType())]
+    )
+    t = from_pandas(spark, pd.DataFrame({"g": ["a", "a"], "x": [None, None]}), schema=schema)
+    out = t.group_by("g").summarise(s=A.sum("x"), n=A.n()).collect()
+    assert pd.isna(out["s"][0])
+    assert out["n"].tolist() == [2]
