@@ -1,38 +1,826 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the flagship smoke query; ``queries()`` maps every
+implemented operator from SURVEY.md §2 (+ the training-pipeline
+extensions) to a callable, and ``oracle_sql()`` gives the DuckDB-
+equivalent ANSI SQL the driver hash-compares against at sf=0.01.
+
+Float-determinism policy (so value hashes match across engines):
+
+- money aggregates go through exact ``DECIMAL(18,2)`` sums and are
+  cast back to double — immune to summation order;
+- integer-valued doubles (quantities) sum exactly in binary anyway;
+- genuinely order-sensitive stats (stddev/var/cosine) are rounded to
+  6 decimals on BOTH sides, and rankings tie-break on ids AFTER
+  rounding so top-k selection is deterministic;
+- every computed column is aliased identically in both engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuplyr_spark import Frame, agg as A, desc, read_parquet
+from cuplyr_spark.pipeline import dedup as D
+from cuplyr_spark.pipeline import similarity as S
+from cuplyr_spark.pipeline import text as TX
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> Frame:
+    # dplyr/duckdb-compatible arithmetic regardless of the driver's
+    # session defaults (Spark 4 ships ANSI on).
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _money_sum(col: str) -> F.Column:
+    """Order-independent double: exact decimal sum, then double.
+
+    Only valid for RAW 2-decimal columns (prices as stored): their
+    doubles round-trip to the same decimal in every engine. Computed
+    products must use :func:`_revenue_sum` instead — Spark casts
+    double->decimal via the exact binary expansion while DuckDB uses
+    the shortest decimal representation, so full-precision products
+    near a rounding boundary (~0.3% of rows) diverge by one cent.
+    """
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+def _revenue_sum() -> F.Column:
+    """sum(l_extendedprice * (1 - l_discount)) as a bit-portable double.
+
+    Exact integer arithmetic: price in cents (exact int64, prices have
+    2 decimals) times (100 - discount-percent) gives revenue in 1e-4
+    dollars; the int64 sum is order-independent and the single final
+    division produces the identical double in Spark and DuckDB.
+    """
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    bp = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (F.sum(cents * (F.lit(100) - bp)).cast("double") / 10000).alias("rev")
+
+
+_REVENUE_SUM_SQL = (
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's 'complete workflow' benchmark shape
+    (filter + mutate + group_by + summarise, ``benchmark/benchmark.R:
+    209-253``) over sf0.001 lineitem."""
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    out = (
+        li.filter("l_quantity > 5", "l_discount < 0.09")
+        .mutate(revenue="l_extendedprice * (1 - l_discount)")
+        .group_by("l_returnflag", "l_linestatus")
+        .summarise(
+            n=A.n(),
+            avg_qty=A.mean("l_quantity"),
+            total_revenue=_revenue_sum(),
+        )
+        .arrange("l_returnflag", "l_linestatus")
+    )
+    return out.df
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_select(spark, sf_dir):
+    """§2.2/2.3: scalar predicates ANDed + projection."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter("l_quantity > 30", "l_discount < 0.05", "l_returnflag == 'N'")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .df
+    )
+
+
+def q_filter_col_op_col(spark, sf_dir):
+    """§2.3: column-vs-column comparison."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter("l_discount > l_tax")
+        .select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+        .df
+    )
+
+
+def q_mutate_arithmetic(spark, sf_dir):
+    """§2.4: the full reference operator set + - * / ^ %% %/% with
+    chained expressions referencing earlier outputs."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .mutate(
+            revenue="l_extendedprice * (1 - l_discount)",
+            taxed="revenue * (1 + l_tax)",
+            qty_sq="l_quantity ^ 2",
+            qty_mod="l_linenumber % 3",
+            qty_div="l_linenumber // 2",
+            neg="-l_quantity",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "revenue", "taxed",
+            "qty_sq", "qty_mod", "qty_div", "neg",
+        )
+        .df
+    )
+
+
+def q_mutate_if_else(spark, sf_dir):
+    """Conditional column (if_else -> CASE WHEN)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .mutate(
+            tier="if_else(o_totalprice > 200000, 'big', if_else(o_totalprice > 100000, 'mid', 'small'))"
+        )
+        .select("o_orderkey", "tier", "o_totalprice")
+        .df
+    )
+
+
+def q_arrange_topk(spark, sf_dir):
+    """§2.5/2.9: multi-key sort (desc + asc tiebreaks) + LIMIT ->
+    TakeOrderedAndProject."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .arrange(desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .head(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .df
+    )
+
+
+def q_group_summarise(spark, sf_dir):
+    """§2.6: TPC-H Q1 shape — every reference aggregate in one pass."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .group_by("l_returnflag", "l_linestatus")
+        .summarise(
+            sum_qty=A.sum("l_quantity"),
+            sum_price=F.round(_money_sum("l_extendedprice"), 2),
+            avg_qty=F.round(F.avg("l_quantity"), 6),
+            min_qty=A.min("l_quantity"),
+            max_qty=A.max("l_quantity"),
+            n=A.n(),
+            sd_qty=F.round(F.stddev_samp("l_quantity"), 6),
+            var_qty=F.round(F.var_samp("l_quantity"), 6),
+        )
+        .df
+    )
+
+
+def q_expr_in_aggregate(spark, sf_dir):
+    """§2.6: expression-in-aggregate (sum/mean of a predicate)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .group_by("l_returnflag")
+        .summarise(
+            n_big=A.sum("l_quantity > 40"),
+            frac_low_disc=F.round(F.avg((F.col("l_discount") < 0.03).cast("int")), 6),
+        )
+        .df
+    )
+
+
+def q_ungrouped_summarise(spark, sf_dir):
+    """§2.6: whole-table aggregation -> one row."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .summarise(
+            n=A.n(),
+            sum_qty=A.sum("l_quantity"),
+            distinct_orders=A.n_distinct("l_orderkey"),
+        )
+        .df
+    )
+
+
+def q_inner_join(spark, sf_dir):
+    """§2.7: renamed-key equi-join, keep=False drops right key."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.inner_join(customer.broadcast(), by={"o_custkey": "c_custkey"})
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+        .df
+    )
+
+
+def q_left_join(spark, sf_dir):
+    """§2.7: left join, unmatched right -> NULLs."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        customer.left_join(nation.broadcast(), by={"c_nationkey": "n_nationkey"})
+        .select("c_custkey", "c_name", "n_name")
+        .df
+    )
+
+
+def q_right_join(spark, sf_dir):
+    """§2.7: right join (x cols then y cols, keys from right)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.right_join(customer, by={"o_custkey": "c_custkey"})
+        .select("o_custkey", "o_orderkey", "c_name")
+        .df
+    )
+
+
+def q_full_join(spark, sf_dir):
+    """§2.7: full join with coalesced key column."""
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter("o_totalprice > 250000")
+        .count("o_custkey", name="n_big")
+    )
+    small = (
+        _t(spark, sf_dir, "orders")
+        .filter("o_totalprice < 50000")
+        .count("o_custkey", name="n_small")
+    )
+    return big.full_join(small, by="o_custkey").df
+
+
+def q_semi_join(spark, sf_dir):
+    """Semi join (EXISTS) — Spark-native extension (§2.7 note)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter("o_totalprice > 300000")
+    return (
+        customer.semi_join(orders, by={"c_custkey": "o_custkey"})
+        .select("c_custkey", "c_name")
+        .df
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """Anti join (NOT EXISTS)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.anti_join(orders, by={"c_custkey": "o_custkey"})
+        .select("c_custkey", "c_name")
+        .df
+    )
+
+
+def q_multikey_self_join(spark, sf_dir):
+    """§2.7: multi-key join (self-join on composite key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    high = li.filter("l_quantity > 45").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return (
+        high.inner_join(li, by=["l_orderkey", "l_linenumber"], suffix=("_a", "_b"))
+        .select("l_orderkey", "l_linenumber", "l_quantity_a", "l_extendedprice")
+        .df
+    )
+
+
+def q_bind_rows(spark, sf_dir):
+    """§2.8: union-by-name with type promotion + .id source label."""
+    cust = _t(spark, sf_dir, "customer").select("c_name", "c_acctbal").rename(
+        name="c_name", acctbal="c_acctbal"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_name", "s_acctbal").rename(
+        name="s_name", acctbal="s_acctbal"
+    )
+    return cust.bind_rows(supp, id="src", labels=["customer", "supplier"]).df
+
+
+def q_distinct(spark, sf_dir):
+    """§2.8-adjacent: distinct projection."""
+    return _t(spark, sf_dir, "lineitem").distinct("l_returnflag", "l_linestatus").df
+
+
+def q_count(spark, sf_dir):
+    """count() verb: group sizes."""
+    return _t(spark, sf_dir, "orders").count("o_orderstatus", "o_orderpriority").df
+
+
+def q_intersect_setdiff(spark, sf_dir):
+    """Set ops (Spark-native extension): customers in both/only-one
+    order-value band."""
+    hi = _t(spark, sf_dir, "orders").filter("o_totalprice > 150000").distinct("o_custkey")
+    lo = _t(spark, sf_dir, "orders").filter("o_totalprice < 150000").distinct("o_custkey")
+    both = hi.intersect(lo).mutate(band="'both'")
+    only_hi = hi.setdiff(lo).mutate(band="'hi_only'")
+    return both.bind_rows(only_hi).df
+
+
+def q_window_topn_per_group(spark, sf_dir):
+    """Window extension: top-3 lineitems per order by price
+    (deterministic tie-break on linenumber)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    out = (
+        li.df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+    )
+    return out
+
+
+def q_date_parts(spark, sf_dir):
+    """Temporal functions over the parquet timestamp column."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .mutate(
+            ship_year="year(l_shipdate)",
+            ship_month="month(l_shipdate)",
+        )
+        .filter("ship_year == 1995")
+        .count("ship_year", "ship_month")
+        .df
+    )
+
+
+def q_workflow_complete(spark, sf_dir):
+    """The reference's headline 'complete workflow' benchmark
+    (filter+mutate+group_by+summarise, benchmark/benchmark.R:209-253)
+    on the TPC-H-ish tables."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter("l_quantity > 5", "l_discount < 0.09")
+        .mutate(revenue="l_extendedprice * (1 - l_discount)")
+        .group_by("l_returnflag", "l_linestatus")
+        .summarise(
+            n=A.n(),
+            avg_qty=F.round(F.avg("l_quantity"), 6),
+            total_revenue=_revenue_sum(),
+        )
+        .df
+    )
+
+
+def q_join_agg_pipeline(spark, sf_dir):
+    """Multi-table pipeline: join + group + agg + sort head (TPC-H
+    Q5-ish shape) exercising broadcast joins on dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.inner_join(orders, by={"l_orderkey": "o_orderkey"})
+        .inner_join(customer.broadcast(), by={"o_custkey": "c_custkey"})
+        .inner_join(nation.broadcast(), by={"c_nationkey": "n_nationkey"})
+        .mutate(revenue="l_extendedprice * (1 - l_discount)")
+        .group_by("n_name")
+        .summarise(
+            revenue=_revenue_sum(),
+            n_lines=A.n(),
+        )
+        .arrange(desc("revenue"), "n_name")
+        .df
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions (north star)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized text fingerprint: one hash-agg."""
+    docs = TX.with_fingerprint(_t(spark, sf_dir, "documents"))
+    return D.exact_dedup(docs, "fingerprint", id_col="doc_id").df
+
+
+def q_text_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) + char stats."""
+    return (
+        TX.with_token_stats(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "n_tokens", "n_chars_computed", "avg_token_len")
+        .df
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length/stopword/punctuation heuristic."""
+    return (
+        TX.with_quality_score(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "stop_ratio", "punct_ratio", "quality")
+        .df
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    """Marker-word language ID with deterministic tie-break."""
+    return (
+        TX.with_lang_id(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "lang_pred", "lang_score")
+        .df
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """md5 document fingerprint (portable dedup key)."""
+    return (
+        TX.with_fingerprint(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "fingerprint")
+        .df
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 perms over 3-word shingles) — per-row
+    column math, the zero-shuffle half of near-dup detection."""
+    return D.minhash_signatures(_t(spark, sf_dir, "documents")).df
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash signatures (bit-majority over token hashes)."""
+    return D.simhash_signatures(_t(spark, sf_dir, "documents")).df
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Blocked n-gram Jaccard near-dup pairs (threshold 0.2)."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    ).df
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors (broadcast join,
+    JVM-side dot products, deterministic ranking)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, k=5, query_filter="vec_id < 10").df
+
+
+def q_embedding_label_centroid_sim(spark, sf_dir):
+    """Aggregate over vector column: per-label mean norm (array math +
+    groupBy — the shape of centroid computations)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = (
+        emb.df.withColumn(
+            "nrm",
+            F.round(S.norm(F.transform(F.col("embedding"), lambda x: x.cast("double"))), 6),
+        )
+        .groupBy("label")
+        .agg(
+            F.round(F.sum("nrm"), 4).alias("sum_norm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "filter_select": q_filter_select,
+        "filter_col_op_col": q_filter_col_op_col,
+        "mutate_arithmetic": q_mutate_arithmetic,
+        "mutate_if_else": q_mutate_if_else,
+        "arrange_topk": q_arrange_topk,
+        "group_summarise": q_group_summarise,
+        "expr_in_aggregate": q_expr_in_aggregate,
+        "ungrouped_summarise": q_ungrouped_summarise,
+        "inner_join": q_inner_join,
+        "left_join": q_left_join,
+        "right_join": q_right_join,
+        "full_join": q_full_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "multikey_self_join": q_multikey_self_join,
+        "bind_rows": q_bind_rows,
+        "distinct": q_distinct,
+        "count": q_count,
+        "intersect_setdiff": q_intersect_setdiff,
+        "window_topn_per_group": q_window_topn_per_group,
+        "date_parts": q_date_parts,
+        "workflow_complete": q_workflow_complete,
+        "join_agg_pipeline": q_join_agg_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# DuckDB-dialect helpers used across oracle strings -------------------------
+
+_SHINGLES3 = """
+list_distinct(
+  list_transform(
+    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+    i -> concat_ws(' ', string_split(text, ' ')[i],
+                        string_split(text, ' ')[i+1],
+                        string_split(text, ' ')[i+2])
+  )
+)
+"""
+
+_H64 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_oracle() -> str:
+    p = D.MINHASH_PRIME
+    h = _H64.format(x="s")
+    sig_exprs = ",\n       ".join(
+        f"list_min(list_transform(sh, s -> (({a} * ({h} % {p}) + {b}) % {p}))) AS mh_{i}"
+        for i, (a, b) in enumerate(D.MINHASH_COEFFS)
+    )
+    return f"""
+    SELECT doc_id,
+       {sig_exprs}
+    FROM (SELECT doc_id, {_SHINGLES3} AS sh FROM documents)
     """
-    return {}
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    h = _H64.format(x="t")
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {2**b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    SELECT doc_id, CAST({votes} AS BIGINT) AS simhash
+    FROM (SELECT doc_id,
+                 list_transform(list_distinct(string_split(text, ' ')), t -> {h}) AS hs
+          FROM documents)
+    """
+
+
+_COS = (
+    "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return {
+        "filter_select": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_quantity > 30 AND l_discount < 0.05 AND l_returnflag = 'N'
+        """,
+        "filter_col_op_col": """
+            SELECT l_orderkey, l_linenumber, l_discount, l_tax
+            FROM lineitem WHERE l_discount > l_tax
+        """,
+        "mutate_arithmetic": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS revenue,
+                   (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS taxed,
+                   l_quantity ^ 2 AS qty_sq,
+                   l_linenumber % 3 AS qty_mod,
+                   CAST(floor(l_linenumber / 2) AS BIGINT) AS qty_div,
+                   -l_quantity AS neg
+            FROM lineitem
+        """,
+        "mutate_if_else": """
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice > 200000 THEN 'big'
+                        WHEN o_totalprice > 100000 THEN 'mid'
+                        ELSE 'small' END AS tier,
+                   o_totalprice
+            FROM orders
+        """,
+        "arrange_topk": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 100
+        """,
+        "group_summarise": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty,
+                   count(*) AS n,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty,
+                   round(var_samp(l_quantity), 6) AS var_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "expr_in_aggregate": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS n_big,
+                   round(avg(CASE WHEN l_discount < 0.03 THEN 1 ELSE 0 END), 6) AS frac_low_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "ungrouped_summarise": """
+            SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+                   count(DISTINCT l_orderkey) AS distinct_orders
+            FROM lineitem
+        """,
+        "inner_join": """
+            SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "left_join": """
+            SELECT c_custkey, c_name, n_name
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "right_join": """
+            SELECT c_custkey AS o_custkey, o_orderkey, c_name
+            FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        """,
+        "full_join": """
+            WITH big AS (
+              SELECT o_custkey, count(*) AS n_big FROM orders
+              WHERE o_totalprice > 250000 GROUP BY o_custkey
+            ), small AS (
+              SELECT o_custkey, count(*) AS n_small FROM orders
+              WHERE o_totalprice < 50000 GROUP BY o_custkey
+            )
+            SELECT COALESCE(big.o_custkey, small.o_custkey) AS o_custkey,
+                   n_big, n_small
+            FROM big FULL JOIN small ON big.o_custkey = small.o_custkey
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "multikey_self_join": """
+            SELECT a.l_orderkey, a.l_linenumber,
+                   a.l_quantity AS l_quantity_a, b.l_extendedprice
+            FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+                  WHERE l_quantity > 45) a
+            JOIN lineitem b USING (l_orderkey, l_linenumber)
+        """,
+        "bind_rows": """
+            SELECT 'customer' AS src, c_name AS name, c_acctbal AS acctbal FROM customer
+            UNION ALL
+            SELECT 'supplier' AS src, s_name AS name, s_acctbal AS acctbal FROM supplier
+        """,
+        "distinct": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "count": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY 1, 2
+        """,
+        "intersect_setdiff": """
+            WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000),
+                 lo AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice < 150000)
+            SELECT o_custkey, 'both' AS band FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)
+            UNION ALL
+            SELECT o_custkey, 'hi_only' AS band FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)
+        """,
+        "window_topn_per_group": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, rk
+            FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                         row_number() OVER (PARTITION BY l_orderkey
+                                            ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+                  FROM lineitem)
+            WHERE rk <= 3
+        """,
+        "date_parts": """
+            SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+                   CAST(month(l_shipdate) AS INT) AS ship_month,
+                   count(*) AS n
+            FROM lineitem WHERE year(l_shipdate) = 1995
+            GROUP BY 1, 2
+        """,
+        "workflow_complete": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS total_revenue
+            FROM lineitem
+            WHERE l_quantity > 5 AND l_discount < 0.09
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_agg_pipeline": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "dedup_exact": """
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+              FROM documents
+            )
+            SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS n_copies
+            FROM fp GROUP BY fingerprint
+        """,
+        "text_token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_computed,
+                   round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS avg_token_len
+            FROM documents
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE) AS stop_hits,
+                     CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS punct,
+                     CAST(length(text) AS DOUBLE) AS n_chars
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(stop_hits / n_tokens, 6) AS stop_ratio,
+                   round(punct / n_chars, 6) AS punct_ratio,
+                   round(0.5 * least(n_tokens / 100.0, 1.0)
+                         + 0.4 * least(stop_hits / n_tokens * 5, 1.0)
+                         + 0.1 * (1.0 - least(punct / n_chars * 10, 1.0)), 6) AS quality
+            FROM t
+        """,
+        "text_lang_id": _lang_id_oracle(),
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "minhash_signatures": _minhash_oracle(),
+        "simhash": _simhash_oracle(),
+        "ngram_jaccard_pairs": f"""
+            WITH base AS (
+              SELECT doc_id, {_SHINGLES3} AS sh,
+                     CAST(floor(len(string_split(text, ' ')) / 20) AS BIGINT) AS blk
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+            FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.2
+        """,
+        "embedding_cosine_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     {_COS.format(a="q.qv", b="e.embedding")} AS score
+              FROM embeddings e, q WHERE q.query_id <> e.vec_id
+            )
+            SELECT query_id, neighbor_id, score, rank FROM (
+              SELECT query_id, neighbor_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS INT) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "embedding_label_centroid_sim": """
+            SELECT label,
+                   round(sum(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                         CAST(embedding AS DOUBLE[]))), 6)), 4) AS sum_norm,
+                   count(*) AS n
+            FROM embeddings GROUP BY label
+        """,
+    }
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB twin of with_lang_id: Spark's greatest(struct(score, nix,
+    lang)) picks max by (score, then smallest language index); here the
+    same argmax is an unnest + row_number window."""
+    from cuplyr_spark.pipeline.text import LANG_MARKERS
+
+    structs = []
+    for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items())):
+        mk = ", ".join(f"'{m}'" for m in markers)
+        structs.append(
+            "{'score': len(list_filter(string_split(text, ' '), x -> x IN (%s))), "
+            "'nix': %d, 'lang': '%s'}" % (mk, -i, lang)
+        )
+    return f"""
+        SELECT doc_id, lang_pred, lang_score FROM (
+          SELECT doc_id, s.lang AS lang_pred, CAST(s.score AS BIGINT) AS lang_score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY s.score DESC, s.nix DESC) AS rn
+          FROM (SELECT doc_id, unnest([{", ".join(structs)}]) AS s FROM documents)
+        ) WHERE rn = 1
     """
-    return {}

@@ -1,0 +1,207 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+All variants are shuffle-conscious:
+
+- exact: one hash-aggregate on the dedup key (map-side partial agg);
+- MinHash/LSH: signatures are per-row column math (no shuffle); the
+  candidate-pair generation shuffles on *band hash* — tiny keys —
+  instead of an O(n^2) cross join;
+- SimHash: per-row 16-bit signature, bucket-join on the signature;
+- n-gram Jaccard: equi-join on a cheap blocking key then exact
+  verification on the pairs (classic blocking+verification);
+- embedding near-dup: see similarity.py (bucketed cosine).
+
+Hashing is md5-based so every signature is reproducible in ANSI SQL
+(DuckDB oracle verifies signatures and pairs bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from cuplyr_spark.frame import Frame
+
+# Fixed affine-permutation constants for MinHash: h_i(x) = (a_i*x + b_i) % P.
+# P is a large prime below 2^31 so all arithmetic stays in exact int64.
+MINHASH_PRIME = 2_147_483_647
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (1_103_515_245, 12_345),
+    (214_013, 2_531_011),
+    (134_775_813, 1),
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1),
+    (69_069, 362_437),
+    (1_566_083_941, 1_406_932_606),
+    (747_796_405, 2_891_336_453 % MINHASH_PRIME),
+]
+
+
+def _hash64(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 -> bigint.
+    Identical in Spark (conv) and DuckDB (CAST '0x..' AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _word_shingles(text: Column, k: int) -> Column:
+    """Distinct k-word shingles of a single-space-tokenized text."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(shingle)
+
+
+def exact_dedup(frame: Frame, *cols: str, id_col: str) -> Frame:
+    """Exact dedup: one representative (min id) per duplicate group.
+    A single hash-aggregate — Spark's partial aggregation makes this
+    the cheapest possible dedup at any scale."""
+    key = list(cols)
+    out = frame.df.groupBy(*key).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return Frame(out.select(id_col, *key, "n_copies"), ())
+
+
+def minhash_signatures(
+    frame: Frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+) -> Frame:
+    """MinHash signature per document: min over shingle hashes under
+    ``n_hashes`` fixed affine permutations. Pure per-row column math —
+    zero shuffle; scales embarrassingly."""
+    if n_hashes > len(MINHASH_COEFFS):
+        raise ValueError(f"n_hashes <= {len(MINHASH_COEFFS)} supported")
+    shingles = _word_shingles(F.col(text_col), shingle_k)
+    hashes = F.transform(shingles, lambda s: _hash64(s) % MINHASH_PRIME)
+
+    def perm(a: int, b: int):
+        # closure factory: pyspark treats lambda default args as extra
+        # higher-order-function parameters, so capture via closure.
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
+    sig_cols = {}
+    for i in range(n_hashes):
+        a, b = MINHASH_COEFFS[i]
+        sig_cols[f"mh_{i}"] = F.array_min(F.transform(hashes, perm(a, b)))
+    return Frame(frame.df.select(F.col(id_col), *[c.alias(n) for n, c in sig_cols.items()]), ())
+
+
+def minhash_lsh_pairs(
+    frame: Frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> Frame:
+    """LSH candidate pairs: split the signature into ``bands``, hash
+    each band, self-join on (band index, band hash). The join key is a
+    few bytes — the shuffle moves signatures, never documents, so this
+    survives 100 TB corpora where the O(n^2) comparison cannot."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(frame, text_col, id_col, n_hashes, shingle_k).df
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("bh"))
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bx")
+    ).select(id_col, F.col("bx.band").alias("band"), F.col("bx.bh").alias("bh"))
+    left = exploded.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
+    right = exploded.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return Frame(pairs, ())
+
+
+def simhash_signatures(
+    frame: Frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> Frame:
+    """SimHash: per-bit majority vote over token hashes -> compact
+    integer signature. Near-dups differ in few bits (Hamming). Per-row
+    column math only."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.transform(toks, _hash64)
+    def bit_vote(b: int):
+        # Integer shiftright, NOT division: the hash is ~2^60 and
+        # double division would lose the low bits past 2^53. Closure
+        # factory because pyspark miscounts default-arg lambdas.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_votes = []
+    for b in range(bits):
+        # +1 when bit b set, -1 otherwise; sign of the sum is the bit.
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b))
+        bit_votes.append(F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)))
+    sig = bit_votes[0]
+    for v in bit_votes[1:]:
+        sig = sig + v
+    return Frame(
+        frame.df.select(F.col(id_col), sig.cast("long").alias("simhash")), ()
+    )
+
+
+def ngram_jaccard_pairs(
+    frame: Frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> Frame:
+    """Exact n-gram Jaccard similarity over candidate pairs.
+
+    Blocking: pairs are only compared within ``block_col`` groups
+    (default: token-count band), turning O(n^2) into
+    sum-of-squares-per-block. Verification is array_intersect /
+    union size — JVM-side, no UDF.
+    """
+    shingles = _word_shingles(F.col(text_col), shingle_k)
+    base = frame.df.select(
+        F.col(id_col),
+        shingles.alias("sh"),
+        (
+            F.col(block_col)
+            if block_col
+            else F.floor(F.size(F.split(F.col(text_col), " ")) / 20).alias("blk")
+        ),
+    )
+    if block_col:
+        base = base.withColumnRenamed(block_col, "blk")
+    a = base.select(F.col("blk"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("blk"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (
+        F.size(F.col("sh_a")) + F.size(F.col("sh_b"))
+        - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    ).cast("double")
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return Frame(pairs, ())

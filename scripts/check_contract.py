@@ -1,0 +1,113 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``queries()`` entry and its ``oracle_sql()`` twin at a given sf dir,
+compare row count, column names, and values (exact where possible,
+reporting max float deviation otherwise).
+
+Usage: python scripts/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from cuplyr_spark.session import get_session
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf[sorted(pdf.columns)].copy()
+    for c in out.columns:
+        if out[c].dtype == object:
+            out[c] = out[c].astype(str)
+        try:
+            import numpy as np
+
+            if np.issubdtype(out[c].dtype, np.floating):
+                continue
+        except Exception:
+            pass
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name, got: pd.DataFrame, want: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(got.columns) != sorted(want.columns):
+        return False, f"columns {sorted(got.columns)} vs {sorted(want.columns)}"
+    if len(got) != len(want):
+        return False, f"rows {len(got)} vs {len(want)}"
+    a, b = normalize(got), normalize(want)
+    max_dev = 0.0
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for x, y in zip(av, bv):
+            xna = x is None or (isinstance(x, float) and math.isnan(x)) or pd.isna(x)
+            yna = y is None or (isinstance(y, float) and math.isnan(y)) or pd.isna(y)
+            if xna and yna:
+                continue
+            if xna != yna:
+                return False, f"null mismatch in {c}: {x!r} vs {y!r}"
+            if isinstance(x, float) or isinstance(y, float):
+                if float(x) != float(y):
+                    dev = abs(float(x) - float(y))
+                    max_dev = max(max_dev, dev)
+                    if dev > 1e-6:
+                        return False, f"value mismatch in {c}: {x!r} vs {y!r}"
+            elif x != y:
+                return False, f"value mismatch in {c}: {x!r} vs {y!r}"
+    note = f"FLOAT-DEV {max_dev:.2e} (exact-hash would FAIL)" if max_dev > 0 else "exact"
+    return True, note
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    con = duckdb.connect()
+    for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        tname = os.path.basename(path).replace(".parquet", "")
+        con.execute(f"CREATE OR REPLACE VIEW {tname} AS SELECT * FROM read_parquet('{path}')")
+
+    spark = get_session(app_name="contract_check")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows-only) — {len(got)} rows, {time.time()-t0:.1f}s")
+            continue
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        ok, note = compare(name, got, want)
+        status = "PASS" if ok else "FAIL"
+        n_pass += ok
+        n_fail += not ok
+        print(f"{status} {name}: {note} ({len(got)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    # entry smoke
+    rows = entrymod.entry(spark).collect()
+    print(f"entry(): {len(rows)} rows")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
