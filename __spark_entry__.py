@@ -165,7 +165,9 @@ def q_group_summarise(spark, sf_dir):
         .group_by("l_returnflag", "l_linestatus")
         .summarise(
             sum_qty=A.sum("l_quantity"),
-            sum_price=F.round(_money_sum("l_extendedprice"), 2),
+            # integer-cents sum: exact, order-independent, and ~2x
+            # faster than a decimal aggregate
+            sum_price=(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).cast("double") / 100),
             avg_qty=F.round(F.avg("l_quantity"), 6),
             min_qty=A.min("l_quantity"),
             max_qty=A.max("l_quantity"),
@@ -208,7 +210,7 @@ def q_inner_join(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     return (
-        orders.inner_join(customer.broadcast(), by={"o_custkey": "c_custkey"})
+        orders.inner_join(customer.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
         .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
         .df
     )
@@ -219,7 +221,7 @@ def q_left_join(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     return (
-        customer.left_join(nation.broadcast(), by={"c_nationkey": "n_nationkey"})
+        customer.left_join(nation.broadcast(), by={"c_nationkey": "n_nationkey"}, na_matches="never")
         .select("c_custkey", "c_name", "n_name")
         .df
     )
@@ -230,7 +232,7 @@ def q_right_join(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     return (
-        orders.right_join(customer, by={"o_custkey": "c_custkey"})
+        orders.right_join(customer, by={"o_custkey": "c_custkey"}, na_matches="never")
         .select("o_custkey", "o_orderkey", "c_name")
         .df
     )
@@ -248,7 +250,7 @@ def q_full_join(spark, sf_dir):
         .filter("o_totalprice < 50000")
         .count("o_custkey", name="n_small")
     )
-    return big.full_join(small, by="o_custkey").df
+    return big.full_join(small, by="o_custkey", na_matches="never").df
 
 
 def q_semi_join(spark, sf_dir):
@@ -256,7 +258,7 @@ def q_semi_join(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter("o_totalprice > 300000")
     return (
-        customer.semi_join(orders, by={"c_custkey": "o_custkey"})
+        customer.semi_join(orders, by={"c_custkey": "o_custkey"}, na_matches="never")
         .select("c_custkey", "c_name")
         .df
     )
@@ -267,7 +269,7 @@ def q_anti_join(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
-        customer.anti_join(orders, by={"c_custkey": "o_custkey"})
+        customer.anti_join(orders, by={"c_custkey": "o_custkey"}, na_matches="never")
         .select("c_custkey", "c_name")
         .df
     )
@@ -280,7 +282,7 @@ def q_multikey_self_join(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_quantity"
     )
     return (
-        high.inner_join(li, by=["l_orderkey", "l_linenumber"], suffix=("_a", "_b"))
+        high.inner_join(li, by=["l_orderkey", "l_linenumber"], suffix=("_a", "_b"), na_matches="never")
         .select("l_orderkey", "l_linenumber", "l_quantity_a", "l_extendedprice")
         .df
     )
@@ -374,9 +376,9 @@ def q_join_agg_pipeline(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     return (
-        li.inner_join(orders, by={"l_orderkey": "o_orderkey"})
-        .inner_join(customer.broadcast(), by={"o_custkey": "c_custkey"})
-        .inner_join(nation.broadcast(), by={"c_nationkey": "n_nationkey"})
+        li.inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
+        .inner_join(customer.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
+        .inner_join(nation.broadcast(), by={"c_nationkey": "n_nationkey"}, na_matches="never")
         .mutate(revenue="l_extendedprice * (1 - l_discount)")
         .group_by("n_name")
         .summarise(
@@ -437,8 +439,15 @@ def q_text_fingerprint(spark, sf_dir):
 
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (8 perms over 3-word shingles) — per-row
-    column math, the zero-shuffle half of near-dup detection."""
-    return D.minhash_signatures(_t(spark, sf_dir, "documents")).df
+    column math, the zero-shuffle half of near-dup detection.
+
+    The repartition spreads the CPU-bound md5 fold across all cores:
+    the test parquet has a single row group, so without it the scan
+    (and everything fused to it) runs as one task."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_signatures(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    ).df
 
 
 def q_simhash(spark, sf_dir):
@@ -610,7 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "group_summarise": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_price,
                    round(avg(l_quantity), 6) AS avg_qty,
                    min(l_quantity) AS min_qty,
                    max(l_quantity) AS max_qty,

@@ -85,16 +85,33 @@ def minhash_signatures(
     shingles = _word_shingles(F.col(text_col), shingle_k)
     hashes = F.transform(shingles, lambda s: _hash64(s) % MINHASH_PRIME)
 
-    def perm(a: int, b: int):
-        # closure factory: pyspark treats lambda default args as extra
-        # higher-order-function parameters, so capture via closure.
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+    # Single pass over the shingle hashes: fold into a struct of all
+    # n_hashes minima at once. One md5 per shingle — computing each
+    # signature as its own array_min would re-evaluate the whole
+    # md5+shingle chain per permutation (higher-order functions are
+    # interpreted, no codegen CSE), an n_hashes-fold slowdown.
+    names = [f"mh_{i}" for i in range(n_hashes)]
+    init = F.struct(
+        *[F.lit(MINHASH_PRIME).cast("long").alias(n) for n in names]
+    )
 
-    sig_cols = {}
-    for i in range(n_hashes):
-        a, b = MINHASH_COEFFS[i]
-        sig_cols[f"mh_{i}"] = F.array_min(F.transform(hashes, perm(a, b)))
-    return Frame(frame.df.select(F.col(id_col), *[c.alias(n) for n, c in sig_cols.items()]), ())
+    def step(acc, h):
+        return F.struct(
+            *[
+                F.least(
+                    acc[names[i]],
+                    (F.lit(MINHASH_COEFFS[i][0]) * h + F.lit(MINHASH_COEFFS[i][1]))
+                    % MINHASH_PRIME,
+                ).alias(names[i])
+                for i in range(n_hashes)
+            ]
+        )
+
+    # Two projections on purpose: `sig` is referenced n_hashes times,
+    # which stops CollapseProject from inlining the aggregate n times.
+    with_sig = frame.df.select(F.col(id_col), F.aggregate(hashes, init, step).alias("sig"))
+    out = with_sig.select(F.col(id_col), *[F.col(f"sig.{n}").alias(n) for n in names])
+    return Frame(out, ())
 
 
 def minhash_lsh_pairs(
@@ -142,25 +159,33 @@ def simhash_signatures(
     column math only."""
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     hashes = F.transform(toks, _hash64)
-    def bit_vote(b: int):
-        # Integer shiftright, NOT division: the hash is ~2^60 and
-        # double division would lose the low bits past 2^53. Closure
-        # factory because pyspark miscounts default-arg lambdas.
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b) % 2 == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
 
-    bit_votes = []
-    for b in range(bits):
-        # +1 when bit b set, -1 otherwise; sign of the sum is the bit.
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b))
-        bit_votes.append(F.when(vote > 0, F.lit(2**b)).otherwise(F.lit(0)))
-    sig = bit_votes[0]
-    for v in bit_votes[1:]:
-        sig = sig + v
-    return Frame(
-        frame.df.select(F.col(id_col), sig.cast("long").alias("simhash")), ()
+    # One fold over the token hashes maintaining all per-bit votes in a
+    # struct (single md5 per token — see minhash_signatures for why).
+    # Integer shiftright for the bit test, NOT division: the hash is
+    # ~2^60 and double division would lose the bits past 2^53.
+    names = [f"b{b}" for b in range(bits)]
+    init = F.struct(*[F.lit(0).cast("long").alias(n) for n in names])
+
+    def step(acc, h):
+        return F.struct(
+            *[
+                (
+                    acc[names[b]]
+                    + F.when(F.shiftright(h, b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+                ).alias(names[b])
+                for b in range(bits)
+            ]
+        )
+
+    with_votes = frame.df.select(
+        F.col(id_col), F.aggregate(hashes, init, step).alias("votes")
     )
+    sig = None
+    for b in range(bits):
+        piece = F.when(F.col(f"votes.b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = piece if sig is None else sig + piece
+    return Frame(with_votes.select(F.col(id_col), sig.cast("long").alias("simhash")), ())
 
 
 def ngram_jaccard_pairs(
