@@ -487,6 +487,111 @@ def q_embedding_label_centroid_sim(spark, sf_dir):
     return out
 
 
+
+
+def q_events_running_sum(spark, sf_dir):
+    """Running aggregate: cumulative value per user in event-time
+    order (one shuffle on user_id; sequential prefix sums are
+    bit-identical across engines given the unique ordering)."""
+    from cuplyr_spark.operators.events import with_running_sum
+
+    ev = _t(spark, sf_dir, "events")
+    out = with_running_sum(ev, "value", "user_id", "ts", "event_id")
+    return (
+        out.mutate(ts_ms="unix_millis(ts)", running_sum=F.round("running_sum", 6))
+        .select("event_id", "user_id", "ts_ms", "running_sum")
+        .df
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) + per-session rollup — the
+    lag+cumsum window formulation, single shuffle, no UDF."""
+    from cuplyr_spark.operators.events import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(ev, "user_id", "ts", gap_seconds=1800)
+    return out.df
+
+
+def q_events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window rollup (hypertable shape): date_trunc bucket +
+    hash aggregate with map-side partials."""
+    from cuplyr_spark.operators.events import time_bucket_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_bucket_agg(
+        ev,
+        "ts",
+        "hour",
+        ("event_type",),
+        n=F.count(F.lit(1)),
+        total_value=F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100,
+    )
+    return (
+        out.mutate(bucket_ms="unix_millis(bucket_start)")
+        .select("bucket_ms", "event_type", "n", "total_value")
+        .df
+    )
+
+
+def q_events_json_extract(spark, sf_dir):
+    """JSON column extraction (props is a JSON string)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .mutate(k="CAST(get_json_object(props, '$.k') AS INT)")
+        .select("event_id", "k")
+        .df
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each click event matched to the user's most recent
+    error event at or before it. Union+window formulation — one
+    shuffle of |L|+|R| on the key, streaming window, no pandas, no
+    per-group memory limit (DuckDB oracle uses its native ASOF JOIN)."""
+    from cuplyr_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type == 'click'").select("event_id", "user_id", "ts", "value")
+    errors = (
+        ev.filter("event_type == 'error'")
+        .select("event_id", "user_id", "ts")
+        .rename(err_id="event_id")
+    )
+    out = asof_join(clicks, errors, by="user_id", on="ts")
+    return (
+        out.mutate(ts_ms="unix_millis(ts)")
+        .select("event_id", "user_id", "ts_ms", "value", "err_id")
+        .df
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs (4 bands x 2 rows): the shuffle moves band
+    hashes, never documents — the O(n^2)-free near-dup path."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    ).df
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs blocked by label (cosine >= 0.3)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(
+        emb, threshold=0.3, block_col="label"
+    ).df
+
+
+def q_lsh_cosine_topk(spark, sf_dir):
+    """Approximate ANN: random-hyperplane LSH bucketing + exact
+    re-score within bucket (rows-only check: the bucketing is not
+    practical to replicate in SQL)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_topk(emb, k=5, n_planes=6, query_filter="vec_id < 10").df
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -527,6 +632,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_label_centroid_sim": q_embedding_label_centroid_sim,
+        "events_running_sum": q_events_running_sum,
+        "events_sessionize": q_events_sessionize,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_json_extract": q_events_json_extract,
+        "asof_join": q_asof_join,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
     }
 
 
@@ -808,6 +921,72 @@ def oracle_sql() -> dict[str, str]:
                                                          CAST(embedding AS DOUBLE[]))), 6)), 4) AS sum_norm,
                    count(*) AS n
             FROM embeddings GROUP BY label
+        """,
+        "events_running_sum": """
+            SELECT event_id, user_id,
+                   CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+            FROM events
+        """,
+        "events_sessionize": """
+            WITH flags AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM flags
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
+                   CAST(epoch_ms(max(ts)) AS BIGINT) AS end_ms,
+                   CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "events_hourly_rollup": """
+            SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS bucket_ms,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+        """,
+        "asof_join": """
+            SELECT c.event_id, c.user_id,
+                   CAST(epoch_ms(c.ts) AS BIGINT) AS ts_ms,
+                   c.value, e.err_id
+            FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error') e
+            ON c.user_id = e.user_id AND c.ts >= e.ts
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH sig AS ({_minhash_oracle()}),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(concat_ws('_', mh_0, mh_1)) AS bh FROM sig
+              UNION ALL SELECT doc_id, 1, md5(concat_ws('_', mh_2, mh_3)) FROM sig
+              UNION ALL SELECT doc_id, 2, md5(concat_ws('_', mh_4, mh_5)) FROM sig
+              UNION ALL SELECT doc_id, 3, md5(concat_ws('_', mh_6, mh_7)) FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                                      AND a.doc_id < b.doc_id
+        """,
+        "embedding_near_dup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_COS.format(a="a.embedding", b="b.embedding")} AS score
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
         """,
     }
 

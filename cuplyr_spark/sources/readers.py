@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cuplyr_spark.frame import Frame
@@ -42,8 +43,38 @@ def from_pandas(spark: SparkSession, pdf, schema: T.StructType | None = None) ->
     return Frame(spark.createDataFrame(pdf, schema=schema))
 
 
-def read_parquet(spark: SparkSession, path: str) -> Frame:
-    return Frame(spark.read.parquet(path))
+def read_parquet(spark: SparkSession, path: str, coerce_nanos: bool = True) -> Frame:
+    """Parquet scan. ``coerce_nanos`` transparently handles
+    nanosecond-precision timestamp columns, which Spark 4 rejects
+    (PARQUET_TYPE_ILLEGAL): they are read as int64 nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and cast back to
+    TimestampType via integer division (``DIV 1000`` — exact; double
+    division would corrupt epochs beyond 2^53)."""
+    if not coerce_nanos:
+        return Frame(spark.read.parquet(path))
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return Frame(df)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) — from the parquet footer."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
 
 
 def read_csv(
