@@ -592,6 +592,38 @@ def q_lsh_cosine_topk(spark, sf_dir):
     return S.lsh_cosine_topk(emb, k=5, n_planes=6, query_filter="vec_id < 10").df
 
 
+
+def q_streaming_sessionize(spark, sf_dir):
+    """Structured Streaming session windows (session_window + gap),
+    driven to completion over the events table as a bounded file
+    stream. Oracle: session starts and sizes match the batch
+    lag+cumsum sessionization in SQL."""
+    from pyspark.sql import functions as SF
+
+    from cuplyr_spark.streaming.stream import run_to_memory, session_agg
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # file-source streams take a directory; pathGlobFilter selects the
+    # events table out of the shared sf dir
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", SF.timestamp_micros(SF.expr("ts DIV 1000")))
+    )
+    agg = session_agg(
+        src, "ts", "user_id", gap="30 minutes", watermark="365 days",
+        n_events=SF.count(SF.lit(1)),
+    )
+    run_to_memory(agg, "q_stream_sessions", output_mode="complete")
+    return spark.sql(
+        "SELECT user_id, unix_millis(session_start) AS start_ms, n_events "
+        "FROM q_stream_sessions"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -640,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "streaming_sessionize": q_streaming_sessionize,
     }
 
 
@@ -987,6 +1020,24 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
+        """,
+        "streaming_sessionize": """
+            WITH flags AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flags
+            )
+            SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
         """,
     }
 

@@ -1,0 +1,181 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, processed through Arrow-batched ``mapInPandas``.
+
+Design (the part that matters at 100 TB):
+
+- media is a ``binary`` column plus a metadata struct — bytes never
+  leave the executors, never hit the driver;
+- decode/resize/feature-extract run per PARTITION via ``mapInPandas``
+  (Arrow batch in, Arrow batch out) — the sanctioned slow path when
+  JVM expressions can't express the op;
+- partitioning: media rows are usually fat, so operators expose a
+  ``target_rows_per_batch`` and callers should repartition to keep a
+  batch of decoded frames within executor memory.
+
+The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container:
+decoders are pluggable, and the default is a clearly-marked
+deterministic fake so the Spark plumbing (schemas, batching, UDF
+signatures) is real and tested. Swap ``decoder=`` for a real one in
+production; the plan shape does not change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cuplyr_spark.frame import Frame
+
+# media metadata struct carried alongside the raw bytes
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+
+def attach_media_meta(frame: Frame, bytes_col: str = "media") -> Frame:
+    """Populate the metadata struct from the bytes column. Hash and
+    length are JVM-side; width/height need a decoder (NULL here,
+    filled by decode_images)."""
+    b = F.col(bytes_col)
+    meta = F.struct(
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.length(b).cast("long").alias("n_bytes"),
+        F.sha2(b, 256).alias("sha256"),
+    )
+    return Frame(frame.df.withColumn("media_meta", meta), frame.group_vars())
+
+
+# -- decoders -----------------------------------------------------------
+
+
+def fake_image_decoder(data: bytes) -> tuple[np.ndarray, int, int]:
+    """STUB decoder (no image libs in this container): deterministic
+    8x8 grayscale 'image' derived from the sha256 of the bytes. Real
+    deployments pass a PIL/torchvision decoder with the same
+    signature: bytes -> (pixels ndarray, width, height)."""
+    digest = hashlib.sha256(data).digest()
+    px = np.frombuffer((digest * 2)[:64], dtype=np.uint8).reshape(8, 8)
+    return px, 8, 8
+
+
+def _pil_decoder(data: bytes):  # pragma: no cover - lib not in container
+    from io import BytesIO
+
+    from PIL import Image  # noqa: F401
+
+    img = Image.open(BytesIO(data))
+    arr = np.asarray(img.convert("L"))
+    return arr, img.width, img.height
+
+
+def get_image_decoder() -> Callable:
+    """Real decoder when PIL is importable, deterministic fake
+    otherwise (clearly marked — see fake_image_decoder)."""
+    try:
+        import PIL  # noqa: F401
+
+        return _pil_decoder
+    except ImportError:
+        return fake_image_decoder
+
+
+def decode_images(
+    frame: Frame,
+    bytes_col: str = "media",
+    id_col: str = "doc_id",
+    decoder: Callable | None = None,
+    feature_dim: int = 16,
+) -> Frame:
+    """Decode + feature-extract through mapInPandas.
+
+    Output schema: (id, width, height, features array<float>). The
+    iterator-of-batches form keeps memory at one Arrow batch of
+    decoded pixels, not one partition."""
+    decoder = decoder or get_image_decoder()
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widths, heights, feats = [], [], [], []
+            for _id, data in zip(pdf[id_col], pdf[bytes_col]):
+                px, w, h = decoder(bytes(data))
+                ids.append(_id)
+                widths.append(w)
+                heights.append(h)
+                # pooled-intensity features: deterministic, shape-stable
+                flat = px.astype(np.float32).ravel()
+                pooled = np.resize(flat, feature_dim) / 255.0
+                feats.append(pooled.tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": widths,
+                    "height": heights,
+                    "features": feats,
+                }
+            )
+
+    return Frame(
+        frame.df.select(id_col, bytes_col).mapInPandas(process, out_schema), ()
+    )
+
+
+def sample_video_frames(
+    frame: Frame,
+    bytes_col: str = "media",
+    id_col: str = "doc_id",
+    every_n: int = 30,
+) -> Frame:
+    """Video frame sampling — requires ffmpeg bindings, which are not
+    in this container. The operator exists so pipelines type-check;
+    it raises at plan-execution time with a clear message."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "sample_video_frames needs an ffmpeg/av decoder; install `av` "
+            "and pass a decoder. Plumbing (schema/batching) is in place."
+        )
+        yield  # pragma: no cover
+
+    return Frame(
+        frame.df.select(id_col, bytes_col).mapInPandas(process, out_schema), ()
+    )
+
+
+def media_from_text(frame: Frame, text_col: str = "text", id_col: str = "doc_id") -> Frame:
+    """Test-fixture helper: synthesize a binary media column from text
+    (utf-8 bytes) so the multimodal plumbing is exercisable with the
+    driver's documents table."""
+    return Frame(
+        frame.df.select(
+            F.col(id_col), F.encode(F.col(text_col), "utf-8").alias("media")
+        ),
+        (),
+    )

@@ -1,0 +1,125 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (no watermarks/windows/state anywhere,
+SURVEY §2.10); this module adds the streaming halves of the event
+operators in operators/events.py, built directly on Spark Structured
+Streaming so the 100 TB path gets incremental execution, watermarked
+late-data handling, and checkpointed state for free:
+
+- ``stream_parquet``: file-source stream (the test harness shape; in
+  production the same pipeline reads kafka/delta by swapping format);
+- ``windowed_agg``: tumbling/sliding event-time windows + watermark;
+- ``session_agg``: native ``session_window`` gap sessions (the
+  streaming twin of operators.events.sessionize);
+- ``run_to_memory``: drive a bounded stream to completion into an
+  in-memory table (deterministic test sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cuplyr_spark.frame import Frame
+
+
+def stream_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """File-source stream. Schema is mandatory (streaming sources
+    cannot infer), which also makes the scan layout explicit."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = (),
+    **aggs: Column,
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) event-time aggregation.
+
+    The watermark bounds state: rows later than it are dropped and
+    windows older than it are finalized — this is what makes the
+    operator runnable forever on an unbounded stream."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), *group_cols)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            *aggs.keys(),
+        )
+    )
+
+
+def session_agg(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    **aggs: Column,
+) -> DataFrame:
+    """Gap-based session windows with managed state (session_window).
+    Streaming twin of operators.events.sessionize."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col))
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            F.col(key_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            *aggs.keys(),
+        )
+    )
+
+
+def run_to_memory(
+    result: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drive a bounded stream to completion into an in-memory table
+    (``SELECT * FROM <name>``). Synchronous: processAllAvailable."""
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def write_stream_parquet(
+    result: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    trigger_once: bool = True,
+):
+    """Exactly-once parquet sink with checkpointed progress; with
+    ``trigger_once`` this is incremental batch — the cheapest way to
+    run a streaming pipeline on a schedule."""
+    writer = (
+        result.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

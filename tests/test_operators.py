@@ -1,0 +1,128 @@
+"""Temporal operator tests: sessionize, running sums, time buckets,
+as-of join (vs pandas merge_asof as local oracle)."""
+
+import pandas as pd
+import pytest
+
+from cuplyr_spark import from_pandas
+from cuplyr_spark.operators.asof import asof_join
+from cuplyr_spark.operators.events import (
+    session_stats,
+    sessionize,
+    time_bucket_agg,
+    with_running_sum,
+)
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions (gap > 30min between idx 2 and 3)
+        (0, "2024-01-01 10:00:00", 1, 1.0),
+        (1, "2024-01-01 10:10:00", 1, 2.0),
+        (2, "2024-01-01 10:20:00", 1, 3.0),
+        (3, "2024-01-01 12:00:00", 1, 4.0),
+        # user 2: single session
+        (4, "2024-01-01 09:00:00", 2, 10.0),
+        (5, "2024-01-01 09:29:00", 2, 20.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return from_pandas(spark, pdf)
+
+
+def test_sessionize_gap(events):
+    out = sessionize(events, "user_id", "ts", gap_seconds=1800).collect()
+    out = out.sort_values("event_id")
+    assert out["session_id"].tolist() == [1, 1, 1, 2, 1, 1]
+
+
+def test_session_stats(events):
+    out = session_stats(events, "user_id", "ts", gap_seconds=1800).collect()
+    u1 = out[out.user_id == 1].sort_values("session_id")
+    assert u1["n_events"].tolist() == [3, 1]
+    assert u1["duration_ms"].tolist()[0] == 20 * 60 * 1000
+
+
+def test_running_sum(events):
+    out = with_running_sum(events, "value", "user_id", "ts", "event_id").collect()
+    u1 = out[out.user_id == 1].sort_values("event_id")
+    assert u1["running_sum"].tolist() == [1.0, 3.0, 6.0, 10.0]
+
+
+def test_time_bucket_agg(events):
+    out = time_bucket_agg(
+        events, "ts", "hour", ("user_id",), n=F.count(F.lit(1))
+    ).collect()
+    u1_10am = out[(out.user_id == 1)].sort_values("bucket_start")
+    assert u1_10am["n"].tolist() == [3, 1]
+
+
+def test_asof_join_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 60),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 100_000, 60), unit="s"),
+            "lv": np.arange(60),
+        }
+    ).sort_values("ts")
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 40),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 100_000, 40), unit="s"),
+            "rv": np.arange(40) * 10,
+        }
+    ).sort_values("ts")
+
+    want = pd.merge_asof(left, right, on="ts", by="k", direction="backward")
+
+    lf = from_pandas(spark, left)
+    rf = from_pandas(spark, right)
+    got = (
+        asof_join(lf, rf, by="k", on="ts")
+        .collect()
+        .sort_values(["ts", "lv"])
+        .reset_index(drop=True)
+    )
+    want = want.sort_values(["ts", "lv"]).reset_index(drop=True)
+    assert got["lv"].tolist() == want["lv"].tolist()
+    got_rv = [None if pd.isna(v) else v for v in got["rv"]]
+    want_rv = [None if pd.isna(v) else v for v in want["rv"]]
+    assert got_rv == want_rv
+
+
+def test_asof_join_strict(spark):
+    left = pd.DataFrame(
+        {"k": [1], "ts": pd.to_datetime(["2024-01-01 10:00:00"]), "lv": [0]}
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 09:00:00"]),
+            "rv": [100, 50],
+        }
+    )
+    lf, rf = from_pandas(spark, left), from_pandas(spark, right)
+    inclusive = asof_join(lf, rf, by="k", on="ts").collect()
+    assert inclusive["rv"].tolist() == [100]  # <= matches equal ts
+    strict = asof_join(lf, rf, by="k", on="ts", strict=True).collect()
+    assert strict["rv"].tolist() == [50]  # < skips equal ts
+
+
+def test_asof_join_suffix_on_conflict(spark):
+    left = pd.DataFrame(
+        {"k": [1], "ts": pd.to_datetime(["2024-01-01"]), "v": [1]}
+    )
+    right = pd.DataFrame(
+        {"k": [1], "ts": pd.to_datetime(["2023-12-31"]), "v": [9]}
+    )
+    out = asof_join(
+        from_pandas(spark, left), from_pandas(spark, right), by="k", on="ts"
+    )
+    assert "v_right" in out.columns

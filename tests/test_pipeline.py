@@ -1,0 +1,148 @@
+"""Semantic tests for the training-pipeline operators: dedup actually
+finds planted duplicates, minhash approximates jaccard, simhash is
+hamming-close for near-dups, similarity search returns the planted
+neighbor."""
+
+import pandas as pd
+import pytest
+
+from cuplyr_spark import from_pandas
+from cuplyr_spark.pipeline import dedup as D
+from cuplyr_spark.pipeline import similarity as S
+from cuplyr_spark.pipeline import text as TX
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "to the old mill by the river where it sleeps all day long"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-token change
+FAR = "completely different words about spark query engines and columnar execution at scale"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, NEAR),  # near dup of 0
+        (3, FAR),
+        (4, "short text"),
+    ]
+    return from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_finds_planted_dup(docs):
+    fp = TX.with_fingerprint(docs)
+    out = D.exact_dedup(fp, "fingerprint", id_col="doc_id").collect()
+    assert len(out) == 4  # 5 docs, one exact dup collapsed
+    dup_group = out[out.n_copies == 2]
+    assert dup_group["doc_id"].tolist() == [0]  # min id representative
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = D.minhash_signatures(docs).collect().set_index("doc_id")
+    assert (sigs.loc[0] == sigs.loc[1]).all()
+    # near-dup shares most signature components; far doc does not
+    near_match = (sigs.loc[0] == sigs.loc[2]).sum()
+    far_match = (sigs.loc[0] == sigs.loc[3]).sum()
+    assert near_match >= 4
+    assert far_match <= 1
+
+
+def test_minhash_lsh_pairs_candidates(docs):
+    pairs = D.minhash_lsh_pairs(docs).collect()
+    tuples = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    assert (0, 1) in tuples  # exact dup always a candidate
+    assert (0, 2) in tuples or (1, 2) in tuples  # near-dup bands collide
+    assert (0, 3) not in tuples  # unrelated docs don't
+
+
+def test_simhash_hamming(docs):
+    sigs = D.simhash_signatures(docs).collect().set_index("doc_id")
+
+    def hamming(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert hamming(sigs.loc[0, "simhash"], sigs.loc[1, "simhash"]) == 0
+    assert hamming(sigs.loc[0, "simhash"], sigs.loc[2, "simhash"]) <= 4
+    assert hamming(sigs.loc[0, "simhash"], sigs.loc[3, "simhash"]) >= 4
+
+
+def test_ngram_jaccard(docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    lookup = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}
+    assert lookup[(0, 1)] == 1.0
+    assert (0, 2) in lookup and 0.4 <= lookup[(0, 2)] < 1.0
+
+
+def test_cosine_topk_planted_neighbor(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8).astype("float32")
+    rows = [(0, base.tolist(), 0), (1, (base + 0.01).tolist(), 0)]
+    for i in range(2, 30):
+        rows.append((i, rng.normal(size=8).astype("float32").tolist(), 1))
+    emb = from_pandas(
+        spark, pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    out = S.cosine_topk(emb, k=1, query_filter="vec_id == 0").collect()
+    assert out["neighbor_id"].tolist() == [1]
+    assert out["score"].iloc[0] > 0.999
+
+
+def test_lsh_recall_on_planted_neighbor(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16).astype("float32")
+    rows = [(0, base.tolist()), (1, (base * 1.001).tolist())]
+    for i in range(2, 50):
+        rows.append((i, rng.normal(size=16).astype("float32").tolist()))
+    emb = from_pandas(spark, pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = S.lsh_cosine_topk(emb, k=3, n_planes=4, query_filter="vec_id == 0").collect()
+    # near-identical vector must land in the same hyperplane bucket
+    assert 1 in out["neighbor_id"].tolist()
+
+
+def test_lang_id_marker_scoring(spark):
+    docs = from_pandas(
+        spark,
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "the cat and the dog is of the house to go",
+                    "der hund und die katze ist nicht hier und der",
+                ],
+            }
+        ),
+    )
+    out = TX.with_lang_id(docs).collect().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[1, "lang_pred"] == "de"
+
+
+def test_quality_score_ranges(spark):
+    docs = from_pandas(
+        spark,
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "the quick brown fox and the lazy dog of the farm in the morning",
+                    "x",
+                ],
+            }
+        ),
+    )
+    out = TX.with_quality_score(docs).collect().set_index("doc_id")
+    assert 0.0 <= out.loc[1, "quality"] < out.loc[0, "quality"] <= 1.0
+
+
+def test_token_stats(spark):
+    docs = from_pandas(spark, pd.DataFrame({"doc_id": [0], "text": ["a bb ccc"]}))
+    out = TX.with_token_stats(docs).collect()
+    assert out["n_tokens"].tolist() == [3]
+    assert out["n_chars_computed"].tolist() == [8]
+    assert out["avg_token_len"].tolist() == [2.0]
