@@ -405,7 +405,7 @@ def q_text_token_stats(spark, sf_dir):
     """Token counting (whitespace tokenizer) + char stats."""
     return (
         TX.with_token_stats(_t(spark, sf_dir, "documents"))
-        .select("doc_id", "n_tokens", "n_chars_computed", "avg_token_len")
+        .select("doc_id", "n_tokens", "n_tokens_bpe", "n_chars_computed", "avg_token_len")
         .df
     )
 
@@ -624,6 +624,52 @@ def q_streaming_sessionize(spark, sf_dir):
     )
 
 
+
+def q_pivot_wider(spark, sf_dir):
+    """Long -> wide pivot (Spark-native; oracle via conditional
+    aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_quantity")
+        .pivot_wider(
+            names_from="l_linestatus",
+            values_from="l_quantity",
+            agg=A.sum("l_quantity"),
+            values=["F", "O"],
+        )
+        .df
+    )
+
+
+def q_pivot_longer(spark, sf_dir):
+    """Wide -> long unpivot via stack() — one projection, no shuffle."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.mutate(p_size="CAST(p_size AS DOUBLE)")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .pivot_longer(["p_size", "p_retailprice"], names_to="attr", values_to="val")
+        .df
+    )
+
+
+def q_bind_cols(spark, sf_dir):
+    """§2.8 bind_cols: positional zip of two deterministically-ordered
+    frames (row-index join; oracle zips with row_number)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .arrange("c_custkey")
+        .head(100)
+        .select("c_custkey", "c_name")
+    )
+    supp_like = (
+        _t(spark, sf_dir, "orders")
+        .arrange("o_orderkey")
+        .head(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return cust.bind_cols(supp_like).df
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -673,6 +719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "streaming_sessionize": q_streaming_sessionize,
+        "pivot_wider": q_pivot_wider,
+        "pivot_longer": q_pivot_longer,
+        "bind_cols": q_bind_cols,
     }
 
 
@@ -890,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
                    CAST(length(text) AS BIGINT) AS n_chars_computed,
                    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                          / len(string_split(text, ' ')), 6) AS avg_token_len
@@ -1038,6 +1088,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
                    count(*) AS n_events
             FROM sess GROUP BY user_id, session_id
+        """,
+        "pivot_wider": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+                   sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "pivot_longer": """
+            SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+        """,
+        "bind_cols": """
+            WITH a AS (
+              SELECT c_custkey, c_name, row_number() OVER (ORDER BY c_custkey) AS rn
+              FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 100)
+            ), b AS (
+              SELECT o_orderkey, o_totalprice, row_number() OVER (ORDER BY o_orderkey) AS rn
+              FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100)
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice
+            FROM a JOIN b USING (rn)
         """,
     }
 

@@ -457,6 +457,49 @@ class Frame:
     def setdiff(self, other: Frame) -> Frame:
         return Frame(self._df.subtract(other._df), ())
 
+    # -- reshape (tidyr-adjacent; Spark-native pivot) -----------------------
+
+    def pivot_wider(
+        self,
+        names_from: str,
+        values_from: str,
+        agg: AggSpec | Column | None = None,
+        values: list | None = None,
+        id_cols: list[str] | None = None,
+    ) -> Frame:
+        """Long -> wide (tidyr pivot_wider / Spark pivot).
+
+        ``values`` (the expected distinct names) should be passed at
+        scale — otherwise Spark runs an extra distinct job to discover
+        them and the plan is data-dependent."""
+        ids = id_cols or [
+            c for c in self._df.columns if c not in (names_from, values_from)
+        ]
+        if agg is None:
+            agg_col = F.first(values_from)
+        elif isinstance(agg, AggSpec):
+            agg_col = agg.resolve(self._df)
+        else:
+            agg_col = agg
+        grouped = self._df.groupBy(*[_qcol(c) for c in ids])
+        pivoted = grouped.pivot(names_from, values) if values else grouped.pivot(names_from)
+        return Frame(pivoted.agg(agg_col), ())
+
+    def pivot_longer(
+        self,
+        cols: list[str],
+        names_to: str = "name",
+        values_to: str = "value",
+    ) -> Frame:
+        """Wide -> long via the stack() table function (one projection,
+        no shuffle)."""
+        keep = [c for c in self._df.columns if c not in cols]
+        pairs = ", ".join(
+            f"'{c}', `{c}`" for c in cols
+        )
+        expr = f"stack({len(cols)}, {pairs}) AS (`{names_to}`, `{values_to}`)"
+        return Frame(self._df.selectExpr(*[f"`{c}`" for c in keep], expr), ())
+
     # -- limit / head (§2.9) ----------------------------------------------
 
     def head(self, n: int = 6) -> Frame:

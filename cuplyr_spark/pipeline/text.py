@@ -31,14 +31,24 @@ def _tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+# BPE-ish pre-tokenizer: word pieces OR single non-space symbols —
+# the shape GPT-style tokenizers split on before merges. Counting
+# these approximates LLM token counts far better than whitespace.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
 def with_token_stats(frame: Frame, text_col: str = "text") -> Frame:
-    """n_tokens / n_chars / avg token length per document."""
+    """n_tokens (whitespace) / n_tokens_bpe (regex word-piece) /
+    n_chars / avg token length per document."""
     text = F.col(text_col)
     toks = _tokens(text)
     return Frame(
         frame.df.withColumns(
             {
                 "n_tokens": F.size(toks).cast("long"),
+                "n_tokens_bpe": F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast(
+                    "long"
+                ),
                 "n_chars_computed": F.length(text).cast("long"),
                 "avg_token_len": F.round(
                     (F.length(F.regexp_replace(text, " ", "")).cast("double"))

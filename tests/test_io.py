@@ -1,0 +1,98 @@
+"""Source/sink tests (SURVEY §2.1): csv/json/parquet round-trips,
+nanosecond-timestamp coercion, engine introspection, pivots."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from cuplyr_spark import agg as A
+from cuplyr_spark import from_pandas, read_csv, read_json, read_parquet
+from cuplyr_spark.info import clear_cache, engine_details, has_spark, memory_usage
+from cuplyr_spark.sources.readers import load_tables, write_csv, write_parquet
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    t = from_pandas(spark, pd.DataFrame({"x": [1, 2], "s": ["a", "b"]}))
+    p = str(tmp_path / "t.parquet")
+    write_parquet(t, p)
+    back = read_parquet(spark, p).collect().sort_values("x")
+    assert back["s"].tolist() == ["a", "b"]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    t = from_pandas(spark, pd.DataFrame({"x": [1, 2], "s": ["a", "b"]}))
+    p = str(tmp_path / "t.csv")
+    write_csv(t, p)
+    back = read_csv(spark, p).collect().sort_values("x")
+    assert back["x"].tolist() == [1, 2]
+    assert back["s"].tolist() == ["a", "b"]
+
+
+def test_json_read(spark, tmp_path):
+    p = str(tmp_path / "t.json")
+    from_pandas(spark, pd.DataFrame({"x": [5], "s": ["z"]})).df.write.json(p)
+    back = read_json(spark, p).collect()
+    assert back["x"].tolist() == [5]
+
+
+def test_partitioned_write(spark, tmp_path):
+    t = from_pandas(
+        spark, pd.DataFrame({"g": ["a", "a", "b"], "x": [1, 2, 3]})
+    )
+    p = str(tmp_path / "part")
+    write_parquet(t, p, partition_by=["g"])
+    assert os.path.isdir(os.path.join(p, "g=a"))
+    # partition pruning: filter on the partition column prunes files
+    q = read_parquet(spark, p).filter("g == 'b'")
+    plan = q.explain_str("formatted")
+    assert "PartitionFilters: [isnotnull(g" in plan
+
+
+def test_nanos_timestamp_coercion(spark):
+    """events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects;
+    the reader must deliver a proper TimestampType column."""
+    t = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    assert t.schema["ts"].dataType.simpleString() == "timestamp"
+    row = t.arrange("event_id").head(1).collect()
+    assert row["ts"][0].year == 2024
+
+
+def test_load_tables(spark):
+    tables = load_tables(spark, "/root/testdata/sf0.001")
+    assert set(tables) >= {"lineitem", "orders", "customer", "documents"}
+
+
+def test_engine_info(spark):
+    assert has_spark()
+    d = engine_details(spark)
+    assert d["spark_version"].startswith("4.")
+    assert d["ansi_enabled"] == "false"
+    t = from_pandas(spark, pd.DataFrame({"x": [1]})).compute()
+    usage = memory_usage(spark)
+    assert isinstance(usage, list)
+    clear_cache(spark)
+    t.unpersist()
+
+
+def test_pivot_wider(spark):
+    t = from_pandas(
+        spark,
+        pd.DataFrame(
+            {"g": ["a", "a", "b"], "k": ["x", "y", "x"], "v": [1.0, 2.0, 3.0]}
+        ),
+    )
+    out = (
+        t.pivot_wider(names_from="k", values_from="v", agg=A.sum("v"), values=["x", "y"])
+        .collect()
+        .sort_values("g")
+    )
+    assert out["x"].tolist() == [1.0, 3.0]
+    assert out["y"].tolist()[0] == 2.0 and pd.isna(out["y"].tolist()[1])
+
+
+def test_pivot_longer(spark):
+    t = from_pandas(spark, pd.DataFrame({"id": [1], "a": [10.0], "b": [20.0]}))
+    out = t.pivot_longer(["a", "b"]).collect().sort_values("name")
+    assert out["name"].tolist() == ["a", "b"]
+    assert out["value"].tolist() == [10.0, 20.0]
