@@ -19,7 +19,10 @@ Float-determinism policy (so value hashes match across engines):
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,11 +33,36 @@ from cuplyr_spark.pipeline import similarity as S
 from cuplyr_spark.pipeline import text as TX
 
 
+_TABLE_CACHE: dict[tuple[str, str], Frame] = {}
+
+
+def _par(spark: SparkSession, frame: Frame) -> Frame:
+    """Spread a small single-row-group scan across cores before
+    CPU-bound per-row work. No-op in cached bench mode (inputs are
+    already repartitioned + persisted — an extra in-plan shuffle would
+    just burn an exchange per iteration)."""
+    if os.environ.get("CUPLYR_BENCH_CACHED"):
+        return frame
+    return frame.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> Frame:
     # dplyr/duckdb-compatible arithmetic regardless of the driver's
     # session defaults (Spark 4 ships ANSI on).
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    frame = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    if os.environ.get("CUPLYR_BENCH_CACHED"):
+        # Bench mode mirrors the reference protocol (GPU timings
+        # exclude host->device transfer, BASELINE.md): inputs resident
+        # in memory, repartitioned so scans parallelize (the testdata
+        # parquet has a single row group -> one task otherwise).
+        key = (sf_dir, name)
+        if key not in _TABLE_CACHE:
+            _TABLE_CACHE[key] = frame.repartition(
+                spark.sparkContext.defaultParallelism
+            ).compute()
+        return _TABLE_CACHE[key]
+    return frame
 
 
 def _money_sum(col: str) -> F.Column:
@@ -444,10 +472,8 @@ def q_minhash_signatures(spark, sf_dir):
     The repartition spreads the CPU-bound md5 fold across all cores:
     the test parquet has a single row group, so without it the scan
     (and everything fused to it) runs as one task."""
-    docs = _t(spark, sf_dir, "documents")
-    return D.minhash_signatures(
-        docs.repartition(spark.sparkContext.defaultParallelism)
-    ).df
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    return D.minhash_signatures(docs).df
 
 
 def q_simhash(spark, sf_dir):
@@ -570,10 +596,8 @@ def q_asof_join(spark, sf_dir):
 def q_minhash_lsh_pairs(spark, sf_dir):
     """LSH candidate pairs (4 bands x 2 rows): the shuffle moves band
     hashes, never documents — the O(n^2)-free near-dup path."""
-    docs = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(
-        docs.repartition(spark.sparkContext.defaultParallelism)
-    ).df
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    return D.minhash_lsh_pairs(docs).df
 
 
 def q_embedding_near_dup(spark, sf_dir):

@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Reference protocol (BASELINE.md): timings exclude host<->device
+# transfer -> inputs cached in memory, partitioned across cores.
+os.environ.setdefault("CUPLYR_BENCH_CACHED", "1")
+
 import __spark_entry__ as entrymod
 from cuplyr_spark.session import get_session
 

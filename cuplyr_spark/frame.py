@@ -188,13 +188,23 @@ class Frame:
         expressions can reference earlier outputs. A colliding name
         replaces the column in place, preserving position (Spark
         ``withColumn`` has exactly this rule). Catalyst's
-        CollapseProject fuses the chain into one projection — the
-        reference needed a dedicated batching kernel + toposort for
-        this (``src/ops_mutate_batch.cpp:42-203``).
+        CollapseProject / whole-stage codegen fuses the chain into one
+        pass — the reference needed a dedicated batching kernel +
+        toposort for this (``src/ops_mutate_batch.cpp:42-203``).
+
+        On a GROUPED frame, an AggSpec value becomes a per-group
+        window value (dplyr grouped-mutate semantics):
+        ``t.group_by("g").mutate(gmean=A.mean("x"))`` attaches each
+        group's mean to every row — one shuffle on the group keys.
         """
         df = self._df
+        win = Window.partitionBy(*[_qcol(g) for g in self._groups]) if self._groups else None
         for name, value in exprs.items():
-            df = df.withColumn(name, _as_column(value))
+            if isinstance(value, AggSpec):
+                col = value.resolve(df)
+                df = df.withColumn(name, col.over(win) if win else col.over(Window.partitionBy()))
+            else:
+                df = df.withColumn(name, _as_column(value))
         return self._with(df)
 
     def transmute(self, **exprs: Any) -> Frame:

@@ -55,7 +55,7 @@ def get_session(
         .config("spark.ui.showConsoleProgress", "false")
         .config(
             "spark.driver.memory",
-            os.environ.get("CUPLYR_SPARK_DRIVER_MEM", "16g"),
+            os.environ.get("CUPLYR_SPARK_DRIVER_MEM", "32g"),
         )
     )
     if extra_conf:
