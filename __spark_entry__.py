@@ -694,6 +694,73 @@ def q_bind_cols(spark, sf_dir):
     return cust.bind_cols(supp_like).df
 
 
+
+def q_cast_types(spark, sf_dir):
+    """§2.10 cast surface: numeric/string/date casts."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .mutate(
+            qty_int="CAST(l_quantity AS INT)",
+            key_str="CAST(l_orderkey AS STRING)",
+            line_dbl="CAST(l_linenumber AS DOUBLE)",
+            ship_day="CAST(CAST(l_shipdate AS DATE) AS STRING)",
+        )
+        .select("l_orderkey", "l_linenumber", "qty_int", "key_str", "line_dbl", "ship_day")
+        .df
+    )
+
+
+def q_median(spark, sf_dir):
+    """Exact median aggregate (interpolated, both engines)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .group_by("o_orderstatus")
+        .summarise(med_price=F.round(F.median("o_totalprice"), 6), n=A.n())
+        .df
+    )
+
+
+def q_grouped_mutate(spark, sf_dir):
+    """Grouped mutate (dplyr window semantics): per-group aggregate
+    attached to every row + centered value."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .mutate(grp_avg_qty=A.mean("l_quantity"))
+        .ungroup()
+        .mutate(
+            grp_avg_qty="round(grp_avg_qty, 6)",
+            centered="round(l_quantity - grp_avg_qty, 6)",
+        )
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "grp_avg_qty", "centered")
+        .df
+    )
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-resistant two-phase salted aggregation (sum/count/min/max
+    by event_type) — same result as a plain groupBy, but the first
+    shuffle is keyed on (key, salt) so hot keys cannot overload one
+    partition."""
+    from cuplyr_spark.operators.skew import salted_summarise
+
+    ev = _t(spark, sf_dir, "events").mutate(
+        vc="CAST(round(value * 100) AS BIGINT)"
+    )
+    out = salted_summarise(
+        ev,
+        ["event_type"],
+        n_salts=8,
+        total_cents=("sum", "vc"),
+        n=("count", None),
+        min_v=("min", "value"),
+        max_v=("max", "value"),
+    )
+    return out.mutate(total_value="CAST(total_cents AS DOUBLE) / 100").select(
+        "event_type", "total_value", "n", "min_v", "max_v"
+    ).df
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -746,6 +813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_wider": q_pivot_wider,
         "pivot_longer": q_pivot_longer,
         "bind_cols": q_bind_cols,
+        "cast_types": q_cast_types,
+        "median": q_median,
+        "grouped_mutate": q_grouped_mutate,
+        "salted_agg": q_salted_agg,
     }
 
 
@@ -1134,6 +1205,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_custkey, c_name, o_orderkey, o_totalprice
             FROM a JOIN b USING (rn)
+        """,
+        "cast_types": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS INT) AS qty_int,
+                   CAST(l_orderkey AS VARCHAR) AS key_str,
+                   CAST(l_linenumber AS DOUBLE) AS line_dbl,
+                   CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day
+            FROM lineitem
+        """,
+        "median": """
+            SELECT o_orderstatus, round(median(o_totalprice), 6) AS med_price,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "grouped_mutate": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(avg(l_quantity) OVER (PARTITION BY l_returnflag), 6) AS grp_avg_qty,
+                   round(l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag), 6) AS centered
+            FROM lineitem
+        """,
+        "salted_agg": """
+            SELECT event_type,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
+                   count(*) AS n, min(value) AS min_v, max(value) AS max_v
+            FROM events GROUP BY event_type
         """,
     }
 

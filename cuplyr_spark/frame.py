@@ -143,6 +143,43 @@ class Frame:
         groups = tuple(g for g in self._groups if g in cols)
         return Frame(self._df.select(*[_qcol(c) for c in cols]), groups)
 
+    def set_names(self, *names: str) -> Frame:
+        """Replace ALL column names positionally (reference ``names<-``,
+        ``R/tbl-gpu.R:252-305``)."""
+        if len(names) != len(self._df.columns):
+            raise ValueError(
+                f"set_names: got {len(names)} names for {len(self._df.columns)} columns"
+            )
+        old_groups = self._groups
+        pos = {c: i for i, c in enumerate(self._df.columns)}
+        groups = tuple(names[pos[g]] for g in old_groups)
+        return Frame(self._df.toDF(*names), groups)
+
+    def glimpse(self, n: int = 5) -> None:
+        """dplyr-style transposed preview (reference print,
+        ``R/print.R:4-72``): schema + first values per column."""
+        rows = self._df.limit(n).collect()
+        print(f"Columns: {len(self._df.columns)}")
+        if self._groups:
+            print(f"Groups: {', '.join(self._groups)}")
+        for field in self._df.schema.fields:
+            vals = ", ".join(str(r[field.name]) for r in rows)
+            print(f"$ {field.name:<24} <{field.dataType.simpleString()}> {vals}")
+
+    def filter_mask(self, mask: list[bool]) -> Frame:
+        """Row filter by a host-side boolean vector (reference
+        ``filter(<logical vector>)``, ``src/ops_filter.cpp:91-141``).
+
+        SCALE WARNING (same as SURVEY §2.3 notes): the mask lives on
+        the driver and is joined via a row index — fine for notebook-
+        scale frames, an anti-pattern on big data; prefer expressing
+        the predicate as a column expression."""
+        idx = "__cuplyr_mask_idx__"
+        w = Window.orderBy(F.monotonically_increasing_id())
+        indexed = self._df.withColumn(idx, F.row_number().over(w) - 1)
+        keep = [i for i, m in enumerate(mask) if m]
+        return self._with(indexed.filter(F.col(idx).isin(keep)).drop(idx))
+
     def rename(self, **mapping: str) -> Frame:
         """``rename(new=old)`` — dplyr argument order."""
         old_to_new = {old: new for new, old in mapping.items()}

@@ -1,0 +1,82 @@
+"""set_names / glimpse / filter_mask / grouped mutate / salted agg."""
+
+import pandas as pd
+import pytest
+
+from cuplyr_spark import agg as A
+from cuplyr_spark import from_pandas
+from cuplyr_spark.operators.skew import salted_summarise
+
+
+def test_set_names(spark):
+    t = from_pandas(spark, pd.DataFrame({"a": [1], "b": [2]})).group_by("b")
+    out = t.set_names("x", "y")
+    assert out.columns == ["x", "y"]
+    assert out.group_vars() == ("y",)
+    with pytest.raises(ValueError):
+        t.set_names("only_one")
+
+
+def test_glimpse_prints(spark, capsys):
+    from_pandas(spark, pd.DataFrame({"a": [1, 2], "s": ["x", "y"]})).glimpse()
+    out = capsys.readouterr().out
+    assert "$ a" in out and "<bigint>" in out and "x, y" in out
+
+
+def test_filter_mask(spark):
+    t = from_pandas(spark, pd.DataFrame({"x": [10, 20, 30]}))
+    out = t.filter_mask([True, False, True]).collect()
+    assert sorted(out["x"]) == [10, 30]
+
+
+def test_grouped_mutate_window(spark):
+    t = from_pandas(
+        spark, pd.DataFrame({"g": ["a", "a", "b"], "x": [1.0, 3.0, 10.0]})
+    )
+    out = (
+        t.group_by("g")
+        .mutate(m=A.mean("x"), n=A.n())
+        .collect()
+        .sort_values(["g", "x"])
+    )
+    assert out["m"].tolist() == [2.0, 2.0, 10.0]
+    assert out["n"].tolist() == [2, 2, 1]
+    # ungrouped frame: AggSpec becomes a whole-table window value
+    out2 = t.mutate(m=A.mean("x")).collect()
+    assert out2["m"].round(4).tolist() == [4.6667, 4.6667, 4.6667]
+
+
+def test_salted_summarise_matches_plain(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["hot"] * 50 + ["a", "b"] * 5,
+            "v": list(range(50)) + list(range(10)),
+        }
+    )
+    t = from_pandas(spark, pdf)
+    got = (
+        salted_summarise(
+            t, ["k"], n_salts=4,
+            total=("sum", "v"), n=("count", None),
+            mn=("min", "v"), mx=("max", "v"), avg=("mean", "v"),
+        )
+        .collect()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pdf.groupby("k")["v"]
+        .agg(total="sum", n="count", mn="min", mx="max", avg="mean")
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for c in ["total", "n", "mn", "mx"]:
+        assert got[c].tolist() == want[c].tolist()
+    assert got["avg"].tolist() == pytest.approx(want["avg"].tolist())
+
+
+def test_salted_summarise_rejects_nonassociative(spark):
+    t = from_pandas(spark, pd.DataFrame({"k": ["a"], "v": [1]}))
+    with pytest.raises(ValueError):
+        salted_summarise(t, ["k"], bad=("median", "v"))
