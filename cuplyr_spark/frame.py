@@ -386,6 +386,7 @@ class Frame:
         (Catalyst collapses them into the scan).
         """
         by_map = self._resolve_by(other, by)
+        self._validate_key_types(other, by_map)
         lp, rp = "__cuplyr_l__", "__cuplyr_r__"
         ldf = self._df.select([_qcol(c).alias(lp + c) for c in self._df.columns])
         rdf = other._df.select([_qcol(c).alias(rp + c) for c in other._df.columns])
@@ -425,6 +426,32 @@ class Frame:
             name = c + suffix[1] if c in conflicts else c
             out_cols.append(_qcol(rp + c).alias(name))
         return Frame(joined.select(*out_cols), self._groups)
+
+    def _validate_key_types(self, other: Frame, by_map: dict[str, str]) -> None:
+        """Reference ``validate_key_types`` (``R/join.R:45-68``):
+        identical types or both-numeric pass; anything else errors
+        early with the column pair named (Spark would otherwise
+        silently cast, e.g. string keys vs int keys)."""
+        numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+        )
+        ltypes = {f.name: f.dataType for f in self._df.schema.fields}
+        rtypes = {f.name: f.dataType for f in other._df.schema.fields}
+        for lk, rk in by_map.items():
+            if lk not in ltypes:
+                raise KeyError(f"join: unknown left key {lk!r}")
+            if rk not in rtypes:
+                raise KeyError(f"join: unknown right key {rk!r}")
+            lt, rt = ltypes[lk], rtypes[rk]
+            if lt == rt:
+                continue
+            if isinstance(lt, numeric) and isinstance(rt, numeric):
+                continue
+            raise TypeError(
+                f"join: incompatible key types {lk}({lt.simpleString()}) vs "
+                f"{rk}({rt.simpleString()})"
+            )
 
     def _resolve_by(self, other: Frame, by) -> dict[str, str]:
         if by is None:

@@ -148,6 +148,57 @@ def minhash_lsh_pairs(
     return Frame(pairs, ())
 
 
+def dedup_clusters(pairs: Frame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 10) -> Frame:
+    """Connected components over candidate near-dup pairs -> cluster
+    representative per document (label propagation: every node
+    repeatedly adopts the min id among itself and its neighbors).
+
+    Iterative joins, each shuffling only (id, label) pairs; converges
+    in O(cluster diameter) rounds — near-dup clusters are shallow
+    (duplicates of a common source), so a handful of iterations
+    suffices at corpus scale. Returns (doc id, cluster id = min member).
+    """
+    edges = (
+        pairs.df.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(
+            pairs.df.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # convergence check: any label still above a neighbor's?
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("old"), "node")
+            .filter(F.col("u.label") < F.col("old.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # cut iterative lineage
+        if changed == 0:
+            break
+    return Frame(labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")), ())
+
+
 def simhash_signatures(
     frame: Frame,
     text_col: str = "text",

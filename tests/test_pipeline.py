@@ -146,3 +146,25 @@ def test_token_stats(spark):
     assert out["n_tokens"].tolist() == [3]
     assert out["n_chars_computed"].tolist() == [8]
     assert out["avg_token_len"].tolist() == [2.0]
+
+
+def test_dedup_clusters_connected_components(spark):
+    pairs = from_pandas(
+        spark,
+        pd.DataFrame(
+            # chain 1-2-3 (one cluster), island 7-9
+            {"id_a": [1, 2, 7], "id_b": [2, 3, 9]}
+        ),
+    )
+    out = D.dedup_clusters(pairs).collect().sort_values("doc_id")
+    labels = out.set_index("doc_id")["cluster_id"].to_dict()
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_join_key_type_validation(spark):
+    l = from_pandas(spark, pd.DataFrame({"k": ["a"], "x": [1]}))
+    r = from_pandas(spark, pd.DataFrame({"k": [1], "y": [2]}))
+    import pytest as _pt
+
+    with _pt.raises(TypeError, match="incompatible key types"):
+        l.inner_join(r, by="k")
