@@ -48,8 +48,10 @@ def _par(spark: SparkSession, frame: Frame) -> Frame:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> Frame:
     # dplyr/duckdb-compatible arithmetic regardless of the driver's
-    # session defaults (Spark 4 ships ANSI on).
+    # session defaults (Spark 4 ships ANSI on), and UTC so
+    # date_trunc/year agree with the (UTC-naive) DuckDB oracle.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     frame = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if os.environ.get("CUPLYR_BENCH_CACHED"):
         # Bench mode mirrors the reference protocol (GPU timings

@@ -34,7 +34,7 @@ import __spark_entry__ as entrymod
 from cuplyr_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+ITERS = int(os.environ.get("BENCH_ITERS", "7"))
 
 HEADLINE = [
     "group_summarise",       # reference: Group & Summarise

@@ -259,3 +259,15 @@ def test_distinct(lineitem, duck):
     got = lineitem.distinct("l_returnflag", "l_linestatus").collect()
     want = oracle(duck, "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
     assert_frame_matches(got, want)
+
+
+def test_arrange_stable(spark):
+    """stable=True emulates the reference's stable sort
+    (cudf stable_sorted_order) via a row-index tiebreaker."""
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+
+    pdf = pd.DataFrame({"k": [1, 1, 1, 1], "tag": ["a", "b", "c", "d"]})
+    out = from_pandas(spark, pdf).coalesce(1).arrange("k", stable=True).collect()
+    assert out["tag"].tolist() == ["a", "b", "c", "d"]
