@@ -39,6 +39,13 @@ def get_session(
     # this to total executor cores (AQE coalescing trims the excess).
     shuffle_partitions = shuffle_partitions or cpus
 
+    # Local-mode shuffle goes through spark.local.dir; tmpfs removes
+    # disk latency/jitter (a real cluster would point this at node-
+    # local NVMe instead). Static conf — must be set before JVM start.
+    local_dir = os.environ.get("CUPLYR_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/cuplyr-spark-local"
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -58,6 +65,8 @@ def get_session(
             os.environ.get("CUPLYR_SPARK_DRIVER_MEM", "32g"),
         )
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
