@@ -763,6 +763,48 @@ def q_salted_agg(spark, sf_dir):
     ).df
 
 
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: tight scan-filter-aggregate. The three range
+    predicates all push into the parquet scan; the aggregate is one
+    map-side-partial pass (exact integer basis-point arithmetic for
+    the oracle hash)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    bp = F.round(F.col("l_discount") * 100, 0).cast("long")
+    out = (
+        li.filter(
+            "l_shipdate >= '1995-01-01'",
+            "l_shipdate < '1996-01-01'",
+            "l_discount >= 0.03",
+            "l_discount <= 0.07",
+            "l_quantity < 24",
+        )
+        .summarise(
+            revenue=(F.sum(cents * bp).cast("double") / 10000),
+            n=A.n(),
+        )
+    )
+    return out.df
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: selective 3-way join + grouped revenue + top-10
+    (broadcast dims, TakeOrderedAndProject for the limit)."""
+    cust = _t(spark, sf_dir, "customer").filter("c_mktsegment == 'BUILDING'")
+    orders = _t(spark, sf_dir, "orders").filter("o_orderdate < '1995-03-15'")
+    li = _t(spark, sf_dir, "lineitem").filter("l_shipdate > '1995-03-15'")
+    return (
+        li.inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
+        .inner_join(cust.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
+        .group_by("l_orderkey")
+        .summarise(revenue=_revenue_sum(), odate_ms=F.min(F.unix_millis(F.col("o_orderdate").cast("timestamp"))))
+        .arrange(desc("revenue"), "l_orderkey")
+        .head(10)
+        .df
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -819,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median": q_median,
         "grouped_mutate": q_grouped_mutate,
         "salted_agg": q_salted_agg,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q3": q_tpch_q3,
     }
 
 
@@ -1232,6 +1276,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
                    count(*) AS n, min(value) AS min_v, max(value) AS max_v
             FROM events GROUP BY event_type
+        """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-01-01'
+              AND l_discount >= 0.03 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
+                   CAST(min(epoch_ms(o_orderdate)) AS BIGINT) AS odate_ms
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
     }
 

@@ -613,6 +613,16 @@ class Frame:
 
     # -- materialization / lifecycle (§2.1) ---------------------------------
 
+    def as_lazy(self) -> Frame:
+        """No-op: Spark is always lazy. The reference's dual eager/lazy
+        execution modes (``R/tbl-gpu.R:33-45``) collapse here — a
+        documented intentional divergence (SURVEY §7)."""
+        return self
+
+    def as_eager(self) -> Frame:
+        """Closest eager analog: persist + materialize (compute())."""
+        return self.compute()
+
     def compute(self) -> Frame:
         """Execute and keep distributed (reference ``compute()``,
         ``R/compute.R:52-83``): persist + force materialization."""
