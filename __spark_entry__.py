@@ -1113,17 +1113,27 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_oracle(),
         "simhash": _simhash_oracle(),
         "ngram_jaccard_pairs": f"""
-            WITH base AS (
-              SELECT doc_id, {_SHINGLES3} AS sh,
-                     CAST(floor(len(string_split(text, ' ')) / 20) AS BIGINT) AS blk
-              FROM documents
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-            FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
-            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.2
+            WITH sig AS ({_minhash_oracle()}),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(concat_ws('_', mh_0, mh_1)) AS bh FROM sig
+              UNION ALL SELECT doc_id, 1, md5(concat_ws('_', mh_2, mh_3)) FROM sig
+              UNION ALL SELECT doc_id, 2, md5(concat_ws('_', mh_4, mh_5)) FROM sig
+              UNION ALL SELECT doc_id, 3, md5(concat_ws('_', mh_6, mh_7)) FROM sig
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                                        AND a.doc_id < b.doc_id
+            ),
+            sh AS (SELECT doc_id, {_SHINGLES3} AS sh FROM documents)
+            SELECT id_a, id_b,
+                   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.doc_id = id_a
+            JOIN sh sb ON sb.doc_id = id_b
+            WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.2
         """,
         "embedding_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

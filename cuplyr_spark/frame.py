@@ -235,11 +235,31 @@ class Frame:
         group's mean to every row — one shuffle on the group keys.
         """
         df = self._df
-        win = Window.partitionBy(*[_qcol(g) for g in self._groups]) if self._groups else None
         for name, value in exprs.items():
             if isinstance(value, AggSpec):
-                col = value.resolve(df)
-                df = df.withColumn(name, col.over(win) if win else col.over(Window.partitionBy()))
+                # agg + (null-safe) join back, NOT a window: a window
+                # partitioned on low-cardinality groups serializes each
+                # group through one task, while the agg is partial+final
+                # and the per-group result is tiny (broadcast-joinable).
+                agg_row = (
+                    df.groupBy(*[_qcol(g) for g in self._groups]).agg(
+                        value.resolve(df).alias(name)
+                    )
+                    if self._groups
+                    else df.agg(value.resolve(df).alias(name))
+                )
+                if self._groups:
+                    cond = functools.reduce(
+                        operator.and_,
+                        [df[g].eqNullSafe(agg_row[g]) for g in self._groups],
+                    )
+                    # AQE picks broadcast when the per-group result is
+                    # small; no hint so high-cardinality groups still work.
+                    df = df.join(agg_row, cond).drop(
+                        *[agg_row[g] for g in self._groups]
+                    )
+                else:
+                    df = df.crossJoin(F.broadcast(agg_row))
             else:
                 df = df.withColumn(name, _as_column(value))
         return self._with(df)

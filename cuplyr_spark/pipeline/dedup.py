@@ -246,36 +246,44 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    n_hashes: int = 8,
+    bands: int = 4,
 ) -> Frame:
     """Exact n-gram Jaccard similarity over candidate pairs.
 
-    Blocking: pairs are only compared within ``block_col`` groups
-    (default: token-count band), turning O(n^2) into
-    sum-of-squares-per-block. Verification is array_intersect /
-    union size — JVM-side, no UDF.
+    Candidate generation (the part that must never go O(n^2)):
+    MinHash-LSH band collisions by default — candidates shrink with
+    actual similarity structure, not with a guessed attribute band.
+    Pass ``block_col`` to block on an attribute instead (e.g. a
+    partition date). Verification is exact: array_intersect / union
+    size on the distinct shingle sets — JVM-side, no UDF.
     """
     shingles = _word_shingles(F.col(text_col), shingle_k)
-    base = frame.df.select(
-        F.col(id_col),
-        shingles.alias("sh"),
-        (
-            F.col(block_col)
-            if block_col
-            else F.floor(F.size(F.split(F.col(text_col), " ")) / 20).alias("blk")
-        ),
-    )
-    if block_col:
-        base = base.withColumnRenamed(block_col, "blk")
-    a = base.select(F.col("blk"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = base.select(F.col("blk"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    base = frame.df.select(F.col(id_col), shingles.alias("sh"))
+    if block_col is not None:
+        blocked = frame.df.select(
+            F.col(block_col).alias("blk"), F.col(id_col)
+        )
+        a = blocked.select("blk", F.col(id_col).alias("id_a"))
+        b = blocked.select("blk", F.col(id_col).alias("id_b"))
+        cand = (
+            a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        )
+    else:
+        cand = minhash_lsh_pairs(
+            frame, text_col, id_col, n_hashes=n_hashes, bands=bands,
+            shingle_k=shingle_k,
+        ).df
+    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = (
         F.size(F.col("sh_a")) + F.size(F.col("sh_b"))
         - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     ).cast("double")
     pairs = (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
