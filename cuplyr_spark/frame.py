@@ -288,6 +288,10 @@ class Frame:
                 F.col(g).asc_nulls_last() for g in self._groups if g not in seen_keys
             )
         for k in keys:
+            # "-col" string is the reference's unary-minus descending
+            # marker (R/arrange.R:76-227), same as desc("col").
+            if isinstance(k, str) and k.startswith("-") and k[1:].isidentifier():
+                k = Desc(k[1:])
             if isinstance(k, Desc):
                 c = _as_column(k.col)
                 sort_cols.append(c.desc_nulls_first())
