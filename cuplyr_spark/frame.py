@@ -555,6 +555,53 @@ class Frame:
     def setdiff(self, other: Frame) -> Frame:
         return Frame(self._df.subtract(other._df), ())
 
+    # -- SQL interface ------------------------------------------------------
+
+    def to_view(self, name: str) -> Frame:
+        """Register as a temp view for the SQL entry point (the same
+        Catalyst plan serves both construction paths — the rebuild's
+        analog of the reference's dual eager/lazy execution harness,
+        SURVEY §5.2)."""
+        self._df.createOrReplaceTempView(name)
+        return self
+
+    # -- string/tidy verbs ---------------------------------------------------
+
+    def unite(self, col: str, *cols: str, sep: str = "_", remove: bool = True) -> Frame:
+        """tidyr unite: concatenate columns into one string column."""
+        out = self._df.withColumn(col, F.concat_ws(sep, *[_qcol(c) for c in cols]))
+        if remove:
+            out = out.drop(*[c for c in cols if c != col])
+        return self._with(out)
+
+    def separate(self, col: str, into: list[str], sep: str = "_", remove: bool = True) -> Frame:
+        """tidyr separate: split one string column into several."""
+        parts = F.split(_qcol(col), sep)
+        out = self._df
+        for i, name in enumerate(into):
+            out = out.withColumn(name, F.element_at(parts, i + 1))
+        if remove and col not in into:
+            out = out.drop(col)
+        return self._with(out)
+
+    def fill_down(self, cols: list[str], order_by: str, partition_by: list[str] | None = None) -> Frame:
+        """tidyr fill(.direction='down') / last-observation-carried-
+        forward: NULLs take the most recent non-NULL value in
+        ``order_by`` order (per partition key). One keyed window."""
+        w = (
+            Window.partitionBy(*[_qcol(p) for p in (partition_by or [])])
+            .orderBy(_qcol(order_by).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = self._df
+        for c in cols:
+            out = out.withColumn(c, F.last(_qcol(c), ignorenulls=True).over(w))
+        return self._with(out)
+
+    def pull(self, col: str) -> list:
+        """dplyr pull: one column to the driver as a Python list."""
+        return [r[0] for r in self._df.select(_qcol(col)).collect()]
+
     # -- reshape (tidyr-adjacent; Spark-native pivot) -----------------------
 
     def pivot_wider(
