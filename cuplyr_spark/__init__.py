@@ -49,6 +49,36 @@ from cuplyr_spark.selectors import (
     last_col,
 )
 
+# Extended operators (temporal / skew / pipeline) re-exported for
+# discoverability; the implementing modules carry the design docs.
+from cuplyr_spark.operators.asof import asof_join
+from cuplyr_spark.operators.events import (
+    sessionize,
+    session_stats,
+    time_bucket_agg,
+    with_running_sum,
+)
+from cuplyr_spark.operators.skew import salted_summarise
+from cuplyr_spark.pipeline.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from cuplyr_spark.pipeline.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_cosine_topk,
+)
+from cuplyr_spark.pipeline.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_stats,
+)
+
 __version__ = "0.1.0"
 
 __all__ = [
