@@ -805,6 +805,33 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+
+def q_fill_down(spark, sf_dir):
+    """LOCF gap-fill (tidyr fill .direction='down'): NULLs take the
+    most recent prior non-NULL per user in event-time order."""
+    ev = _t(spark, sf_dir, "events")
+    sparse = ev.mutate(
+        v="CASE WHEN event_type = 'view' THEN CAST(NULL AS DOUBLE) ELSE value END"
+    )
+    filled = sparse.fill_down(["v"], order_by="event_id", partition_by=["user_id"])
+    return (
+        filled.mutate(v="round(v, 2)")
+        .select("event_id", "user_id", "v")
+        .df
+    )
+
+
+def q_unite_separate(spark, sf_dir):
+    """String verbs round-trip: unite two columns, re-separate one."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .unite("seg_key", "c_mktsegment", "c_custkey", sep="|")
+        .separate("seg_key", ["seg", "key_str"], sep="\\|", remove=False)
+        .select("c_name", "seg_key", "seg", "key_str")
+        .df
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -863,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
+        "fill_down": q_fill_down,
+        "unite_separate": q_unite_separate,
     }
 
 
@@ -1311,6 +1340,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "fill_down": """
+            SELECT event_id, user_id,
+                   round(last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING), 2) AS v
+            FROM events
+        """,
+        "unite_separate": """
+            SELECT c_name,
+                   concat_ws('|', c_mktsegment, c_custkey) AS seg_key,
+                   string_split(concat_ws('|', c_mktsegment, c_custkey), '|')[1] AS seg,
+                   string_split(concat_ws('|', c_mktsegment, c_custkey), '|')[2] AS key_str
+            FROM customer
         """,
     }
 

@@ -46,6 +46,8 @@ HEADLINE = [
     "minhash_signatures",    # near-dup signatures (text pipeline)
     "embedding_cosine_topk", # similarity search
     "text_quality",          # text analysis
+    "tpch_q6",               # scan-filter-aggregate
+    "tpch_q3",               # selective join + group + top-k
 ]
 
 
