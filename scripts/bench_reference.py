@@ -1,0 +1,141 @@
+"""Reference-protocol benchmark: the cuplyr benchmark suite
+(``benchmark/benchmark.R:126-253``) reproduced at the SAME scale —
+25M rows of the taxi-shaped schema (FIXTURES.md F4), warm-up then
+median of 10 — so the numbers line up against BASELINE.md directly.
+
+Data is generated JVM-side (distributionally matching the reference's
+generators; R's RNG stream itself is not reproducible cross-language)
+and persisted in memory before timing, matching the baseline's
+protocol of excluding host<->device transfer.
+
+Output: one JSON line + a comparison table against the published
+baseline numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cuplyr_spark import Frame, agg as A
+from cuplyr_spark.session import get_session
+
+N_ROWS = int(os.environ.get("REF_BENCH_ROWS", 25_000_000))
+ITERS = int(os.environ.get("REF_BENCH_ITERS", 10))
+
+# BASELINE.md (README.md:127-129): ms at 25M rows
+BASELINE_MS = {
+    "group_summarise": {"dplyr": 310.5, "data.table": 190.0, "duckdb": 67.0, "cuplyr_gpu": 4.0},
+    "filter_3pred": {"dplyr": 444.0, "data.table": 479.0, "duckdb": 585.0, "cuplyr_gpu": 11.0},
+    "complete_workflow": {"dplyr": 1237.0, "data.table": 574.5, "duckdb": 126.5, "cuplyr_gpu": 20.0},
+}
+
+
+def make_taxi(spark, n: int) -> Frame:
+    """FIXTURES F4 distributions, seeded JVM-side."""
+    df = (
+        spark.range(n)
+        .select(
+            (F.floor(F.rand(42) * 4) + 1).cast("int").alias("VendorID"),
+            (F.floor(F.rand(43) * 5) + 1).cast("int").alias("payment_type"),
+            F.greatest(F.lit(2.5), F.randn(44) * 10 + 13).alias("fare_amount"),
+            F.greatest(F.lit(0.0), F.randn(45) * 3 + 2.5).alias("tip_amount"),
+            F.when(F.rand(46) < 0.8, F.lit(0.0))
+            .otherwise(F.rand(47) * 14 + 1)
+            .alias("tolls_amount"),
+            F.greatest(F.lit(0.1), -F.log(F.rand(48)) / 0.3).alias("trip_distance"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    frame = Frame(df).compute()
+    # count() alone doesn't force the full-column cache batches; one
+    # full-width pass does (the baseline's "data already on device").
+    frame.df.write.format("noop").mode("overwrite").save()
+    return frame
+
+
+def q_group_summarise(t: Frame):
+    """benchmark.R:126-150 shape."""
+    return t.group_by("VendorID", "payment_type").summarise(
+        avg_fare=A.mean("fare_amount"),
+        avg_tip=A.mean("tip_amount"),
+        avg_distance=A.mean("trip_distance"),
+        n=A.n(),
+    )
+
+
+def q_filter_3pred(t: Frame):
+    """benchmark.R:184-206 shape."""
+    return t.filter(
+        "fare_amount > 10.0", "trip_distance > 1.0", "payment_type == 1"
+    )
+
+
+def q_complete_workflow(t: Frame):
+    """benchmark.R:209-253 shape."""
+    return (
+        t.filter("fare_amount > 5.0", "trip_distance > 0.5")
+        .mutate(
+            tip_pct="tip_amount / fare_amount * 100",
+            total="fare_amount + tip_amount + tolls_amount",
+            fare_per_mile="fare_amount / trip_distance",
+        )
+        .group_by("VendorID", "payment_type")
+        .summarise(
+            avg_tip_pct=A.mean("tip_pct"),
+            avg_total=A.mean("total"),
+            avg_fare_per_mile=A.mean("fare_per_mile"),
+            n=A.n(),
+        )
+    )
+
+
+def run(frame_fn, t: Frame) -> float:
+    df = frame_fn(t).df
+    df.write.format("noop").mode("overwrite").save()  # warm-up
+    samples = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        samples.append((time.perf_counter() - t0) * 1000)
+    return statistics.median(samples)
+
+
+def main():
+    spark = get_session(app_name="reference_bench")
+    t = make_taxi(spark, N_ROWS)
+    results = {
+        "group_summarise": run(q_group_summarise, t),
+        "filter_3pred": run(q_filter_3pred, t),
+        "complete_workflow": run(q_complete_workflow, t),
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "reference benchmark suite, median ms of "
+                f"{ITERS} at {N_ROWS} rows (in-memory, noop sink)",
+                "value": round(sum(results.values()), 1),
+                "unit": "ms",
+                "queries": {k: round(v, 1) for k, v in results.items()},
+                "rows": N_ROWS,
+            }
+        )
+    )
+    print(f"\n{'query':20s} {'spark(this)':>12s} {'dplyr':>8s} {'data.table':>10s} {'duckdb':>8s} {'cuplyr GPU':>10s}")
+    for q, ms in results.items():
+        b = BASELINE_MS[q]
+        print(
+            f"{q:20s} {ms:10.1f}ms {b['dplyr']:6.1f}ms {b['data.table']:8.1f}ms "
+            f"{b['duckdb']:6.1f}ms {b['cuplyr_gpu']:8.1f}ms"
+        )
+
+
+if __name__ == "__main__":
+    main()
