@@ -832,6 +832,32 @@ def q_unite_separate(spark, sf_dir):
     )
 
 
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash-based train/test split labels: reproducible
+    across runs/engines/partitionings (membership is a pure function
+    of doc_id), unlike RNG sampling. Oracle reproduces membership
+    bit-for-bit from the same md5 buckets."""
+    from cuplyr_spark.pipeline.sampling import with_split_label
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_split_label(docs, "doc_id", {"train": 0.8, "test": 0.1, "val": 0.1})
+    return out.select("doc_id", "split").df
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic down-sampling: cap 'en' at 30%, keep
+    60% of everything else listed."""
+    from cuplyr_spark.pipeline.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.3, "de": 0.6, "fr": 0.6, "es": 0.6, "zh": 0.6},
+    )
+    return out.select("doc_id", "lang").df
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -892,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "fill_down": q_fill_down,
         "unite_separate": q_unite_separate,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1354,6 +1382,19 @@ def oracle_sql() -> dict[str, str]:
                    string_split(concat_ws('|', c_mktsegment, c_custkey), '|')[1] AS seg,
                    string_split(concat_ws('|', c_mktsegment, c_custkey), '|')[2] AS key_str
             FROM customer
+        """,
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000) < 8000 THEN 'train'
+                        WHEN (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000) < 9000 THEN 'test'
+                        WHEN (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000) < 10000 THEN 'val'
+                   END AS split
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (lang = 'en' AND (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000) < 3000)
+               OR (lang IN ('de','fr','es','zh') AND (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000) < 6000)
         """,
     }
 

@@ -168,3 +168,37 @@ def test_join_key_type_validation(spark):
 
     with _pt.raises(TypeError, match="incompatible key types"):
         l.inner_join(r, by="k")
+
+
+def test_deterministic_split_stable_and_disjoint(spark):
+    from cuplyr_spark.pipeline.sampling import deterministic_split, with_split_label
+
+    docs = from_pandas(
+        spark, pd.DataFrame({"doc_id": list(range(1000)), "x": list(range(1000))})
+    )
+    splits = deterministic_split(docs, "doc_id", {"train": 0.8, "test": 0.2})
+    train_ids = set(splits["train"].pull("doc_id"))
+    test_ids = set(splits["test"].pull("doc_id"))
+    assert not train_ids & test_ids
+    assert len(train_ids) + len(test_ids) == 1000
+    assert 0.75 <= len(train_ids) / 1000 <= 0.85  # hash-uniformity
+    # reproducible: same membership on a second evaluation
+    assert set(splits["train"].pull("doc_id")) == train_ids
+    # labeled single-pass variant agrees
+    labeled = with_split_label(docs, "doc_id", {"train": 0.8, "test": 0.2}).collect()
+    assert set(labeled[labeled.split == "train"]["doc_id"]) == train_ids
+
+
+def test_stratified_hash_sample(spark):
+    from cuplyr_spark.pipeline.sampling import stratified_hash_sample
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(2000), "lang": ["en"] * 1600 + ["de"] * 400}
+    )
+    out = stratified_hash_sample(
+        from_pandas(spark, pdf), "doc_id", "lang", {"en": 0.25, "de": 1.0}
+    ).collect()
+    en = (out.lang == "en").sum()
+    de = (out.lang == "de").sum()
+    assert de == 400  # fraction 1.0 keeps everything
+    assert 0.20 * 1600 <= en <= 0.30 * 1600
