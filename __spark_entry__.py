@@ -858,6 +858,72 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang").df
 
 
+def q_window_rank(spark, sf_dir):
+    """dplyr window ranks per group: customer balance rank within
+    market segment. One shuffle on the (low-cardinality) segment key;
+    rank/dense_rank/percent_rank/cume_dist are all deterministic under
+    ties (unlike row_number), so the oracle matches bit-for-bit."""
+    from cuplyr_spark import win
+    from cuplyr_spark.frame import Desc
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.group_by("c_mktsegment")
+        .mutate(
+            bal_rank=win.min_rank(Desc("c_acctbal")),
+            bal_dense=win.dense_rank(Desc("c_acctbal")),
+            bal_pct=win.percent_rank(Desc("c_acctbal")),
+            bal_cume=win.cume_dist(Desc("c_acctbal")),
+        )
+        # rank/dense_rank are int32 in Spark, BIGINT in the oracle
+        .mutate(bal_rank="cast(bal_rank as bigint)", bal_dense="cast(bal_dense as bigint)")
+        .select("c_custkey", "c_mktsegment", "bal_rank", "bal_dense", "bal_pct", "bal_cume")
+        .df
+    )
+
+
+def q_window_lag_lead(spark, sf_dir):
+    """lag/lead per user in event-time order (unique tiebreak on
+    event_id) + replace_na on the partition-edge NULLs that lead
+    produces. Values move verbatim — no float arithmetic."""
+    from cuplyr_spark import win
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.group_by("user_id")
+        .mutate(
+            prev_value=win.lag("value", order_by=["ts", "event_id"]),
+            next_value=win.lead("value", order_by=["ts", "event_id"]),
+        )
+        .ungroup()
+        .replace_na(next_value=-1.0)
+        .select("event_id", "user_id", "prev_value", "next_value")
+        .df
+    )
+
+
+def q_cumulative_stats(spark, sf_dir):
+    """Per-customer running order history: exact integer-cents prefix
+    sum (portable — no float accumulation-order hazard), running max
+    price, and sequence number over a unique (date, orderkey) order."""
+    from cuplyr_spark import win
+
+    orders = _t(spark, sf_dir, "orders")
+    key = ["o_orderdate", "o_orderkey"]
+    return (
+        orders.mutate(cents="cast(round(o_totalprice * 100) as bigint)")
+        .group_by("o_custkey")
+        .mutate(
+            run_cents=win.cumsum("cents", order_by=key),
+            run_max_price=win.cummax("o_totalprice", order_by=key),
+            seq=win.row_number(order_by=key),
+        )
+        .mutate(seq="cast(seq as bigint)")
+        .select("o_orderkey", "o_custkey", "run_cents", "run_max_price", "seq")
+        .df
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -920,6 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unite_separate": q_unite_separate,
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
+        "window_rank": q_window_rank,
+        "window_lag_lead": q_window_lag_lead,
+        "cumulative_stats": q_cumulative_stats,
     }
 
 
@@ -1395,6 +1464,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE (lang = 'en' AND (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000) < 3000)
                OR (lang IN ('de','fr','es','zh') AND (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000) < 6000)
+        """,
+        "window_rank": """
+            SELECT c_custkey, c_mktsegment,
+                   rank()         OVER w AS bal_rank,
+                   dense_rank()   OVER w AS bal_dense,
+                   percent_rank() OVER w AS bal_pct,
+                   cume_dist()    OVER w AS bal_cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC NULLS FIRST)
+        """,
+        "window_lag_lead": """
+            SELECT event_id, user_id,
+                   lag(value)  OVER w AS prev_value,
+                   coalesce(lead(value) OVER w, -1.0) AS next_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "cumulative_stats": """
+            SELECT o_orderkey, o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS run_cents,
+                   max(o_totalprice) OVER w AS run_max_price,
+                   row_number() OVER w AS seq
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING)
         """,
     }
 

@@ -78,6 +78,14 @@ from cuplyr_spark.pipeline.text import (
     with_quality_score,
     with_token_stats,
 )
+from cuplyr_spark.functions import window as win
+from cuplyr_spark.functions.expr import case_when
+from cuplyr_spark.agg import across
+from cuplyr_spark.pipeline.sampling import (
+    deterministic_split,
+    stratified_hash_sample,
+    with_split_label,
+)
 
 __version__ = "0.1.0"
 
@@ -93,6 +101,9 @@ __all__ = [
     "from_pandas",
     "tbl",
     "agg",
+    "win",
+    "across",
+    "case_when",
     "starts_with",
     "ends_with",
     "contains",

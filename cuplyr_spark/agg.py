@@ -140,3 +140,12 @@ def first(x: str | Column) -> AggSpec:
 
 def last(x: str | Column) -> AggSpec:
     return AggSpec("last", x)
+
+
+def across(cols, **fns) -> dict:
+    """dplyr across() for summarise/mutate: apply each named fn to each
+    column, producing ``{col}_{fn}`` outputs. Splat into summarise::
+
+        t.group_by("g").summarise(**across(["x", "y"], mean=mean, max=max))
+    """
+    return {f"{c}_{name}": fn(c) for c in cols for name, fn in fns.items()}

@@ -234,9 +234,13 @@ class Frame:
         ``t.group_by("g").mutate(gmean=A.mean("x"))`` attaches each
         group's mean to every row — one shuffle on the group keys.
         """
+        from cuplyr_spark.functions.window import WinSpec
+
         df = self._df
         for name, value in exprs.items():
-            if isinstance(value, AggSpec):
+            if isinstance(value, WinSpec):
+                df = df.withColumn(name, value.resolve_window(df, self._groups))
+            elif isinstance(value, AggSpec):
                 # agg + (null-safe) join back, NOT a window: a window
                 # partitioned on low-cardinality groups serializes each
                 # group through one task, while the agg is partial+final
@@ -596,6 +600,22 @@ class Frame:
         out = self._df
         for c in cols:
             out = out.withColumn(c, F.last(_qcol(c), ignorenulls=True).over(w))
+        return self._with(out)
+
+    def drop_na(self, *cols: str) -> Frame:
+        """tidyr drop_na: drop rows with a NULL in any listed column
+        (all columns if none given). Pure filter — pushes down to the
+        scan as IsNotNull."""
+        targets = list(cols) or self.columns
+        cond = functools.reduce(operator.and_, [_qcol(c).isNotNull() for c in targets])
+        return self._with(self._df.filter(cond))
+
+    def replace_na(self, **repl: Any) -> Frame:
+        """tidyr replace_na: fill NULLs per column with a literal
+        (``replace_na(x=0, name="unknown")``). Narrow projection."""
+        out = self._df
+        for c, v in repl.items():
+            out = out.withColumn(c, F.coalesce(_qcol(c), F.lit(v)))
         return self._with(out)
 
     def pull(self, col: str) -> list:

@@ -177,3 +177,21 @@ def _compile_call(node: ast.Call) -> Column:
     if fn is None or not callable(fn):
         raise ExprError(f"unknown function {name!r}")
     return fn(*args)
+
+
+def case_when(*cases, default=None) -> Column:
+    """dplyr case_when: ``case_when((cond, value), ..., default=v)``.
+    Conditions may be string expressions (compiled by this module) or
+    Columns; first match wins, no match -> ``default`` (NULL if omitted).
+    """
+    out = None
+    for cond, value in cases:
+        c = compile_expr(cond) if isinstance(cond, str) else cond
+        v = value if isinstance(value, Column) else F.lit(value)
+        out = F.when(c, v) if out is None else out.when(c, v)
+    if out is None:
+        raise ExprError("case_when needs at least one (condition, value) pair")
+    if default is not None:
+        d = default if isinstance(default, Column) else F.lit(default)
+        out = out.otherwise(d)
+    return out
