@@ -924,6 +924,56 @@ def q_cumulative_stats(spark, sf_dir):
     )
 
 
+def q_rollup_agg(spark, sf_dir):
+    """Hierarchical subtotals (status, priority) → (status) → grand
+    total in ONE partial+final hash agg — no per-level re-scan."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.mutate(cents="cast(round(o_totalprice * 100) as bigint)")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .summarise(total_cents=A.sum("cents"), n=A.n())
+        .df
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    """All 2^2 grouping-set combinations over the lineitem flags.
+    Quantities are integer-valued doubles — binary-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .summarise(sum_qty=A.sum("l_quantity"), n=A.n())
+        .df
+    )
+
+
+def q_nest_unnest(spark, sf_dir):
+    """List-column roundtrip: collapse each segment's customers into a
+    sorted array<struct>, then explode back — output equals the flat
+    projection, proving both directions are lossless."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .group_by("c_mktsegment")
+        .nest()
+        .unnest("data")
+        .df
+    )
+
+
+def q_slice_head_grouped(spark, sf_dir):
+    """First 2 orders per customer by (date, orderkey) — per-group
+    row_number over one shuffle on the customer key."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.group_by("o_custkey")
+        .slice_head(2, order_by=["o_orderdate", "o_orderkey"])
+        .mutate(date_ms="unix_millis(cast(o_orderdate as timestamp))")
+        .select("o_orderkey", "o_custkey", "date_ms")
+        .df
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -989,6 +1039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "window_lag_lead": q_window_lag_lead,
         "cumulative_stats": q_cumulative_stats,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "nest_unnest": q_nest_unnest,
+        "slice_head_grouped": q_slice_head_grouped,
     }
 
 
@@ -1489,6 +1543,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "rollup_agg": """
+            SELECT o_orderstatus, o_orderpriority,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                   count(*) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "nest_unnest": """
+            SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+        """,
+        "slice_head_grouped": """
+            SELECT o_orderkey, o_custkey, CAST(epoch_ms(o_orderdate) AS BIGINT) AS date_ms
+            FROM (
+              SELECT o_orderkey, o_custkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 2
         """,
     }
 

@@ -98,9 +98,14 @@ def _qcol(name: str) -> Column:
 class Frame:
     """Immutable table handle: DataFrame + grouping metadata."""
 
-    def __init__(self, df: DataFrame, groups: tuple[str, ...] = ()):
+    def __init__(
+        self, df: DataFrame, groups: tuple[str, ...] = (), group_mode: str = "groupby"
+    ):
         self._df = df
         self._groups = tuple(groups)
+        # "groupby" | "cube" | "rollup" — how summarise() expands the
+        # group keys; set by cube()/rollup(), reset by any other verb.
+        self._group_mode = group_mode
 
     # -- accessors ----------------------------------------------------
 
@@ -321,6 +326,16 @@ class Frame:
     def ungroup(self) -> Frame:
         return Frame(self._df, ())
 
+    def cube(self, *cols: str | Selector) -> Frame:
+        """Aggregate over ALL 2^n combinations of the keys (each level
+        NULL where rolled up). Spark computes this in the same
+        partial+final hash agg as a plain groupBy — no extra passes."""
+        return Frame(self._df, tuple(resolve_selection(cols, self._df.columns)), "cube")
+
+    def rollup(self, *cols: str | Selector) -> Frame:
+        """Hierarchical subtotals: (a,b), (a), () for rollup("a","b")."""
+        return Frame(self._df, tuple(resolve_selection(cols, self._df.columns)), "rollup")
+
     def summarise(self, **aggs: AggSpec | Column) -> Frame:
         """One hash aggregation (partial+final, spill-capable — the
         scale upgrade over the reference's single-pass no-spill
@@ -333,7 +348,13 @@ class Frame:
             for name, spec in aggs.items()
         ]
         if self._groups:
-            out = self._df.groupBy(*[_qcol(g) for g in self._groups]).agg(*cols)
+            gcols = [_qcol(g) for g in self._groups]
+            base = {
+                "cube": self._df.cube,
+                "rollup": self._df.rollup,
+                "groupby": self._df.groupBy,
+            }[self._group_mode](*gcols)
+            out = base.agg(*cols)
         else:
             out = self._df.agg(*cols)
         return Frame(out, ())
@@ -622,6 +643,29 @@ class Frame:
         """dplyr pull: one column to the driver as a Python list."""
         return [r[0] for r in self._df.select(_qcol(col)).collect()]
 
+    def nest(self, name: str = "data", cols: list[str] | None = None) -> Frame:
+        """tidyr nest: collapse each group's non-group rows into one
+        array<struct> list-column. The array is sorted (lexicographic
+        by field order) so the result is deterministic regardless of
+        partitioning. One hash aggregation on the group keys; per-group
+        payloads must fit in executor memory — nest by high-cardinality
+        keys at scale, not by a handful of giant groups."""
+        if not self._groups:
+            raise ValueError("nest() requires group_by() keys")
+        value_cols = cols or [c for c in self.columns if c not in self._groups]
+        packed = F.sort_array(F.collect_list(F.struct(*[_qcol(c) for c in value_cols])))
+        out = self._df.groupBy(*[_qcol(g) for g in self._groups]).agg(packed.alias(name))
+        return Frame(out, ())
+
+    def unnest(self, col: str) -> Frame:
+        """Inverse of nest: explode the array and expand struct fields
+        back to top-level columns. Narrow (no shuffle)."""
+        tmp = "__cuplyr_unnest__"
+        df = self._df.withColumn(tmp, F.explode(_qcol(col))).drop(col)
+        keep = [_qcol(c) for c in df.columns if c != tmp]
+        out = df.select(*keep, F.col(tmp + ".*"))
+        return self._with(out, tuple(g for g in self._groups if g != col))
+
     # -- reshape (tidyr-adjacent; Spark-native pivot) -----------------------
 
     def pivot_wider(
@@ -681,6 +725,26 @@ class Frame:
 
     def slice_min(self, order_by: str | Column, n: int = 1, with_ties: bool = False) -> Frame:
         return self._slice_ranked(_as_column(order_by).asc_nulls_last(), n, with_ties)
+
+    def slice_head(self, n: int = 1, *, order_by) -> Frame:
+        """First n rows per group in ``order_by`` order. Spark has no
+        inherent row order, so the order keys are mandatory; make them
+        unique per group for a deterministic result."""
+        return self._slice_ordered(order_by, n, reverse=False)
+
+    def slice_tail(self, n: int = 1, *, order_by) -> Frame:
+        return self._slice_ordered(order_by, n, reverse=True)
+
+    def _slice_ordered(self, order_by, n: int, reverse: bool) -> Frame:
+        from cuplyr_spark.functions.window import _order_cols
+
+        keys = _order_cols(order_by, reverse=reverse)
+        rk = "__cuplyr_rank__"
+        if self._groups:
+            w = Window.partitionBy(*self._groups).orderBy(*keys)
+            out = self._df.withColumn(rk, F.row_number().over(w)).filter(F.col(rk) <= n).drop(rk)
+            return self._with(out)
+        return self._with(self._df.orderBy(*keys).limit(n))
 
     def _slice_ranked(self, key: Column, n: int, with_ties: bool) -> Frame:
         rank_fn = F.rank() if with_ties else F.row_number()

@@ -53,7 +53,9 @@ __all__ = [
 ]
 
 
-def _order_cols(order_by) -> list[Column]:
+def _order_cols(order_by, reverse: bool = False) -> list[Column]:
+    """``reverse=True`` flips every key's direction AND its NA end —
+    used by slice_tail so "last n by k" = "first n by reversed k"."""
     # local import: frame.py lazily imports this module from mutate()
     from cuplyr_spark.frame import Desc, _as_column
 
@@ -62,10 +64,9 @@ def _order_cols(order_by) -> list[Column]:
     for k in keys:
         if isinstance(k, str) and k.startswith("-") and k[1:].isidentifier():
             k = Desc(k[1:])
-        if isinstance(k, Desc):
-            out.append(_as_column(k.col).desc_nulls_first())
-        else:
-            out.append(_as_column(k).asc_nulls_last())
+        descending = isinstance(k, Desc) != reverse
+        c = _as_column(k.col if isinstance(k, Desc) else k)
+        out.append(c.desc_nulls_first() if descending else c.asc_nulls_last())
     return out
 
 

@@ -80,3 +80,45 @@ def test_salted_summarise_rejects_nonassociative(spark):
     t = from_pandas(spark, pd.DataFrame({"k": ["a"], "v": [1]}))
     with pytest.raises(ValueError):
         salted_summarise(t, ["k"], bad=("median", "v"))
+
+
+def test_cube_rollup(spark):
+    pdf = pd.DataFrame(
+        {"a": ["x", "x", "y"], "b": ["p", "q", "p"], "v": [1, 2, 4]}
+    )
+    t = from_pandas(spark, pdf)
+    cube = t.cube("a", "b").summarise(s=A.sum("v")).collect()
+    assert len(cube) == 8  # 3 leaf + 2 per-a + 2 per-b + grand total
+    assert cube[cube.a.isna() & cube.b.isna()].s.iloc[0] == 7
+    roll = t.rollup("a", "b").summarise(s=A.sum("v")).collect()
+    assert len(roll) == 6  # 3 leaf + 2 per-a + grand total
+    assert roll[roll.a.isna()].s.iloc[0] == 7
+    # group_by after cube resets to plain groupby
+    plain = t.cube("a").group_by("a").summarise(s=A.sum("v")).collect()
+    assert len(plain) == 2
+
+
+def test_nest_unnest_roundtrip(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a", "a", "b"], "x": [2, 1, 3], "y": ["u", "v", "w"]}
+    )
+    t = from_pandas(spark, pdf)
+    nested = t.group_by("g").nest()
+    assert nested.columns == ["g", "data"]
+    row = {r["g"]: r["data"] for r in nested.collect_rows()}
+    assert [d["x"] for d in row["a"]] == [1, 2]  # sorted => deterministic
+    flat = nested.unnest("data").arrange("g", "x").collect()
+    assert list(flat.x) == [1, 2, 3]
+    assert list(flat.columns) == ["g", "x", "y"]
+
+
+def test_slice_head_tail(spark):
+    pdf = pd.DataFrame({"g": ["a", "a", "a", "b"], "ts": [3, 1, 2, 9], "v": [30, 10, 20, 90]})
+    t = from_pandas(spark, pdf).group_by("g")
+    head = t.slice_head(2, order_by="ts").arrange("g", "ts").collect()
+    assert list(head.v) == [10, 20, 90]
+    tail = t.slice_tail(2, order_by="ts").arrange("g", "ts").collect()
+    assert list(tail.v) == [20, 30, 90]
+    # ungrouped: global order + limit
+    u = from_pandas(spark, pdf).slice_head(1, order_by="-ts").collect()
+    assert list(u.v) == [90]
