@@ -974,6 +974,63 @@ def q_slice_head_grouped(spark, sf_dir):
     )
 
 
+def q_string_functions(spark, sf_dir):
+    """stringr-style verb surface compiled to JVM string expressions —
+    all whole-stage-codegen, no UDFs."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.mutate(
+            upper_seg="str_to_upper(c_mktsegment)",
+            name_len="as_long(str_length(c_name))",
+            name_num="str_extract(c_name, '([0-9]+)')",
+            seg3="str_sub(c_mktsegment, 1, 3)",
+            has_auto="str_detect(c_mktsegment, 'AUTO')",
+            no_vowels="str_remove_all(c_mktsegment, '[AEIOU]')",
+            padded="lpad(c_mktsegment, 12, '.')",
+            n_o="as_long(str_count(c_mktsegment, 'O'))",
+        )
+        .select(
+            "c_custkey", "upper_seg", "name_len", "name_num", "seg3",
+            "has_auto", "no_vowels", "padded", "n_o",
+        )
+        .df
+    )
+
+
+def q_date_functions(spark, sf_dir):
+    """lubridate-style date part/truncation surface over order dates."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.mutate(
+            yr="as_long(year(o_orderdate))",
+            mo="as_long(month(o_orderdate))",
+            dom="as_long(mday(o_orderdate))",
+            doy="as_long(yday(o_orderdate))",
+            qtr="as_long(quarter(o_orderdate))",
+            month_start_ms="unix_millis(cast(floor_date(o_orderdate, 'month'), 'timestamp'))",
+            days_since="as_long(datediff(o_orderdate, '1995-01-01'))",
+        )
+        .select("o_orderkey", "yr", "mo", "dom", "doy", "qtr", "month_start_ms", "days_since")
+        .df
+    )
+
+
+def q_quantile_agg(spark, sf_dir):
+    """Exact interpolated quantiles per group (percentile_cont
+    semantics; full per-group sort — approx_quantile is the 100 TB
+    path, checked rows-only elsewhere)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .summarise(
+            p50=F.round(A.quantile("l_quantity", 0.5).resolve(None), 6),
+            p90=F.round(A.quantile("l_quantity", 0.9).resolve(None), 6),
+            p99=F.round(A.quantile("l_extendedprice", 0.99).resolve(None), 6),
+        )
+        .df
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1043,6 +1100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "nest_unnest": q_nest_unnest,
         "slice_head_grouped": q_slice_head_grouped,
+        "string_functions": q_string_functions,
+        "date_functions": q_date_functions,
+        "quantile_agg": q_quantile_agg,
     }
 
 
@@ -1568,6 +1628,37 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_orderdate, o_orderkey) AS rn
               FROM orders
             ) WHERE rn <= 2
+        """,
+        "string_functions": """
+            SELECT c_custkey,
+                   upper(c_mktsegment) AS upper_seg,
+                   CAST(length(c_name) AS BIGINT) AS name_len,
+                   regexp_extract(c_name, '([0-9]+)', 1) AS name_num,
+                   substring(c_mktsegment, 1, 3) AS seg3,
+                   regexp_matches(c_mktsegment, 'AUTO') AS has_auto,
+                   regexp_replace(c_mktsegment, '[AEIOU]', '', 'g') AS no_vowels,
+                   lpad(c_mktsegment, 12, '.') AS padded,
+                   CAST(length(c_mktsegment) - length(replace(c_mktsegment, 'O', '')) AS BIGINT) AS n_o
+            FROM customer
+        """,
+        "date_functions": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   CAST(day(o_orderdate) AS BIGINT) AS dom,
+                   CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+                   CAST(epoch_ms(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_ms,
+                   CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+            FROM orders
+        """,
+        "quantile_agg": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                   round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
     }
 

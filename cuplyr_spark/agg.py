@@ -73,6 +73,12 @@ class AggSpec:
             return F.count_distinct(*[_as_col(c) for c in self.extra])
         if self.kind == "approx_n_distinct":
             return F.approx_count_distinct(_as_col(self.operand), *self.extra)
+        if self.kind == "quantile":
+            return F.percentile(_as_col(self.operand), F.lit(self.extra[0]))
+        if self.kind == "approx_quantile":
+            return F.percentile_approx(
+                _as_col(self.operand), F.lit(self.extra[0]), F.lit(self.extra[1])
+            )
         col = _as_col(self.operand)
         if self.kind in _NUMERIC_INPUT and _is_boolean(df, col):
             col = col.cast("int")
@@ -132,6 +138,19 @@ def var(x: str | Column) -> AggSpec:
 
 def median(x: str | Column) -> AggSpec:
     return AggSpec("median", x)
+
+
+def quantile(x: str | Column, p: float) -> AggSpec:
+    """Exact linear-interpolated quantile (SQL percentile_cont /
+    DuckDB quantile_cont semantics). Exact = full sort per group;
+    prefer approx_quantile for 100 TB-scale interactive use."""
+    return AggSpec("quantile", x, (p,))
+
+
+def approx_quantile(x: str | Column, p: float, accuracy: int = 10_000) -> AggSpec:
+    """Greenwald-Khanna sketch quantile: mergeable, one pass, no sort —
+    the scale path. Error <= 1/accuracy relative rank."""
+    return AggSpec("approx_quantile", x, (p, accuracy))
 
 
 def first(x: str | Column) -> AggSpec:

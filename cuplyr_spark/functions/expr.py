@@ -44,11 +44,40 @@ _FN_ALIASES = {
     "str_to_lower": "lower",
     "str_to_upper": "upper",
     "str_trim": "trim",
+    # str_replace (first-match-only in R) is deliberately NOT aliased:
+    # Spark's regexp_replace replaces every match and a silent
+    # semantics change would be worse than a missing name.
+    "str_replace_all": "regexp_replace",
+    "str_detect": "rlike",
+    "str_starts": "startswith",
+    "str_ends": "endswith",
+    "str_count": "regexp_count",
+    "str_split": "split",
+    "str_extract": "expr_str_extract",
+    "str_remove_all": "expr_str_remove_all",
+    "str_sub": "expr_str_sub",
+    "floor_date": "expr_floor_date",
+    "wday": "dayofweek",
+    "yday": "dayofyear",
+    "mday": "dayofmonth",
+    "cast": "expr_cast",
     "n_distinct": "count_distinct",
     "paste0": "concat",
     "if_else": "expr_if_else",
     "ifelse": "expr_if_else",
     "coalesce": "coalesce",
+}
+
+# R coercion functions -> Spark cast targets (callable in the R-style
+# grammar, where SQL `CAST(x AS t)` syntax isn't available).
+_COERCIONS = {
+    "as_integer": "int",
+    "as_long": "bigint",
+    "as_numeric": "double",
+    "as_double": "double",
+    "as_character": "string",
+    "as_logical": "boolean",
+    "as_date": "date",
 }
 
 _BIN_OPS = {
@@ -76,6 +105,15 @@ _CMP_OPS = {
 
 class ExprError(ValueError):
     pass
+
+
+def _raw(node: ast.AST):
+    """Literal value of a constant argument (for pyspark functions that
+    require raw Python str/int, not a Column)."""
+    try:
+        return ast.literal_eval(node)
+    except (ValueError, SyntaxError):
+        raise ExprError("argument must be a literal constant")
 
 
 def compile_expr(text: str) -> Column:
@@ -173,10 +211,36 @@ def _compile_call(node: ast.Call) -> Column:
         # R trunc(): toward zero. Spark F.trunc is date-only.
         (x,) = args
         return F.when(x < 0, F.ceil(x)).otherwise(F.floor(x)).cast("double")
+    if name == "expr_cast":
+        return args[0].cast(_raw(node.args[1]))
+    if name in _COERCIONS:
+        return args[0].cast(_COERCIONS[name])
+    if name == "expr_str_sub":
+        # R str_sub(x, start, end): 1-based INCLUSIVE end ->
+        # substring(x, start, end - start + 1). Positive indices only.
+        start, end = _raw(node.args[1]), _raw(node.args[2])
+        return F.substring(args[0], start, end - start + 1)
+    if name == "expr_str_extract":
+        return F.regexp_extract(args[0], _raw(node.args[1]), 1)
+    if name == "expr_str_remove_all":
+        return F.regexp_replace(args[0], _raw(node.args[1]), "")
+    if name == "expr_floor_date":
+        # lubridate arg order (x, unit) -> Spark date_trunc(unit, x)
+        return F.date_trunc(_raw(node.args[1]), args[0])
     fn = getattr(F, name, None)
     if fn is None or not callable(fn):
         raise ExprError(f"unknown function {name!r}")
-    return fn(*args)
+    try:
+        return fn(*args)
+    except TypeError:
+        # Some pyspark functions demand raw Python literals for
+        # pattern/index args (e.g. regexp_extract's idx) — retry with
+        # literal constants un-wrapped.
+        raw_args = [
+            _raw(a) if isinstance(a, ast.Constant) else c
+            for a, c in zip(node.args, args)
+        ]
+        return fn(*raw_args)
 
 
 def case_when(*cases, default=None) -> Column:

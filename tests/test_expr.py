@@ -85,3 +85,57 @@ def test_is_na(spark):
     t = from_pandas(spark, pd.DataFrame({"x": [1.0, None]}))
     out = t.mutate(na="is_na(x)").collect()
     assert out["na"].tolist() == [False, True]
+
+
+def test_stringr_verbs(spark):
+    t = from_pandas(spark, pd.DataFrame({"s": ["Customer#042 AUTO", "plain text"]}))
+    out = t.mutate(
+        num="str_extract(s, '([0-9]+)')",
+        auto="str_detect(s, 'AUTO')",
+        first3="str_sub(s, 1, 3)",
+        clean="str_remove_all(s, '[0-9]')",
+        nt="str_count(s, 't')",
+        repl="str_replace_all(s, ' ', '_')",
+    ).collect()
+    assert out["num"].tolist() == ["042", ""]
+    assert out["auto"].tolist() == [True, False]
+    assert out["first3"].tolist() == ["Cus", "pla"]
+    assert out["clean"].tolist() == ["Customer# AUTO", "plain text"]
+    assert out["nt"].tolist() == [1, 2]
+    assert out["repl"].tolist() == ["Customer#042_AUTO", "plain_text"]
+
+
+def test_coercions_and_cast(spark):
+    t = from_pandas(spark, pd.DataFrame({"x": [1.7, -2.7], "s": ["3", "4"]}))
+    out = t.mutate(
+        i="as_integer(x)", n="as_numeric(s)", c="as_character(x)",
+        l="cast(s, 'bigint')",
+    ).collect()
+    assert out["i"].tolist() == [1, -2]
+    assert out["n"].tolist() == [3.0, 4.0]
+    assert out["l"].tolist() == [3, 4]
+    assert out["c"].dtype == object
+
+
+def test_date_verbs(spark):
+    t = from_pandas(spark, pd.DataFrame({"d": pd.to_datetime(["1995-03-17", "1996-12-01"])}))
+    out = t.mutate(
+        y="year(d)", m="month(d)", dom="mday(d)", doy="yday(d)",
+        ms="floor_date(d, 'month')",
+    ).collect()
+    assert out["y"].tolist() == [1995, 1996]
+    assert out["dom"].tolist() == [17, 1]
+    assert out["doy"].tolist() == [76, 336]
+    assert [str(v)[:10] for v in out["ms"]] == ["1995-03-01", "1996-12-01"]
+
+
+def test_quantile_aggs(spark):
+    from cuplyr_spark import agg as A
+
+    t = from_pandas(spark, pd.DataFrame({"g": ["a"] * 5, "x": [1.0, 2.0, 3.0, 4.0, 100.0]}))
+    out = t.group_by("g").summarise(
+        p50=A.quantile("x", 0.5),
+        p90=A.approx_quantile("x", 0.9),
+    ).collect()
+    assert out["p50"].tolist() == [3.0]
+    assert out["p90"].iloc[0] in (4.0, 100.0)  # sketch: rank-error bounded
