@@ -1031,6 +1031,46 @@ def q_quantile_agg(spark, sf_dir):
     )
 
 
+def q_vector_centroid(spark, sf_dir):
+    """Distributed per-label mean vector (posexplode -> per-dim partial
+    agg -> reassemble): no group's vectors ever gather on one node.
+    First four centroid dims, rounded (double-sum accumulation order
+    differs across engines)."""
+    from cuplyr_spark.pipeline.similarity import vector_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = vector_centroids(emb, "label")
+    return cent.mutate(
+        d0="round(element_at(centroid, 1), 4)",
+        d1="round(element_at(centroid, 2), 4)",
+        d2="round(element_at(centroid, 3), 4)",
+        d3="round(element_at(centroid, 4), 4)",
+    ).select("label", "d0", "d1", "d2", "d3").df
+
+
+def q_ivf_cosine_topk(spark, sf_dir):
+    """IVF-bucketed ANN: broadcast centroids, cell-local search of the
+    n_probe nearest cells. Approximate — no SQL oracle; the driver
+    records rows-only and test_pipeline checks recall vs brute force."""
+    from cuplyr_spark.pipeline.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, k=5, n_cells=16, n_probe=4, query_filter="vec_id < 10").df
+
+
+def q_complete_fill(spark, sf_dir):
+    """tidyr complete(): restore missing (status, priority) combos
+    after a selective filter, count surviving orders per cell (0 for
+    restored combos)."""
+    orders = _t(spark, sf_dir, "orders").filter("o_totalprice > 350000")
+    return (
+        orders.complete("o_orderstatus", "o_orderpriority")
+        .group_by("o_orderstatus", "o_orderpriority")
+        .summarise(n=A.count("o_orderkey"))
+        .df
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1101,6 +1141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nest_unnest": q_nest_unnest,
         "slice_head_grouped": q_slice_head_grouped,
         "string_functions": q_string_functions,
+        "vector_centroid": q_vector_centroid,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
+        "complete_fill": q_complete_fill,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -1628,6 +1671,24 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_orderdate, o_orderkey) AS rn
               FROM orders
             ) WHERE rn <= 2
+        """,
+        "vector_centroid": """
+            SELECT label,
+                   round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS d0,
+                   round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS d1,
+                   round(avg(CAST(embedding[3] AS DOUBLE)), 4) AS d2,
+                   round(avg(CAST(embedding[4] AS DOUBLE)), 4) AS d3
+            FROM embeddings GROUP BY label
+        """,
+        "complete_fill": """
+            WITH f AS (SELECT * FROM orders WHERE o_totalprice > 350000)
+            SELECT s.o_orderstatus, p.o_orderpriority, count(f2.o_orderkey) AS n
+            FROM (SELECT DISTINCT o_orderstatus FROM f) s
+            CROSS JOIN (SELECT DISTINCT o_orderpriority FROM f) p
+            LEFT JOIN f f2
+              ON f2.o_orderstatus = s.o_orderstatus
+             AND f2.o_orderpriority = p.o_orderpriority
+            GROUP BY s.o_orderstatus, p.o_orderpriority
         """,
         "string_functions": """
             SELECT c_custkey,

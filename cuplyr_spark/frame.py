@@ -51,7 +51,7 @@ from __future__ import annotations
 
 import functools
 import operator
-from collections.abc import Iterable, Mapping
+from collections.abc import Callable, Iterable, Mapping
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, Window
@@ -194,6 +194,30 @@ class Frame:
         df = self._df.withColumnsRenamed(old_to_new)
         groups = tuple(old_to_new.get(g, g) for g in self._groups)
         return Frame(df, groups)
+
+    def rename_with(self, fn: Callable[[str], str], *cols: str) -> Frame:
+        """dplyr rename_with: transform column names with a Python
+        function (all columns, or just the listed ones)."""
+        targets = set(cols) if cols else set(self.columns)
+        mapping = {c: fn(c) if c in targets else c for c in self.columns}
+        out = self._df.toDF(*mapping.values())
+        return Frame(out, tuple(mapping[g] for g in self._groups))
+
+    def complete(self, *cols: str, fill: dict | None = None) -> Frame:
+        """tidyr complete: expand to ALL combinations of the listed
+        key columns (cross join of their distinct values — one tiny
+        shuffle per key column), left-join the data back, optionally
+        fill the introduced NULLs. Combination count multiplies —
+        meant for categorical keys, not high-cardinality ids."""
+        if len(cols) < 1:
+            raise ValueError("complete() needs at least one column")
+        grid = None
+        for c in cols:
+            d = self._df.select(_qcol(c)).distinct()
+            grid = d if grid is None else grid.crossJoin(d)
+        out = grid.join(self._df, on=list(cols), how="left")
+        frame = self._with(out)
+        return frame.replace_na(**fill) if fill else frame
 
     def relocate(self, *cols: str, before: str | None = None, after: str | None = None) -> Frame:
         existing = [c for c in self._df.columns if c not in cols]

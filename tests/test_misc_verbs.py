@@ -122,3 +122,16 @@ def test_slice_head_tail(spark):
     # ungrouped: global order + limit
     u = from_pandas(spark, pdf).slice_head(1, order_by="-ts").collect()
     assert list(u.v) == [90]
+
+
+def test_rename_with_and_complete(spark):
+    pdf = pd.DataFrame({"G": ["a", "a"], "Day": [1, 2], "v": [10.0, 20.0]})
+    t = from_pandas(spark, pdf).group_by("G")
+    r = t.rename_with(str.lower)
+    assert r.columns == ["g", "day", "v"]
+    assert r.group_vars() == ("g",)
+    # complete: (a,1),(a,2) present; b absent entirely -> no b rows to expand
+    pdf2 = pd.DataFrame({"g": ["a", "a", "b"], "day": [1, 2, 1], "v": [1.0, 2.0, 3.0]})
+    c = from_pandas(spark, pdf2).complete("g", "day", fill={"v": 0.0}).arrange("g", "day").collect()
+    assert len(c) == 4  # {a,b} x {1,2}
+    assert c[(c.g == "b") & (c.day == 2)].v.iloc[0] == 0.0

@@ -202,3 +202,37 @@ def test_stratified_hash_sample(spark):
     de = (out.lang == "de").sum()
     assert de == 400  # fraction 1.0 keeps everything
     assert 0.20 * 1600 <= en <= 0.30 * 1600
+
+
+def test_vector_centroids(spark):
+    from cuplyr_spark.pipeline.similarity import vector_centroids
+
+    pdf = pd.DataFrame(
+        {
+            "label": ["a", "a", "b"],
+            "embedding": [[1.0, 3.0], [3.0, 5.0], [10.0, 0.0]],
+        }
+    )
+    out = vector_centroids(from_pandas(spark, pdf), "label").collect_rows()
+    got = {r["label"]: list(r["centroid"]) for r in out}
+    assert got == {"a": [2.0, 4.0], "b": [10.0, 0.0]}
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from cuplyr_spark.pipeline.similarity import cosine_topk, ivf_cosine_topk
+    from cuplyr_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_topk(emb, k=5, query_filter="vec_id < 5").collect()
+    approx = ivf_cosine_topk(
+        emb, k=5, n_cells=8, n_probe=4, query_filter="vec_id < 5"
+    ).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every approx score must equal the exact score for that pair
+    es = {(r.query_id, r.neighbor_id): r.score for r in exact.itertuples()}
+    for r in approx.itertuples():
+        if (r.query_id, r.neighbor_id) in es:
+            assert abs(es[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
