@@ -612,8 +612,9 @@ def q_embedding_near_dup(spark, sf_dir):
 
 def q_lsh_cosine_topk(spark, sf_dir):
     """Approximate ANN: random-hyperplane LSH bucketing + exact
-    re-score within bucket (rows-only check: the bucketing is not
-    practical to replicate in SQL)."""
+    re-score within bucket. The hyperplane signs are a deterministic
+    integer mix of (plane, dim index), so the DuckDB oracle replays the
+    exact bucket assignment with list lambdas."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.lsh_cosine_topk(emb, k=5, n_planes=6, query_filter="vec_id < 10").df
 
@@ -1050,12 +1051,18 @@ def q_vector_centroid(spark, sf_dir):
 
 def q_ivf_cosine_topk(spark, sf_dir):
     """IVF-bucketed ANN: broadcast centroids, cell-local search of the
-    n_probe nearest cells. Approximate — no SQL oracle; the driver
-    records rows-only and test_pipeline checks recall vs brute force."""
+    n_probe nearest cells. The contract query uses refine_iters=0 so
+    centroids are exact data vectors (deterministic md5-smallest seeds)
+    and the DuckDB oracle can replay cell assignment and probing
+    bit-for-bit; the Lloyd-refinement path is covered by test_pipeline
+    recall tests (FP summation order across engines makes refined
+    centroids oracle-unfriendly)."""
     from cuplyr_spark.pipeline.similarity import ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_cosine_topk(emb, k=5, n_cells=16, n_probe=4, query_filter="vec_id < 10").df
+    return ivf_cosine_topk(
+        emb, k=5, n_cells=16, n_probe=4, refine_iters=0, query_filter="vec_id < 10"
+    ).df
 
 
 def q_complete_fill(spark, sf_dir):
@@ -1199,6 +1206,32 @@ _COS = (
     "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
 )
 
+# Unrounded cosine — used where the oracle must replay an argmax over
+# similarities (IVF cell assignment/probing), matching Spark's unrounded
+# comparison exactly.
+_COS_RAW = (
+    "(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+)
+
+
+def _lsh_bucket_oracle(v: str, n_planes: int) -> str:
+    """DuckDB replay of ``similarity.lsh_bucket``: for plane p the sign
+    bit of <v, h_p> where h_p[i] = +-1 from the parity of
+    floor((i*2654435761 + p*40503)/65536) — the same deterministic
+    integer mix the Spark side uses (similarity.py:_hyperplane_sign).
+    list_reduce keeps the summation sequential so the sign test is
+    bit-identical to Spark's F.aggregate fold."""
+    terms = []
+    for p in range(n_planes):
+        signed = (
+            f"list_reduce(list_transform(generate_series(0, len({v}) - 1), "
+            f"i -> {v}[i + 1] * (CASE WHEN CAST(floor((i * 2654435761 + {p * 40503}) / 65536.0) AS BIGINT) % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {signed} >= 0 THEN {2 ** p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1249,7 +1282,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "expr_in_aggregate": """
             SELECT l_returnflag,
-                   sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS n_big,
+                   CAST(sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
                    round(avg(CASE WHEN l_discount < 0.03 THEN 1 ELSE 0 END), 6) AS frac_low_disc
             FROM lineitem GROUP BY l_returnflag
         """,
@@ -1424,6 +1457,60 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.query_id, e.vec_id AS neighbor_id,
                      {_COS.format(a="q.qv", b="e.embedding")} AS score
               FROM embeddings e, q WHERE q.query_id <> e.vec_id
+            )
+            SELECT query_id, neighbor_id, score, rank FROM (
+              SELECT query_id, neighbor_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS INT) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "lsh_cosine_topk": f"""
+            WITH b AS (
+              SELECT vec_id, v, {_lsh_bucket_oracle("v", 6)} AS bucket
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     {_COS.format(a="q.v", b="e.v")} AS score
+              FROM b e JOIN b q ON e.bucket = q.bucket
+              WHERE q.vec_id < 10 AND q.vec_id <> e.vec_id
+            )
+            SELECT query_id, neighbor_id, score, rank FROM (
+              SELECT query_id, neighbor_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS INT) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "ivf_cosine_topk": f"""
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (
+              SELECT CAST(row_number() OVER (ORDER BY h) AS INT) AS cell, v AS c
+              FROM (SELECT v, {_H64.format(x="CAST(vec_id AS VARCHAR)")} AS h
+                    FROM base ORDER BY h LIMIT 16)
+            ),
+            assigned AS (
+              SELECT vec_id AS neighbor_id, v, cell FROM (
+                SELECT b.vec_id, b.v, c.cell,
+                       row_number() OVER (PARTITION BY b.vec_id
+                                          ORDER BY {_COS_RAW.format(a="b.v", b="c.c")} DESC, c.cell) AS rn
+                FROM base b CROSS JOIN cent c)
+              WHERE rn = 1
+            ),
+            probes AS (
+              SELECT query_id, q, cell FROM (
+                SELECT qb.vec_id AS query_id, qb.v AS q, c.cell,
+                       row_number() OVER (PARTITION BY qb.vec_id
+                                          ORDER BY {_COS_RAW.format(a="qb.v", b="c.c")} DESC, c.cell) AS rn
+                FROM (SELECT * FROM base WHERE vec_id < 10) qb CROSS JOIN cent c)
+              WHERE rn <= 4
+            ),
+            scored AS (
+              SELECT p.query_id, a.neighbor_id,
+                     {_COS.format(a="p.q", b="a.v")} AS score
+              FROM assigned a JOIN probes p USING (cell)
+              WHERE p.query_id <> a.neighbor_id
             )
             SELECT query_id, neighbor_id, score, rank FROM (
               SELECT query_id, neighbor_id, score,
@@ -1640,7 +1727,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cumulative_stats": """
             SELECT o_orderkey, o_custkey,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS run_cents,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents,
                    max(o_totalprice) OVER w AS run_max_price,
                    row_number() OVER w AS seq
             FROM orders
@@ -1649,7 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_agg": """
             SELECT o_orderstatus, o_orderpriority,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
                    count(*) AS n
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)

@@ -88,6 +88,40 @@ def _as_column(x: Any) -> Column:
     return F.lit(x)
 
 
+def _zip_index(df: DataFrame, idx: str) -> DataFrame:
+    """Assign a 0-based contiguous row index IN PARALLEL.
+
+    Same scheme as RDD ``zipWithIndex``: one small count job per
+    partition, cumulative offsets computed on the driver (one int per
+    partition), then ``offset + row_number`` inside each partition — a
+    keyed window, never a global single-task one. Row order is
+    (partition id, within-partition order), identical to ordering by
+    ``monotonically_increasing_id``.
+
+    Caveats (documented, inherent to row-zip semantics): the input is
+    evaluated twice (count job + main job), so the upstream plan must be
+    deterministic — which parquet scans and narrow transforms are.
+    """
+    pid, mid, off = "__cuplyr_pid__", "__cuplyr_mid__", "__cuplyr_off__"
+    d = df.withColumn(pid, F.spark_partition_id()).withColumn(
+        mid, F.monotonically_increasing_id()
+    )
+    counts = d.groupBy(pid).count().collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r[pid]):
+        offsets.append((int(row[pid]), acc))
+        acc += int(row["count"])
+    offdf = df.sparkSession.createDataFrame(
+        offsets, schema=f"{pid} int, {off} long"
+    )
+    w = Window.partitionBy(pid).orderBy(mid)
+    return (
+        d.join(F.broadcast(offdf), pid)
+        .withColumn(idx, (F.col(off) + F.row_number().over(w) - 1).cast("long"))
+        .drop(pid, mid, off)
+    )
+
+
 def _qcol(name: str) -> Column:
     """Column ref by exact name — backticked so dotted names (join
     suffixes ``v.x``, bind_cols repairs ``a...2``) resolve as top-level
@@ -180,8 +214,7 @@ class Frame:
         scale frames, an anti-pattern on big data; prefer expressing
         the predicate as a column expression."""
         idx = "__cuplyr_mask_idx__"
-        w = Window.orderBy(F.monotonically_increasing_id())
-        indexed = self._df.withColumn(idx, F.row_number().over(w) - 1)
+        indexed = _zip_index(self._df, idx)
         keep = [i for i, m in enumerate(mask) if m]
         return self._with(indexed.filter(F.col(idx).isin(keep)).drop(idx))
 
@@ -215,17 +248,42 @@ class Frame:
         for c in cols:
             d = self._df.select(_qcol(c)).distinct()
             grid = d if grid is None else grid.crossJoin(d)
-        out = grid.join(self._df, on=list(cols), how="left")
+        # Null-safe key matching: tidyr::complete keeps NA as a level, so
+        # a source row with NULL in a completed key must join back to the
+        # grid's NULL row rather than silently vanish (same na_matches
+        # default as _join). Rename the right side to avoid ambiguity.
+        tag = "__cuplyr_complete__"
+        right = self._df
+        for c in cols:
+            right = right.withColumnRenamed(c, tag + c)
+        cond = functools.reduce(
+            operator.and_, [grid[c].eqNullSafe(right[tag + c]) for c in cols]
+        )
+        out = grid.join(right, on=cond, how="left").drop(*[tag + c for c in cols])
         frame = self._with(out)
         return frame.replace_na(**fill) if fill else frame
 
     def relocate(self, *cols: str, before: str | None = None, after: str | None = None) -> Frame:
-        existing = [c for c in self._df.columns if c not in cols]
+        if before is not None and after is not None:
+            raise ValueError("relocate(): pass only one of before/after")
+        orig = self._df.columns
+        unknown = [c for c in cols if c not in orig]
+        if unknown:
+            raise KeyError(f"relocate(): unknown columns {unknown}")
+        existing = [c for c in orig if c not in cols]
         moved = list(cols)
-        if before is not None:
-            i = existing.index(before)
-        elif after is not None:
-            i = existing.index(after) + 1
+        anchor = before if before is not None else after
+        if anchor is not None:
+            if anchor not in orig:
+                raise KeyError(f"relocate(): unknown anchor column {anchor!r}")
+            # Resolve the anchor against the ORIGINAL order so an anchor
+            # that is itself being moved (valid in dplyr) still works:
+            # the insertion point is the number of non-moved columns that
+            # precede it.
+            ai = orig.index(anchor)
+            i = sum(1 for c in orig[:ai] if c not in cols)
+            if after is not None and anchor not in cols:
+                i += 1
         else:
             i = 0
         new_order = existing[:i] + moved + existing[i:]
@@ -588,8 +646,7 @@ class Frame:
                 else:
                     seen[c] = 1
             df = f._df.withColumnsRenamed(renames) if renames else f._df
-            w = Window.orderBy(F.monotonically_increasing_id())
-            indexed.append(df.withColumn(idx, F.row_number().over(w)))
+            indexed.append(_zip_index(df, idx))
         out = functools.reduce(lambda a, b: a.join(b, idx, "inner"), indexed)
         ordered = [c for df in indexed for c in df.columns if c != idx]
         return Frame(out.select(*[_qcol(c) for c in ordered]), self._groups)

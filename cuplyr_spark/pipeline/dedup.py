@@ -121,6 +121,12 @@ def minhash_lsh_pairs(
     each band, self-join on (band index, band hash). The join key is a
     few bytes — the shuffle moves signatures, never documents, so this
     survives 100 TB corpora where the O(n^2) comparison cannot."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_lsh_pairs: n_hashes ({n_hashes}) must be divisible by "
+            f"bands ({bands}) — trailing signature components would be "
+            "silently ignored, degrading recall"
+        )
     rows = n_hashes // bands
     sigs = minhash_signatures(frame, text_col, id_col, n_hashes, shingle_k).df
     band_cols = []

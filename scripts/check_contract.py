@@ -38,11 +38,45 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class mirroring the driver's typed value-hash: an
+    int64 Spark column vs a HUGEINT/object DuckDB column must FAIL even
+    when the Python values compare equal."""
+    import numpy as np
+
+    if np.issubdtype(s.dtype, np.floating):
+        return "float"
+    if np.issubdtype(s.dtype, np.integer):
+        return "int"
+    if s.dtype == bool:
+        return "bool"
+    if str(s.dtype).startswith("datetime"):
+        return "datetime"
+    # object: look at the first non-null value
+    for v in s:
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            continue
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        return "str"
+    return "empty"
+
+
 def compare(name, got: pd.DataFrame, want: pd.DataFrame) -> tuple[bool, str]:
     if sorted(got.columns) != sorted(want.columns):
         return False, f"columns {sorted(got.columns)} vs {sorted(want.columns)}"
     if len(got) != len(want):
         return False, f"rows {len(got)} vs {len(want)}"
+    for c in got.columns:
+        gk, wk = _dtype_kind(got[c]), _dtype_kind(want[c])
+        if "empty" in (gk, wk):
+            continue
+        if gk != wk:
+            return False, f"dtype mismatch in {c}: spark={got[c].dtype}({gk}) vs oracle={want[c].dtype}({wk})"
     a, b = normalize(got), normalize(want)
     max_dev = 0.0
     for c in a.columns:
