@@ -989,10 +989,15 @@ def q_string_functions(spark, sf_dir):
             no_vowels="str_remove_all(c_mktsegment, '[AEIOU]')",
             padded="lpad(c_mktsegment, 12, '.')",
             n_o="as_long(str_count(c_mktsegment, 'O'))",
+            # first-match-only stringr semantics (vs *_all):
+            first_o_dash="str_replace(c_mktsegment, 'O', '-')",
+            swap="str_replace(c_name, '([A-Za-z]+)#([0-9])', '\\\\2#\\\\1')",
+            digit1_removed="str_remove(c_name, '[0-9]')",
         )
         .select(
             "c_custkey", "upper_seg", "name_len", "name_num", "seg3",
             "has_auto", "no_vowels", "padded", "n_o",
+            "first_o_dash", "swap", "digit1_removed",
         )
         .df
     )
@@ -1786,7 +1791,10 @@ def oracle_sql() -> dict[str, str]:
                    regexp_matches(c_mktsegment, 'AUTO') AS has_auto,
                    regexp_replace(c_mktsegment, '[AEIOU]', '', 'g') AS no_vowels,
                    lpad(c_mktsegment, 12, '.') AS padded,
-                   CAST(length(c_mktsegment) - length(replace(c_mktsegment, 'O', '')) AS BIGINT) AS n_o
+                   CAST(length(c_mktsegment) - length(replace(c_mktsegment, 'O', '')) AS BIGINT) AS n_o,
+                   regexp_replace(c_mktsegment, 'O', '-') AS first_o_dash,
+                   regexp_replace(c_name, '([A-Za-z]+)#([0-9])', '\\2#\\1') AS swap,
+                   regexp_replace(c_name, '[0-9]', '') AS digit1_removed
             FROM customer
         """,
         "date_functions": """

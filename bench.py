@@ -34,7 +34,8 @@ import __spark_entry__ as entrymod
 from cuplyr_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-ITERS = int(os.environ.get("BENCH_ITERS", "7"))
+ITERS = int(os.environ.get("BENCH_ITERS", "9"))
+WARMUPS = int(os.environ.get("BENCH_WARMUPS", "2"))
 
 HEADLINE = [
     "group_summarise",       # reference: Group & Summarise
@@ -66,8 +67,11 @@ def main() -> None:
         # protocol times cuDF kernels, not R parsing; the analog here
         # is executor time, not Python plan construction.
         df = queries[name](spark, SF_DIR)
-        execute(df)  # warm-up (JIT, code cache, file footer cache)
+        for _ in range(WARMUPS):  # JIT, code cache, cache materialization
+            execute(df)
         samples = [execute(df) for _ in range(ITERS)]
+        # median of 9 shrugs off scheduler-jitter spikes (r1 recorded a
+        # 9x outlier for minhash that no steady-state run reproduces)
         timings[name] = round(statistics.median(samples), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -51,6 +51,8 @@ from __future__ import annotations
 
 import functools
 import operator
+import re
+from collections import Counter
 from collections.abc import Callable, Iterable, Mapping
 from typing import Any
 
@@ -86,6 +88,53 @@ def _as_column(x: Any) -> Column:
     if isinstance(x, str):
         return F.col(x) if x.isidentifier() else compile_expr(x)
     return F.lit(x)
+
+
+def repair_names(names: list[str], how: str | Callable[[str], str] = "unique") -> list[str]:
+    """vctrs-style name repair (reference ``R/bind.R:237-261``).
+
+    - ``"minimal"``: keep as-is (duplicates allowed — Spark DataFrames
+      tolerate them; name-based selection on a duplicate then errors,
+      matching the reference's "preserved on GPU, tibble enforces
+      uniqueness at collect" stance).
+    - ``"check_unique"``: error on duplicated or empty names.
+    - ``"unique"``: every occurrence of a duplicated (or empty) name
+      becomes ``name...position`` (1-based position across the result,
+      vctrs convention — NOT occurrence count).
+    - ``"universal"``: like unique, after replacing non-identifier
+      characters with ``_`` (Python-flavored analog of vctrs's
+      syntactic-R-names rule; divergence documented).
+    - a callable: applied to every name, then checked unique.
+    """
+    if callable(how):
+        out = [how(n) for n in names]
+        dup = sorted({n for n, c in Counter(out).items() if c > 1})
+        if dup:
+            raise ValueError(f"name_repair function produced duplicates: {dup}")
+        return out
+    if how == "minimal":
+        return list(names)
+    if how == "check_unique":
+        dup = sorted({n for n, c in Counter(names).items() if c > 1 or n == ""})
+        if dup:
+            raise ValueError(
+                f"bind_cols: column names must be unique; duplicates: {dup} "
+                "(name_repair='check_unique')"
+            )
+        return list(names)
+    if how in ("unique", "universal"):
+        base = list(names)
+        if how == "universal":
+            base = [
+                ("_" + n2 if n2 and n2[0].isdigit() else n2)
+                for n2 in (re.sub(r"[^0-9A-Za-z_]", "_", n) for n in base)
+            ]
+        counts = Counter(base)
+        return [
+            f"{n}...{i}" if (counts[n] > 1 or n == "") else n
+            for i, n in enumerate(base, start=1)
+        ]
+    raise ValueError(f"unknown name_repair {how!r}")
 
 
 def _zip_index(df: DataFrame, idx: str) -> DataFrame:
@@ -133,13 +182,24 @@ class Frame:
     """Immutable table handle: DataFrame + grouping metadata."""
 
     def __init__(
-        self, df: DataFrame, groups: tuple[str, ...] = (), group_mode: str = "groupby"
+        self,
+        df: DataFrame,
+        groups: tuple[str, ...] = (),
+        group_mode: str = "groupby",
+        factor_levels: Mapping[str, list] | None = None,
     ):
         self._df = df
         self._groups = tuple(groups)
         # "groupby" | "cube" | "rollup" — how summarise() expands the
         # group keys; set by cube()/rollup(), reset by any other verb.
         self._group_mode = group_mode
+        # Opt-in factor round-trip (reference DICTIONARY32: codes on
+        # device + levels in schema, R/tbl-gpu.R:88-99, R/collect.R:74-81):
+        # {column: [levels]} for integer-code columns; restored to
+        # pandas Categorical at collect(). Best-effort metadata — it
+        # survives verbs that keep the column; collect() verifies the
+        # column still exists with integer dtype before restoring.
+        self._factor_levels = dict(factor_levels) if factor_levels else {}
 
     # -- accessors ----------------------------------------------------
 
@@ -168,7 +228,11 @@ class Frame:
         return f"<Frame [{', '.join(self.columns)}]{g}>"
 
     def _with(self, df: DataFrame, groups: tuple[str, ...] | None = None) -> Frame:
-        return Frame(df, self._groups if groups is None else groups)
+        return Frame(
+            df,
+            self._groups if groups is None else groups,
+            factor_levels=self._factor_levels,
+        )
 
     # -- projection (§2.2) ---------------------------------------------
 
@@ -623,33 +687,39 @@ class Frame:
             aligned.append(f._df.select(*cols))
         return Frame(functools.reduce(DataFrame.unionAll, aligned), ())
 
-    def bind_cols(self, *others: Frame) -> Frame:
+    def bind_cols(
+        self, *others: Frame, name_repair: str | Callable[[str], str] = "unique"
+    ) -> Frame:
         """Horizontal concat by POSITION via an explicit row index.
 
         Inherently order-dependent: Spark has no global row order, so
         the zip uses each input's current partition order (reference
         semantics are host-order, SURVEY §7 documents the divergence).
         The index join is fine at test scale; at 100 TB prefer joining
-        on a real key. Name conflicts are repaired vectr-style with
-        positional suffixes (reference ``R/bind.R:237-261``).
+        on a real key. Name conflicts are repaired per ``name_repair``
+        (vctrs modes unique/universal/check_unique/minimal or a
+        callable — reference ``R/bind.R:237-261``); groups come from
+        the first frame (``R/bind.R:127-135``).
         """
         frames = [self, *others]
+        all_names = [c for f in frames for c in f._df.columns]
+        final = repair_names(all_names, name_repair)
         idx = "__cuplyr_zip_idx__"
-        indexed = []
-        seen: dict[str, int] = {}
+        indexed, pos = [], 0
         for f in frames:
-            renames = {}
-            for c in f._df.columns:
-                if c in seen:
-                    seen[c] += 1
-                    renames[c] = f"{c}...{seen[c]}"
-                else:
-                    seen[c] = 1
-            df = f._df.withColumnsRenamed(renames) if renames else f._df
-            indexed.append(_zip_index(df, idx))
+            n = len(f._df.columns)
+            # Positional temp names keep the zip join unambiguous even
+            # under name_repair='minimal' (true duplicates restored at
+            # the end via toDF).
+            tmp = [f"__cuplyr_bc_{i}__" for i in range(pos, pos + n)]
+            indexed.append(_zip_index(f._df.toDF(*tmp), idx))
+            pos += n
         out = functools.reduce(lambda a, b: a.join(b, idx, "inner"), indexed)
         ordered = [c for df in indexed for c in df.columns if c != idx]
-        return Frame(out.select(*[_qcol(c) for c in ordered]), self._groups)
+        out = out.select(*ordered).toDF(*final)
+        first = frames[0]._df.columns
+        gmap = {c: final[i] for i, c in enumerate(first)}
+        return Frame(out, tuple(gmap.get(g, g) for g in self._groups))
 
     def union(self, other: Frame) -> Frame:
         """SQL UNION (dedup) — Spark-native extension."""
@@ -875,9 +945,50 @@ class Frame:
     def unpersist(self) -> Frame:
         return Frame(self._df.unpersist(), self._groups)
 
-    def collect(self):
-        """Device->host transfer analog: Arrow-backed toPandas()."""
-        return self._df.toPandas()
+    def collect(self, restore_factors: bool = True):
+        """Device->host transfer analog: Arrow-backed toPandas().
+
+        When the frame carries factor levels (opt-in ``factors="codes"``
+        ingest), integer-code columns are restored to pandas
+        Categorical — the analog of the reference rebuilding R factors
+        from DICTIONARY32 codes at collect (``R/collect.R:74-81``)."""
+        import warnings
+
+        import numpy as np
+        import pandas as pd
+
+        pdf = self._df.toPandas()
+        # Reference collect() warns when INT64 values exceed 2^53
+        # (R/collect.R:83-97, double can't hold them exactly). Spark's
+        # LongType is natively exact, but pandas silently converts a
+        # NULLABLE long column to float64 — same precision trap.
+        for field in self._df.schema.fields:
+            if isinstance(field.dataType, T.LongType) and field.name in pdf.columns:
+                s = pdf[field.name]
+                if np.issubdtype(s.dtype, np.floating):
+                    mx = s.dropna().abs().max()
+                    if mx is not None and not pd.isna(mx) and mx > 2**53:
+                        warnings.warn(
+                            f"collect(): long column {field.name!r} contains "
+                            f"NULLs and values beyond 2^53 — converted to "
+                            f"float64 with precision loss; cast to string or "
+                            f"drop NULLs to keep exact values",
+                            stacklevel=2,
+                        )
+        if restore_factors and self._factor_levels:
+            int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            integral = {
+                f.name for f in self._df.schema.fields
+                if isinstance(f.dataType, int_types)
+            }
+            for col, levels in self._factor_levels.items():
+                if col not in pdf.columns or col not in integral:
+                    continue  # column gone or retyped — leave as-is
+                codes = pdf[col].fillna(-1).astype("int64")
+                if len(codes) and (codes.max() >= len(levels) or codes.min() < -1):
+                    continue  # codes mutated out of range — leave as-is
+                pdf[col] = pd.Categorical.from_codes(codes, categories=levels)
+        return pdf
 
     def collect_rows(self) -> list:
         return self._df.collect()

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import ast
 import operator
+import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -44,9 +45,8 @@ _FN_ALIASES = {
     "str_to_lower": "lower",
     "str_to_upper": "upper",
     "str_trim": "trim",
-    # str_replace (first-match-only in R) is deliberately NOT aliased:
-    # Spark's regexp_replace replaces every match and a silent
-    # semantics change would be worse than a missing name.
+    "str_replace": "expr_str_replace",
+    "str_remove": "expr_str_remove",
     "str_replace_all": "regexp_replace",
     "str_detect": "rlike",
     "str_starts": "startswith",
@@ -220,6 +220,21 @@ def _compile_call(node: ast.Call) -> Column:
         # substring(x, start, end - start + 1). Positive indices only.
         start, end = _raw(node.args[1]), _raw(node.args[2])
         return F.substring(args[0], start, end - start + 1)
+    if name in ("expr_str_replace", "expr_str_remove"):
+        # R stringr::str_replace / str_remove: FIRST match only.
+        # Spark's regexp_replace is replace-all, so anchor a non-greedy
+        # any-prefix group: ^([\s\S]*?)(?:pat) can match at most once.
+        # ([\s\S] instead of (?s). so the user pattern's own `.`
+        # semantics are untouched.) Group refs \N in the replacement
+        # shift to Java's $(N+1) — group 1 is the prefix — and literal
+        # `$` must be escaped for Java's replacement syntax.
+        pat = _raw(node.args[1])
+        repl = _raw(node.args[2]) if name == "expr_str_replace" else ""
+        repl = repl.replace("$", "\\$")
+        repl = re.sub(r"\\([0-9])", lambda m: "$" + str(int(m.group(1)) + 1), repl)
+        return F.regexp_replace(
+            args[0], "^([\\s\\S]*?)(?:" + pat + ")", "$1" + repl
+        )
     if name == "expr_str_extract":
         return F.regexp_extract(args[0], _raw(node.args[1]), 1)
     if name == "expr_str_remove_all":

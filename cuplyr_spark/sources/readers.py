@@ -38,9 +38,41 @@ def tbl(df: DataFrame) -> Frame:
     return Frame(df)
 
 
-def from_pandas(spark: SparkSession, pdf, schema: T.StructType | None = None) -> Frame:
-    """In-memory ingest (reference ``tbl_gpu(data.frame)``), Arrow path."""
-    return Frame(spark.createDataFrame(pdf, schema=schema))
+def from_pandas(
+    spark: SparkSession,
+    pdf,
+    schema: T.StructType | None = None,
+    factors: str = "string",
+) -> Frame:
+    """In-memory ingest (reference ``tbl_gpu(data.frame)``), Arrow path.
+
+    ``factors`` controls pandas Categorical columns (the reference's
+    R-factor/DICTIONARY32 handling, ``R/tbl-gpu.R:88-99``):
+
+    - ``"string"`` (default, SURVEY §7's simplest-representation
+      decision): categories become plain strings.
+    - ``"codes"``: categories become Int32 codes on the cluster and the
+      level list rides along as Frame metadata; ``collect()`` restores
+      a pandas Categorical (reference ``R/collect.R:74-81``).
+    """
+    import pandas as pd
+
+    levels: dict[str, list] = {}
+    cat_cols = [
+        c for c in pdf.columns if isinstance(pdf[c].dtype, pd.CategoricalDtype)
+    ]
+    if cat_cols:
+        pdf = pdf.copy()
+        for c in cat_cols:
+            if factors == "codes":
+                levels[c] = list(pdf[c].cat.categories)
+                pdf[c] = pd.array(
+                    [None if v == -1 else int(v) for v in pdf[c].cat.codes],
+                    dtype="Int32",
+                )
+            else:
+                pdf[c] = pdf[c].astype(object).where(pdf[c].notna(), None)
+    return Frame(spark.createDataFrame(pdf, schema=schema), factor_levels=levels or None)
 
 
 def read_parquet(spark: SparkSession, path: str, coerce_nanos: bool = True) -> Frame:

@@ -87,11 +87,46 @@ def test_bind_cols(spark):
     assert out["y"].tolist() == [4, 5, 6]
 
 
-def test_bind_cols_name_repair(spark):
-    a = from_pandas(spark, pd.DataFrame({"x": [1]}))
+def test_bind_cols_name_repair_unique(spark):
+    """vctrs 'unique': EVERY occurrence of a duplicated name gets its
+    1-based position suffix (reference test-bind.R:456-469)."""
+    a = from_pandas(spark, pd.DataFrame({"x": [1], "b": [0]}))
     b = from_pandas(spark, pd.DataFrame({"x": [2]}))
     out = a.bind_cols(b)
-    assert out.columns == ["x", "x...2"]
+    assert out.columns == ["x...1", "b", "x...3"]
+    got = out.collect()
+    assert got["x...1"].tolist() == [1] and got["x...3"].tolist() == [2]
+
+
+def test_bind_cols_name_repair_check_unique(spark):
+    """reference test-bind.R:471-481: error on duplicates."""
+    a = from_pandas(spark, pd.DataFrame({"x": [1]}))
+    b = from_pandas(spark, pd.DataFrame({"x": [2]}))
+    import pytest
+
+    with pytest.raises(ValueError, match="unique|duplicate"):
+        a.bind_cols(b, name_repair="check_unique")
+    # no duplicates -> passes through untouched
+    c = from_pandas(spark, pd.DataFrame({"y": [2]}))
+    assert a.bind_cols(c, name_repair="check_unique").columns == ["x", "y"]
+
+
+def test_bind_cols_name_repair_minimal(spark):
+    """reference test-bind.R:483-497: duplicates preserved (collect
+    surfaces both columns; name-based selection would error, as the
+    reference documents for tibble)."""
+    a = from_pandas(spark, pd.DataFrame({"x": [1]}))
+    b = from_pandas(spark, pd.DataFrame({"x": [2]}))
+    out = a.bind_cols(b, name_repair="minimal")
+    assert out.columns == ["x", "x"]
+
+
+def test_bind_cols_name_repair_universal_and_callable(spark):
+    a = from_pandas(spark, pd.DataFrame({"weird name": [1]}))
+    b = from_pandas(spark, pd.DataFrame({"y": [2]}))
+    assert a.bind_cols(b, name_repair="universal").columns == ["weird_name", "y"]
+    out = a.bind_cols(b, name_repair=lambda n: n.upper())
+    assert out.columns == ["WEIRD NAME", "Y"]
 
 
 def test_bind_cols_keeps_first_groups(spark):

@@ -105,6 +105,37 @@ def test_stringr_verbs(spark):
     assert out["repl"].tolist() == ["Customer#042_AUTO", "plain_text"]
 
 
+def test_str_replace_first_match(spark):
+    """R stringr::str_replace replaces only the FIRST occurrence
+    (str_replace_all replaces every one)."""
+    t = from_pandas(spark, pd.DataFrame({"s": ["a-b-c", "no dash", "xx"]}))
+    out = t.mutate(
+        one="str_replace(s, '-', '_')",
+        all="str_replace_all(s, '-', '_')",
+        rm="str_remove(s, 'x')",
+        # group refs shift transparently: \1 in R is the user's group
+        backref="str_replace(s, '([a-z])-([a-z])', '\\\\2-\\\\1')",
+        dollar="str_replace(s, 'x', '$')",
+    ).collect()
+    assert out["one"].tolist() == ["a_b-c", "no dash", "xx"]
+    assert out["all"].tolist() == ["a_b_c", "no dash", "xx"]
+    assert out["rm"].tolist() == ["a-b-c", "no dash", "x"]
+    assert out["backref"].tolist() == ["b-a-c", "no dash", "xx"]
+    assert out["dollar"].tolist() == ["a-b-c", "no dash", "$x"]
+
+
+def test_str_replace_anchored_and_empty_pattern(spark):
+    t = from_pandas(spark, pd.DataFrame({"s": ["abc", "zabc"]}))
+    out = t.mutate(
+        anchored="str_replace(s, '^a', '-')",
+        star="str_replace(s, 'q*', '-')",
+    ).collect()
+    # ^ inside the pattern still means start-of-string
+    assert out["anchored"].tolist() == ["-bc", "zabc"]
+    # empty-matching pattern replaces once at position 0 (R behavior)
+    assert out["star"].tolist() == ["-abc", "-zabc"]
+
+
 def test_coercions_and_cast(spark):
     t = from_pandas(spark, pd.DataFrame({"x": [1.7, -2.7], "s": ["3", "4"]}))
     out = t.mutate(

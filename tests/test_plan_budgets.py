@@ -1,0 +1,177 @@
+"""Plan-regression guardrail: hard pytest assertions on the physical
+plan of every contract query (the CI version of scripts/audit_plans.py).
+
+What fails here instead of waiting for a judge:
+- an exchange-count regression past the per-query budget (shuffles are
+  THE scale cost — a new exchange that slips into a plan is a 100 TB
+  bottleneck even when sf0.001 results stay correct);
+- any CartesianProduct anywhere;
+- any unpartitioned WindowExec over a non-tiny input (single-task
+  global sort — the anti-pattern fixed in bind_cols/filter_mask);
+- missing parquet filter pushdown on the scan-heavy queries.
+
+Budgets are the audited exchange counts at the time the query's plan
+was last reviewed (NOT aspirations): raise one only with a plan-shape
+justification in the commit.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# name -> max allowed Exchange nodes in the formatted physical plan,
+# at the test conditions (sf0.001, local[8], 8 shuffle partitions).
+# Audited 2026-08-13 (round 2) — these are the OBSERVED counts, not
+# aspirations; dims broadcast at this scale, so joins cost 0 exchanges.
+EXCHANGE_BUDGETS = {
+    "filter_select": 0,
+    "filter_col_op_col": 0,
+    "mutate_arithmetic": 0,
+    "mutate_if_else": 0,
+    "arrange_topk": 0,          # TakeOrderedAndProject, no shuffle
+    "group_summarise": 1,       # partial+final hash agg
+    "expr_in_aggregate": 1,
+    "ungrouped_summarise": 2,   # count-distinct: expand + final
+    "inner_join": 0,            # dim side broadcasts
+    "left_join": 0,
+    "right_join": 0,
+    "full_join": 2,             # two grouped aggs; outer merge reuses them
+    "semi_join": 0,
+    "anti_join": 0,
+    "multikey_self_join": 0,    # filtered side broadcasts
+    "bind_rows": 0,             # union is shuffle-free
+    "distinct": 1,
+    "count": 1,
+    "intersect_setdiff": 4,
+    "window_topn_per_group": 1, # keyed window
+    "date_parts": 1,
+    "workflow_complete": 1,
+    "join_agg_pipeline": 2,     # fact-fact join + agg; dims broadcast
+    "dedup_exact": 1,
+    "text_token_stats": 0,
+    "text_quality": 0,
+    "text_lang_id": 0,
+    "text_fingerprint": 0,
+    "minhash_signatures": 1,    # repartition spread for the md5 fold
+    "simhash": 0,
+    "ngram_jaccard_pairs": 1,
+    "embedding_cosine_topk": 1, # broadcast queries + per-query window
+    "embedding_label_centroid_sim": 1,
+    "events_running_sum": 1,
+    "events_sessionize": 1,
+    "events_hourly_rollup": 1,
+    "events_json_extract": 0,
+    "asof_join": 1,
+    "minhash_lsh_pairs": 3,
+    "embedding_near_dup": 0,    # label-blocked self-join broadcasts
+    "lsh_cosine_topk": 1,
+    "pivot_wider": 2,           # distinct discovery + pivot agg
+    "pivot_longer": 0,
+    "bind_cols": 2,             # one keyed-window shuffle per zip branch
+    "cast_types": 0,
+    "median": 1,
+    "grouped_mutate": 1,
+    "salted_agg": 2,            # two-level salted agg
+    "tpch_q6": 1,
+    "tpch_q3": 1,
+    "fill_down": 1,
+    "unite_separate": 0,
+    "train_test_split": 0,
+    "stratified_sample": 0,
+    "window_rank": 1,
+    "window_lag_lead": 1,
+    "cumulative_stats": 1,
+    "rollup_agg": 1,
+    "cube_agg": 1,
+    "nest_unnest": 1,
+    "slice_head_grouped": 1,
+    "string_functions": 0,
+    "vector_centroid": 2,       # per-(group,dim) partial agg + reassembly
+    "ivf_cosine_topk": 3,       # was 11 in r1; seed/assign/probe after checkpoint fix
+    "complete_fill": 2,         # per-key distinct grids + grid join
+    "date_functions": 0,
+    "quantile_agg": 1,
+}
+
+# Queries whose plan legitimately contains an unpartitioned window over
+# a by-construction tiny input (post-limit / post-agg). None currently.
+TINY_GLOBAL_WINDOW_OK: dict[str, int] = {}
+
+SKIP = {"streaming_sessionize"}  # streaming plans print differently
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    entrymod._TABLE_CACHE.clear()
+    out = {}
+    for name, fn in entrymod.queries().items():
+        if name in SKIP:
+            continue
+        df = fn(spark, SF_DIR)
+        out[name] = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    return out
+
+
+def test_all_queries_have_budgets(plans):
+    missing = sorted(set(plans) - set(EXCHANGE_BUDGETS))
+    assert not missing, (
+        f"queries without an exchange budget: {missing} — audit the plan "
+        "and add an entry to EXCHANGE_BUDGETS"
+    )
+
+
+def test_exchange_budgets(plans):
+    over = []
+    for name, plan in plans.items():
+        budget = EXCHANGE_BUDGETS.get(name)
+        if budget is None:
+            continue
+        n = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        if n > budget:
+            over.append(f"{name}: {n} exchanges > budget {budget}")
+    assert not over, "exchange budget regressions:\n" + "\n".join(over)
+
+
+def test_no_cartesian_product(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"CartesianProduct in plans: {bad}"
+
+
+_WINDOW_ARGS = re.compile(
+    r"^\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: \[[^\]]*\], \[\]", re.M
+)
+
+
+def test_no_unpartitioned_window(plans):
+    """A Window with an empty partition spec serializes the whole input
+    through one task. Only whitelisted tiny-input windows pass."""
+    bad = []
+    for name, plan in plans.items():
+        hits = len(_WINDOW_ARGS.findall(plan))
+        allowed = TINY_GLOBAL_WINDOW_OK.get(name, 0)
+        if hits > allowed:
+            bad.append(f"{name}: {hits} unpartitioned windows (allowed {allowed})")
+    assert not bad, "\n".join(bad)
+
+
+def test_scan_pushdown(plans):
+    """Filters must reach the parquet scan on scan-heavy queries."""
+    for name in ("filter_select", "tpch_q6"):
+        plan = plans[name]
+        m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert m and m.group(1).strip(), f"{name}: no filters pushed to scan"
+
+
+def test_dims_broadcast(plans):
+    """Dimension joins must be broadcast, not shuffled (join_agg and
+    tpch_q3 join customer/nation dims)."""
+    for name in ("join_agg_pipeline", "tpch_q3"):
+        assert "BroadcastHashJoin" in plans[name], f"{name}: dim join not broadcast"
