@@ -61,18 +61,29 @@ def execute(df) -> float:
 def main() -> None:
     spark = get_session(app_name="cuplyr_spark_bench")
     queries = entrymod.queries()
-    timings: dict[str, float] = {}
+    # Build every plan once, time executions only — the reference's
+    # protocol times cuDF kernels, not R parsing; the analog here is
+    # executor time, not Python plan construction.
+    plans = {name: queries[name](spark, SF_DIR) for name in HEADLINE}
     for name in HEADLINE:
-        # Build the plan once, time executions only — the reference's
-        # protocol times cuDF kernels, not R parsing; the analog here
-        # is executor time, not Python plan construction.
-        df = queries[name](spark, SF_DIR)
         for _ in range(WARMUPS):  # JIT, code cache, cache materialization
-            execute(df)
-        samples = [execute(df) for _ in range(ITERS)]
-        # median of 9 shrugs off scheduler-jitter spikes (r1 recorded a
-        # 9x outlier for minhash that no steady-state run reproduces)
-        timings[name] = round(statistics.median(samples), 4)
+            execute(plans[name])
+    # Iterations are interleaved round-robin across queries, NOT run
+    # back-to-back per query: this guest VM sees bursty CPU steal
+    # (non-zero /proc/stat steal in multi-second windows). A burst
+    # longer than one query's back-to-back samples poisons all of them
+    # and the median keeps the inflated value (r1 driver measured
+    # minhash at 2.4s vs 0.27s steady-state; locally the "slow" query
+    # moved between runs). Round-robin spreads each query's samples
+    # over the whole bench wall-clock, so a burst costs at most one or
+    # two samples per query and the median rejects it.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(ITERS):
+        for name in HEADLINE:
+            samples[name].append(execute(plans[name]))
+    timings = {
+        name: round(statistics.median(samples[name]), 4) for name in HEADLINE
+    }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
