@@ -806,6 +806,182 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def _charge_sum() -> F.Column:
+    """sum(l_extendedprice * (1-l_discount) * (1+l_tax)) bit-portably:
+    integer cents x (100-disc_bp) x (100+tax_bp), one final division.
+    Same exact-int64 scheme as :func:`_revenue_sum` (fits int64 through
+    sf~1: ~1e11/row x row count)."""
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dbp = F.round(F.col("l_discount") * 100, 0).cast("long")
+    tbp = F.round(F.col("l_tax") * 100, 0).cast("long")
+    return (
+        F.sum(cents * (F.lit(100) - dbp) * (F.lit(100) + tbp)).cast("double")
+        / 1000000
+    )
+
+
+_CHARGE_SUM_SQL = (
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    " * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000"
+)
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (pricing summary): single-pass scan-filter-aggregate,
+    8 aggregates incl. the 3-factor charge product, deterministic
+    2-key sort. One partial+final hash agg, no join."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter("l_shipdate <= '2000-12-01'")
+        .group_by("l_returnflag", "l_linestatus")
+        .summarise(
+            sum_qty=A.sum("l_quantity"),
+            sum_base_price=(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).cast("double") / 100
+            ),
+            sum_disc_price=_revenue_sum(),
+            sum_charge=_charge_sum(),
+            avg_qty=F.round(F.avg("l_quantity"), 6),
+            avg_price=F.round(F.avg("l_extendedprice"), 6),
+            avg_disc=F.round(F.avg("l_discount"), 6),
+            count_order=A.n(),
+        )
+        .arrange("l_returnflag", "l_linestatus")
+        .df
+    )
+
+
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking), adapted to available
+    columns: the reference predicate l_commitdate < l_receiptdate
+    becomes the late-shipment proxy l_shipdate > o_orderdate + 60 days
+    (this dataset has no commit/receipt dates). EXISTS realized as
+    distinct-orderkey then count by priority — the join explodes to
+    line grain only inside one shuffle, never materialized."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        "o_orderdate >= '1996-01-01'", "o_orderdate < '1996-07-01'"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), 60))
+        .distinct("l_orderkey", "o_orderpriority")
+    )
+    return (
+        late.group_by("o_orderpriority")
+        .summarise(order_count=A.n())
+        .arrange("o_orderpriority")
+        .df
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): 6-way join where customer and
+    supplier must share a nation. Dims (nation⋈region, supplier,
+    customer) broadcast; only the orders⋈lineitem fact join shuffles."""
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .inner_join(
+            _t(spark, sf_dir, "region").filter("r_name == 'ASIA'").broadcast(),
+            by={"n_regionkey": "r_regionkey"},
+            na_matches="never",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").inner_join(
+        nr.broadcast(), by={"s_nationkey": "n_nationkey"}, na_matches="never"
+    )
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        "o_orderdate >= '1996-01-01'", "o_orderdate < '1997-01-01'"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
+        .inner_join(supp.broadcast(), by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        # local-supplier condition: customer nation == supplier nation
+        .inner_join(cust.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
+        .filter("c_nationkey == s_nationkey")
+        .group_by("n_name")
+        .summarise(revenue=_revenue_sum())
+        .arrange(desc("revenue"), "n_name")
+        .df
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): revenue lost to returns
+    per customer, one quarter, top 20. Fact join shuffles; customer
+    and nation broadcast; TakeOrderedAndProject for the limit."""
+    cust = _t(spark, sf_dir, "customer").inner_join(
+        _t(spark, sf_dir, "nation").broadcast(),
+        by={"c_nationkey": "n_nationkey"},
+        na_matches="never",
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        "o_orderdate >= '1996-01-01'", "o_orderdate < '1996-04-01'"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter("l_returnflag == 'R'")
+    return (
+        li.inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
+        .inner_join(cust.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
+        .rename(c_custkey="o_custkey")
+        .group_by("c_custkey", "c_name", "c_acctbal", "n_name")
+        .summarise(revenue=_revenue_sum())
+        .arrange(desc("revenue"), "c_custkey")
+        .head(20)
+        .df
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional aggregate over a
+    fact⋈dim join — part broadcast, promo share of one month's
+    revenue. Exact int64 revenue on both branches."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= '1996-09-01'", "l_shipdate < '1996-10-01'"
+    )
+    part = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    bp = F.round(F.col("l_discount") * 100, 0).cast("long")
+    rev = cents * (F.lit(100) - bp)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.inner_join(part.broadcast(), by={"l_partkey": "p_partkey"}, na_matches="never")
+        .summarise(
+            promo_revenue=F.round(
+                F.sum(promo).cast("double") * 100 / F.sum(rev).cast("double"), 6
+            ),
+            total_rev=(F.sum(rev).cast("double") / 10000),
+        )
+        .df
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): groupBy-HAVING on the fact
+    table feeds a semi-filtered 3-way join, top 100. The HAVING side
+    aggregates lineitem to order grain BEFORE joining (one fact
+    shuffle), then orders/customer broadcast-join onto it."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.group_by("l_orderkey")
+        .summarise(sum_qty=A.sum("l_quantity"))
+        .filter("sum_qty > 250")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
+        .inner_join(cust.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
+        .rename(c_custkey="o_custkey")
+        .mutate(odate_ms=F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+        .select("c_name", "c_custkey", "l_orderkey", "odate_ms", "o_totalprice", "sum_qty")
+        .arrange(desc("o_totalprice"), "l_orderkey")
+        .head(100)
+        .df
+    )
+
 
 def q_fill_down(spark, sf_dir):
     """LOCF gap-fill (tidyr fill .direction='down'): NULLs take the
@@ -1141,6 +1317,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
         "fill_down": q_fill_down,
         "unite_separate": q_unite_separate,
         "train_test_split": q_train_test_split,
@@ -1686,6 +1868,87 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "tpch_q1": f"""
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+                   {_REVENUE_SUM_SQL} AS sum_disc_price,
+                   {_CHARGE_SUM_SQL} AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM (
+                SELECT DISTINCT l_orderkey, o_orderpriority
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1996-07-01'
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q5": f"""
+            SELECT n_name, {_REVENUE_SUM_SQL} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_q10": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name, {_REVENUE_SUM_SQL} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "tpch_q14": """
+            SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE) * 100
+                         / CAST(sum(rev) AS DOUBLE), 6) AS promo_revenue,
+                   CAST(sum(rev) AS DOUBLE) / 10000 AS total_rev
+            FROM (
+                SELECT p_type,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                  AND l_shipdate <  TIMESTAMP '1996-10-01'
+            )
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 250
+            )
+            SELECT c_name, c_custkey, l_orderkey,
+                   CAST(epoch_ms(o_orderdate) AS BIGINT) AS odate_ms,
+                   o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, l_orderkey
+            LIMIT 100
         """,
         "fill_down": """
             SELECT event_id, user_id,

@@ -80,6 +80,12 @@ EXCHANGE_BUDGETS = {
     "salted_agg": 2,            # two-level salted agg
     "tpch_q6": 1,
     "tpch_q3": 1,
+    "tpch_q1": 2,               # partial+final agg + 2-key result sort
+    "tpch_q4": 3,               # distinct + count agg + sort (joins broadcast)
+    "tpch_q5": 2,               # agg + sort; all dims broadcast at test sf
+    "tpch_q10": 1,              # agg; top-20 is TakeOrderedAndProject
+    "tpch_q14": 1,              # single ungrouped agg
+    "tpch_q18": 1,              # order-grain agg; joins broadcast; top-100 TOP
     "fill_down": 1,
     "unite_separate": 0,
     "train_test_split": 0,
