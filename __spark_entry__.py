@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from cuplyr_spark import Frame, agg as A, desc, read_parquet
 from cuplyr_spark.pipeline import dedup as D
 from cuplyr_spark.pipeline import similarity as S
+from cuplyr_spark.pipeline import packing as PK
 from cuplyr_spark.pipeline import text as TX
 
 
@@ -465,6 +466,80 @@ def q_text_fingerprint(spark, sf_dir):
         .select("doc_id", "fingerprint")
         .df
     )
+
+
+def q_text_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality signals (word count / word length / symbol /
+    alpha / bullet / ellipsis bounds) — single-pass column math."""
+    return (
+        TX.with_gopher_flags(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "symbol_word_ratio",
+            "alpha_word_ratio",
+            "bullet_line_ratio",
+            "ellipsis_line_ratio",
+            "gopher_pass",
+        )
+        .df
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Repetition filters: dup-line/para fraction + top-2-gram char
+    fraction (per-row array math, zero shuffles)."""
+    return (
+        TX.with_repetition_stats(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "dup_line_frac", "dup_para_frac", "top_2gram_char_frac")
+        .df
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>)
+    with per-kind counts. The documents table has no PII, so the query
+    plants a deterministic specimen per row (same construction in the
+    oracle) to actually exercise the patterns."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.mutate(
+        text=F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +49151234"),
+            F.col("doc_id").cast("string"),
+            F.lit(" or 555-867-5309."),
+        )
+    )
+    return (
+        TX.with_pii_scrub(planted)
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "text_scrubbed")
+        .df
+    )
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style): documents laid
+    end-to-end per shard, cut every 2048 tokens. One keyed-window
+    shuffle on the shard key — no global sort."""
+    docs = TX.with_token_stats(_t(spark, sf_dir, "documents"))
+    packed = PK.pack_concat_chunks(docs, budget=2048, shards=8)
+    return packed.select(
+        "doc_id", "shard", "start_offset", "pack_first", "pack_last", "n_packs_spanned"
+    ).df
+
+
+def q_sequence_pack_greedy(spark, sf_dir):
+    """Greedy no-split packing: per-shard sequential scan opening a new
+    pack on overflow — the applyInPandas tier (ids+counts only in the
+    shuffle). Oracle is a recursive CTE stepping the same scan."""
+    docs = TX.with_token_stats(_t(spark, sf_dir, "documents"))
+    packed = PK.pack_greedy(docs, budget=2048, shards=8)
+    return packed.select("doc_id", "shard", "pack_id", "pack_pos", "pack_tokens").df
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -1294,6 +1369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_gopher_quality": q_text_gopher_quality,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
+        "sequence_pack": q_sequence_pack,
+        "sequence_pack_greedy": q_sequence_pack_greedy,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1612,6 +1692,134 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "text_gopher_quality": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(text, ' ') AS toks,
+                     string_split(text, chr(10)) AS lines,
+                     strlen(replace(text, ' ', '')) AS solid_chars,
+                     len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS DOUBLE) AS n_words,
+                     solid_chars / CAST(len(toks) AS DOUBLE) AS mwl,
+                     n_sym / CAST(len(toks) AS DOUBLE) AS sym,
+                     len(list_filter(toks, t2 -> regexp_matches(t2, '[A-Za-z]')))
+                       / CAST(len(toks) AS DOUBLE) AS alpha,
+                     len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+                       / CAST(len(lines) AS DOUBLE) AS bullet,
+                     len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))
+                       / CAST(len(lines) AS DOUBLE) AS ell
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mwl, 6) AS mean_word_len,
+                   round(sym, 6) AS symbol_word_ratio,
+                   round(alpha, 6) AS alpha_word_ratio,
+                   round(bullet, 6) AS bullet_line_ratio,
+                   round(ell, 6) AS ellipsis_line_ratio,
+                   (n_words >= 50 AND n_words <= 100000 AND mwl >= 3 AND mwl <= 10
+                    AND sym < 0.1 AND bullet < 0.9 AND ell < 0.3 AND alpha > 0.8)
+                     AS gopher_pass
+            FROM s
+        """,
+        "text_repetition": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_slice(string_split(text, ' '), 1, 256) AS toks,
+                     string_split(text, chr(10)) AS lines,
+                     string_split(text, chr(10) || chr(10)) AS paras
+              FROM documents
+            ), h AS (
+              SELECT doc_id, text, toks, lines, paras,
+                     list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1]) AS grams
+              FROM t
+            )
+            SELECT doc_id,
+                   round((len(lines) - len(list_distinct(lines)))
+                         / CAST(len(lines) AS DOUBLE), 6) AS dup_line_frac,
+                   round((len(paras) - len(list_distinct(paras)))
+                         / CAST(len(paras) AS DOUBLE), 6) AS dup_para_frac,
+                   CASE WHEN len(toks) >= 2
+                        THEN round(CAST(list_max(list_transform(grams,
+                                 g2 -> len(list_filter(grams, x -> x = g2)) * strlen(g2)))
+                                 AS DOUBLE) / strlen(text), 6)
+                        ELSE 0.0 END AS top_2gram_char_frac
+            FROM h
+        """,
+        "sequence_pack": """
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), s AS (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_offset
+              FROM t
+            )
+            SELECT doc_id, shard, start_offset,
+                   CAST(floor(start_offset / 2048) AS BIGINT) AS pack_first,
+                   CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 2048)
+                     AS BIGINT) AS pack_last,
+                   CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 2048)
+                     - floor(start_offset / 2048) + 1 AS BIGINT) AS n_packs_spanned
+            FROM s
+        """,
+        "sequence_pack_greedy": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+              FROM documents
+            ), step AS (
+              SELECT shard, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS pack_id,
+                     CAST(0 AS BIGINT) AS pack_pos,
+                     n_tokens AS pack_tokens
+              FROM t WHERE rn = 1
+              UNION ALL
+              SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+                     CASE WHEN s.pack_tokens + t.n_tokens > 2048
+                          THEN s.pack_id + 1 ELSE s.pack_id END,
+                     CASE WHEN s.pack_tokens + t.n_tokens > 2048
+                          THEN 0 ELSE s.pack_pos + 1 END,
+                     CASE WHEN s.pack_tokens + t.n_tokens > 2048
+                          THEN t.n_tokens ELSE s.pack_tokens + t.n_tokens END
+              FROM step s JOIN t ON t.shard = s.shard AND t.rn = s.rn + 1
+            )
+            SELECT doc_id, shard, pack_id, pack_pos, pack_tokens FROM step
+        """,
+        "pii_scrub": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com at 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7 call +49151234' || CAST(doc_id AS VARCHAR)
+                          || ' or 555-867-5309.' AS text
+              FROM documents
+            ), e AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, '{TX.PII_EMAIL}', '<EMAIL>', 'g') AS after_email
+              FROM t
+            ), i AS (
+              SELECT doc_id, text, after_email,
+                     regexp_replace(after_email, '{TX.PII_IPV4}', '<IP>', 'g') AS after_ip
+              FROM e
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_EMAIL}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(after_email, '{TX.PII_IPV4}')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(after_ip, '{TX.PII_PHONE}')) AS BIGINT) AS n_phones,
+                   regexp_replace(after_ip, '{TX.PII_PHONE}', '<PHONE>', 'g') AS text_scrubbed
+            FROM i
         """,
         "minhash_signatures": _minhash_oracle(),
         "simhash": _simhash_oracle(),

@@ -128,6 +128,202 @@ def with_lang_id(frame: Frame, text_col: str = "text") -> Frame:
     return Frame(df, frame.group_vars())
 
 
+def with_gopher_flags(frame: Frame, text_col: str = "text") -> Frame:
+    """Gopher-style document-quality signals (Rae et al. 2021, §A1.1 —
+    public paper; thresholds below follow the published rules).
+
+    Adds per-document columns, all single-pass JVM column math:
+
+    - ``n_words`` — whitespace token count
+    - ``mean_word_len`` — chars-excluding-spaces / n_words
+    - ``symbol_word_ratio`` — (# of ``#`` or ``...``) / n_words
+    - ``alpha_word_ratio`` — fraction of words containing a letter
+    - ``bullet_line_ratio`` / ``ellipsis_line_ratio`` — fraction of
+      lines starting with a bullet / ending with an ellipsis
+    - ``gopher_pass`` — AND of the published bounds (50 ≤ words ≤ 100k,
+      3 ≤ mean word len ≤ 10, symbol ratio < 0.1, bullets < 0.9,
+      ellipsis < 0.3, alpha ratio > 0.8)
+
+    Like every operator in this module it shuffles nothing and scales
+    linearly per partition.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    lines = F.split(text, "\n")
+    n_words = F.size(toks).cast("double")
+    n_lines = F.size(lines).cast("double")
+    mean_word_len = F.length(F.regexp_replace(text, " ", "")).cast("double") / n_words
+    symbol_ratio = F.regexp_count(text, F.lit(r"#|\.\.\.")).cast("double") / n_words
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n_words
+    )
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("double")
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("double") / n_lines
+    )
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_word_len >= 3)
+        & (mean_word_len <= 10)
+        & (symbol_ratio < 0.1)
+        & (bullet_ratio < 0.9)
+        & (ellipsis_ratio < 0.3)
+        & (alpha_ratio > 0.8)
+    )
+    return Frame(
+        frame.df.withColumns(
+            {
+                "n_words": F.size(toks).cast("long"),
+                "mean_word_len": F.round(mean_word_len, 6),
+                "symbol_word_ratio": F.round(symbol_ratio, 6),
+                "alpha_word_ratio": F.round(alpha_ratio, 6),
+                "bullet_line_ratio": F.round(bullet_ratio, 6),
+                "ellipsis_line_ratio": F.round(ellipsis_ratio, 6),
+                "gopher_pass": gopher_pass,
+            }
+        ),
+        frame.group_vars(),
+    )
+
+
+# Cap for the O(k²) in-row 2-gram multiplicity scan: 256 tokens bounds
+# it at ~65k cheap comparisons per document regardless of doc length.
+REPETITION_MAX_TOKENS = 256
+
+
+def with_repetition_stats(frame: Frame, text_col: str = "text") -> Frame:
+    """Repetition signals for dedup/quality filtering (the Gopher
+    repetition rules, §A1.1): duplicate-line fraction, duplicate-
+    paragraph fraction, and the character fraction covered by the most
+    repeated word 2-gram.
+
+    ``top_2gram_char_frac`` is defined as max over 2-grams g of
+    ``count(g) * len(g) / len(text)`` over the first
+    ``REPETITION_MAX_TOKENS`` tokens — a deterministic, tie-free proxy
+    for "chars in the most common 2-gram" that both Spark and the
+    DuckDB oracle compute identically. Everything is per-row array
+    math: zero shuffles, linear scale-out.
+    """
+    text = F.col(text_col)
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr).cast("double")
+        return F.when(
+            n > 0, F.round((n - F.size(F.array_distinct(arr))) / n, 6)
+        ).otherwise(F.lit(0.0))
+
+    # Three projections on purpose (the minhash_signatures pattern):
+    # higher-order functions are interpreted with NO common-subexpr
+    # elimination inside lambdas, so a nested filter-over-grams inlined
+    # by CollapseProject would rebuild the grams array per outer
+    # element — O(k³) string work. Materializing toks then grams behind
+    # multi-reference projection boundaries keeps it O(k²) over cheap
+    # attribute reads (~50x faster at 100-word docs).
+    step1 = frame.df.withColumns(
+        {
+            "__rep_toks": F.slice(_tokens(text), 1, REPETITION_MAX_TOKENS),
+            "__rep_lines": F.split(text, "\n"),
+            "__rep_paras": F.split(text, "\n\n"),
+        }
+    )
+    toks = F.col("__rep_toks")
+    # grams[i] = toks[i] + ' ' + toks[i+1]; guard k<2 (Spark's
+    # sequence(1, 0) yields a DESCENDING [1,0], not an empty list).
+    # The grams array is stored SORTED: the max of count(g)*len(g) over
+    # distinct grams then falls out of one linear pass over runs of
+    # equal neighbors — O(k log k) total vs the naive O(k²)
+    # count-each-gram scan (which costs seconds per 1k docs under
+    # Spark's interpreted higher-order functions).
+    step2 = step1.withColumn(
+        "__rep_grams",
+        F.when(
+            F.size(toks) >= 2,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    grams = F.col("__rep_grams")
+    n_grams = F.size(grams)
+
+    def run_step(acc: Column, i: Column) -> Column:
+        is_run = F.element_at(grams, i) == F.element_at(grams, i - 1)
+        cur = F.when(is_run, acc["cur"] + 1).otherwise(F.lit(1))
+        best = F.greatest(acc["best"], cur * F.length(F.element_at(grams, i)))
+        return F.struct(best.alias("best"), cur.alias("cur"))
+
+    max_gram_chars = (
+        F.when(
+            n_grams >= 2,
+            F.aggregate(
+                F.sequence(F.lit(2), n_grams),
+                F.struct(
+                    F.length(F.element_at(grams, 1)).alias("best"),
+                    F.lit(1).alias("cur"),
+                ),
+                run_step,
+                lambda acc: acc["best"],
+            ),
+        )
+        .when(n_grams == 1, F.length(F.element_at(grams, 1)))
+        .otherwise(F.lit(0))
+        .cast("double")
+    )
+    top_frac = F.when(
+        n_grams >= 1, F.round(max_gram_chars / F.length(text).cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    out = step2.withColumns(
+        {
+            "dup_line_frac": dup_frac(F.col("__rep_lines")),
+            "dup_para_frac": dup_frac(F.col("__rep_paras")),
+            "top_2gram_char_frac": top_frac,
+        }
+    ).drop("__rep_toks", "__rep_lines", "__rep_paras", "__rep_grams")
+    return Frame(out, frame.group_vars())
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{7,15}\b|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+def with_pii_scrub(frame: Frame, text_col: str = "text") -> Frame:
+    """Redact emails / IPv4s / phone numbers into typed placeholders
+    and count each (training-data scrubbing pass).
+
+    Order matters and is fixed: emails first (their local part can
+    contain digits that would otherwise phone-match), then IPs (dotted
+    digits would phone-match), then phones. Pure ``regexp_replace`` /
+    ``regexp_count`` — JVM-side, no shuffle.
+    """
+    text = F.col(text_col)
+    after_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    after_phone = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return Frame(
+        frame.df.withColumns(
+            {
+                "n_emails": F.regexp_count(text, F.lit(PII_EMAIL)).cast("long"),
+                "n_ips": F.regexp_count(after_email, F.lit(PII_IPV4)).cast("long"),
+                "n_phones": F.regexp_count(after_ip, F.lit(PII_PHONE)).cast("long"),
+                "text_scrubbed": after_phone,
+            }
+        ),
+        frame.group_vars(),
+    )
+
+
 def with_fingerprint(frame: Frame, text_col: str = "text") -> Frame:
     """Deterministic document fingerprint: md5 of the normalized text
     (lower + trim + whitespace collapse). md5 is identical across

@@ -236,3 +236,55 @@ def test_ivf_recall_vs_bruteforce(spark):
     for r in approx.itertuples():
         if (r.query_id, r.neighbor_id) in es:
             assert abs(es[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
+
+
+def test_gopher_flags_semantics(spark):
+    long_good = " ".join(["lorem", "ipsum", "dolor", "sitam"] * 15)  # 60 words, mwl 5
+    symbol_heavy = " ".join(["###"] * 60)
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    rows = [(0, long_good), (1, symbol_heavy), (2, bullets), (3, "tiny doc")]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = TX.with_gopher_flags(f).collect().set_index("doc_id")
+    assert bool(out.loc[0, "gopher_pass"])
+    assert out.loc[0, "n_words"] == 60
+    assert out.loc[0, "mean_word_len"] == 5.0
+    # 60 '#' runs / 60 words = 1.0 symbol ratio -> fail
+    assert not bool(out.loc[1, "gopher_pass"])
+    assert out.loc[1, "alpha_word_ratio"] == 0.0
+    assert out.loc[2, "bullet_line_ratio"] == 1.0
+    # 8 words < 50 -> fail
+    assert not bool(out.loc[3, "gopher_pass"])
+
+
+def test_repetition_stats_known_answers(spark):
+    # "a b a b a" -> grams: [a b, b a, a b, b a]; top count 2 * len 3 = 6 chars / 9
+    rep = "a b a b a"
+    dup_lines = "x\ny\nx\nz"  # 4 lines, 3 distinct -> 1/4
+    rows = [(0, rep), (1, dup_lines), (2, "single")]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = TX.with_repetition_stats(f).collect().set_index("doc_id")
+    assert out.loc[0, "top_2gram_char_frac"] == pytest.approx(6 / 9, abs=1e-6)
+    assert out.loc[1, "dup_line_frac"] == 0.25
+    # one token -> no grams -> 0.0, not an error
+    assert out.loc[2, "top_2gram_char_frac"] == 0.0
+    assert out.loc[2, "dup_line_frac"] == 0.0
+
+
+def test_pii_scrub_patterns(spark):
+    rows = [
+        (0, "mail a.b+c@ex-ample.co.uk and raw 192.168.0.1 here"),
+        (1, "call +4915123456789 or 555-867-5309 now"),
+        (2, "version 1.2.3.4.5 is not an ip, 1.2 neither"),
+        (3, "clean text with no pii at all"),
+    ]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = TX.with_pii_scrub(f).collect().set_index("doc_id")
+    assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_ips"] == 1
+    assert "<EMAIL>" in out.loc[0, "text_scrubbed"]
+    assert "<IP>" in out.loc[0, "text_scrubbed"]
+    assert out.loc[1, "n_phones"] == 2
+    assert out.loc[1, "text_scrubbed"] == "call <PHONE> or <PHONE> now"
+    # dotted version strings: the 4-octet prefix does match the \b ipv4
+    # pattern (documented limitation), bare 1.2 must not
+    assert out.loc[2, "n_emails"] == 0 and out.loc[2, "n_phones"] == 0
+    assert out.loc[3, "text_scrubbed"] == "clean text with no pii at all"

@@ -58,6 +58,11 @@ EXCHANGE_BUDGETS = {
     "text_quality": 0,
     "text_lang_id": 0,
     "text_fingerprint": 0,
+    "text_gopher_quality": 0,
+    "text_repetition": 0,
+    "pii_scrub": 0,
+    "sequence_pack": 1,         # one hash-partition on the shard key
+    "sequence_pack_greedy": 1,  # groupBy(shard) applyInPandas; join-back broadcasts
     "minhash_signatures": 1,    # repartition spread for the md5 fold
     "simhash": 0,
     "ngram_jaccard_pairs": 1,
