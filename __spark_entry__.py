@@ -522,6 +522,35 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag documents sharing any word
+    4-gram with a deterministic 'eval set' (every 97th doc). Benchmark
+    gram set broadcasts; the corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 97 == 0")
+    return (
+        D.flag_contaminated(docs, bench, ngram=4)
+        .select("doc_id", "contaminated")
+        .df
+    )
+
+
+def q_mixture_resample(spark, sf_dir):
+    """Domain-mixture resampling: hash-downsample sources to a 30/20/50
+    target mix, keeping all of the binding group. Tiny count aggregate
+    broadcast back — the corpus never shuffles."""
+    from cuplyr_spark.pipeline.sampling import resample_to_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        resample_to_mixture(
+            docs, "source", {"src0": 0.3, "src1": 0.2, "src2": 0.5}
+        )
+        .select("doc_id", "source")
+        .df
+    )
+
+
 def q_sequence_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT-style): documents laid
     end-to-end per shard, cut every 2048 tokens. One keyed-window
@@ -1374,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "sequence_pack": q_sequence_pack,
         "sequence_pack_greedy": q_sequence_pack_greedy,
+        "decontaminate": q_decontaminate,
+        "mixture_resample": q_mixture_resample,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1437,6 +1468,18 @@ list_distinct(
 """
 
 _H64 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _shingles_sql(k: int) -> str:
+    """DuckDB k-word-shingle list (generalized _SHINGLES3): same
+    out-of-range-index -> NULL -> concat_ws-skip semantics as the
+    Spark ``_word_shingles`` helper."""
+    cols = ", ".join(f"string_split(text, ' ')[i+{j}]" for j in range(k))
+    return (
+        "list_distinct(list_transform(generate_series(1, "
+        f"greatest(len(string_split(text, ' ')) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', {cols})))"
+    )
 
 
 def _minhash_oracle() -> str:
@@ -1750,6 +1793,40 @@ def oracle_sql() -> dict[str, str]:
                                  AS DOUBLE) / strlen(text), 6)
                         ELSE 0.0 END AS top_2gram_char_frac
             FROM h
+        """,
+        "decontaminate": f"""
+            WITH bench AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest({_shingles_sql(4)}) AS g
+                FROM documents WHERE doc_id % 97 = 0
+              )
+            ), hits AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest({_shingles_sql(4)}) AS g FROM documents
+              ) WHERE g IN (SELECT g FROM bench)
+            )
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "mixture_resample": """
+            WITH c AS (
+              SELECT source, count(*) AS cnt FROM documents GROUP BY source
+            ), t AS (
+              SELECT source, cnt,
+                     CAST(CASE source WHEN 'src0' THEN 0.3
+                                      WHEN 'src1' THEN 0.2
+                                      WHEN 'src2' THEN 0.5 END AS DOUBLE) AS tgt
+              FROM c WHERE source IN ('src0', 'src1', 'src2')
+            ), m AS (
+              SELECT min(cnt / tgt) AS T FROM t
+            ), r AS (
+              SELECT source, CAST(floor(tgt * T / cnt * 10000) AS BIGINT) AS thresh
+              FROM t, m
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 10000) < r.thresh
         """,
         "sequence_pack": """
             WITH t AS (

@@ -285,3 +285,46 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return Frame(pairs, ())
+
+
+def flag_contaminated(
+    corpus: Frame,
+    benchmark: Frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 13,
+) -> Frame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word ``ngram``-gram with a benchmark/eval set (the standard
+    n-gram-overlap test-set-leakage check for training corpora;
+    13-gram is the common default).
+
+    100 TB design: the benchmark side (eval sets — always small) is
+    reduced to its DISTINCT gram set and broadcast; the corpus side is
+    a map-side explode + broadcast semi-join, so the corpus never
+    shuffles. Only the matched (id) pairs pass through one distinct
+    aggregation before the flag broadcasts back onto the corpus.
+    """
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    gram = "__decon_gram"
+    bench_grams = (
+        benchmark.df.select(
+            F.explode(_word_shingles(F.col(text_col), ngram)).alias(gram)
+        )
+        .distinct()
+    )
+    hit_ids = (
+        corpus.df.select(
+            F.col(id_col),
+            F.explode(_word_shingles(F.col(text_col), ngram)).alias(gram),
+        )
+        .join(F.broadcast(bench_grams), on=gram, how="leftsemi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    out = corpus.df.join(F.broadcast(hit_ids), on=id_col, how="left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )
+    return Frame(out, corpus.group_vars())

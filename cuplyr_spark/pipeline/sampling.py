@@ -92,3 +92,58 @@ def stratified_hash_sample(
             & (bucket < int(round(frac * GRANULARITY)))
         )
     return Frame(frame.df.filter(keep), frame.group_vars())
+
+
+def resample_to_mixture(
+    frame: Frame,
+    group_col: str,
+    targets: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> Frame:
+    """Deterministically down-sample groups to hit a target mixture
+    (domain-weighting a training corpus: "20% code, 30% web, ...").
+
+    Keeps every row of the binding group (the one whose share must
+    grow most relative to its size) and hash-samples the rest so the
+    kept counts land on ``targets``' proportions. Groups absent from
+    ``targets`` are dropped. No RNG: membership is the md5 bucket of
+    ``id_col``, so the sample is stable across runs and engines and
+    only shrinks monotonically as targets tighten.
+
+    Fully declarative: a tiny per-group count aggregate re-joined by
+    broadcast — the corpus itself never shuffles.
+    """
+    total = sum(targets.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"mixture targets must sum to 1, got {total}")
+    if any(w <= 0 for w in targets.values()):
+        raise ValueError("mixture targets must be positive")
+    tmap = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in (kv[0], float(kv[1]))]
+    )
+    counts = (
+        frame.df.groupBy(group_col)
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn("__tgt", tmap[F.col(group_col)])
+        .filter(F.col("__tgt").isNotNull())
+    )
+    # max feasible kept-total T keeps ALL of the binding group:
+    # T = min over groups of cnt / tgt; per-group keep rate tgt*T/cnt.
+    tmin = counts.agg(F.min(F.col("__cnt") / F.col("__tgt")).alias("__T"))
+    rates = counts.crossJoin(F.broadcast(tmin)).withColumn(
+        "__thresh",
+        F.floor(
+            F.col("__tgt") * F.col("__T") / F.col("__cnt") * GRANULARITY
+        ).cast("long"),
+    )
+    out = (
+        frame.df.join(
+            F.broadcast(rates.select(group_col, "__thresh")),
+            on=group_col,
+            how="inner",
+        )
+        .filter(hash_bucket(F.col(id_col), salt) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+    return Frame(out, frame.group_vars())

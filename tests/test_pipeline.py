@@ -288,3 +288,32 @@ def test_pii_scrub_patterns(spark):
     # pattern (documented limitation), bare 1.2 must not
     assert out.loc[2, "n_emails"] == 0 and out.loc[2, "n_phones"] == 0
     assert out.loc[3, "text_scrubbed"] == "clean text with no pii at all"
+
+
+def test_decontamination_flags_planted_overlap(docs, spark):
+    # benchmark = the BASE text; docs 0/1 (exact) and 2 (one-token change,
+    # still sharing 5-grams) must flag; FAR and the short doc must not
+    bench = from_pandas(spark, pd.DataFrame([(100, BASE)], columns=["doc_id", "text"]))
+    out = D.flag_contaminated(docs, bench, ngram=5).collect().set_index("doc_id")
+    assert bool(out.loc[0, "contaminated"]) and bool(out.loc[1, "contaminated"])
+    assert bool(out.loc[2, "contaminated"])
+    assert not bool(out.loc[3, "contaminated"])
+    assert not bool(out.loc[4, "contaminated"])
+
+
+def test_mixture_resample_proportions(spark):
+    from cuplyr_spark.pipeline.sampling import resample_to_mixture
+
+    rows = [(i, "a" if i % 2 == 0 else ("b" if i % 4 == 1 else "c")) for i in range(4000)]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "source"]))
+    # a: 2000, b: 1000, c: 1000 -> target 25/25/50: binding group is c
+    # (1000/0.5=2000 = min), so keep all of c, hash-sample a to ~500, b to ~500
+    out = resample_to_mixture(f, "source", {"a": 0.25, "b": 0.25, "c": 0.5}).collect()
+    sizes = out.groupby("source").size()
+    assert sizes["c"] == 1000
+    assert abs(sizes["a"] - 500) < 80 and abs(sizes["b"] - 500) < 80
+    # deterministic: second run identical
+    again = resample_to_mixture(f, "source", {"a": 0.25, "b": 0.25, "c": 0.5}).collect()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
+    with pytest.raises(ValueError):
+        resample_to_mixture(f, "source", {"a": 0.2, "b": 0.2})

@@ -63,6 +63,8 @@ EXCHANGE_BUDGETS = {
     "pii_scrub": 0,
     "sequence_pack": 1,         # one hash-partition on the shard key
     "sequence_pack_greedy": 1,  # groupBy(shard) applyInPandas; join-back broadcasts
+    "decontaminate": 2,         # bench-gram distinct + hit-id distinct (ids only)
+    "mixture_resample": 3,      # tiny count agg + global min + re-agg; corpus side map-only
     "minhash_signatures": 1,    # repartition spread for the md5 fold
     "simhash": 0,
     "ngram_jaccard_pairs": 1,
