@@ -1087,6 +1087,74 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): revenue between two nation
+    pairs by ship year. Nation-tagged supplier/customer dims broadcast
+    onto the fact join; one agg shuffle."""
+    nat = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .inner_join(nat.broadcast(), by={"s_nationkey": "n_nationkey"}, na_matches="never")
+        .rename(supp_nation="n_name")
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .inner_join(nat.broadcast(), by={"c_nationkey": "n_nationkey"}, na_matches="never")
+        .rename(cust_nation="n_name")
+        .select("c_custkey", "cust_nation")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
+        .inner_join(supp.broadcast(), by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        .inner_join(cust.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
+        .filter(pair)
+        .mutate(l_year=F.year("l_shipdate"))
+        .group_by("supp_nation", "cust_nation", "l_year")
+        .summarise(revenue=_revenue_sum())
+        .arrange("supp_nation", "cust_nation", "l_year")
+        .df
+    )
+
+
+def q_funnel(spark, sf_dir):
+    """Strict ordered funnel view -> click -> purchase per user: each
+    step's first completion strictly after the previous one. Single
+    user-key shuffle (cascaded windows + colocated final agg)."""
+    from cuplyr_spark.operators.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel(ev, ["view", "click", "purchase"])
+    return (
+        out.mutate(
+            step_1_ms=F.unix_millis(F.col("step_1_ts").cast("timestamp")),
+            step_2_ms=F.unix_millis(F.col("step_2_ts").cast("timestamp")),
+            step_3_ms=F.unix_millis(F.col("step_3_ts").cast("timestamp")),
+        )
+        .select("user_id", "step_1_ms", "step_2_ms", "step_3_ms", "stage")
+        .df
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Retention triangle: day cohorts by first-seen date x distinct
+    active users per day offset."""
+    from cuplyr_spark.operators.events import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    out = retention_cohorts(ev)
+    return (
+        out.mutate(cohort=F.date_format("cohort_day", "yyyy-MM-dd"))
+        .select("cohort", "day_offset", "n_users")
+        .df
+    )
+
+
 def q_fill_down(spark, sf_dir):
     """LOCF gap-fill (tidyr fill .direction='down'): NULLs take the
     most recent prior non-NULL per user in event-time order."""
@@ -1434,6 +1502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
+        "tpch_q7": q_tpch_q7,
+        "funnel": q_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "fill_down": q_fill_down,
         "unite_separate": q_unite_separate,
         "train_test_split": q_train_test_split,
@@ -1793,6 +1864,62 @@ def oracle_sql() -> dict[str, str]:
                                  AS DOUBLE) / strlen(text), 6)
                         ELSE 0.0 END AS top_2gram_char_frac
             FROM h
+        """,
+        "tpch_q7": f"""
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   {_REVENUE_SUM_SQL} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+              FROM events GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, s1.t1,
+                     min(CASE WHEN e.event_type = 'click'
+                              AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+                              THEN e.ts END) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              GROUP BY e.user_id, s1.t1
+            ), s3 AS (
+              SELECT e.user_id, s2.t1, s2.t2,
+                     min(CASE WHEN e.event_type = 'purchase'
+                              AND s2.t2 IS NOT NULL AND e.ts > s2.t2
+                              THEN e.ts END) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              GROUP BY e.user_id, s2.t1, s2.t2
+            )
+            SELECT user_id,
+                   CAST(epoch_ms(t1) AS BIGINT) AS step_1_ms,
+                   CAST(epoch_ms(t2) AS BIGINT) AS step_2_ms,
+                   CAST(epoch_ms(t3) AS BIGINT) AS step_3_ms,
+                   CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+                     + CAST(t3 IS NOT NULL AS INT) AS stage
+            FROM s3
+        """,
+        "retention_cohorts": """
+            WITH f AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+              FROM events GROUP BY user_id
+            ), a AS (
+              SELECT DISTINCT e.user_id, f.cohort,
+                     date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+              FROM events e JOIN f USING (user_id)
+            )
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+                   CAST(day_offset AS INT) AS day_offset,
+                   count(*) AS n_users
+            FROM a GROUP BY cohort, day_offset
         """,
         "decontaminate": f"""
             WITH bench AS (

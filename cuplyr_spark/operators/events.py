@@ -95,3 +95,72 @@ def time_bucket_agg(
         .agg(*[c.alias(n) for n, c in aggs.items()])
     )
     return Frame(out, ())
+
+
+def funnel(
+    frame: Frame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> Frame:
+    """Strict ordered-funnel analysis: per user, the first time each
+    step completed AFTER the previous step (step N counts only if it
+    happens later than the user's step N-1 completion).
+
+    One row per user with ``step_1_ts .. step_N_ts`` (null once the
+    funnel breaks) and ``stage`` = number of completed steps.
+
+    Single shuffle on the user key: every step's conditional min is a
+    window over the same user partition (the cascade references the
+    previous step's per-user value row-wise), then one colocated
+    per-user aggregate — no per-step job, no re-shuffle between steps.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    df = frame.df
+    w = Window.partitionBy(user_col)
+    prev: Column | None = None
+    names = [f"step_{i + 1}_ts" for i in range(len(steps))]
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & prev.isNotNull() & (F.col(ts_col) > prev)
+        df = df.withColumn(names[i], F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(names[i])
+    stage = sum((F.col(n).isNotNull()).cast("int") for n in names)
+    out = df.groupBy(user_col).agg(
+        *[F.min(n).alias(n) for n in names],
+        F.min(stage).alias("stage"),
+    )
+    return Frame(out, ())
+
+
+def retention_cohorts(
+    frame: Frame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> Frame:
+    """Classic retention triangle: users grouped into day cohorts by
+    first-seen date; for each (cohort_day, day_offset) the number of
+    distinct cohort users active that day.
+
+    Two keyed shuffles total: one window over the user key for the
+    first-seen date, one hash aggregate over (cohort, offset) after an
+    in-partition (user, day) dedup — activity rows never fan out.
+    """
+    w = Window.partitionBy(user_col)
+    day = F.to_date(F.col(ts_col))
+    df = (
+        frame.df.withColumn("__day", day)
+        .withColumn("__cohort", F.min(F.to_date(F.col(ts_col))).over(w))
+        .select(
+            F.col(user_col),
+            F.col("__cohort").alias("cohort_day"),
+            F.datediff(F.col("__day"), F.col("__cohort")).alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    return Frame(df, ())

@@ -126,3 +126,60 @@ def test_asof_join_suffix_on_conflict(spark):
         from_pandas(spark, left), from_pandas(spark, right), by="k", on="ts"
     )
     assert "v_right" in out.columns
+
+
+def test_funnel_strict_ordering(spark):
+    from cuplyr_spark.operators.events import funnel
+
+    ts = pd.Timestamp
+    rows = [
+        # user 1: full funnel in order
+        (1, ts("2024-01-01 10:00"), "view"),
+        (1, ts("2024-01-01 11:00"), "click"),
+        (1, ts("2024-01-01 12:00"), "purchase"),
+        # user 2: purchase BEFORE view/click -> stops at stage 2
+        (2, ts("2024-01-01 09:00"), "purchase"),
+        (2, ts("2024-01-01 10:00"), "view"),
+        (2, ts("2024-01-01 11:00"), "click"),
+        # user 3: only views
+        (3, ts("2024-01-01 10:00"), "view"),
+        # user 4: click first then view, click never re-fires -> stage 1
+        (4, ts("2024-01-01 09:00"), "click"),
+        (4, ts("2024-01-01 10:00"), "view"),
+    ]
+    f = from_pandas(
+        spark, pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    )
+    out = (
+        funnel(f, ["view", "click", "purchase"]).collect().set_index("user_id")
+    )
+    assert out.loc[1, "stage"] == 3
+    assert out.loc[2, "stage"] == 2 and pd.isna(out.loc[2, "step_3_ts"])
+    assert out.loc[3, "stage"] == 1
+    assert out.loc[4, "stage"] == 1 and pd.isna(out.loc[4, "step_2_ts"])
+
+
+def test_retention_cohorts_counts(spark):
+    from cuplyr_spark.operators.events import retention_cohorts
+
+    ts = pd.Timestamp
+    rows = [
+        (1, ts("2024-01-01 10:00")),  # cohort day 0
+        (1, ts("2024-01-02 10:00")),  # offset 1
+        (1, ts("2024-01-02 18:00")),  # same day, dedup within (user, day)
+        (2, ts("2024-01-01 12:00")),  # cohort day 0, never returns
+        (3, ts("2024-01-02 12:00")),  # second cohort
+        (3, ts("2024-01-04 12:00")),  # offset 2
+    ]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["user_id", "ts"]))
+    out = retention_cohorts(f).collect()
+    got = {
+        (str(r.cohort_day), int(r.day_offset)): int(r.n_users)
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 2): 1,
+    }

@@ -93,6 +93,9 @@ EXCHANGE_BUDGETS = {
     "tpch_q10": 1,              # agg; top-20 is TakeOrderedAndProject
     "tpch_q14": 1,              # single ungrouped agg
     "tpch_q18": 1,              # order-grain agg; joins broadcast; top-100 TOP
+    "tpch_q7": 2,               # agg + sort; nation-tagged dims broadcast
+    "funnel": 1,                # one user-key shuffle (cascaded windows + agg)
+    "retention_cohorts": 2,     # user window + (cohort, offset) agg
     "fill_down": 1,
     "unite_separate": 0,
     "train_test_split": 0,
