@@ -1155,6 +1155,23 @@ def q_retention_cohorts(spark, sf_dir):
     )
 
 
+def q_events_rolling_24h(spark, sf_dir):
+    """Trailing 24h per-user rolling sum/count at every event (range
+    frame over event-time — one keyed shuffle, no self-join). Values
+    sum as integer cents for cross-engine exactness."""
+    from cuplyr_spark.operators.events import with_rolling_agg
+
+    ev = _t(spark, sf_dir, "events").mutate(
+        v_cents=F.round(F.col("value") * 100, 0).cast("long")
+    )
+    out = with_rolling_agg(ev, "v_cents", "user_id", "ts", 24 * 3600 * 1000)
+    return (
+        out.mutate(rolling_value=F.col("rolling_sum").cast("double") / 100)
+        .select("event_id", "user_id", "rolling_value", "rolling_n")
+        .df
+    )
+
+
 def q_fill_down(spark, sf_dir):
     """LOCF gap-fill (tidyr fill .direction='down'): NULLs take the
     most recent prior non-NULL per user in event-time order."""
@@ -1505,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
+        "events_rolling_24h": q_events_rolling_24h,
         "fill_down": q_fill_down,
         "unite_separate": q_unite_separate,
         "train_test_split": q_train_test_split,
@@ -1864,6 +1882,15 @@ def oracle_sql() -> dict[str, str]:
                                  AS DOUBLE) / strlen(text), 6)
                         ELSE 0.0 END AS top_2gram_char_frac
             FROM h
+        """,
+        "events_rolling_24h": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100
+                     AS rolling_value,
+                   count(*) OVER w AS rolling_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                         RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
         """,
         "tpch_q7": f"""
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

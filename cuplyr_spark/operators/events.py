@@ -164,3 +164,39 @@ def retention_cohorts(
         .agg(F.count("*").cast("long").alias("n_users"))
     )
     return Frame(df, ())
+
+
+def with_rolling_agg(
+    frame: Frame,
+    value_col: str,
+    key_col: str,
+    ts_col: str,
+    window_ms: int,
+    out_prefix: str = "rolling",
+) -> Frame:
+    """Trailing time-range aggregate per key: for every event, the sum
+    and count of ``value_col`` over the last ``window_ms`` milliseconds
+    (inclusive range frame over event-time, equal timestamps are
+    peers — the hypertable-style rolling rollup).
+
+    One shuffle on the key; the range frame is evaluated with a single
+    in-partition sort, no self-join (the naive ts-between-ts-and-ts-lag
+    formulation is O(n²) per key and a scale killer).
+    """
+    if window_ms < 0:
+        raise ValueError("window_ms must be >= 0")
+    m = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(m)
+        .rangeBetween(-window_ms, Window.currentRow)
+    )
+    return Frame(
+        frame.df.withColumns(
+            {
+                f"{out_prefix}_sum": F.sum(F.col(value_col)).over(w),
+                f"{out_prefix}_n": F.count(F.lit(1)).over(w).cast("long"),
+            }
+        ),
+        frame.group_vars(),
+    )

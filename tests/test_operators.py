@@ -183,3 +183,29 @@ def test_retention_cohorts_counts(spark):
         ("2024-01-02", 0): 1,
         ("2024-01-02", 2): 1,
     }
+
+
+def test_rolling_agg_trailing_window(spark):
+    from cuplyr_spark.operators.events import with_rolling_agg
+
+    ts = pd.Timestamp
+    rows = [
+        (1, 1, ts("2024-01-01 00:00:00"), 10.0),
+        (2, 1, ts("2024-01-01 00:30:00"), 20.0),
+        (3, 1, ts("2024-01-01 01:00:00"), 30.0),  # 00:00 still inside 1h window
+        (4, 1, ts("2024-01-01 02:30:00"), 40.0),  # everything else aged out
+        (5, 2, ts("2024-01-01 00:45:00"), 5.0),   # other key isolated
+    ]
+    f = from_pandas(
+        spark, pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    )
+    out = (
+        with_rolling_agg(f, "value", "user_id", "ts", 3600 * 1000)
+        .collect()
+        .set_index("event_id")
+    )
+    assert out.loc[1, "rolling_sum"] == 10.0 and out.loc[1, "rolling_n"] == 1
+    assert out.loc[2, "rolling_sum"] == 30.0
+    assert out.loc[3, "rolling_sum"] == 60.0  # inclusive lower bound
+    assert out.loc[4, "rolling_sum"] == 40.0 and out.loc[4, "rolling_n"] == 1
+    assert out.loc[5, "rolling_sum"] == 5.0

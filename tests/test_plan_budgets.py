@@ -96,6 +96,7 @@ EXCHANGE_BUDGETS = {
     "tpch_q7": 2,               # agg + sort; nation-tagged dims broadcast
     "funnel": 1,                # one user-key shuffle (cascaded windows + agg)
     "retention_cohorts": 2,     # user window + (cohort, offset) agg
+    "events_rolling_24h": 1,    # keyed range-frame window
     "fill_down": 1,
     "unite_separate": 0,
     "train_test_split": 0,
