@@ -1172,6 +1172,26 @@ def q_events_rolling_24h(spark, sf_dir):
     )
 
 
+def q_range_join_sessions(spark, sf_dir):
+    """Bucketed range join: events matched to the session interval
+    containing them (user equi-key + ts ∈ [start, end]). Equi-join on
+    (user, hour-bucket) + exact filter — no BroadcastNestedLoop, no
+    cartesian, at any scale."""
+    from cuplyr_spark.operators.events import session_stats
+    from cuplyr_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = session_stats(ev, "user_id", "ts").select(
+        "user_id", "session_id", "start_ms", "end_ms"
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = range_join(
+        left, sessions, ts_col="ts", start_col="start_ms", end_col="end_ms",
+        by=["user_id"], bucket_ms=3_600_000,
+    )
+    return out.select("event_id", "user_id", "session_id", "start_ms").df
+
+
 def q_fill_down(spark, sf_dir):
     """LOCF gap-fill (tidyr fill .direction='down'): NULLs take the
     most recent prior non-NULL per user in event-time order."""
@@ -1523,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
         "events_rolling_24h": q_events_rolling_24h,
+        "range_join_sessions": q_range_join_sessions,
         "fill_down": q_fill_down,
         "unite_separate": q_unite_separate,
         "train_test_split": q_train_test_split,
@@ -1882,6 +1903,31 @@ def oracle_sql() -> dict[str, str]:
                                  AS DOUBLE) / strlen(text), 6)
                         ELSE 0.0 END AS top_2gram_char_frac
             FROM h
+        """,
+        "range_join_sessions": """
+            WITH flags AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM flags
+            ), intervals AS (
+              SELECT user_id, session_id,
+                     CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
+                     CAST(epoch_ms(max(ts)) AS BIGINT) AS end_ms
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT e.event_id, e.user_id, i.session_id, i.start_ms
+            FROM events e
+            JOIN intervals i
+              ON e.user_id = i.user_id
+             AND epoch_ms(e.ts) BETWEEN i.start_ms AND i.end_ms
         """,
         "events_rolling_24h": """
             SELECT event_id, user_id,

@@ -97,6 +97,7 @@ EXCHANGE_BUDGETS = {
     "funnel": 1,                # one user-key shuffle (cascaded windows + agg)
     "retention_cohorts": 2,     # user window + (cohort, offset) agg
     "events_rolling_24h": 1,    # keyed range-frame window
+    "range_join_sessions": 1,   # session window reused; bucket join broadcasts
     "fill_down": 1,
     "unite_separate": 0,
     "train_test_split": 0,
