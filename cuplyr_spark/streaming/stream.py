@@ -123,3 +123,18 @@ def write_stream_parquet(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+def stream_static_join(
+    stream: DataFrame,
+    dim: Frame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a stream with a static dimension table — the standard
+    stream-static pattern: the dim is broadcast and re-resolved per
+    microbatch, so a slowly-changing dimension backed by a table picks
+    up updates between batches without restarting the query. Stateless
+    (no watermark needed); stream rows never shuffle."""
+    if how not in ("inner", "left"):
+        raise ValueError("stream-static join supports how='inner'|'left'")
+    return stream.join(F.broadcast(dim.df), on=on, how=how)

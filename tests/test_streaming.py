@@ -87,3 +87,24 @@ def test_write_stream_parquet_available_now(spark, stream_dir, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(out_dir).toPandas()
     assert sorted(got["value"].tolist()) == [3.0, 5.0, 7.0]
+
+
+def test_stream_static_join(spark, stream_dir):
+    from cuplyr_spark.streaming.stream import stream_static_join
+
+    dim = from_pandas(
+        spark,
+        pd.DataFrame(
+            [("click", 2.0), ("view", 10.0)], columns=["event_type", "weight"]
+        ),
+    )
+    src = stream_parquet(spark, stream_dir, SCHEMA)
+    enriched = stream_static_join(src, dim, on="event_type").withColumn(
+        "weighted", F.col("value") * F.col("weight")
+    )
+    assert enriched.isStreaming
+    run_to_memory(enriched, "enriched_events")
+    out = spark.sql("SELECT * FROM enriched_events").toPandas()
+    assert len(out) == 5  # left join keeps every stream row
+    got = out.set_index("event_id").weighted
+    assert got[0] == 2.0 and got[2] == 30.0 and got[4] == 14.0
