@@ -1122,6 +1122,50 @@ def q_tpch_q7(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-resistant salted join: orders x customer on a salted key
+    spreads hot custkeys over 16 shuffle partitions. The salt is
+    result-invariant, so the oracle is simply the plain join."""
+    from cuplyr_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").rename(o_custkey="c_custkey").select(
+        "o_custkey", "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, by=["o_custkey"], n_salts=16)
+    return (
+        joined.group_by("c_mktsegment")
+        .summarise(n=A.n())
+        .arrange("c_mktsegment")
+        .df
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs over part
+    attributes + lineitem ranges). One broadcast join; Catalyst pulls
+    the common l_partkey=p_partkey conjunct out of the disjunction so
+    the join stays equi — the OR only gates the post-join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.inner_join(
+        part.broadcast(), by={"l_partkey": "p_partkey"}, na_matches="never"
+    )
+    disj = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    )
+    return (
+        joined.filter(disj)
+        .summarise(revenue=_revenue_sum(), n=A.n())
+        .df
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Strict ordered funnel view -> click -> purchase per user: each
     step's first completion strictly after the previous one. Single
@@ -1540,6 +1584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q7": q_tpch_q7,
+        "tpch_q19": q_tpch_q19,
+        "salted_join": q_salted_join,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
         "events_rolling_24h": q_events_rolling_24h,
@@ -1951,6 +1997,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
             GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "salted_join": """
+            SELECT c_mktsegment, count(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "tpch_q19": f"""
+            SELECT {_REVENUE_SUM_SQL} AS revenue, count(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 5
+                   AND l_quantity >= 1 AND l_quantity <= 11)
+               OR (p_brand = 'Brand#2' AND p_size <= 10
+                   AND l_quantity >= 10 AND l_quantity <= 20)
+               OR (p_brand = 'Brand#3' AND p_size <= 15
+                   AND l_quantity >= 20 AND l_quantity <= 30)
         """,
         "funnel": """
             WITH s1 AS (

@@ -68,22 +68,27 @@ def main() -> None:
     for name in HEADLINE:
         for _ in range(WARMUPS):  # JIT, code cache, cache materialization
             execute(plans[name])
-    # Iterations are interleaved round-robin across queries, NOT run
-    # back-to-back per query: this guest VM sees bursty CPU steal
-    # (non-zero /proc/stat steal in multi-second windows). A burst
-    # longer than one query's back-to-back samples poisons all of them
-    # and the median keeps the inflated value (r1 driver measured
-    # minhash at 2.4s vs 0.27s steady-state; locally the "slow" query
-    # moved between runs). Round-robin spreads each query's samples
-    # over the whole bench wall-clock, so a burst costs at most one or
-    # two samples per query and the median rejects it.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(ITERS):
+    # Sampling design, driven by two measured failure modes of this VM:
+    # (1) bursty CPU steal — a multi-second burst poisons EVERY sample
+    #     of a query whose iterations run back-to-back inside it (r1
+    #     measured minhash at 2.4s vs 0.27s steady-state);
+    # (2) fine-grained round-robin interleaving of all plans inflates
+    #     every query ~2x vs blocked execution (cross-plan executor
+    #     state churn), so interleaved medians are not comparable to
+    #     steady-state numbers.
+    # Resolution: run each query BLOCKED (steady-state accurate), but
+    # repeat the whole suite REPEATS times and keep each query's MIN of
+    # the per-repeat medians. Noise here only ever inflates timings,
+    # so the min over temporally-separated windows rejects any burst
+    # shorter than a full suite pass without paying the interleave tax.
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    per_repeat = max(1, ITERS // repeats)
+    medians: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(repeats):
         for name in HEADLINE:
-            samples[name].append(execute(plans[name]))
-    timings = {
-        name: round(statistics.median(samples[name]), 4) for name in HEADLINE
-    }
+            block = [execute(plans[name]) for _ in range(per_repeat)]
+            medians[name].append(statistics.median(block))
+    timings = {name: round(min(medians[name]), 4) for name in HEADLINE}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

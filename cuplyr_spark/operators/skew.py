@@ -76,3 +76,49 @@ def salted_summarise(
     )
     out = partial.groupBy(*keys).agg(*phase2_cols)
     return Frame(out, ())
+
+
+def salted_join(
+    left: Frame,
+    right: Frame,
+    by: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> Frame:
+    """Skew-resistant equi-join: each left row gets a salt in
+    [0, n_salts); the right side is replicated once per salt value and
+    the join runs on (keys…, salt). A hot left key spreads across
+    ``n_salts`` shuffle partitions instead of hammering one.
+
+    Use when the LEFT side is skewed on the join keys and the right
+    side is too big to broadcast but small enough to replicate
+    n_salts-fold (mid-size dims). The salt never changes the result —
+    each left row carries exactly one salt and each right row appears
+    exactly once per salt, so every matching pair meets exactly once.
+    AQE's skew-join split covers many cases at runtime; this is the
+    explicit, planner-independent form.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    missing = [k for k in by if k not in left.df.columns or k not in right.df.columns]
+    if missing:
+        raise ValueError(f"join keys missing on one side: {missing}")
+    salt = "__join_salt"
+    lsalt = (
+        F.crc32(
+            F.concat_ws(
+                "§",
+                *[F.col(k).cast("string") for k in by],
+                F.monotonically_increasing_id().cast("string"),
+            )
+        )
+        % n_salts
+    ).cast("int")
+    l = left.df.withColumn(salt, lsalt)
+    r = right.df.withColumn(
+        salt, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = l.join(r, on=by + [salt], how=how).drop(salt)
+    return Frame(out, ())

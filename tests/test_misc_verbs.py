@@ -171,3 +171,32 @@ def test_slice_sample(spark):
 
     with pytest.raises(ValueError):
         t.slice_sample()
+
+
+def test_salted_join_matches_plain_join(spark):
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.operators.skew import salted_join
+    import pandas as pd
+
+    # skewed left: 900 of 1000 rows share key 7
+    left = from_pandas(
+        spark,
+        pd.DataFrame(
+            {"k": [7] * 900 + list(range(100)), "v": range(1000)}
+        ),
+    )
+    right = from_pandas(
+        spark, pd.DataFrame({"k": range(100), "name": [f"n{i}" for i in range(100)]})
+    )
+    salted = salted_join(left, right, by=["k"], n_salts=8).collect()
+    plain = left.inner_join(right, by="k").collect()
+    key = lambda d: sorted(map(tuple, d[["k", "v", "name"]].itertuples(index=False)))
+    assert key(salted) == key(plain)
+    assert len(salted) == 1000
+    # left join keeps unmatched rows (none here; drop key 7 from right)
+    keep = [i for i in range(100) if i != 7]
+    right_small = from_pandas(
+        spark, pd.DataFrame({"k": keep, "name": [f"n{i}" for i in keep]})
+    )
+    lj = salted_join(left, right_small, by=["k"], how="left", n_salts=8).collect()
+    assert len(lj) == 1000 and lj.name.isna().sum() == 901  # all 901 sevens

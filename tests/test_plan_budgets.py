@@ -98,6 +98,8 @@ EXCHANGE_BUDGETS = {
     "retention_cohorts": 2,     # user window + (cohort, offset) agg
     "events_rolling_24h": 1,    # keyed range-frame window
     "range_join_sessions": 1,   # session window reused; bucket join broadcasts
+    "tpch_q19": 1,              # broadcast part join + single agg
+    "salted_join": 2,           # salted equi-join + segment agg
     "fill_down": 1,
     "unite_separate": 0,
     "train_test_split": 0,
