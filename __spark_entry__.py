@@ -706,6 +706,32 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(docs).df
 
 
+def q_dedup_cluster_labels(spark, sf_dir):
+    """Near-dup clustering end-to-end: LSH candidate pairs -> iterative
+    min-label propagation -> (doc, cluster representative). The oracle
+    replays it as a transitive closure (recursive CTE) + min-reachable,
+    so the iterative algorithm is value-verified, not just rows."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs)
+    return D.dedup_clusters(pairs).df
+
+
+def q_media_metadata(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary media column (utf-8 bytes
+    of text, the container-safe fixture) -> JVM-side metadata struct
+    (octet length + sha256). Bytes never reach the driver; the decode
+    tier (mapInPandas) layers on the same schema."""
+    from cuplyr_spark.pipeline.multimodal import attach_media_meta, media_from_text
+
+    docs = _t(spark, sf_dir, "documents")
+    m = attach_media_meta(media_from_text(docs))
+    return m.df.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding near-dup pairs blocked by label (cosine >= 0.3)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1565,6 +1591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "asof_join": q_asof_join,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_cluster_labels": q_dedup_cluster_labels,
+        "media_metadata": q_media_metadata,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "streaming_sessionize": q_streaming_sessionize,
@@ -2318,6 +2346,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
                                       AND a.doc_id < b.doc_id
+        """,
+        "media_metadata": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "dedup_cluster_labels": f"""
+            WITH RECURSIVE sig AS ({_minhash_oracle()}),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(concat_ws('_', mh_0, mh_1)) AS bh FROM sig
+              UNION ALL SELECT doc_id, 1, md5(concat_ws('_', mh_2, mh_3)) FROM sig
+              UNION ALL SELECT doc_id, 2, md5(concat_ws('_', mh_4, mh_5)) FROM sig
+              UNION ALL SELECT doc_id, 3, md5(concat_ws('_', mh_6, mh_7)) FROM sig
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                                        AND a.doc_id < b.doc_id
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a
         """,
         "embedding_near_dup": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

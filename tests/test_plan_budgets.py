@@ -100,6 +100,8 @@ EXCHANGE_BUDGETS = {
     "range_join_sessions": 1,   # session window reused; bucket join broadcasts
     "tpch_q19": 1,              # broadcast part join + single agg
     "salted_join": 2,           # salted equi-join + segment agg
+    "dedup_cluster_labels": 0,  # final plan reads the CC localCheckpoint
+    "media_metadata": 0,        # per-row binary hash, map-only
     "fill_down": 1,
     "unite_separate": 0,
     "train_test_split": 0,
