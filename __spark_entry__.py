@@ -1262,6 +1262,26 @@ def q_range_join_sessions(spark, sf_dir):
     return out.select("event_id", "user_id", "session_id", "start_ms").df
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join with tolerance: each click matched
+    to the user's closest purchase within 1h (exact ties backward,
+    pandas rule). Same one-shuffle union+window plan as backward."""
+    from cuplyr_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type == 'click'").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter("event_type == 'purchase'")
+        .mutate(p_ms=F.unix_millis(F.col("ts").cast("timestamp")))
+        .select("user_id", "ts", "p_ms")
+    )
+    out = asof_join(
+        clicks, purchases, by="user_id", on="ts",
+        direction="nearest", tolerance_ms=3_600_000,
+    )
+    return out.select("event_id", "user_id", "p_ms").df
+
+
 def q_fill_down(spark, sf_dir):
     """LOCF gap-fill (tidyr fill .direction='down'): NULLs take the
     most recent prior non-NULL per user in event-time order."""
@@ -1618,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "events_rolling_24h": q_events_rolling_24h,
         "range_join_sessions": q_range_join_sessions,
+        "asof_nearest": q_asof_nearest,
         "fill_down": q_fill_down,
         "unite_separate": q_unite_separate,
         "train_test_split": q_train_test_split,
@@ -1977,6 +1998,17 @@ def oracle_sql() -> dict[str, str]:
                                  AS DOUBLE) / strlen(text), 6)
                         ELSE 0.0 END AS top_2gram_char_frac
             FROM h
+        """,
+        "asof_nearest": """
+            SELECT l.event_id, l.user_id,
+                   (SELECT CAST(epoch_ms(r.ts) AS BIGINT) FROM events r
+                     WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+                       AND abs(epoch_ms(r.ts) - epoch_ms(l.ts)) <= 3600000
+                     ORDER BY abs(epoch_ms(r.ts) - epoch_ms(l.ts)) ASC,
+                              CASE WHEN epoch_ms(r.ts) <= epoch_ms(l.ts)
+                                   THEN 0 ELSE 1 END ASC
+                     LIMIT 1) AS p_ms
+            FROM events l WHERE l.event_type = 'click'
         """,
         "range_join_sessions": """
             WITH flags AS (

@@ -209,3 +209,73 @@ def test_rolling_agg_trailing_window(spark):
     assert out.loc[3, "rolling_sum"] == 60.0  # inclusive lower bound
     assert out.loc[4, "rolling_sum"] == 40.0 and out.loc[4, "rolling_n"] == 1
     assert out.loc[5, "rolling_sum"] == 5.0
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_join_directions_match_pandas(spark, direction):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 60),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 100_000, 60), unit="s"),
+            "lv": np.arange(60),
+        }
+    ).sort_values("ts")
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 40),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 100_000, 40), unit="s"),
+            "rv": np.arange(40) * 10,
+        }
+    ).sort_values("ts")
+    want = pd.merge_asof(left, right, on="ts", by="k", direction=direction)
+    got = (
+        asof_join(
+            from_pandas(spark, left), from_pandas(spark, right),
+            by="k", on="ts", direction=direction,
+        )
+        .collect()
+        .sort_values(["ts", "lv"]).reset_index(drop=True)
+    )
+    want = want.sort_values(["ts", "lv"]).reset_index(drop=True)
+    norm = lambda s: [None if pd.isna(v) else v for v in s]
+    assert norm(got["rv"]) == norm(want["rv"])
+
+
+def test_asof_join_tolerance_matches_pandas(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 50),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 50_000, 50), unit="s"),
+            "lv": np.arange(50),
+        }
+    ).sort_values("ts")
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 30),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 50_000, 30), unit="s"),
+            "rv": np.arange(30) * 10,
+        }
+    ).sort_values("ts")
+    tol = pd.Timedelta("30 minutes")
+    want = pd.merge_asof(left, right, on="ts", by="k", tolerance=tol)
+    got = (
+        asof_join(
+            from_pandas(spark, left), from_pandas(spark, right),
+            by="k", on="ts", tolerance_ms=30 * 60 * 1000,
+        )
+        .collect()
+        .sort_values(["ts", "lv"]).reset_index(drop=True)
+    )
+    want = want.sort_values(["ts", "lv"]).reset_index(drop=True)
+    norm = lambda s: [None if pd.isna(v) else v for v in s]
+    assert norm(got["rv"]) == norm(want["rv"])

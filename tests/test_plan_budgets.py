@@ -102,6 +102,7 @@ EXCHANGE_BUDGETS = {
     "salted_join": 2,           # salted equi-join + segment agg
     "dedup_cluster_labels": 0,  # final plan reads the CC localCheckpoint
     "media_metadata": 0,        # per-row binary hash, map-only
+    "asof_nearest": 1,          # union + two same-key windows, one shuffle
     "fill_down": 1,
     "unite_separate": 0,
     "train_test_split": 0,
