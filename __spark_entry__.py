@@ -1148,6 +1148,52 @@ def q_tpch_q7(spark, sf_dir):
     )
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    ASIA-region PROMO-part revenue by order year. All dims broadcast;
+    the share is a conditional-sum ratio over exact integer cents."""
+    nat = _t(spark, sf_dir, "nation")
+    asia_cust = (
+        _t(spark, sf_dir, "customer")
+        .inner_join(nat.broadcast(), by={"c_nationkey": "n_nationkey"}, na_matches="never")
+        .inner_join(
+            _t(spark, sf_dir, "region").filter("r_name == 'ASIA'").broadcast(),
+            by={"n_regionkey": "r_regionkey"},
+            na_matches="never",
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .inner_join(nat.broadcast(), by={"s_nationkey": "n_nationkey"}, na_matches="never")
+        .rename(supp_nation="n_name")
+        .select("s_suppkey", "supp_nation")
+    )
+    part = _t(spark, sf_dir, "part").filter("p_type == 'PROMO'")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    bp = F.round(F.col("l_discount") * 100, 0).cast("long")
+    vol = cents * (F.lit(100) - bp)
+    national = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
+    return (
+        li.inner_join(part.broadcast(), by={"l_partkey": "p_partkey"}, na_matches="never")
+        .inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
+        .inner_join(asia_cust.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
+        .inner_join(supp.broadcast(), by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        .mutate(o_year=F.year("o_orderdate"))
+        .group_by("o_year")
+        .summarise(
+            mkt_share=F.round(
+                F.sum(national).cast("double") / F.sum(vol).cast("double"), 6
+            ),
+            total_vol=(F.sum(vol).cast("double") / 10000),
+        )
+        .arrange("o_year")
+        .df
+    )
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-resistant salted join: orders x customer on a salted key
     spreads hot custkeys over 16 shuffle partitions. The salt is
@@ -1633,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q7": q_tpch_q7,
         "tpch_q19": q_tpch_q19,
+        "tpch_q8": q_tpch_q8,
         "salted_join": q_salted_join,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
@@ -2057,6 +2104,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
             GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q8": """
+            WITH vols AS (
+              SELECT year(o_orderdate) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol,
+                     sn.n_name AS supp_nation
+              FROM lineitem
+              JOIN part     ON l_partkey = p_partkey
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region   ON cn.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+            )
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)
+                              AS DOUBLE) / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share,
+                   CAST(sum(vol) AS DOUBLE) / 10000 AS total_vol
+            FROM vols GROUP BY o_year
         """,
         "salted_join": """
             SELECT c_mktsegment, count(*) AS n

@@ -156,3 +156,11 @@ def write_parquet(frame: Frame, path: str, mode: str = "overwrite", partition_by
 
 def write_csv(frame: Frame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     frame.df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(frame: Frame, path: str, mode: str = "overwrite") -> None:
+    frame.df.write.mode(mode).json(path)
+
+
+def write_orc(frame: Frame, path: str, mode: str = "overwrite") -> None:
+    frame.df.write.mode(mode).orc(path)

@@ -149,3 +149,21 @@ def test_collect_long_precision_warning(spark):
         out = t2.collect()
     assert not any("2^53" in str(x.message) for x in w2)
     assert out["x"].tolist()[0] == big
+
+
+def test_json_orc_roundtrip(spark, tmp_path):
+    from cuplyr_spark.sources.readers import write_json, write_orc
+    from cuplyr_spark import read_json, read_orc, from_pandas
+    import pandas as pd
+
+    t = from_pandas(
+        spark, pd.DataFrame({"a": [1, 2, 3], "s": ["x", "y", "z"]})
+    )
+    pj = str(tmp_path / "t_json")
+    po = str(tmp_path / "t_orc")
+    write_json(t, pj)
+    write_orc(t, po)
+    back_j = read_json(spark, pj, schema="a bigint, s string").collect().sort_values("a")
+    back_o = read_orc(spark, po).collect().sort_values("a")
+    assert back_j.a.tolist() == [1, 2, 3] and back_j.s.tolist() == ["x", "y", "z"]
+    assert back_o.a.tolist() == [1, 2, 3] and back_o.s.tolist() == ["x", "y", "z"]

@@ -99,6 +99,7 @@ EXCHANGE_BUDGETS = {
     "events_rolling_24h": 1,    # keyed range-frame window
     "range_join_sessions": 1,   # session window reused; bucket join broadcasts
     "tpch_q19": 1,              # broadcast part join + single agg
+    "tpch_q8": 2,               # agg + year sort; all dims broadcast
     "salted_join": 2,           # salted equi-join + segment agg
     "dedup_cluster_labels": 0,  # final plan reads the CC localCheckpoint
     "media_metadata": 0,        # per-row binary hash, map-only
