@@ -71,3 +71,54 @@ def test_arrange_unary_minus_desc(spark):
     t = from_pandas(spark, pd.DataFrame({"x": [2.0, None, 1.0]}))
     out = t.arrange("-x").collect()["x"].tolist()
     assert pd.isna(out[0]) and out[1:] == [2.0, 1.0]  # desc: NA first
+
+
+def test_large_sequence_packing(big):
+    """Greedy packing over 1e6 synthetic docs: invariants hold and the
+    scan stays sharded (no single-task state)."""
+    from cuplyr_spark.pipeline.packing import pack_greedy
+    from cuplyr_spark import tbl as _tbl
+
+    docs = _tbl(
+        big.df.select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 900 + 100).cast("long").alias("n_tokens"),
+        )
+    )
+    packed = pack_greedy(docs, budget=4096, shards=64)
+    stats = (
+        packed.df.groupBy("shard", "pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("packs"),
+            F.max(F.when(F.col("n") > 1, F.col("tot"))).alias("max_multi"),
+        )
+        .collect()[0]
+    )
+    assert stats.packs > 100_000  # ~1e6 docs / handful per pack
+    assert stats.max_multi <= 4096  # only singletons may exceed budget
+
+
+def test_large_rolling_and_funnel(spark):
+    """Rolling window + funnel over 1e6 events across 10k users: one
+    keyed shuffle each, bounded output."""
+    from cuplyr_spark import tbl as _tbl
+    from cuplyr_spark.operators.events import funnel, with_rolling_agg
+
+    ev = _tbl(
+        spark.range(1_000_000)
+        .withColumn("user_id", F.col("id") % 10_000)
+        .withColumn("ts", F.timestamp_millis(1704067200000 + F.col("id") * 797))
+        .withColumn(
+            "event_type",
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ),
+        )
+        .withColumn("value", (F.col("id") % 13).cast("double"))
+    )
+    fu = funnel(ev, ["view", "click", "purchase"])
+    assert fu.df.count() == 10_000
+    roll = with_rolling_agg(ev, "value", "user_id", "ts", 3_600_000)
+    assert roll.df.count() == 1_000_000
