@@ -551,6 +551,13 @@ def q_mixture_resample(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (smoothed idf): map-side token
+    explode, one term-grain agg, idf broadcast back, keyed-window
+    top-k."""
+    return TX.tf_idf_top_terms(_t(spark, sf_dir, "documents"), top_k=3).df
+
+
 def q_sequence_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT-style): documents laid
     end-to-end per shard, cut every 2048 tokens. One keyed-window
@@ -1644,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "sequence_pack": q_sequence_pack,
         "sequence_pack_greedy": q_sequence_pack_greedy,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "decontaminate": q_decontaminate,
         "mixture_resample": q_mixture_resample,
         "minhash_signatures": q_minhash_signatures,
@@ -2218,6 +2226,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r ON d.source = r.source
             WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
                      AS BIGINT) % 10000) < r.thresh
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ), toks_f AS (
+              SELECT doc_id, term FROM toks WHERE term <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks_f GROUP BY doc_id, term
+            ), n AS (
+              SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+            ), dft AS (
+              SELECT term, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, term FROM toks_f) GROUP BY term
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (dft.df + 1)) + 1.0), 6) AS tfidf
+              FROM tf JOIN dft USING (term) CROSS JOIN n
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "sequence_pack": """
             WITH t AS (

@@ -333,3 +333,56 @@ def with_fingerprint(frame: Frame, text_col: str = "text") -> Frame:
         frame.df.withColumn("fingerprint", F.md5(norm)),
         frame.group_vars(),
     )
+
+
+def tf_idf_top_terms(
+    frame: Frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> Frame:
+    """Per-document top-k TF-IDF terms (classic text featurization).
+
+    tf(t, d) = count of t in d; idf(t) = ln((N + 1) / (df_t + 1)) + 1
+    (the smoothed scikit-learn formulation — public knowledge, chosen
+    because it never divides by zero). Returns one row per (doc, term)
+    for the top_k terms by score, ties broken lexicographically.
+
+    100 TB shape: token explode is map-side; document frequencies are
+    one (term) hash-agg; the tiny idf table broadcasts back onto the
+    per-doc term counts; top-k is a keyed window. The corpus text
+    itself shuffles once at term grain (unavoidable for exact df) —
+    at extreme scale swap exact df for a broadcast count-min sketch,
+    same downstream plan.
+    """
+    from pyspark.sql import Window
+
+    toks = frame.df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = frame.df.select(F.countDistinct(id_col).alias("__n_docs"))
+    # df falls out of tf for free: tf rows ARE the distinct (doc, term)
+    # pairs, so one re-agg by term replaces a second pass over tokens
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.log((F.col("__n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1.0,
+        )
+        .select("term", "df", "idf")
+    )
+    scored = tf.join(F.broadcast(df_t), on="term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "tfidf", "rank")
+    )
+    return Frame(out, ())

@@ -317,3 +317,19 @@ def test_mixture_resample_proportions(spark):
     assert sorted(out.doc_id) == sorted(again.doc_id)
     with pytest.raises(ValueError):
         resample_to_mixture(f, "source", {"a": 0.2, "b": 0.2})
+
+
+def test_tfidf_top_terms_known_values(spark):
+    import math
+
+    rows = [(0, "a a b"), (1, "a c")]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = TX.tf_idf_top_terms(f, top_k=2).collect()
+    idf_rare = math.log(3 / 2) + 1  # df=1, N=2
+    d0 = out[out.doc_id == 0].sort_values("rank")
+    # doc0: tf(a)=2, idf(a)=ln(3/3)+1=1 -> 2.0 beats b's 1.405
+    assert d0.term.tolist() == ["a", "b"]
+    assert d0.tfidf.tolist() == [2.0, round(idf_rare, 6)]
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    # doc1: rare c outranks common a
+    assert d1.term.tolist() == ["c", "a"]

@@ -104,6 +104,7 @@ EXCHANGE_BUDGETS = {
     "dedup_cluster_labels": 0,  # final plan reads the CC localCheckpoint
     "media_metadata": 0,        # per-row binary hash, map-only
     "asof_nearest": 1,          # union + two same-key windows, one shuffle
+    "tfidf_top_terms": 6,       # tf agg + df re-agg + n_docs + doc window; term-grain rows only
     "fill_down": 1,
     "unite_separate": 0,
     "train_test_split": 0,
