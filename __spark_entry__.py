@@ -1220,6 +1220,28 @@ def q_salted_join(spark, sf_dir):
     )
 
 
+def q_standardize(spark, sf_dir):
+    """Per-group z-score standardization: tiny moments aggregate
+    broadcast back, input never shuffles."""
+    from cuplyr_spark.operators.stats import standardize
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        standardize(cust, ["c_acctbal"], by=["c_mktsegment"])
+        .select("c_custkey", "c_mktsegment", "c_acctbal_z")
+        .df
+    )
+
+
+def q_histogram(spark, sf_dir):
+    """Fixed-width 20-bin histogram of extended price: map-side bucket
+    index + one partial+final count agg."""
+    from cuplyr_spark.operators.stats import histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", bins=20, lo=0.0, hi=110000.0).df
+
+
 def q_tpch_q19(spark, sf_dir):
     """TPC-H Q19 shape (discounted revenue, OR-of-ANDs over part
     attributes + lineitem ranges). One broadcast join; Catalyst pulls
@@ -1689,6 +1711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q8": q_tpch_q8,
         "salted_join": q_salted_join,
+        "standardize": q_standardize,
+        "histogram": q_histogram,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
         "events_rolling_24h": q_events_rolling_24h,
@@ -2112,6 +2136,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
             GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "standardize": """
+            SELECT c_custkey, c_mktsegment,
+                   CASE WHEN sd > 0
+                        THEN round((c_acctbal - mu) / sd, 6) END AS c_acctbal_z
+            FROM (
+              SELECT c_custkey, c_mktsegment, c_acctbal,
+                     avg(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mu,
+                     stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment) AS sd
+              FROM customer
+            )
+        """,
+        "histogram": """
+            WITH b AS (
+              SELECT least(greatest(
+                       CAST(floor((l_extendedprice - 0.0) / 5500.0) AS BIGINT),
+                       0), 19) AS bucket
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT bucket, count(*) AS n,
+                   round(0.0 + bucket * 5500.0, 6) AS lo,
+                   round(0.0 + (bucket + 1) * 5500.0, 6) AS hi
+            FROM b GROUP BY bucket
         """,
         "tpch_q8": """
             WITH vols AS (

@@ -279,3 +279,29 @@ def test_asof_join_tolerance_matches_pandas(spark):
     want = want.sort_values(["ts", "lv"]).reset_index(drop=True)
     norm = lambda s: [None if pd.isna(v) else v for v in s]
     assert norm(got["rv"]) == norm(want["rv"])
+
+
+def test_standardize_known_values(spark):
+    from cuplyr_spark.operators.stats import standardize
+
+    rows = [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 5.0), (4, "b", 5.0)]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["id", "g", "x"]))
+    out = standardize(f, ["x"], by=["g"]).collect().set_index("id")
+    # group a: mean 2, sd sqrt(2) -> z = ±0.707107
+    assert out.loc[1, "x_z"] == pytest.approx(-0.707107, abs=1e-6)
+    assert out.loc[2, "x_z"] == pytest.approx(0.707107, abs=1e-6)
+    # zero-variance group -> NULL, not inf
+    assert pd.isna(out.loc[3, "x_z"]) and pd.isna(out.loc[4, "x_z"])
+
+
+def test_histogram_buckets_and_clamping(spark):
+    from cuplyr_spark.operators.stats import histogram
+
+    rows = [(x,) for x in [-5.0, 0.0, 1.5, 2.5, 9.99, 15.0, None]]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["x"]))
+    out = histogram(f, "x", bins=5, lo=0.0, hi=10.0).collect()
+    got = {int(r.bucket): int(r.n) for r in out.itertuples()}
+    # -5 clamps into bucket 0; 15 clamps into bucket 4; None dropped
+    assert got == {0: 3, 1: 1, 4: 2}
+    b0 = out[out.bucket == 0].iloc[0]
+    assert b0.lo == 0.0 and b0.hi == 2.0

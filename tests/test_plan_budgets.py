@@ -105,6 +105,8 @@ EXCHANGE_BUDGETS = {
     "media_metadata": 0,        # per-row binary hash, map-only
     "asof_nearest": 1,          # union + two same-key windows, one shuffle
     "tfidf_top_terms": 6,       # tf agg + df re-agg + n_docs + doc window; term-grain rows only
+    "standardize": 1,           # tiny moments agg broadcast back
+    "histogram": 1,             # map-side bucket + partial+final count
     "fill_down": 1,
     "unite_separate": 0,
     "train_test_split": 0,
