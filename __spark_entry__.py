@@ -1220,6 +1220,85 @@ def q_salted_join(spark, sf_dir):
     )
 
 
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): left join keeps
+    zero-order customers, two cascaded aggs (per-customer count, then
+    count-of-counts)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.left_join(orders, by={"c_custkey": "o_custkey"}, na_matches="never")
+        .group_by("c_custkey")
+        .summarise(c_count=F.count("o_orderkey"))
+    )
+    return (
+        per_cust.group_by("c_count")
+        .summarise(custdist=A.n())
+        .arrange(desc("custdist"), desc("c_count"))
+        .df
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the max-revenue supplier(s) via a broadcast max join — the
+    correlated-subquery HAVING realized without a second fact scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= '1996-01-01'", "l_shipdate < '1996-04-01'"
+    )
+    rev = (
+        li.group_by("l_suppkey")
+        .summarise(total_revenue=_revenue_sum())
+    )
+    top = rev.df.agg(F.max("total_revenue").alias("max_rev"))
+    out = (
+        rev.df.join(F.broadcast(top), on=rev.df.total_revenue == F.col("max_rev"))
+        .drop("max_rev")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        Frame(out, ())
+        .inner_join(supp, by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        .select("l_suppkey", "s_name", "total_revenue")
+        .arrange("l_suppkey")
+        .df
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): lineitems below 20%
+    of their part's average quantity. The per-part avg is a fact-grain
+    agg broadcast back — no second fact shuffle, no correlated
+    rescan."""
+    li = _t(spark, sf_dir, "lineitem")
+    brand_parts = _t(spark, sf_dir, "part").filter("p_brand == 'Brand#1'").select(
+        "p_partkey"
+    )
+    flt = li.inner_join(
+        brand_parts.broadcast(), by={"l_partkey": "p_partkey"}, na_matches="never"
+    )
+    avg_qty = (
+        flt.group_by("l_partkey")
+        .summarise(threshold=F.avg("l_quantity") * 0.2)
+    )
+    return (
+        flt.inner_join(avg_qty.broadcast(), by="l_partkey", na_matches="never")
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .summarise(
+            avg_yearly=F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).cast(
+                    "double"
+                )
+                / 100
+                / 7,
+                6,
+            ),
+            n=A.n(),
+        )
+        .df
+    )
+
+
 def q_standardize(spark, sf_dir):
     """Per-group z-score standardization: tiny moments aggregate
     broadcast back, input never shuffles."""
@@ -1713,6 +1792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "standardize": q_standardize,
         "histogram": q_histogram,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
         "events_rolling_24h": q_events_rolling_24h,
@@ -2136,6 +2218,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
             GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15": f"""
+            WITH rev AS (
+              SELECT l_suppkey, {_REVENUE_SUM_SQL} AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT l_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY l_suppkey
+        """,
+        "tpch_q17": """
+            WITH flt AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#1'
+            ), thresholds AS (
+              SELECT l_partkey, avg(l_quantity) * 0.2 AS threshold
+              FROM flt GROUP BY l_partkey
+            )
+            SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100 / 7, 6) AS avg_yearly,
+                   count(*) AS n
+            FROM flt JOIN thresholds USING (l_partkey)
+            WHERE l_quantity < threshold
         """,
         "standardize": """
             SELECT c_custkey, c_mktsegment,

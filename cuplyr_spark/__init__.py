@@ -53,29 +53,40 @@ from cuplyr_spark.selectors import (
 # discoverability; the implementing modules carry the design docs.
 from cuplyr_spark.operators.asof import asof_join
 from cuplyr_spark.operators.events import (
+    funnel,
+    retention_cohorts,
     sessionize,
     session_stats,
     time_bucket_agg,
+    with_rolling_agg,
     with_running_sum,
 )
-from cuplyr_spark.operators.skew import salted_summarise
+from cuplyr_spark.operators.rangejoin import range_join
+from cuplyr_spark.operators.skew import salted_join, salted_summarise
+from cuplyr_spark.operators.stats import histogram, standardize
 from cuplyr_spark.pipeline.dedup import (
     dedup_clusters,
     exact_dedup,
+    flag_contaminated,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from cuplyr_spark.pipeline.packing import pack_concat_chunks, pack_greedy
 from cuplyr_spark.pipeline.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
     lsh_cosine_topk,
 )
 from cuplyr_spark.pipeline.text import (
+    tf_idf_top_terms,
     with_fingerprint,
+    with_gopher_flags,
     with_lang_id,
+    with_pii_scrub,
     with_quality_score,
+    with_repetition_stats,
     with_token_stats,
 )
 from cuplyr_spark.functions import window as win
@@ -83,11 +94,12 @@ from cuplyr_spark.functions.expr import case_when
 from cuplyr_spark.agg import across
 from cuplyr_spark.pipeline.sampling import (
     deterministic_split,
+    resample_to_mixture,
     stratified_hash_sample,
     with_split_label,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "get_session",

@@ -100,6 +100,9 @@ EXCHANGE_BUDGETS = {
     "range_join_sessions": 1,   # session window reused; bucket join broadcasts
     "tpch_q19": 1,              # broadcast part join + single agg
     "tpch_q8": 2,               # agg + year sort; all dims broadcast
+    "tpch_q13": 3,              # per-cust agg + count-of-counts + sort
+    "tpch_q15": 4,              # quarter agg + global max + supplier join + sort
+    "tpch_q17": 2,              # per-part threshold agg + final agg; part broadcast
     "salted_join": 2,           # salted equi-join + segment agg
     "dedup_cluster_labels": 0,  # final plan reads the CC localCheckpoint
     "media_metadata": 0,        # per-row binary hash, map-only
