@@ -789,6 +789,40 @@ def q_streaming_sessionize(spark, sf_dir):
 
 
 
+def q_streaming_windowed(spark, sf_dir):
+    """Structured Streaming tumbling 1h event-time windows with
+    watermark, driven to completion over the bounded events stream.
+    Oracle: the batch date_trunc rollup — streaming and batch must
+    agree exactly on a bounded input."""
+    from pyspark.sql import functions as SF
+
+    from cuplyr_spark.streaming.stream import run_to_memory, windowed_agg
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", SF.timestamp_micros(SF.expr("ts DIV 1000")))
+    )
+    agg = windowed_agg(
+        src, "ts", window="1 hour", watermark="365 days",
+        group_cols=("event_type",),
+        n=SF.count(SF.lit(1)),
+        total_value=(
+            SF.sum(SF.round(SF.col("value") * 100, 0).cast("long")).cast("double")
+            / 100
+        ),
+    )
+    run_to_memory(agg, "q_stream_windows", output_mode="complete")
+    return spark.sql(
+        "SELECT unix_millis(window_start) AS bucket_ms, event_type, n, total_value "
+        "FROM q_stream_windows"
+    )
+
+
 def q_pivot_wider(spark, sf_dir):
     """Long -> wide pivot (Spark-native; oracle via conditional
     aggregation)."""
@@ -1771,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_windowed": q_streaming_windowed,
         "pivot_wider": q_pivot_wider,
         "pivot_longer": q_pivot_longer,
         "bind_cols": q_bind_cols,
@@ -2682,6 +2717,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
+        """,
+        "streaming_windowed": """
+            SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS bucket_ms,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                     AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "streaming_sessionize": """
             WITH flags AS (
