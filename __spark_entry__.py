@@ -823,6 +823,72 @@ def q_streaming_windowed(spark, sf_dir):
     )
 
 
+def q_streaming_static_join(spark, sf_dir):
+    """Stream-static enrichment: bounded events stream broadcast-joined
+    to a literal weight dim, rolled up per type. Oracle: the batch CASE
+    rollup — stream and batch must agree on bounded input."""
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    from cuplyr_spark.streaming.stream import run_to_memory, stream_static_join
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    weights = Frame(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_type": ["click", "view", "purchase", "signup", "error"],
+                    "weight": [1, 2, 5, 3, 0],
+                }
+            )
+        ),
+        (),
+    )
+    enriched = stream_static_join(src, weights, on="event_type", how="inner")
+    agg = enriched.groupBy("event_type").agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.sum(SF.round(SF.col("value") * 100, 0).cast("long") * SF.col("weight"))
+        .alias("weighted_cents"),
+    )
+    run_to_memory(agg, "q_stream_static", output_mode="complete")
+    return spark.sql(
+        "SELECT event_type, n, CAST(weighted_cents AS DOUBLE) / 100 AS weighted "
+        "FROM q_stream_static"
+    )
+
+
+def q_streaming_dedup_keys(spark, sf_dir):
+    """Custom stateful streaming (applyInPandasWithState): exactly one
+    emission per key across the stream. The emitted KEY SET is
+    deterministic and oracle-checked; which row wins is arrival-order
+    semantics by design, so only the key column is compared."""
+    from cuplyr_spark.streaming.stateful import streaming_dedup
+    from cuplyr_spark.streaming.stream import run_to_memory
+    from pyspark.sql import functions as SF
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn(
+            "k", SF.concat_ws("_", SF.col("user_id"), SF.col("event_type"))
+        )
+    )
+    deduped = streaming_dedup(src, "k", "event_id")
+    run_to_memory(deduped, "q_stream_dedup", output_mode="append")
+    return spark.sql("SELECT key FROM q_stream_dedup")
+
+
 def q_pivot_wider(spark, sf_dir):
     """Long -> wide pivot (Spark-native; oracle via conditional
     aggregation)."""
@@ -1806,6 +1872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_windowed": q_streaming_windowed,
+        "streaming_static_join": q_streaming_static_join,
+        "streaming_dedup_keys": q_streaming_dedup_keys,
         "pivot_wider": q_pivot_wider,
         "pivot_longer": q_pivot_longer,
         "bind_cols": q_bind_cols,
@@ -2717,6 +2785,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
+        """,
+        "streaming_static_join": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)
+                            * CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                                              WHEN 'purchase' THEN 5 WHEN 'signup' THEN 3
+                                              ELSE 0 END) AS DOUBLE) / 100 AS weighted
+            FROM events GROUP BY event_type
+        """,
+        "streaming_dedup_keys": """
+            SELECT DISTINCT concat(user_id, '_', event_type) AS key FROM events
         """,
         "streaming_windowed": """
             SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS bucket_ms,

@@ -133,7 +133,12 @@ EXCHANGE_BUDGETS = {
 # a by-construction tiny input (post-limit / post-agg). None currently.
 TINY_GLOBAL_WINDOW_OK: dict[str, int] = {}
 
-SKIP = {"streaming_sessionize", "streaming_windowed"}  # streaming plans print differently
+SKIP = {
+    "streaming_sessionize",
+    "streaming_windowed",
+    "streaming_static_join",
+    "streaming_dedup_keys",
+}  # streaming plans print differently
 
 
 @pytest.fixture(scope="module")
