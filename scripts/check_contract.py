@@ -101,8 +101,14 @@ def compare(name, got: pd.DataFrame, want: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     con = duckdb.connect()
     for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
         tname = os.path.basename(path).replace(".parquet", "")
@@ -111,6 +117,7 @@ def main():
     spark = get_session(app_name="contract_check")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = 0
+    ledger = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -119,24 +126,58 @@ def main():
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:200]}")
+            ledger[name] = {"status": "FAIL", "err": f"spark: {str(e)[:200]}"}
             n_fail += 1
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"SKIP {name}: no oracle (rows-only) — {len(got)} rows, {time.time()-t0:.1f}s")
+            elapsed = time.time() - t0
+            print(f"SKIP {name}: no oracle (rows-only) — {len(got)} rows, {elapsed:.1f}s")
+            ledger[name] = {
+                "status": "ROWS_ONLY",
+                "rows": len(got),
+                "sec": round(elapsed, 2),
+                "err": None,
+            }
             continue
         try:
             want = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            ledger[name] = {"status": "FAIL", "err": f"duckdb: {str(e)[:200]}"}
             n_fail += 1
             continue
         ok, note = compare(name, got, want)
         status = "PASS" if ok else "FAIL"
         n_pass += ok
         n_fail += not ok
-        print(f"{status} {name}: {note} ({len(got)} rows, {time.time()-t0:.1f}s)")
+        elapsed = time.time() - t0
+        print(f"{status} {name}: {note} ({len(got)} rows, {elapsed:.1f}s)")
+        ledger[name] = {
+            "status": status,
+            "note": note,
+            "rows": len(got),
+            "oracle_rows": len(want),
+            "sec": round(elapsed, 2),
+            "err": None if ok else note,
+        }
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": sum(1 for v in ledger.values() if v["status"] == "ROWS_ONLY"),
+                    "queries": ledger,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     # entry smoke
     rows = entrymod.entry(spark).collect()
     print(f"entry(): {len(rows)} rows")
