@@ -2489,7 +2489,9 @@ def oracle_sql() -> dict[str, str]:
             ), m AS (
               SELECT min(cnt / tgt) AS T FROM t
             ), r AS (
-              SELECT source, CAST(floor(tgt * T / cnt * 10000) AS BIGINT) AS thresh
+              SELECT source,
+                     CAST(least(floor(tgt * T / cnt * 10000 + 1e-9), 10000)
+                       AS BIGINT) AS thresh
               FROM t, m
             )
             SELECT d.doc_id, d.source
@@ -2558,10 +2560,13 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
                      CASE WHEN s.pack_tokens + t.n_tokens > 2048
+                           AND s.pack_tokens > 0
                           THEN s.pack_id + 1 ELSE s.pack_id END,
                      CASE WHEN s.pack_tokens + t.n_tokens > 2048
+                           AND s.pack_tokens > 0
                           THEN 0 ELSE s.pack_pos + 1 END,
                      CASE WHEN s.pack_tokens + t.n_tokens > 2048
+                           AND s.pack_tokens > 0
                           THEN t.n_tokens ELSE s.pack_tokens + t.n_tokens END
               FROM step s JOIN t ON t.shard = s.shard AND t.rn = s.rn + 1
             )

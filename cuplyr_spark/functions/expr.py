@@ -107,6 +107,72 @@ class ExprError(ValueError):
     pass
 
 
+def _shift_group_refs(pat: str, repl: str) -> str:
+    """Rewrite an R/ICU replacement string (backrefs ``\\N``) into Java
+    replacement syntax (``$N``) with every group number shifted by one,
+    because the compiled pattern gains a synthetic prefix group ``$1``
+    (the first-match-only anchor in expr_str_replace).
+
+    Escape-aware, unlike a bare regex sub:
+    - ``\\\\`` (literal backslash) passes through untouched — a following
+      digit is literal text, not a group ref;
+    - ``\\0`` (whole-match ref) is rejected: the Java pattern's group 0
+      would include the synthetic prefix, silently duplicating text;
+    - multi-digit refs bind like regex engines do — the longest digit run
+      that is a valid group number of ``pat`` (so ``\\10`` with a 1-group
+      pattern is group 1 + literal "0");
+    - refs beyond the pattern's group count are an error, matching
+      stringr/ICU behavior;
+    - ``$`` is escaped for Java's replacement grammar.
+    """
+    try:
+        n_groups = re.compile(pat).groups
+    except re.error:
+        n_groups = 9  # Java-only syntax Python can't parse; assume max
+    out = []
+    i = 0
+    while i < len(repl):
+        ch = repl[i]
+        if ch == "$":
+            out.append("\\$")
+            i += 1
+        elif ch == "\\" and i + 1 < len(repl):
+            nxt = repl[i + 1]
+            if nxt == "\\":
+                out.append("\\\\")
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                while j < len(repl) and repl[j].isdigit():
+                    j += 1
+                digits = repl[i + 1 : j]
+                # longest prefix that is a valid group number
+                while len(digits) > 1 and int(digits) > n_groups:
+                    digits = digits[:-1]
+                num = int(digits)
+                if num == 0:
+                    # plain ValueError: must surface to the user, not
+                    # trigger compile_expr's Spark-SQL fallback
+                    raise ValueError(
+                        "\\0 (whole-match backreference) is not supported "
+                        "in str_replace replacements"
+                    )
+                if num > n_groups:
+                    raise ValueError(
+                        f"backreference \\{num} exceeds the pattern's "
+                        f"{n_groups} group(s)"
+                    )
+                out.append("$" + str(num + 1))
+                i += 1 + len(digits)
+            else:
+                out.append(ch + nxt)
+                i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _raw(node: ast.AST):
     """Literal value of a constant argument (for pyspark functions that
     require raw Python str/int, not a Column)."""
@@ -230,8 +296,7 @@ def _compile_call(node: ast.Call) -> Column:
         # `$` must be escaped for Java's replacement syntax.
         pat = _raw(node.args[1])
         repl = _raw(node.args[2]) if name == "expr_str_replace" else ""
-        repl = repl.replace("$", "\\$")
-        repl = re.sub(r"\\([0-9])", lambda m: "$" + str(int(m.group(1)) + 1), repl)
+        repl = _shift_group_refs(pat, repl)
         return F.regexp_replace(
             args[0], "^([\\s\\S]*?)(?:" + pat + ")", "$1" + repl
         )

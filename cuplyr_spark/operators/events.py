@@ -185,7 +185,11 @@ def with_rolling_agg(
     """
     if window_ms < 0:
         raise ValueError("window_ms must be >= 0")
-    m = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    from cuplyr_spark.operators.asof import _ms_of
+
+    # Same _ms convention as asof/range joins: timestamp/date columns
+    # go through unix_millis, numeric columns are already milliseconds.
+    m = _ms_of(frame.df, ts_col)
     w = (
         Window.partitionBy(key_col)
         .orderBy(m)

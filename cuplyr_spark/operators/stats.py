@@ -35,11 +35,22 @@ def standardize(
         aggs.append(F.avg(c).alias(f"__mu_{c}"))
         aggs.append(F.stddev_samp(c).alias(f"__sd_{c}"))
     moments = frame.df.groupBy(*keys).agg(*aggs) if keys else frame.df.agg(*aggs)
-    joined = (
-        frame.df.join(F.broadcast(moments), on=keys, how="left")
-        if keys
-        else frame.df.crossJoin(F.broadcast(moments))
-    )
+    if keys:
+        # Null-safe key equality so NULL groups pick up the moments
+        # groupBy computed for them (matching window-partition semantics).
+        mom = moments
+        renames = {k: f"__key_{k}" for k in keys}
+        for k, a in renames.items():
+            mom = mom.withColumnRenamed(k, a)
+        cond = None
+        for k, a in renames.items():
+            c = frame.df[k].eqNullSafe(mom[a])
+            cond = c if cond is None else cond & c
+        joined = frame.df.join(F.broadcast(mom), on=cond, how="left").drop(
+            *renames.values()
+        )
+    else:
+        joined = frame.df.crossJoin(F.broadcast(moments))
     for c in cols:
         z = F.when(
             F.col(f"__sd_{c}") > 0,

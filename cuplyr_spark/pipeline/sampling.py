@@ -131,10 +131,18 @@ def resample_to_mixture(
     # max feasible kept-total T keeps ALL of the binding group:
     # T = min over groups of cnt / tgt; per-group keep rate tgt*T/cnt.
     tmin = counts.agg(F.min(F.col("__cnt") / F.col("__tgt")).alias("__T"))
+    # The binding group's rate is exactly 1.0 in real arithmetic but can
+    # evaluate to 0.999... in floating point; the epsilon + clamp keeps
+    # the docstring's "keeps every row of the binding group" guarantee
+    # (mirrored in the mixture_resample oracle SQL).
     rates = counts.crossJoin(F.broadcast(tmin)).withColumn(
         "__thresh",
-        F.floor(
-            F.col("__tgt") * F.col("__T") / F.col("__cnt") * GRANULARITY
+        F.least(
+            F.floor(
+                F.col("__tgt") * F.col("__T") / F.col("__cnt") * GRANULARITY
+                + F.lit(1e-9)
+            ),
+            F.lit(GRANULARITY),
         ).cast("long"),
     )
     out = (

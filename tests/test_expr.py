@@ -170,3 +170,30 @@ def test_quantile_aggs(spark):
     ).collect()
     assert out["p50"].tolist() == [3.0]
     assert out["p90"].iloc[0] in (4.0, 100.0)  # sketch: rank-error bounded
+
+
+def test_str_replace_backref_edge_cases(spark):
+    """Escape-aware group-ref shifting (ADVICE r2): literal backslashes
+    pass through, multi-digit refs bind longest-valid like a regex
+    engine, and \\0 / out-of-range refs are rejected."""
+    from cuplyr_spark.functions.expr import _shift_group_refs
+
+    # escaped literal backslash before a digit is literal text, not a ref
+    assert _shift_group_refs("(a)", "\\\\1") == "\\\\1"
+    # 1-group pattern: \10 binds as group 1 + literal "0" (Java reparses
+    # $20 the same way: longest valid group, then literal)
+    assert _shift_group_refs("(a)", "\\10") == "$20"
+    # 10-group pattern: \10 binds the full two digits, shifted to $11
+    assert _shift_group_refs("(a)" * 10, "\\10") == "$11"
+    # $ in the replacement is literal for the user, escaped for Java
+    assert _shift_group_refs("a", "$5") == "\\$5"
+    with pytest.raises(ValueError):
+        _shift_group_refs("(a)", "\\0")
+    with pytest.raises(ValueError):
+        _shift_group_refs("(a)", "\\2")
+
+
+def test_str_replace_whole_match_ref_rejected(spark):
+    t = from_pandas(spark, pd.DataFrame({"s": ["ab"]}))
+    with pytest.raises(ValueError):
+        t.mutate(x="str_replace(s, 'a', '\\\\0')").collect()

@@ -305,3 +305,37 @@ def test_histogram_buckets_and_clamping(spark):
     assert got == {0: 3, 1: 1, 4: 2}
     b0 = out[out.bucket == 0].iloc[0]
     assert b0.lo == 0.0 and b0.hi == 2.0
+
+
+def test_rolling_agg_numeric_ms_column(spark):
+    """Numeric time columns are epoch-milliseconds, matching the asof /
+    range-join convention (ADVICE r2: an unconditional timestamp cast
+    read ms as seconds, shrinking the window 1000x)."""
+    from cuplyr_spark.operators.events import with_rolling_agg
+
+    h = 3600 * 1000
+    rows = [(1, 1, 0, 10.0), (2, 1, h // 2, 20.0), (3, 1, h, 30.0), (4, 1, 5 * h // 2, 40.0)]
+    f = from_pandas(
+        spark, pd.DataFrame(rows, columns=["event_id", "user_id", "ms", "value"])
+    )
+    out = (
+        with_rolling_agg(f, "value", "user_id", "ms", h)
+        .collect()
+        .set_index("event_id")
+    )
+    assert out.loc[2, "rolling_sum"] == 30.0
+    assert out.loc[3, "rolling_sum"] == 60.0  # inclusive 1h lower bound
+    assert out.loc[4, "rolling_sum"] == 40.0 and out.loc[4, "rolling_n"] == 1
+
+
+def test_standardize_null_group_key(spark):
+    """NULL group keys standardize within the NULL group (null-safe
+    moments join), matching window-partition semantics (ADVICE r2)."""
+    from cuplyr_spark.operators.stats import standardize
+
+    rows = [(1, "a", 1.0), (2, "a", 3.0), (3, None, 5.0), (4, None, 7.0)]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["id", "g", "x"]))
+    out = standardize(f, ["x"], by=["g"]).collect().set_index("id")
+    assert out.loc[3, "x_z"] == pytest.approx(-0.707107, abs=1e-6)
+    assert out.loc[4, "x_z"] == pytest.approx(0.707107, abs=1e-6)
+    assert out.loc[1, "x_z"] == pytest.approx(-0.707107, abs=1e-6)

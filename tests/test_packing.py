@@ -67,3 +67,20 @@ def test_bad_args(counted):
         PK.pack_concat_chunks(counted, budget=0)
     with pytest.raises(ValueError):
         PK.pack_greedy(counted, budget=100, shards=0)
+
+
+def test_pack_greedy_zero_token_doc_shares_pack(spark):
+    """A zero-token document followed by an over-budget one stays in the
+    same pack (cur==0 never opens a new pack) — the recurrence the
+    sequence_pack_greedy oracle now mirrors exactly (ADVICE r2)."""
+    rows = [(0, 0), (1, 2000), (2, 500)]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "n_tokens"]))
+    out = (
+        PK.pack_greedy(f, budget=1000, shards=1)
+        .collect()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "pack_id"] == 0 and out.loc[1, "pack_id"] == 0
+    assert out.loc[2, "pack_id"] == 1 and out.loc[2, "pack_pos"] == 0
+    assert out.loc[1, "pack_tokens"] == 2000

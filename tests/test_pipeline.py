@@ -333,3 +333,16 @@ def test_tfidf_top_terms_known_values(spark):
     d1 = out[out.doc_id == 1].sort_values("rank")
     # doc1: rare c outranks common a
     assert d1.term.tolist() == ["c", "a"]
+
+
+def test_mixture_resample_binding_group_kept_exactly(spark):
+    """When group sizes already match the targets, every row is the
+    binding group and must be kept whole — the FP keep-rate can land at
+    0.999..., so the threshold is epsilon-bumped and clamped to
+    GRANULARITY (ADVICE r2)."""
+    from cuplyr_spark.pipeline.sampling import resample_to_mixture
+
+    rows = [(i, "a" if i < 300 else "b") for i in range(900)]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "source"]))
+    out = resample_to_mixture(f, "source", {"a": 1 / 3, "b": 2 / 3}).collect()
+    assert len(out) == 900
