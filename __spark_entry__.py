@@ -2751,10 +2751,17 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT doc_id, 1, md5(concat_ws('_', mh_2, mh_3)) FROM sig
               UNION ALL SELECT doc_id, 2, md5(concat_ws('_', mh_4, mh_5)) FROM sig
               UNION ALL SELECT doc_id, 3, md5(concat_ws('_', mh_6, mh_7)) FROM sig
+            ), keep AS (
+              -- mirror the engine's skew guard: buckets of size 1 can't
+              -- produce a pair; buckets above max_bucket_size are dropped
+              SELECT band, bh FROM bands GROUP BY band, bh
+              HAVING count(*) BETWEEN 2 AND 10000
+            ), kept AS (
+              SELECT b.* FROM bands b JOIN keep k USING (band, bh)
             )
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-                                      AND a.doc_id < b.doc_id
+            FROM kept a JOIN kept b ON a.band = b.band AND a.bh = b.bh
+                                    AND a.doc_id < b.doc_id
         """,
         "media_metadata": """
             SELECT doc_id,
@@ -2769,10 +2776,15 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT doc_id, 1, md5(concat_ws('_', mh_2, mh_3)) FROM sig
               UNION ALL SELECT doc_id, 2, md5(concat_ws('_', mh_4, mh_5)) FROM sig
               UNION ALL SELECT doc_id, 3, md5(concat_ws('_', mh_6, mh_7)) FROM sig
+            ), keep AS (
+              SELECT band, bh FROM bands GROUP BY band, bh
+              HAVING count(*) BETWEEN 2 AND 10000
+            ), kept AS (
+              SELECT b.* FROM bands b JOIN keep k USING (band, bh)
             ), pairs AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-                                        AND a.doc_id < b.doc_id
+              FROM kept a JOIN kept b ON a.band = b.band AND a.bh = b.bh
+                                      AND a.doc_id < b.doc_id
             ), edges AS (
               SELECT id_a AS a, id_b AS b FROM pairs
               UNION SELECT id_b, id_a FROM pairs
@@ -2785,11 +2797,18 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a
         """,
         "embedding_near_dup": f"""
+            WITH keep AS (
+              -- mirror the engine's skew guard (max_bucket_size=10000;
+              -- size-1 blocks can't pair)
+              SELECT label FROM embeddings GROUP BY label
+              HAVING count(*) BETWEEN 2 AND 10000
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    {_COS.format(a="a.embedding", b="b.embedding")} AS score
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE {_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
+            WHERE a.label IN (SELECT label FROM keep)
+              AND {_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
         """,
         "streaming_static_join": """
             SELECT event_type, count(*) AS n,

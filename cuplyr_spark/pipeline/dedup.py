@@ -116,17 +116,31 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> Frame:
     """LSH candidate pairs: split the signature into ``bands``, hash
     each band, self-join on (band index, band hash). The join key is a
     few bytes — the shuffle moves signatures, never documents, so this
-    survives 100 TB corpora where the O(n^2) comparison cannot."""
+    survives 100 TB corpora where the O(n^2) comparison cannot.
+
+    Skew guard: a degenerate band (e.g. millions of empty/boilerplate
+    documents sharing one signature) makes the within-bucket self-join
+    quadratic and lands it on one straggler task. Buckets larger than
+    ``max_bucket_size`` are dropped from candidate generation (their
+    members are better handled by exact dedup, which such content hits
+    anyway); buckets of size 1 are pruned too — they can't produce a
+    pair, so filtering them shrinks the self-join input for free. The
+    per-bucket counts are computed in-plan (one extra aggregate on the
+    slim (band, hash) table — no driver action). ``None`` disables the
+    cap (size-1 pruning stays on; it never changes results)."""
     if n_hashes % bands != 0:
         raise ValueError(
             f"minhash_lsh_pairs: n_hashes ({n_hashes}) must be divisible by "
             f"bands ({bands}) — trailing signature components would be "
             "silently ignored, degrading recall"
         )
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 (or None to disable)")
     rows = n_hashes // bands
     sigs = minhash_signatures(frame, text_col, id_col, n_hashes, shingle_k).df
     band_cols = []
@@ -138,8 +152,18 @@ def minhash_lsh_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bx")
     ).select(id_col, F.col("bx.band").alias("band"), F.col("bx.bh").alias("bh"))
-    left = exploded.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
-    right = exploded.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
+    cnt_pred = F.col("__bsz") >= 2
+    if max_bucket_size is not None:
+        cnt_pred = cnt_pred & (F.col("__bsz") <= max_bucket_size)
+    keep = (
+        exploded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(cnt_pred)
+        .select("band", "bh")
+    )
+    survivors = exploded.join(keep, ["band", "bh"])
+    left = survivors.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
+    right = survivors.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
     pairs = (
         left.join(right, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))

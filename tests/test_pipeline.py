@@ -346,3 +346,40 @@ def test_mixture_resample_binding_group_kept_exactly(spark):
     f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "source"]))
     out = resample_to_mixture(f, "source", {"a": 1 / 3, "b": 2 / 3}).collect()
     assert len(out) == 900
+
+
+def test_lsh_bucket_skew_guard(spark):
+    """Degenerate corpus (mass of identical boilerplate): over-cap
+    buckets are dropped from candidate generation so the self-join
+    stays bounded, while normal small buckets still pair (VERDICT r2
+    #3). Size-1 pruning never changes results."""
+    boiler = [(i, "the same boilerplate text repeated everywhere") for i in range(200)]
+    near = [
+        (1000, "a genuinely unique document about spark partitioning"),
+        (1001, "a genuinely unique document about spark partitioning!"),
+        (1002, "completely different content on another topic entirely"),
+    ]
+    f = from_pandas(
+        spark, pd.DataFrame(boiler + near, columns=["doc_id", "text"])
+    )
+    out = D.minhash_lsh_pairs(f, max_bucket_size=50).collect()
+    tuples = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+    # the 200-doc boilerplate bucket (> cap) contributes no pairs...
+    assert not any(a < 1000 and b < 1000 for a, b in tuples)
+    # ...but the small near-dup bucket still does
+    assert (1000, 1001) in tuples
+    # uncapped, the degenerate bucket would explode quadratically
+    unguarded = D.minhash_lsh_pairs(f, max_bucket_size=None).collect()
+    assert len(unguarded) >= 200 * 199 // 2
+
+
+def test_embedding_near_dup_auto_planes_and_cap(spark):
+    """LSH-bucketed near-dup with corpus-scaled plane count and the
+    bucket cap: identical vectors all land in one bucket; with the cap
+    below the bucket size no pairs emerge, with it disabled they do."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    capped = S.embedding_near_dup_pairs(f, threshold=0.9, max_bucket_size=10)
+    assert len(capped.collect()) == 0
+    open_ = S.embedding_near_dup_pairs(f, threshold=0.9, max_bucket_size=None)
+    assert len(open_.collect()) == 30 * 29 // 2
