@@ -450,10 +450,27 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+# Real-CJK fixture rows for the language-ID contract: the synthetic
+# documents corpus is English-only, so without these the CJK scoring
+# path would be oracle-unexercised (that is exactly how round 2's
+# pinyin-marker zh bug survived). No apostrophes (rows are embedded
+# verbatim as SQL literals); doc_ids sit far above the corpus range.
+_LANG_FIXTURES: list[tuple[int, str]] = [
+    (900001, "机器学习模型在大规模语料库上进行训练以提升性能"),
+    (900002, "これは日本語のテストです。機械学習モデルを訓練します"),
+    (900003, "이것은 한국어 텍스트이며 언어 감지 테스트입니다"),
+    (900004, "the model 模型 is trained on data"),
+    (900005, "カタカナ テスト データ"),
+]
+
+
 def q_text_lang_id(spark, sf_dir):
-    """Marker-word language ID with deterministic tie-break."""
+    """Language ID (marker words + CJK codepoint ranges) with
+    deterministic tie-break; real-CJK fixture rows unioned in."""
+    docs = _t(spark, sf_dir, "documents").df.select("doc_id", "text")
+    fx = spark.createDataFrame(_LANG_FIXTURES, "doc_id bigint, text string")
     return (
-        TX.with_lang_id(_t(spark, sf_dir, "documents"))
+        TX.with_lang_id(Frame(docs.unionByName(fx)))
         .select("doc_id", "lang_pred", "lang_score")
         .df
     )

@@ -15,15 +15,29 @@ from pyspark.sql import functions as F
 
 from cuplyr_spark.frame import Frame
 
-# Deterministic marker vocabularies for the language-ID heuristic.
-# Real deployments would use fastText/CLD3 via a pandas_udf; the
-# n-gram/stopword heuristic here is the dependency-free scale path.
+# Deterministic marker vocabularies for the space-delimited languages
+# of the language-ID heuristic. Real deployments would use
+# fastText/CLD3 via a pandas_udf; the stopword heuristic here is the
+# dependency-free scale path. CJK languages are NOT marker-based —
+# they have no whitespace tokens — and are scored by codepoint-range
+# counts instead (see CJK_RANGES / with_lang_id).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "und", "ist", "nicht"),
     "en": ("the", "and", "is", "of", "to"),
     "es": ("el", "la", "que", "de", "es"),
     "fr": ("le", "la", "et", "est", "les"),
-    "zh": ("de", "shi", "le", "bu", "wo"),
+}
+
+# Unicode block ranges for CJK scripts, written as literal characters
+# inside a character class so the SAME pattern string parses
+# identically under Java regex (Spark) and RE2 (DuckDB) — neither
+# engine's \uXXXX escape syntax is portable to the other, literal
+# codepoints are. BMP-only on purpose (UTF-16 code-unit safe).
+CJK_RANGES: dict[str, str] = {
+    "han": "[\u4e00-\u9fff]",
+    "hiragana": "[\u3040-\u309f]",
+    "katakana": "[\u30a0-\u30ff]",
+    "hangul": "[\uac00-\ud7af]",
 }
 
 
@@ -39,7 +53,14 @@ BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 def with_token_stats(frame: Frame, text_col: str = "text") -> Frame:
     """n_tokens (whitespace) / n_tokens_bpe (regex word-piece) /
-    n_chars / avg token length per document."""
+    n_chars / avg token length per document.
+
+    CJK caveat: ``n_tokens`` is a WHITESPACE count and is meaningless
+    for unsegmented scripts (Chinese/Japanese — a whole sentence is one
+    "token"). Use ``n_tokens_bpe`` for CJK: its pattern counts each
+    non-alphanumeric symbol (hence each CJK character) separately,
+    which is the right order of magnitude for LLM token budgeting.
+    """
     text = F.col(text_col)
     toks = _tokens(text)
     return Frame(
@@ -95,10 +116,19 @@ def with_quality_score(frame: Frame, text_col: str = "text") -> Frame:
     )
 
 
-def with_lang_id(frame: Frame, text_col: str = "text") -> Frame:
-    """Marker-word language scorer: argmax over per-language token-hit
-    counts, ties broken by language code order (deterministic)."""
-    toks = _tokens(F.col(text_col))
+def lang_id_scores(text: Column) -> dict[str, Column]:
+    """Per-language score columns for :func:`with_lang_id`.
+
+    Space-delimited languages score by marker-token hits; CJK
+    languages score by codepoint-range character counts (they have no
+    whitespace tokens, so marker matching is structurally impossible —
+    the round-2 heuristic's pinyin markers could never fire on real
+    Chinese). Han characters are shared between Chinese and Japanese,
+    so han counts toward ``ja`` only when kana is present and toward
+    ``zh`` only when it is not — a deterministic disambiguation rule
+    both Spark and the DuckDB oracle express identically.
+    """
+    toks = _tokens(text)
 
     # NB: no default-arg lambdas — pyspark counts default params as
     # higher-order-function arguments.
@@ -106,9 +136,26 @@ def with_lang_id(frame: Frame, text_col: str = "text") -> Frame:
         wanted = list(markers)
         return F.size(F.filter(toks, lambda t: t.isin(wanted)))
 
+    han = F.regexp_count(text, F.lit(CJK_RANGES["han"]))
+    kana = F.regexp_count(text, F.lit(CJK_RANGES["hiragana"])) + F.regexp_count(
+        text, F.lit(CJK_RANGES["katakana"])
+    )
+    hangul = F.regexp_count(text, F.lit(CJK_RANGES["hangul"]))
     scores = {
         lang: marker_hits(markers) for lang, markers in sorted(LANG_MARKERS.items())
     }
+    scores["ja"] = F.when(kana > 0, han + kana).otherwise(F.lit(0))
+    scores["ko"] = hangul
+    scores["zh"] = F.when(kana == 0, han).otherwise(F.lit(0))
+    return dict(sorted(scores.items()))
+
+
+def with_lang_id(frame: Frame, text_col: str = "text") -> Frame:
+    """Language scorer: argmax over per-language scores (marker-token
+    hits for space-delimited languages, CJK codepoint-range counts for
+    ja/ko/zh — see :func:`lang_id_scores`), ties broken by language
+    code order (deterministic)."""
+    scores = lang_id_scores(F.col(text_col))
     # argmax with lexicographic tie-break: fold over (score, lang)
     # pairs — greatest(struct(...)) keeps it all JVM-side.
     best = F.greatest(
