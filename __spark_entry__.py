@@ -654,7 +654,7 @@ def q_events_running_sum(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = with_running_sum(ev, "value", "user_id", "ts", "event_id")
     return (
-        out.mutate(ts_ms="unix_millis(ts)", running_sum=F.round("running_sum", 6))
+        out.mutate(ts_ms="unix_millis(cast(ts as timestamp))", running_sum=F.round("running_sum", 6))
         .select("event_id", "user_id", "ts_ms", "running_sum")
         .df
     )
@@ -685,7 +685,7 @@ def q_events_hourly_rollup(spark, sf_dir):
         total_value=F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100,
     )
     return (
-        out.mutate(bucket_ms="unix_millis(bucket_start)")
+        out.mutate(bucket_ms="unix_millis(cast(bucket_start as timestamp))")
         .select("bucket_ms", "event_type", "n", "total_value")
         .df
     )
@@ -717,7 +717,7 @@ def q_asof_join(spark, sf_dir):
     )
     out = asof_join(clicks, errors, by="user_id", on="ts")
     return (
-        out.mutate(ts_ms="unix_millis(ts)")
+        out.mutate(ts_ms="unix_millis(cast(ts as timestamp))")
         .select("event_id", "user_id", "ts_ms", "value", "err_id")
         .df
     )
@@ -784,15 +784,16 @@ def q_streaming_sessionize(spark, sf_dir):
     from cuplyr_spark.streaming.stream import run_to_memory, session_agg
 
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # events.parquet stores ts as timestamp[us] (NTZ); declaring the
+    # stream schema as `ts timestamp` reads it directly as TIMESTAMP
+    # (session tz is UTC, same epoch instants)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     # file-source streams take a directory; pathGlobFilter selects the
     # events table out of the shared sf dir
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", SF.timestamp_micros(SF.expr("ts DIV 1000")))
     )
     agg = session_agg(
         src, "ts", "user_id", gap="30 minutes", watermark="365 days",
@@ -800,7 +801,7 @@ def q_streaming_sessionize(spark, sf_dir):
     )
     run_to_memory(agg, "q_stream_sessions", output_mode="complete")
     return spark.sql(
-        "SELECT user_id, unix_millis(session_start) AS start_ms, n_events "
+        "SELECT user_id, unix_millis(cast(session_start as timestamp)) AS start_ms, n_events "
         "FROM q_stream_sessions"
     )
 
@@ -816,13 +817,11 @@ def q_streaming_windowed(spark, sf_dir):
     from cuplyr_spark.streaming.stream import run_to_memory, windowed_agg
 
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", SF.timestamp_micros(SF.expr("ts DIV 1000")))
     )
     agg = windowed_agg(
         src, "ts", window="1 hour", watermark="365 days",
@@ -835,7 +834,7 @@ def q_streaming_windowed(spark, sf_dir):
     )
     run_to_memory(agg, "q_stream_windows", output_mode="complete")
     return spark.sql(
-        "SELECT unix_millis(window_start) AS bucket_ms, event_type, n, total_value "
+        "SELECT unix_millis(cast(window_start as timestamp)) AS bucket_ms, event_type, n, total_value "
         "FROM q_stream_windows"
     )
 
@@ -850,8 +849,7 @@ def q_streaming_static_join(spark, sf_dir):
     from cuplyr_spark.streaming.stream import run_to_memory, stream_static_join
 
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -891,8 +889,7 @@ def q_streaming_dedup_keys(spark, sf_dir):
     from pyspark.sql import functions as SF
 
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")

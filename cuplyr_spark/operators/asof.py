@@ -26,13 +26,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DateType, TimestampType
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
 from cuplyr_spark.frame import Frame
 
 
 def _ms_of(df: DataFrame, col: str) -> Column:
-    if isinstance(df.schema[col].dataType, (TimestampType, DateType)):
+    # TIMESTAMP_NTZ is included defensively: the engine's reader
+    # normalizes it away, but frames built elsewhere (createDataFrame
+    # from naive pandas timestamps) still reach this operator.
+    if isinstance(
+        df.schema[col].dataType, (TimestampType, TimestampNTZType, DateType)
+    ):
         return F.unix_millis(F.col(col).cast("timestamp"))
     return F.col(col).cast("long")
 

@@ -51,7 +51,11 @@ def sessionize(
     (streaming/ has the stateful version via session_window)."""
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+    # cast("timestamp") is a no-op for TIMESTAMP and normalizes
+    # TIMESTAMP_NTZ (unix_micros rejects NTZ; session tz is UTC)
+    gap = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        prev_ts.cast("timestamp")
+    )
     is_new = F.when(
         prev_ts.isNull() | (gap > gap_seconds * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
@@ -72,8 +76,8 @@ def session_stats(
     s = sessionize(frame, key_col, ts_col, gap_seconds)
     out = s.df.groupBy(key_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.unix_millis(F.min(ts_col)).alias("start_ms"),
-        F.unix_millis(F.max(ts_col)).alias("end_ms"),
+        F.unix_millis(F.min(ts_col).cast("timestamp")).alias("start_ms"),
+        F.unix_millis(F.max(ts_col).cast("timestamp")).alias("end_ms"),
     )
     return Frame(
         out.withColumn("duration_ms", F.col("end_ms") - F.col("start_ms")), ()

@@ -19,15 +19,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DateType, TimestampType
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
 from cuplyr_spark.frame import Frame, _zip_index
 
 
 def _ms(df: DataFrame, col: str):
-    """Column as epoch millis: timestamps converted, numerics taken
-    as already-milliseconds."""
-    if isinstance(df.schema[col].dataType, (TimestampType, DateType)):
+    """Column as epoch millis: timestamps (incl. NTZ, for frames not
+    built by our reader) converted, numerics taken as
+    already-milliseconds."""
+    if isinstance(
+        df.schema[col].dataType, (TimestampType, TimestampNTZType, DateType)
+    ):
         return F.unix_millis(F.col(col).cast("timestamp"))
     return F.col(col).cast("long")
 

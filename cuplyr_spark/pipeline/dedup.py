@@ -18,7 +18,7 @@ Hashing is md5-based so every signature is reproducible in ANSI SQL
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from cuplyr_spark.frame import Frame
@@ -155,13 +155,19 @@ def minhash_lsh_pairs(
     cnt_pred = F.col("__bsz") >= 2
     if max_bucket_size is not None:
         cnt_pred = cnt_pred & (F.col("__bsz") <= max_bucket_size)
-    keep = (
-        exploded.groupBy("band", "bh")
-        .agg(F.count(F.lit(1)).alias("__bsz"))
+    # Bucket-size guard as a WINDOW count, not groupBy + join-back: the
+    # window's hash partitioning on (band, bh) is exactly what the
+    # self-join below needs, so Spark shuffles the slim (id, band, bh)
+    # rows ONCE and reuses the exchange for both join sides — the
+    # join-back formulation costs two extra shuffles of the same rows.
+    # (Degenerate buckets land on one task either way, but the window
+    # only counts them — linear, not quadratic.)
+    wcnt = Window.partitionBy("band", "bh")
+    survivors = (
+        exploded.withColumn("__bsz", F.count(F.lit(1)).over(wcnt))
         .filter(cnt_pred)
-        .select("band", "bh")
+        .drop("__bsz")
     )
-    survivors = exploded.join(keep, ["band", "bh"])
     left = survivors.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
     right = survivors.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
     pairs = (

@@ -81,16 +81,40 @@ def read_parquet(spark: SparkSession, path: str, coerce_nanos: bool = True) -> F
     (PARQUET_TYPE_ILLEGAL): they are read as int64 nanos
     (``spark.sql.legacy.parquet.nanosAsLong``) and cast back to
     TimestampType via integer division (``DIV 1000`` — exact; double
-    division would corrupt epochs beyond 2^53)."""
+    division would corrupt epochs beyond 2^53).
+
+    The reader guarantees a single timestamp type out the door:
+    TIMESTAMP (with local-tz semantics). Parquet files whose columns
+    carry ``isAdjustedToUTC=false`` (plain ``timestamp[us]`` written by
+    arrow/pandas without a tz) surface as TIMESTAMP_NTZ under Spark 4,
+    which ``unix_millis``/``unix_micros`` reject and ``cast(long)``
+    forbids — so every ``TimestampNTZType`` column is cast to
+    ``TimestampType`` here. The session timezone is pinned UTC
+    (``session.py``), so the cast reinterprets the same wall-clock
+    instant with identical epoch values; downstream operators
+    (as-of/range joins, event windows) then see one timestamp type."""
     if not coerce_nanos:
-        return Frame(spark.read.parquet(path))
+        return Frame(_denoz(spark.read.parquet(path)))
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    return Frame(df)
+    return Frame(_denoz(df))
+
+
+def _denoz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (UTC session tz —
+    same epoch instant, one timestamp type engine-wide)."""
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
@@ -134,7 +158,7 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str | None 
 
 
 def read_orc(spark: SparkSession, path: str) -> Frame:
-    return Frame(spark.read.orc(path))
+    return Frame(_denoz(spark.read.orc(path)))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> dict[str, Frame]:

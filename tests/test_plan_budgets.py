@@ -67,7 +67,7 @@ EXCHANGE_BUDGETS = {
     "mixture_resample": 3,      # tiny count agg + global min + re-agg; corpus side map-only
     "minhash_signatures": 1,    # repartition spread for the md5 fold
     "simhash": 0,
-    "ngram_jaccard_pairs": 1,
+    "ngram_jaccard_pairs": 3,  # r4: LSH bucket-cap window guard; self-join broadcasts at test sf (dup subtree), SMJ+reuse at scale
     "embedding_cosine_topk": 1, # broadcast queries + per-query window
     "embedding_label_centroid_sim": 1,
     "events_running_sum": 1,
@@ -75,8 +75,8 @@ EXCHANGE_BUDGETS = {
     "events_hourly_rollup": 1,
     "events_json_extract": 0,
     "asof_join": 1,
-    "minhash_lsh_pairs": 3,
-    "embedding_near_dup": 0,    # label-blocked self-join broadcasts
+    "minhash_lsh_pairs": 5,  # r4: _par spread + window bucket guard, both duplicated under the broadcast self-join at test sf, + pair distinct
+    "embedding_near_dup": 2,    # r4: bucket-cap window guard (one slim shuffle, dup'd under broadcast self-join); label-blocked join itself broadcasts
     "lsh_cosine_topk": 1,
     "pivot_wider": 2,           # distinct discovery + pivot agg
     "pivot_longer": 0,
