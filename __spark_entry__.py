@@ -456,11 +456,14 @@ def q_text_quality(spark, sf_dir):
 # pinyin-marker zh bug survived). No apostrophes (rows are embedded
 # verbatim as SQL literals); doc_ids sit far above the corpus range.
 _LANG_FIXTURES: list[tuple[int, str]] = [
-    (900001, "机器学习模型在大规模语料库上进行训练以提升性能"),
-    (900002, "これは日本語のテストです。機械学習モデルを訓練します"),
-    (900003, "이것은 한국어 텍스트이며 언어 감지 테스트입니다"),
+    (900001, "机器学习模型在大规模语料库上进行训练以提升性能"),  # zh: han only, no kana
+    (900002, "これは日本語のテストです。機械学習モデルを訓練します"),  # ja: han+kana
+    (900003, "이것은 한국어 텍스트이며 언어 감지 테스트입니다"),  # ko: hangul
+    # en via TIE-BREAK, not scoring: en=2 ('the','is') ties zh=2 (2 han,
+    # no kana) and en has the smaller language index — this row pins the
+    # deterministic tie rule, the rows above pin the scoring itself
     (900004, "the model 模型 is trained on data"),
-    (900005, "カタカナ テスト データ"),
+    (900005, "カタカナ テスト データ"),  # ja: katakana only (kana>0, han=0)
 ]
 
 
@@ -3148,21 +3151,46 @@ def oracle_sql() -> dict[str, str]:
 def _lang_id_oracle() -> str:
     """DuckDB twin of with_lang_id: Spark's greatest(struct(score, nix,
     lang)) picks max by (score, then smallest language index); here the
-    same argmax is an unnest + row_number window."""
-    from cuplyr_spark.pipeline.text import LANG_MARKERS
+    same argmax is an unnest + row_number window.
 
-    structs = []
-    for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items())):
-        mk = ", ".join(f"'{m}'" for m in markers)
-        structs.append(
-            "{'score': len(list_filter(string_split(text, ' '), x -> x IN (%s))), "
-            "'nix': %d, 'lang': '%s'}" % (mk, -i, lang)
-        )
+    Mirrors the engine exactly (text.py lang_id_scores): marker-token
+    hits for the space-delimited languages, codepoint-range char counts
+    for ja/ko/zh with the han→ja-only-with-kana disambiguation, and the
+    same _LANG_FIXTURES rows unioned in (both sides are generated from
+    the same Python constants, so they cannot drift independently)."""
+    from cuplyr_spark.pipeline.text import CJK_RANGES, LANG_MARKERS
+
+    # score expressions per language, in the engine's sorted-key order
+    # (de, en, es, fr, ja, ko, zh) — nix = -index, ties pick smaller index
+    han = f"len(regexp_extract_all(text, '{CJK_RANGES['han']}'))"
+    kana = (
+        f"(len(regexp_extract_all(text, '{CJK_RANGES['hiragana']}'))"
+        f" + len(regexp_extract_all(text, '{CJK_RANGES['katakana']}')))"
+    )
+    hangul = f"len(regexp_extract_all(text, '{CJK_RANGES['hangul']}'))"
+    score_exprs: dict[str, str] = {
+        lang: "len(list_filter(string_split(text, ' '), x -> x IN (%s)))"
+        % ", ".join(f"'{m}'" for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    score_exprs["ja"] = f"CASE WHEN {kana} > 0 THEN {han} + {kana} ELSE 0 END"
+    score_exprs["ko"] = hangul
+    score_exprs["zh"] = f"CASE WHEN {kana} = 0 THEN {han} ELSE 0 END"
+    structs = [
+        "{'score': %s, 'nix': %d, 'lang': '%s'}" % (score_exprs[lang], -i, lang)
+        for i, lang in enumerate(sorted(score_exprs))
+    ]
+    fixture_rows = ", ".join(
+        f"({doc_id}, '{txt}')" for doc_id, txt in _LANG_FIXTURES
+    )
     return f"""
         SELECT doc_id, lang_pred, lang_score FROM (
           SELECT doc_id, s.lang AS lang_pred, CAST(s.score AS BIGINT) AS lang_score,
                  row_number() OVER (PARTITION BY doc_id
                                     ORDER BY s.score DESC, s.nix DESC) AS rn
-          FROM (SELECT doc_id, unnest([{", ".join(structs)}]) AS s FROM documents)
+          FROM (SELECT doc_id, unnest([{", ".join(structs)}]) AS s
+                FROM (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT * FROM (VALUES {fixture_rows}) AS fx(doc_id, text)))
         ) WHERE rn = 1
     """
