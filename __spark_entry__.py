@@ -759,6 +759,24 @@ def q_media_metadata(spark, sf_dir):
     )
 
 
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame sampling plumbing end-to-end: binary media column ->
+    mapInPandas chunk decoder (deterministic 256-byte pseudo-frames; an
+    av/ffmpeg decoder plugs into the same signature) -> every-2nd-frame
+    sample. Output is (doc, frame_idx, byte length, sha256) so the
+    oracle can verify values without binary-column comparison."""
+    from cuplyr_spark.pipeline.multimodal import media_from_text, sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = sample_video_frames(media_from_text(docs), every_n=2)
+    return frames.df.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.sha2(F.col("frame"), 256).alias("sha"),
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding near-dup pairs blocked by label (cosine >= 0.3)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1885,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_cluster_labels": q_dedup_cluster_labels,
         "media_metadata": q_media_metadata,
+        "video_frame_sample": q_video_frame_sample,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "streaming_sessionize": q_streaming_sessionize,
@@ -2785,6 +2804,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        # the corpus is pure ASCII (DuckDB has no BLOB substring), so
+        # char substrings equal the engine's byte chunks and
+        # sha256(varchar) hashes the same bytes as Spark's sha2(binary)
+        "video_frame_sample": """
+            WITH f AS (
+              SELECT doc_id, text,
+                     CAST(unnest(range(CAST(ceil(greatest(length(text), 1) / 256.0) AS BIGINT))) AS INT) AS frame_idx
+              FROM documents
+            )
+            SELECT doc_id, frame_idx,
+                   CAST(length(substring(text, frame_idx * 256 + 1, 256)) AS BIGINT) AS n_bytes,
+                   sha256(substring(text, frame_idx * 256 + 1, 256)) AS sha
+            FROM f WHERE frame_idx % 2 = 0
         """,
         "dedup_cluster_labels": f"""
             WITH RECURSIVE sig AS ({_minhash_oracle()}),

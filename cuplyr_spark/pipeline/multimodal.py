@@ -140,15 +140,58 @@ def decode_images(
     )
 
 
+def fake_video_decoder(data: bytes) -> Iterator[tuple[int, bytes]]:
+    """STUB video decoder (no ffmpeg/av in this container): treats the
+    byte stream as fixed-size 256-byte pseudo-frames — deterministic,
+    so frame counts and sampling are testable. Real deployments pass
+    an av-backed decoder with the same signature:
+    bytes -> iterator of (frame_index, encoded_frame_bytes)."""
+    frame_size = 256
+    for i in range(0, max(len(data), 1), frame_size):
+        yield i // frame_size, data[i : i + frame_size]
+
+
+def _av_decoder(data: bytes) -> Iterator[tuple[int, bytes]]:  # pragma: no cover - lib not in container
+    from io import BytesIO
+
+    import av
+
+    with av.open(BytesIO(data)) as container:
+        for idx, frm in enumerate(container.decode(video=0)):
+            yield idx, frm.to_image().tobytes()
+
+
+def get_video_decoder() -> Callable:
+    """av-backed decoder when importable, deterministic fake otherwise
+    (clearly marked — see fake_video_decoder)."""
+    try:
+        import av  # noqa: F401
+
+        return _av_decoder
+    except ImportError:
+        return fake_video_decoder
+
+
 def sample_video_frames(
     frame: Frame,
     bytes_col: str = "media",
     id_col: str = "doc_id",
     every_n: int = 30,
+    decoder: Callable | None = None,
 ) -> Frame:
-    """Video frame sampling — requires ffmpeg bindings, which are not
-    in this container. The operator exists so pipelines type-check;
-    it raises at plan-execution time with a clear message."""
+    """Sample every ``every_n``-th frame from a binary video column
+    through mapInPandas (Arrow batch in/out, bytes never reach the
+    driver). Output: (id, frame_idx, frame bytes) — one row per kept
+    frame; downstream ops (decode_images, dedup on frame hash) chain
+    on the exploded grain.
+
+    The decoder is pluggable (same pattern as decode_images): an
+    av/ffmpeg decoder when the lib is present, a deterministic
+    fixed-size-chunk fake otherwise so the partitioning/batching/
+    schema plumbing is real and tested in this container."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    decoder = decoder or get_video_decoder()
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -158,11 +201,16 @@ def sample_video_frames(
     )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "sample_video_frames needs an ffmpeg/av decoder; install `av` "
-            "and pass a decoder. Plumbing (schema/batching) is in place."
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _id, data in zip(pdf[id_col], pdf[bytes_col]):
+                for idx, frm in decoder(bytes(data)):
+                    if idx % every_n:
+                        continue
+                    ids.append(_id)
+                    idxs.append(idx)
+                    frames.append(frm)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return Frame(
         frame.df.select(id_col, bytes_col).mapInPandas(process, out_schema), ()

@@ -62,7 +62,40 @@ def test_decode_repartitioned(media):
     assert len(out) == 3
 
 
-def test_video_stub_raises_clearly(media):
-    with pytest.raises(Exception) as ei:
-        sample_video_frames(media).collect()
-    assert "ffmpeg" in str(ei.value) or "NotImplementedError" in str(ei.value)
+def test_video_frame_sampling(spark):
+    """Frame sampling end-to-end through mapInPandas with the
+    deterministic chunk decoder: a 1000-byte 'video' is 4 pseudo-frames
+    of 256 bytes; every_n=2 keeps frames 0 and 2."""
+    docs = from_pandas(
+        spark,
+        pd.DataFrame({"doc_id": [7], "text": ["x" * 1000]}),
+    )
+    vids = media_from_text(docs)
+    out = sample_video_frames(vids, every_n=2).collect()
+    assert out["frame_idx"].tolist() == [0, 2]
+    assert [len(bytes(b)) for b in out["frame"]] == [256, 256]
+    assert bytes(out["frame"].iloc[0]) == b"x" * 256
+
+
+def test_video_frame_sampling_every_frame(media):
+    """every_n=1 keeps all frames; short docs yield exactly one frame,
+    and output schema matches the declared (id, frame_idx, frame)."""
+    out = sample_video_frames(media, every_n=1).collect()
+    assert set(out.columns) == {"doc_id", "frame_idx", "frame"}
+    # 'alpha' (5 bytes) -> one 5-byte frame
+    assert bytes(out[out.doc_id == 0]["frame"].iloc[0]) == b"alpha"
+    assert (out["frame_idx"] == 0).all()
+
+
+def test_video_decoder_pluggable(media):
+    """A custom decoder (the real-av substitution point) drives the
+    same plumbing."""
+
+    def two_frames(data: bytes):
+        yield 0, data
+        yield 1, data[::-1]
+
+    out = sample_video_frames(media, every_n=1, decoder=two_frames).collect()
+    assert len(out) == 6
+    r = out[(out.doc_id == 1) & (out.frame_idx == 1)]
+    assert bytes(r["frame"].iloc[0]) == b"ateb"
