@@ -509,34 +509,82 @@ class Frame:
         return Frame(out, ())
 
     def _packed_int_groupby(self, agg_cols: list[Column]) -> Frame | None:
-        """Pack exactly-two non-nullable <=32-bit integer group keys
-        into one long (``a << 32 | zext(b)``) before aggregating, then
-        unpack — one hash probe per row instead of a composite-key
+        """Pack 2-3 integer group keys into ONE long before aggregating,
+        then unpack — one hash probe per row instead of a composite-key
         probe. Measured ~1.6x on the 25M-row reference group&summarise
-        (the hash probe, not the scan, dominates that query). Exact for
-        every int32 pair including negatives: arithmetic shiftright
-        restores ``a``, low-32 truncating cast restores ``b``. Nullable
-        keys skip the path — NULL must stay its own group."""
-        if self._group_mode != "groupby" or len(self._groups) != 2:
+        (the hash probe, not the scan, dominates that query).
+
+        Bit budget is STATIC, from the declared types (byte=8, short=16,
+        int=32 bits) plus one sentinel bit per nullable key; the path
+        engages only when the total fits a 64-bit long, so it is exact
+        for every value including negatives (masked store, sign-extending
+        shift restore) and NULLs (sentinel bit set, value field zeroed —
+        NULL stays its own group, distinct from value 0). Three int32
+        keys need 96 bits and fall back to the composite probe; packing
+        them into 21 bits each would need value-range knowledge the plan
+        doesn't have and would corrupt groups silently when wrong."""
+        if self._group_mode != "groupby" or not (2 <= len(self._groups) <= 3):
             return None
         fields = {f.name: f for f in self._df.schema.fields}
-        int_types = (T.ByteType, T.ShortType, T.IntegerType)
+        widths: list[int] = []
+        nullable: list[bool] = []
         for g in self._groups:
             f = fields.get(g)
-            if f is None or not isinstance(f.dataType, int_types) or f.nullable:
+            if f is None:
                 return None
-        a, b = self._groups
-        key = F.shiftleft(F.col(a).cast("long"), 32).bitwiseOR(
-            F.col(b).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
-        )
+            if isinstance(f.dataType, T.ByteType):
+                w = 8
+            elif isinstance(f.dataType, T.ShortType):
+                w = 16
+            elif isinstance(f.dataType, T.IntegerType):
+                w = 32
+            else:
+                return None
+            widths.append(w)
+            nullable.append(f.nullable)
+        n_null_bits = sum(nullable)
+        if sum(widths) + n_null_bits > 64:
+            return None
+        # layout (MSB → LSB): key fields in group order, then one
+        # sentinel bit per nullable key at the bottom
+        los: list[int] = []  # low bit offset of each value field
+        off = n_null_bits
+        for w in reversed(widths):
+            los.append(off)
+            off += w
+        los.reverse()
+        key = F.lit(0).cast("long")
+        null_bit = 0
+        null_pos: list[int | None] = []
+        for g, w, lo, isnull in zip(self._groups, widths, los, nullable):
+            val = F.coalesce(F.col(g).cast("long"), F.lit(0)).bitwiseAND(
+                F.lit((1 << w) - 1)
+            )
+            key = key.bitwiseOR(F.shiftleft(val, lo) if lo else val)
+            if isnull:
+                key = key.bitwiseOR(
+                    F.shiftleft(F.col(g).isNull().cast("long"), null_bit)
+                    if null_bit
+                    else F.col(g).isNull().cast("long")
+                )
+                null_pos.append(null_bit)
+                null_bit += 1
+            else:
+                null_pos.append(None)
         agged = self._df.groupBy(key.alias("__cuplyr_pk__")).agg(*agg_cols)
         agg_names = [c for c in agged.columns if c != "__cuplyr_pk__"]
-        out = agged.select(
-            F.shiftright(F.col("__cuplyr_pk__"), 32).cast(fields[a].dataType).alias(a),
-            F.col("__cuplyr_pk__").cast("int").cast(fields[b].dataType).alias(b),
-            *agg_names,
-        )
-        return Frame(out, ())
+        pk = F.col("__cuplyr_pk__")
+        restored = []
+        for g, w, lo, npos in zip(self._groups, widths, los, null_pos):
+            # sign-extending restore of the w-bit field at offset lo
+            val = F.shiftright(F.shiftleft(pk, 64 - lo - w), 64 - w).cast(
+                fields[g].dataType
+            )
+            if npos is not None:
+                is_null = F.shiftright(pk, npos).bitwiseAND(F.lit(1)) == 1
+                val = F.when(is_null, F.lit(None)).otherwise(val)
+            restored.append(val.alias(g))
+        return Frame(agged.select(*restored, *agg_names), ())
 
     summarize = summarise
 

@@ -188,11 +188,94 @@ def test_packed_int_key_groupby_matches_unpacked(spark):
     assert list(got.columns) == ["a", "b", "s", "n"]
 
 
-def test_packed_path_skips_nullable_and_non_int(spark):
+def test_packed_path_skips_non_int_and_overflow(spark):
+    from pyspark.sql import functions as F
+
     from cuplyr_spark.frame import Frame
 
     pdf = pd.DataFrame({"a": [1, None], "b": [2, 2], "v": [1.0, 2.0]})
-    f = from_pandas(spark, pdf)  # nullable keys -> normal path
+    f = from_pandas(spark, pdf)  # float (from None) keys -> normal path
     out = f.group_by("a", "b").summarise(n=A.n())
     assert "__cuplyr_pk__" not in out.df._jdf.queryExecution().analyzed().toString()
     assert len(out.collect()) == 2  # NULL stays its own group
+
+    # two NULLABLE int32 keys need 32+32+2 = 66 bits -> fall back
+    df = spark.range(10).select(
+        (F.col("id") % 3).cast("int").alias("a"),
+        (F.col("id") % 2).cast("int").alias("b"),
+    )
+    df = df.withColumn("a", F.when(F.col("a") > 0, F.col("a")))  # nullable
+    assert df.schema["a"].nullable
+    out2 = Frame(df).group_by("a", "b").summarise(n=A.n())
+    assert "__cuplyr_pk__" not in out2.df._jdf.queryExecution().analyzed().toString()
+
+    # three int32 keys need 96 bits -> fall back
+    df3 = spark.range(10).select(
+        *[
+            F.coalesce((F.col("id") % m).cast("int"), F.lit(0)).alias(n)
+            for n, m in (("a", 3), ("b", 2), ("c", 5))
+        ]
+    )
+    out3 = Frame(df3).group_by("a", "b", "c").summarise(n=A.n())
+    assert "__cuplyr_pk__" not in out3.df._jdf.queryExecution().analyzed().toString()
+
+
+def test_packed_three_key_groupby_matches_unpacked(spark):
+    """3-key packing (int32 + short + short = 64 bits exactly) must
+    match the composite-key groupBy, negatives included."""
+    from pyspark.sql import functions as F
+
+    from cuplyr_spark.frame import Frame
+
+    df = spark.range(20000).select(
+        F.coalesce(((F.col("id") % 1000) - 500).cast("int"), F.lit(0)).alias("a"),
+        F.coalesce(((F.col("id") % 7) - 3).cast("short"), F.lit(0).cast("short")).alias("b"),
+        F.coalesce(((F.col("id") % 5) - 2).cast("short"), F.lit(0).cast("short")).alias("c"),
+        F.coalesce((F.col("id") % 100).cast("double"), F.lit(0.0)).alias("v"),
+    )
+    assert not any(df.schema[k].nullable for k in ("a", "b", "c"))
+    f = Frame(df).group_by("a", "b", "c")
+    packed = f.summarise(s=A.sum("v"), n=A.n())
+    assert "__cuplyr_pk__" in packed.df._jdf.queryExecution().analyzed().toString()
+    got = packed.collect().sort_values(["a", "b", "c"]).reset_index(drop=True)
+    want = (
+        df.groupBy("a", "b", "c")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .sort_values(["a", "b", "c"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    assert list(got.columns) == ["a", "b", "c", "s", "n"]
+
+
+def test_packed_nullable_keys_sentinel_bit(spark):
+    """Nullable keys pack when the sentinel bits fit: NULL stays its
+    own group, distinct from value 0, and round-trips to NULL."""
+    from pyspark.sql import functions as F
+
+    from cuplyr_spark.frame import Frame
+
+    df = spark.range(1000).select(
+        # a in {NULL, 0, 1}: NULL-vs-0 is exactly the collision a naive
+        # coalesce(key, 0) pack would create
+        F.when(F.col("id") % 3 == 0, (F.col("id") % 2).cast("short")).alias("a"),
+        F.coalesce(((F.col("id") % 4) - 2).cast("short"), F.lit(0).cast("short")).alias("b"),
+        F.lit(1.0).alias("v"),
+    )
+    assert df.schema["a"].nullable
+    f = Frame(df).group_by("a", "b")
+    packed = f.summarise(s=A.sum("v"), n=A.n())
+    assert "__cuplyr_pk__" in packed.df._jdf.queryExecution().analyzed().toString()
+    got = packed.collect().sort_values(["a", "b"], na_position="last").reset_index(drop=True)
+    want = (
+        df.groupBy("a", "b")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .sort_values(["a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # NULL and 0 groups both present for a
+    avals = set(got["a"].tolist())
+    assert 0 in avals and any(pd.isna(x) for x in got["a"])
