@@ -52,6 +52,7 @@ from __future__ import annotations
 import functools
 import operator
 import re
+import warnings
 from collections import Counter
 from collections.abc import Callable, Iterable, Mapping
 from typing import Any
@@ -1123,8 +1124,45 @@ class Frame:
 
     # -- scale hints ------------------------------------------------------
 
-    def broadcast(self) -> Frame:
-        """Mark as broadcast-join candidate (small dimension tables)."""
+    # An explicitly-hinted broadcast side above this estimate gets an
+    # advisory warning: every executor (and the driver) materializes the
+    # whole relation, and Spark hard-fails broadcasts above 8 GB.
+    BROADCAST_WARN_BYTES = 512 * 1024 * 1024
+
+    def broadcast(self, warn_bytes: int | None = None) -> Frame:
+        """Mark as broadcast-join candidate (small dimension tables).
+
+        Advisory parity with the reference's pre-join OOM estimate
+        (cuplyr ``R/join.R:102-166``, which warns when the projected
+        join output approaches free device memory): an explicit hint
+        overrides Spark's own size-based strategy choice, so if the
+        Catalyst size estimate for this side exceeds ``warn_bytes``
+        (default :data:`BROADCAST_WARN_BYTES`), a warning explains the
+        risk instead of letting the job die in the broadcast build.
+        The hint is still applied — the caller may know better (e.g.
+        filters Catalyst can't estimate through). ``warn_bytes=0``
+        disables the check."""
+        limit = self.BROADCAST_WARN_BYTES if warn_bytes is None else warn_bytes
+        if limit and limit > 0:
+            try:
+                est = int(
+                    self._df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            except Exception:
+                est = None
+            if est is not None and est > limit:
+                warnings.warn(
+                    f"broadcast(): this side is estimated at ~{est / 1e6:,.0f} MB "
+                    f"(> {limit / 1e6:,.0f} MB). Every executor materializes a "
+                    "broadcast relation in memory and Spark rejects broadcasts "
+                    "over 8 GB — consider dropping the hint (AQE picks the "
+                    "strategy from runtime sizes) or filtering/projecting the "
+                    "dimension first.",
+                    stacklevel=2,
+                )
         return Frame(F.broadcast(self._df), self._groups)
 
     def repartition(self, n: int, *cols: str) -> Frame:

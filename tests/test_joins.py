@@ -172,3 +172,24 @@ def test_key_type_mismatch_joins_numerics(spark):
     r = from_pandas(spark, pd.DataFrame({"k": [1.0, 3.0], "b": [1.0, 2.0]}))
     out = l.inner_join(r, by="k").collect()
     assert len(out) == 1
+
+
+def test_broadcast_size_advisory(customer):
+    """Advisory parity with the reference's pre-join OOM estimate
+    (R/join.R:102-166): an explicit broadcast hint whose Catalyst size
+    estimate exceeds the threshold warns (but still applies the hint);
+    under the threshold, and with the check disabled, it stays silent."""
+    import warnings
+
+    import pytest
+
+    with pytest.warns(UserWarning, match="broadcast.*estimated"):
+        hinted = customer.broadcast(warn_bytes=1)
+    # hint still applied despite the warning
+    assert "ResolvedHint" in hinted.df._jdf.queryExecution().analyzed().toString() \
+        or "hint" in hinted.df._jdf.queryExecution().analyzed().toString().lower()
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        customer.broadcast()              # tiny table, default threshold
+        customer.broadcast(warn_bytes=0)  # disabled
