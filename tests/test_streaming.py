@@ -108,3 +108,124 @@ def test_stream_static_join(spark, stream_dir):
     assert len(out) == 5  # left join keeps every stream row
     got = out.set_index("event_id").weighted
     assert got[0] == 2.0 and got[2] == 30.0 and got[4] == 14.0
+
+
+# -- unbounded smoke (rate source) --------------------------------------
+#
+# Every other streaming test drives a BOUNDED file stream to completion;
+# these two run a genuinely unbounded rate source for several live
+# triggers and assert the two properties that make a stream runnable
+# forever: the watermark advances monotonically, and operator state
+# stays bounded (here: one flag per key, key space fixed).
+
+
+def _progress_dicts(query):
+    """recentProgress entries as plain dicts across pyspark versions."""
+    import json
+
+    out = []
+    for p in query.recentProgress:
+        if isinstance(p, dict):
+            out.append(p)
+        else:
+            out.append(json.loads(p.json if isinstance(p.json, str) else p.json()))
+    return out
+
+
+def _await_progress(query, pred, timeout_s=60.0):
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        progs = _progress_dicts(query)
+        if pred(progs):
+            return progs
+        time.sleep(0.5)
+    return _progress_dicts(query)
+
+
+def test_rate_source_dedup_state_bounded(spark):
+    """streaming_dedup over an unbounded rate source: state rows never
+    exceed the key cardinality (one seen-flag per key), and each key is
+    emitted exactly once no matter how many triggers run."""
+    from cuplyr_spark.streaming.stateful import streaming_dedup
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .select(
+            (F.col("value") % 7).cast("string").alias("k"),
+            F.col("value").alias("event_id"),
+        )
+    )
+    q = (
+        streaming_dedup(src, "k", "event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_dedup")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        progs = _await_progress(
+            q,
+            lambda ps: sum(1 for p in ps if p.get("numInputRows", 0) > 0) >= 3,
+        )
+        fed = [p for p in progs if p.get("numInputRows", 0) > 0]
+        assert len(fed) >= 3, f"stream never progressed: {len(fed)} data triggers"
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in fed
+            if p.get("stateOperators")
+        ]
+        assert state_rows, "no state operator metrics reported"
+        # bounded: never more state than distinct keys
+        assert max(state_rows) <= 7, f"state grew past key space: {state_rows}"
+    finally:
+        q.stop()
+    out = spark.sql("SELECT key FROM rate_dedup").toPandas()
+    assert set(out["key"]) <= {str(i) for i in range(7)}
+    assert len(out) == out["key"].nunique(), "a key was emitted twice"
+    assert len(out) >= 1
+
+
+def test_rate_source_watermark_monotone(spark):
+    """Watermarked window agg over an unbounded rate source: the
+    watermark starts at epoch and advances monotonically with event
+    time — the property that lets Spark finalize windows and evict
+    state on an infinite stream."""
+    src = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    agg = (
+        src.withWatermark("timestamp", "1 seconds")
+        .groupBy(F.window("timestamp", "1 second").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_wm")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def has_two_watermarks(ps):
+            wms = {
+                p["eventTime"]["watermark"]
+                for p in ps
+                if p.get("eventTime", {}).get("watermark", "").startswith("2")
+            }
+            return len(wms) >= 2
+
+        progs = _await_progress(q, has_two_watermarks)
+        wms = [
+            p["eventTime"]["watermark"]
+            for p in progs
+            if "watermark" in p.get("eventTime", {})
+        ]
+        # ISO-8601 UTC strings compare lexicographically as timestamps
+        moved = [w for w in wms if w.startswith("2")]  # past the epoch start
+        assert len(set(moved)) >= 2, f"watermark never advanced: {wms}"
+        assert wms == sorted(wms), f"watermark regressed: {wms}"
+    finally:
+        q.stop()
