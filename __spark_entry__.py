@@ -2208,7 +2208,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS n_copies
             FROM fp GROUP BY fingerprint
         """,
-        "text_token_stats": """
+        "text_token_stats": r"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens_bpe,

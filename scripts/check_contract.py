@@ -100,6 +100,26 @@ def compare(name, got: pd.DataFrame, want: pd.DataFrame) -> tuple[bool, str]:
     return True, note
 
 
+def source_hash() -> str:
+    """sha256 over the contract surface (__spark_entry__.py + every
+    engine module). Recorded in the ledger JSON; tests fail when the
+    committed ledger's hash no longer matches the tree — the guard that
+    keeps a green-but-stale ledger from shipping (the round-3 failure
+    mode: entry edits landed after the last full contract run)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = [os.path.join(root, "__spark_entry__.py")] + sorted(
+        glob.glob(os.path.join(root, "cuplyr_spark", "**", "*.py"), recursive=True)
+    )
+    h = hashlib.sha256()
+    for p in files:
+        h.update(p.removeprefix(root).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
 def main():
     argv = list(sys.argv[1:])
     json_out = None
@@ -169,6 +189,8 @@ def main():
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    "source_hash": source_hash(),
+                    "partial": sorted(only) if only else None,
                     "n_pass": n_pass,
                     "n_fail": n_fail,
                     "n_rows_only": sum(1 for v in ledger.values() if v["status"] == "ROWS_ONLY"),
