@@ -555,6 +555,50 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_decontaminate_hashed(spark, sf_dir):
+    """Hash-compacted decontamination: broadcast side is xxhash64 of
+    the bench grams (8 B each) with exact verification of survivors —
+    the variant for eval-gram sets too big to broadcast as strings.
+    Results are bit-identical to the exact path; the oracle is the
+    plain exact-overlap SQL (5-grams, every 89th doc as the eval set)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 89 == 0")
+    return (
+        D.flag_contaminated_hashed(docs, bench, ngram=5)
+        .select("doc_id", "contaminated")
+        .df
+    )
+
+
+# planted boilerplate paragraphs for paragraph_dedup: the synthetic
+# corpus is single-line and fully distinct, so cross-doc duplicate
+# paragraphs must be constructed (same pattern as pii_scrub's planted
+# specimens); both engines build the identical multi-paragraph text
+_PD_B1 = "subscribe to our newsletter for updates"
+_PD_B2 = "follow us on social media"
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide duplicate-paragraph removal (RefinedWeb-style
+    boilerplate scrub): every doc gets the B1 boilerplate paragraph
+    (every third doc also B2); dedup keeps each boilerplate only in the
+    lowest doc_id and reassembles documents in paragraph order."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    head = F.array_join(F.slice(words, 1, 15), " ")
+    rest = F.array_join(F.slice(words, 16, 1 << 20), " ")
+    planted = docs.df.select(
+        F.col("doc_id"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws("\n", head, F.lit(_PD_B1), rest, F.lit(_PD_B2)),
+        )
+        .otherwise(F.concat_ws("\n", head, F.lit(_PD_B1), rest))
+        .alias("text"),
+    )
+    return D.dedup_paragraphs(Frame(planted)).select("doc_id", "text").df
+
+
 def q_mixture_resample(spark, sf_dir):
     """Domain-mixture resampling: hash-downsample sources to a 30/20/50
     target mix, keeping all of the binding group. Tiny count aggregate
@@ -1889,6 +1933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack_greedy": q_sequence_pack_greedy,
         "tfidf_top_terms": q_tfidf_top_terms,
         "decontaminate": q_decontaminate,
+        "decontaminate_hashed": q_decontaminate_hashed,
+        "paragraph_dedup": q_paragraph_dedup,
         "mixture_resample": q_mixture_resample,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -2512,6 +2558,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # the hashed variant is result-identical to exact overlap by
+        # construction, so its oracle is the plain exact-overlap SQL
+        "decontaminate_hashed": f"""
+            WITH bench AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest({_shingles_sql(5)}) AS g
+                FROM documents WHERE doc_id % 89 = 0
+              )
+            ), hits AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest({_shingles_sql(5)}) AS g FROM documents
+              ) WHERE g IN (SELECT g FROM bench)
+            )
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "paragraph_dedup": f"""
+            WITH src AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN concat(h, chr(10), '{_PD_B1}', chr(10), r,
+                                      chr(10), '{_PD_B2}')
+                          ELSE concat(h, chr(10), '{_PD_B1}', chr(10), r)
+                     END AS text
+              FROM (
+                SELECT doc_id,
+                       array_to_string(list_slice(string_split(text, ' '), 1, 15), ' ') AS h,
+                       array_to_string(list_slice(string_split(text, ' '), 16,
+                                       len(string_split(text, ' '))), ' ') AS r
+                FROM documents)
+            ), p AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                     unnest(string_split(text, chr(10))) AS para
+              FROM src
+            ), k AS (
+              SELECT doc_id, pos, para,
+                     min(doc_id) OVER (PARTITION BY para) AS min_id,
+                     min(pos) OVER (PARTITION BY para, doc_id) AS min_pos
+              FROM p
+            ), reb AS (
+              SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+              FROM k
+              WHERE length(para) < 1 OR (doc_id = min_id AND pos = min_pos)
+              GROUP BY doc_id
+            )
+            SELECT s.doc_id, coalesce(reb.text, '') AS text
+            FROM src s LEFT JOIN reb USING (doc_id)
         """,
         "mixture_resample": """
             WITH c AS (

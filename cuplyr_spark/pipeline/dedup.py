@@ -317,6 +317,69 @@ def ngram_jaccard_pairs(
     return Frame(pairs, ())
 
 
+def dedup_paragraphs(
+    frame: Frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> Frame:
+    """Corpus-wide duplicate-paragraph removal (the RefinedWeb/DataComp
+    boilerplate scrub): every paragraph that occurs anywhere else in
+    the corpus survives only at its FIRST occurrence — smallest
+    ``id_col``, then smallest position within that document — and is
+    dropped everywhere else. Documents are reassembled in original
+    paragraph order; paragraphs shorter than ``min_chars`` are never
+    deduplicated (so blank separators survive).
+
+    100 TB shape: one shuffle of (id, pos, paragraph) rows keyed on the
+    paragraph for BOTH first-occurrence windows (the second window's
+    (para, id) clustering is satisfied by the para partitioning — no
+    second exchange, just an in-partition sort), then one id-keyed
+    aggregation to rebuild documents. No driver-side state, no join
+    against a collected dup list.
+
+    Output: (id, text) with ``text`` rebuilt from surviving paragraphs
+    (empty string if every paragraph was removed — row is kept).
+    """
+    if min_chars < 0:
+        raise ValueError("min_chars must be >= 0")
+    df = frame.df
+    paras = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+    )
+    w_para = Window.partitionBy("para")
+    w_doc = Window.partitionBy("para", id_col)
+    kept = (
+        paras.withColumn("__min_id", F.min(id_col).over(w_para))
+        .withColumn("__min_pos", F.min("pos").over(w_doc))
+        .filter(
+            (F.length("para") < min_chars)
+            | (
+                (F.col(id_col) == F.col("__min_id"))
+                & (F.col("pos") == F.col("__min_pos"))
+            )
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    # documents whose every paragraph was deduplicated away still get a
+    # row (empty text) — slim id-keyed join, co-partitioned with the agg
+    out = (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )
+    return Frame(out, ())
+
+
 def flag_contaminated(
     corpus: Frame,
     benchmark: Frame,
@@ -350,6 +413,57 @@ def flag_contaminated(
             F.explode(_word_shingles(F.col(text_col), ngram)).alias(gram),
         )
         .join(F.broadcast(bench_grams), on=gram, how="leftsemi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    out = corpus.df.join(F.broadcast(hit_ids), on=id_col, how="left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )
+    return Frame(out, corpus.group_vars())
+
+
+def flag_contaminated_hashed(
+    corpus: Frame,
+    benchmark: Frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 13,
+) -> Frame:
+    """:func:`flag_contaminated` for benchmark-gram sets too large to
+    broadcast as strings: the broadcast prefilter carries only the
+    xxhash64 of each bench gram (8 bytes vs ~100 for a 13-gram), an
+    order-of-magnitude smaller build side, and only the corpus grams
+    that survive the hash prefilter shuffle into an EXACT string
+    verification join. Hash collisions therefore cost a little extra
+    verification work but can never flip a result — output is
+    bit-identical to the exact path (same oracle).
+
+    (Spark's bloom_filter_agg would compress the prefilter further but
+    is an internal expression, not exposed to SQL/DataFrame in 4.x;
+    a 64-bit hash set is the same prefilter idea with zero false
+    positives in practice and no tuning surface.)
+    """
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    gram, gh = "__decon_gram", "__decon_gh"
+    bench_grams = (
+        benchmark.df.select(
+            F.explode(_word_shingles(F.col(text_col), ngram)).alias(gram)
+        )
+        .distinct()
+    )
+    bench_hashes = bench_grams.select(F.xxhash64(F.col(gram)).alias(gh)).distinct()
+    candidates = (
+        corpus.df.select(
+            F.col(id_col),
+            F.explode(_word_shingles(F.col(text_col), ngram)).alias(gram),
+        )
+        .withColumn(gh, F.xxhash64(F.col(gram)))
+        .join(F.broadcast(bench_hashes), on=gh, how="leftsemi")
+    )
+    hit_ids = (
+        candidates.join(bench_grams, on=gram, how="leftsemi")
         .select(id_col)
         .distinct()
         .withColumn("contaminated", F.lit(True))

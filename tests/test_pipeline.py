@@ -383,3 +383,54 @@ def test_embedding_near_dup_auto_planes_and_cap(spark):
     assert len(capped.collect()) == 0
     open_ = S.embedding_near_dup_pairs(f, threshold=0.9, max_bucket_size=None)
     assert len(open_.collect()) == 30 * 29 // 2
+
+
+def test_decontamination_hashed_matches_exact(docs, spark):
+    """The hash-compacted prefilter variant must be bit-identical to
+    the exact path (collisions only add verification work)."""
+    bench = from_pandas(spark, pd.DataFrame([(100, BASE)], columns=["doc_id", "text"]))
+    exact = (
+        D.flag_contaminated(docs, bench, ngram=5)
+        .collect()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    hashed = (
+        D.flag_contaminated_hashed(docs, bench, ngram=5)
+        .collect()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(hashed, exact)
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Corpus-wide paragraph dedup: a boilerplate paragraph survives
+    only at its (min doc, min pos) occurrence; unique paragraphs and
+    sub-min_chars paragraphs survive everywhere; fully-deduplicated
+    docs keep a row with empty text."""
+    rows = [
+        (1, "intro one\nBOILERPLATE LINE\nbody one"),
+        (2, "BOILERPLATE LINE\nintro two\nBOILERPLATE LINE"),
+        (3, "BOILERPLATE LINE"),
+        (4, "intro four\n\nbody four"),  # empty para preserved
+        (5, "intro five\n\nbody five"),  # second empty para also preserved
+    ]
+    fr = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        D.dedup_paragraphs(fr).collect().set_index("doc_id")["text"].to_dict()
+    )
+    assert out[1] == "intro one\nBOILERPLATE LINE\nbody one"  # first occurrence
+    assert out[2] == "intro two"  # both copies removed (doc 1 owns it)
+    assert out[3] == ""  # everything removed, row kept
+    assert out[4] == "intro four\n\nbody four"
+    assert out[5] == "intro five\n\nbody five"  # empty line not deduped
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    """A paragraph repeated within its owning (min) doc keeps only the
+    first position."""
+    rows = [(1, "same para\nother\nsame para")]
+    fr = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = D.dedup_paragraphs(fr).collect()
+    assert out["text"].tolist() == ["same para\nother"]

@@ -64,6 +64,8 @@ EXCHANGE_BUDGETS = {
     "sequence_pack": 1,         # one hash-partition on the shard key
     "sequence_pack_greedy": 1,  # groupBy(shard) applyInPandas; join-back broadcasts
     "decontaminate": 2,         # bench-gram distinct + hit-id distinct (ids only)
+    "decontaminate_hashed": 3,  # + exact-verify join of prefilter survivors (bench grams not broadcast in this variant)
+    "paragraph_dedup": 2,       # para-keyed window (both windows share it) + id-keyed rebuild agg; rejoin broadcasts at test sf
     "mixture_resample": 3,      # tiny count agg + global min + re-agg; corpus side map-only
     "minhash_signatures": 1,    # repartition spread for the md5 fold
     "simhash": 0,
