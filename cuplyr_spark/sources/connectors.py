@@ -1,13 +1,27 @@
-"""Lakehouse-format connectors (Delta / Iceberg / Hudi) — gated.
+"""Lakehouse-format connectors.
 
-The format jars are not on this build's classpath; the readers raise
-immediately with the exact conf needed rather than failing deep inside
-the JVM. The engine's own surface (Frame verbs, pipeline ops) is
-format-agnostic — once the jar + catalog conf is present these return
-ordinary Frames and everything downstream works unchanged.
+Two tiers:
+
+- **Jar-gated readers** (Delta / Iceberg / Hudi): the format jars are
+  not on this build's classpath; the readers raise immediately with the
+  exact conf needed rather than failing deep inside the JVM. Once the
+  jar + catalog conf is present these return ordinary Frames and
+  everything downstream works unchanged.
+- **Snapshot tables** (jar-free, works everywhere Spark reads parquet):
+  versioned parquet directories published by an atomic manifest swap —
+  readers only ever see a fully-written version, old versions stay
+  readable (time travel). This is the core mechanism the lakehouse
+  formats formalize (Delta's _delta_log, Iceberg's metadata pointer),
+  reduced to one pointer file; it provides their two essential
+  guarantees (atomic publish, versioned reads) without transactions,
+  schema evolution, or compaction. The manifest swap relies on
+  atomic rename — true on POSIX filesystems and HDFS; on S3-style
+  object stores, front it with a small lock or use the real formats.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import SparkSession
 
@@ -47,3 +61,71 @@ def read_lakehouse(spark: SparkSession, fmt: str, path: str) -> Frame:
             "classpath — stubbed per build constraints)"
         )
     return Frame(spark.read.format(fmt).load(path))  # pragma: no cover
+
+
+# -- snapshot tables (jar-free versioned parquet) -----------------------
+
+_MANIFEST = "_LATEST"
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _MANIFEST)
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    """All version directories present (published or not), ascending."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def latest_snapshot_version(table_dir: str) -> int | None:
+    """The PUBLISHED version (manifest pointer), or None."""
+    try:
+        with open(_manifest_path(table_dir)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def write_snapshot(frame: Frame, table_dir: str) -> int:
+    """Publish the frame as the table's next version.
+
+    The data lands in ``v=<n+1>/`` first; only after the parquet write
+    completes is the manifest pointer swapped (write-temp + atomic
+    rename), so a concurrent reader either sees the previous complete
+    version or the new complete version — never a partial directory.
+    A writer crash leaves an orphan ``v=`` dir that readers ignore.
+    Returns the published version number."""
+    os.makedirs(table_dir, exist_ok=True)
+    version = max(snapshot_versions(table_dir), default=0) + 1
+    data_dir = os.path.join(table_dir, f"v={version}")
+    frame.df.write.mode("errorifexists").parquet(data_dir)
+    tmp = _manifest_path(table_dir) + f".tmp.{version}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _manifest_path(table_dir))
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> Frame:
+    """Read the published version (default) or a pinned earlier one
+    (time travel). Unpublished/orphaned version dirs are never read."""
+    if version is None:
+        version = latest_snapshot_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(
+                f"no published snapshot at {table_dir!r} (missing {_MANIFEST})"
+            )
+    data_dir = os.path.join(table_dir, f"v={version}")
+    if not os.path.isdir(data_dir):
+        raise FileNotFoundError(f"snapshot version {version} not found in {table_dir!r}")
+    from cuplyr_spark.sources.readers import read_parquet
+
+    return read_parquet(spark, data_dir)

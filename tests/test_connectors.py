@@ -1,0 +1,56 @@
+"""Connector tests: the jar-gated lakehouse readers fail fast with the
+exact conf hint, and the jar-free snapshot-table connector provides
+atomic publish + time travel over plain parquet."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from cuplyr_spark import from_pandas
+from cuplyr_spark.sources.connectors import (
+    read_lakehouse,
+    read_snapshot,
+    snapshot_versions,
+    write_snapshot,
+)
+
+
+def test_lakehouse_gate_message(spark):
+    with pytest.raises(ModuleNotFoundError) as ei:
+        read_lakehouse(spark, "delta", "/tmp/nope")
+    assert "delta-spark" in str(ei.value)
+    with pytest.raises(ValueError):
+        read_lakehouse(spark, "parquetish", "/tmp/nope")
+
+
+def test_snapshot_publish_and_time_travel(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    v1 = from_pandas(spark, pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    ver1 = write_snapshot(v1, table)
+    assert ver1 == 1
+    got1 = read_snapshot(spark, table).collect().sort_values("k")
+    assert got1["v"].tolist() == ["a", "b"]
+
+    v2 = from_pandas(spark, pd.DataFrame({"k": [1, 2, 3], "v": ["a", "B", "c"]}))
+    ver2 = write_snapshot(v2, table)
+    assert ver2 == 2
+    # latest sees v2, pinned read sees v1 (time travel)
+    assert len(read_snapshot(spark, table).collect()) == 3
+    assert len(read_snapshot(spark, table, version=1).collect()) == 2
+    assert snapshot_versions(table) == [1, 2]
+
+
+def test_snapshot_unpublished_version_invisible(spark, tmp_path):
+    """A crashed write (data dir present, manifest not swapped) must be
+    invisible to readers."""
+    table = str(tmp_path / "tbl")
+    df = from_pandas(spark, pd.DataFrame({"k": [1]}))
+    write_snapshot(df, table)
+    # simulate a half-finished writer: directory exists, no manifest bump
+    os.makedirs(os.path.join(table, "v=99"), exist_ok=True)
+    assert snapshot_versions(table) == [1, 99] or snapshot_versions(table) == [1]
+    got = read_snapshot(spark, table)  # manifest still points at 1
+    assert len(got.collect()) == 1
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path / "missing"))

@@ -143,3 +143,91 @@ def test_fuzz_bind_rows(spark, pdf, pdf2):
         "SELECT * FROM t",
     )
     assert_frame_matches(got, want)
+
+
+@st.composite
+def short_key_frames(draw):
+    """Frames whose group keys are NULLABLE smallints — the packed-key
+    aggregation path with sentinel bits (16+16+2 = 34 bits)."""
+    n = draw(st.integers(min_value=0, max_value=14))
+    small = st.one_of(st.none(), st.integers(min_value=-3, max_value=3))
+    return pd.DataFrame(
+        {
+            "k1": pd.array([draw(small) for _ in range(n)], dtype="Int16"),
+            "k2": pd.array([draw(small) for _ in range(n)], dtype="Int16"),
+            "y": pd.array([draw(finite_doubles) for _ in range(n)], dtype="Float64"),
+        }
+    )
+
+
+@given(pdf=short_key_frames())
+@FUZZ_SETTINGS
+def test_fuzz_packed_nullable_key_agg(spark, pdf):
+    """Packed-key aggregation with nullable smallint keys must match
+    DuckDB's composite group-by exactly — NULL keys their own groups,
+    NULL-vs-0 never merged, negatives restored by the sign-extending
+    unpack."""
+    f = mk(spark, pdf, schema="k1 smallint, k2 smallint, y double")
+    frame = f.group_by("k1", "k2")
+    got_frame = frame.summarise(s=A.sum("y"), n=A.n())
+    if len(pdf):
+        # path actually engaged (both keys smallint + sentinel bits fit)
+        assert "__cuplyr_pk__" in got_frame.df._jdf.queryExecution().analyzed().toString()
+    got = got_frame.collect()
+    got["k1"] = got["k1"].astype("Int64")
+    got["k2"] = got["k2"].astype("Int64")
+    want = run_duck(
+        pdf,
+        "SELECT CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2, "
+        "sum(y) AS s, count(*) AS n FROM t GROUP BY k1, k2",
+    )
+    assert_frame_matches(got, want)
+
+
+@st.composite
+def paragraph_corpora(draw):
+    """Docs assembled from a SMALL paragraph pool so cross-document
+    duplicates are common; includes empty paragraphs."""
+    pool = ["alpha beta", "gamma", "delta epsilon zeta", "", "eta theta"]
+    n_docs = draw(st.integers(min_value=1, max_value=6))
+    rows = []
+    for i in range(n_docs):
+        k = draw(st.integers(min_value=1, max_value=4))
+        paras = [pool[draw(st.integers(min_value=0, max_value=len(pool) - 1))] for _ in range(k)]
+        rows.append((i, "\n".join(paras)))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+@given(pdf=paragraph_corpora())
+@FUZZ_SETTINGS
+def test_fuzz_paragraph_dedup(spark, pdf):
+    """dedup_paragraphs vs a DuckDB window replay on random corpora
+    built from a small paragraph pool (guaranteed cross-doc dups,
+    within-doc repeats, empty paragraphs)."""
+    from cuplyr_spark.pipeline.dedup import dedup_paragraphs
+
+    f = mk(spark, pdf, schema="doc_id bigint, text string")
+    got = dedup_paragraphs(f).collect()
+    want = run_duck(
+        pdf,
+        """
+        WITH p AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                 unnest(string_split(text, chr(10))) AS para
+          FROM t
+        ), k AS (
+          SELECT doc_id, pos, para,
+                 min(doc_id) OVER (PARTITION BY para) AS min_id,
+                 min(pos) OVER (PARTITION BY para, doc_id) AS min_pos
+          FROM p
+        ), reb AS (
+          SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+          FROM k WHERE length(para) < 1 OR (doc_id = min_id AND pos = min_pos)
+          GROUP BY doc_id
+        )
+        SELECT t.doc_id, coalesce(reb.text, '') AS text
+        FROM t LEFT JOIN reb USING (doc_id)
+        """,
+    )
+    assert_frame_matches(got, want)
