@@ -821,6 +821,18 @@ def q_video_frame_sample(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio plumbing end-to-end: binary media column (utf-8 bytes as
+    8-bit PCM — the container-safe fixture; a RIFF/WAVE header takes
+    the real 16-bit parse path) -> mapInPandas windowed features. Sums
+    are exact integers, so the oracle (codepoint math over the ASCII
+    corpus) hash-matches bit-for-bit."""
+    from cuplyr_spark.pipeline.multimodal import extract_audio_features, media_from_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_audio_features(media_from_text(docs), window=256).df
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding near-dup pairs blocked by label (cosine >= 0.3)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1950,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_labels": q_dedup_cluster_labels,
         "media_metadata": q_media_metadata,
         "video_frame_sample": q_video_frame_sample,
+        "audio_features": q_audio_features,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "streaming_sessionize": q_streaming_sessionize,
@@ -2899,6 +2912,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        # ASCII corpus: each char's codepoint IS its utf-8 byte value,
+        # so codepoint sums equal the engine's uint8-PCM sample sums
+        "audio_features": """
+            WITH c AS (
+              SELECT doc_id,
+                     unicode(unnest(regexp_extract_all(text, '.'))) AS v,
+                     generate_subscripts(regexp_extract_all(text, '.'), 1) AS idx
+              FROM documents
+            )
+            SELECT doc_id, CAST((idx - 1) // 256 AS INT) AS window_idx,
+                   count(*) AS n_samples,
+                   CAST(sum(v) AS BIGINT) AS sum_amp,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq
+            FROM c GROUP BY doc_id, window_idx
         """,
         # the corpus is pure ASCII (DuckDB has no BLOB substring), so
         # char substrings equal the engine's byte chunks and

@@ -217,6 +217,84 @@ def sample_video_frames(
     )
 
 
+def pcm_audio_decoder(data: bytes) -> np.ndarray:
+    """Dependency-free audio decoder: 16-bit PCM WAV when the RIFF/WAVE
+    header is present (real — the format is a fixed header + raw
+    samples, no codec needed), otherwise the bytes themselves as
+    unsigned 8-bit samples (the deterministic fixture path). Real
+    deployments swap in a soundfile/ffmpeg decoder with the same
+    signature: bytes -> 1-D integer sample array."""
+    if len(data) >= 44 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        # canonical WAV: find the 'data' chunk (fmt may vary in size)
+        off = 12
+        while off + 8 <= len(data):
+            cid = data[off : off + 4]
+            size = int.from_bytes(data[off + 4 : off + 8], "little")
+            if cid == b"data":
+                payload = data[off + 8 : off + 8 + size]
+                return np.frombuffer(
+                    payload[: len(payload) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+            off += 8 + size + (size & 1)
+    return np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+
+
+def extract_audio_features(
+    frame: Frame,
+    bytes_col: str = "media",
+    id_col: str = "doc_id",
+    window: int = 256,
+    decoder: Callable | None = None,
+) -> Frame:
+    """Windowed audio features over a binary audio column through
+    mapInPandas: one row per ``window``-sample frame with the exact
+    integer sums (count, sum of amplitudes, sum of squares) from which
+    RMS energy / mean amplitude derive downstream.
+
+    Sums are emitted instead of floats so results are bit-exact and
+    engine-independent (the DuckDB oracle reproduces them); divide at
+    the consumer (``sqrt(sum_sq/n)`` = RMS). Bytes stay on the
+    executors; each Arrow batch decodes independently."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    decoder = decoder or pcm_audio_decoder
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("window_idx", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sum_amp", T.LongType()),
+            T.StructField("sum_sq", T.LongType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, sums, sqs = [], [], [], [], []
+            for _id, data in zip(pdf[id_col], pdf[bytes_col]):
+                samples = decoder(bytes(data))
+                for w in range(0, len(samples), window):
+                    chunk = samples[w : w + window]
+                    ids.append(_id)
+                    idxs.append(w // window)
+                    ns.append(len(chunk))
+                    sums.append(int(chunk.sum()))
+                    sqs.append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "window_idx": idxs,
+                    "n_samples": ns,
+                    "sum_amp": sums,
+                    "sum_sq": sqs,
+                }
+            )
+
+    return Frame(
+        frame.df.select(id_col, bytes_col).mapInPandas(process, out_schema), ()
+    )
+
+
 def media_from_text(frame: Frame, text_col: str = "text", id_col: str = "doc_id") -> Frame:
     """Test-fixture helper: synthesize a binary media column from text
     (utf-8 bytes) so the multimodal plumbing is exercisable with the

@@ -99,3 +99,64 @@ def test_video_decoder_pluggable(media):
     assert len(out) == 6
     r = out[(out.doc_id == 1) & (out.frame_idx == 1)]
     assert bytes(r["frame"].iloc[0]) == b"ateb"
+
+
+def test_audio_features_raw_bytes(spark):
+    """Raw-bytes path: uint8 samples, exact windowed integer sums."""
+    from cuplyr_spark.pipeline.multimodal import extract_audio_features
+
+    docs = from_pandas(spark, pd.DataFrame({"doc_id": [1], "text": ["abcABC xyz"]}))
+    out = (
+        extract_audio_features(media_from_text(docs), window=4)
+        .collect()
+        .sort_values("window_idx")
+    )
+    vals = [ord(c) for c in "abcABC xyz"]
+    assert out["n_samples"].tolist() == [4, 4, 2]
+    assert out["sum_amp"].tolist() == [
+        sum(vals[0:4]), sum(vals[4:8]), sum(vals[8:10])
+    ]
+    assert out["sum_sq"].tolist() == [
+        sum(v * v for v in vals[0:4]),
+        sum(v * v for v in vals[4:8]),
+        sum(v * v for v in vals[8:10]),
+    ]
+
+
+def test_audio_features_wav_decode(spark):
+    """Real WAV decode (16-bit PCM, stdlib-written header): samples
+    round-trip exactly through the RIFF parser."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from cuplyr_spark.pipeline.multimodal import (
+        extract_audio_features,
+        pcm_audio_decoder,
+    )
+
+    samples = np.array([0, 1000, -1000, 32767, -32768, 7], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    wav_bytes = buf.getvalue()
+
+    # decoder alone round-trips the samples
+    assert pcm_audio_decoder(wav_bytes).tolist() == samples.astype(int).tolist()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_bytes))], "doc_id long, media binary"
+    )
+    from cuplyr_spark.frame import Frame
+
+    out = (
+        extract_audio_features(Frame(df), window=4).collect().sort_values("window_idx")
+    )
+    s = samples.astype(int)
+    assert out["n_samples"].tolist() == [4, 2]
+    assert out["sum_amp"].tolist() == [int(s[:4].sum()), int(s[4:].sum())]
+    assert out["sum_sq"].tolist() == [int((s[:4] ** 2).sum()), int((s[4:] ** 2).sum())]

@@ -109,6 +109,7 @@ EXCHANGE_BUDGETS = {
     "dedup_cluster_labels": 0,  # final plan reads the CC localCheckpoint
     "media_metadata": 0,        # per-row binary hash, map-only
     "video_frame_sample": 0,    # mapInPandas chunk decode, map-only
+    "audio_features": 0,        # mapInPandas windowed PCM sums, map-only
     "asof_nearest": 1,          # union + two same-key windows, one shuffle
     "tfidf_top_terms": 6,       # tf agg + df re-agg + n_docs + doc window; term-grain rows only
     "standardize": 1,           # tiny moments agg broadcast back
