@@ -66,18 +66,33 @@ from cuplyr_spark.operators.skew import salted_join, salted_summarise
 from cuplyr_spark.operators.stats import histogram, standardize
 from cuplyr_spark.pipeline.dedup import (
     dedup_clusters,
+    dedup_paragraphs,
     exact_dedup,
     flag_contaminated,
+    flag_contaminated_hashed,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from cuplyr_spark.pipeline.multimodal import (
+    attach_media_meta,
+    decode_images,
+    extract_audio_features,
+    sample_video_frames,
+)
 from cuplyr_spark.pipeline.packing import pack_concat_chunks, pack_greedy
 from cuplyr_spark.pipeline.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_cosine_topk,
     lsh_cosine_topk,
+    vector_centroids,
+)
+from cuplyr_spark.sources.connectors import (
+    read_snapshot,
+    snapshot_versions,
+    write_snapshot,
 )
 from cuplyr_spark.pipeline.text import (
     tf_idf_top_terms,
@@ -99,7 +114,7 @@ from cuplyr_spark.pipeline.sampling import (
     with_split_label,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "get_session",
