@@ -231,3 +231,111 @@ def test_fuzz_paragraph_dedup(spark, pdf):
         """,
     )
     assert_frame_matches(got, want)
+
+
+@st.composite
+def range_join_inputs(draw):
+    """Random events + intervals on the numeric-ms path, with
+    degenerate shapes: point intervals (start == end), inverted
+    intervals (start > end, must match nothing), empty sides."""
+    n_l = draw(st.integers(min_value=0, max_value=10))
+    n_r = draw(st.integers(min_value=0, max_value=6))
+    ms = st.integers(min_value=0, max_value=50)
+    left = pd.DataFrame(
+        {
+            "lid": range(n_l),
+            "k": [draw(keys) for _ in range(n_l)],
+            "ts": [draw(ms) * 1000 for _ in range(n_l)],
+        }
+    )
+    starts = [draw(ms) * 1000 for _ in range(n_r)]
+    durs = [draw(st.integers(min_value=-10, max_value=20)) * 1000 for _ in range(n_r)]
+    right = pd.DataFrame(
+        {
+            "rid": range(n_r),
+            "k": [draw(keys) for _ in range(n_r)],
+            "t_start": starts,
+            "t_end": [s + d for s, d in zip(starts, durs)],
+        }
+    )
+    return left, right
+
+
+@given(inputs=range_join_inputs())
+@FUZZ_SETTINGS
+def test_fuzz_range_join(spark, inputs):
+    """Bucketized range join vs DuckDB's direct BETWEEN join on random
+    events/intervals — the bucketization (explode + equi-join + exact
+    filter) must be invisible."""
+    from cuplyr_spark.operators.rangejoin import range_join
+
+    left, right = inputs
+    lf = mk(spark, left, schema="lid bigint, k string, ts bigint")
+    rf = mk(spark, right, schema="rid bigint, k string, t_start bigint, t_end bigint")
+    got = (
+        range_join(lf, rf, "ts", "t_start", "t_end", by=["k"], bucket_ms=3000)
+        .select("lid", "rid")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute(
+        "SELECT l.lid, r.rid FROM l JOIN r ON l.k = r.k "
+        "AND l.ts BETWEEN r.t_start AND r.t_end"
+    ).fetchdf()
+    assert_frame_matches(got, want)
+
+
+@st.composite
+def asof_inputs(draw):
+    """Random click/event frames; right timestamps UNIQUE per key so
+    the as-of match is well-defined in every engine (pandas breaks
+    equal-right-ts ties by input order, Spark's window has no stable
+    order among identical sort keys)."""
+    n_l = draw(st.integers(min_value=0, max_value=10))
+    ms = st.integers(min_value=0, max_value=40)
+    left = pd.DataFrame(
+        {
+            "lid": pd.Series(range(n_l), dtype="int64"),
+            "k": pd.Series([draw(keys) for _ in range(n_l)], dtype="object"),
+            "ts": pd.Series([draw(ms) for _ in range(n_l)], dtype="int64"),
+        }
+    )
+    rights = []
+    rid = 0
+    for k in ["a", "b", "c"]:
+        n_k = draw(st.integers(min_value=0, max_value=5))
+        ts_pool = draw(
+            st.lists(ms, min_size=n_k, max_size=n_k, unique=True)
+        )
+        for t in ts_pool:
+            rights.append((rid, k, t))
+            rid += 1
+    right = pd.DataFrame(rights, columns=["rid", "k", "ts"]).astype(
+        {"rid": "int64", "k": "object", "ts": "int64"}
+    )
+    return left, right
+
+
+@given(inputs=asof_inputs(), direction=st.sampled_from(["backward", "forward", "nearest"]))
+@FUZZ_SETTINGS
+def test_fuzz_asof_directions(spark, inputs, direction):
+    """asof_join vs pandas.merge_asof on random frames, all three
+    directions."""
+    from cuplyr_spark.operators.asof import asof_join
+
+    left, right = inputs
+    lf = mk(spark, left, schema="lid bigint, k string, ts bigint")
+    rf = mk(spark, right, schema="rid bigint, k string, ts bigint")
+    got = (
+        asof_join(lf, rf, by="k", on="ts", direction=direction)
+        .select("lid", "rid")
+        .collect()
+    )
+    lp = left.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    rp = right.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    want = pd.merge_asof(lp, rp, on="ts", by="k", direction=direction)[
+        ["lid", "rid"]
+    ]
+    assert_frame_matches(got, want)
