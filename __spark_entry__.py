@@ -980,6 +980,37 @@ def q_streaming_dedup_keys(spark, sf_dir):
     return spark.sql("SELECT key FROM q_stream_dedup")
 
 
+def q_streaming_running_total(spark, sf_dir):
+    """Custom stateful running totals (applyInPandasWithState, update
+    mode): per-key totals accumulated in the state store across
+    triggers. Values go in as integer cents so the float total is
+    integral — exact under any arrival order — and the final emission
+    per key (the one with the largest n) must equal the batch
+    aggregate, which is the oracle."""
+    from cuplyr_spark.streaming.stateful import streaming_running_total
+    from cuplyr_spark.streaming.stream import run_to_memory
+    from pyspark.sql import functions as SF
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            SF.col("user_id").cast("string").alias("k"),
+            SF.round(SF.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    totals = streaming_running_total(src, "k", "cents")
+    run_to_memory(totals, "q_stream_totals", output_mode="update")
+    # totals are monotone in n, so max_by(total, n) is the final state
+    return spark.sql(
+        "SELECT key, max_by(total, n) AS total, max(n) AS n "
+        "FROM q_stream_totals GROUP BY key"
+    )
+
+
 def q_pivot_wider(spark, sf_dir):
     """Long -> wide pivot (Spark-native; oracle via conditional
     aggregation)."""
@@ -1969,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed": q_streaming_windowed,
         "streaming_static_join": q_streaming_static_join,
         "streaming_dedup_keys": q_streaming_dedup_keys,
+        "streaming_running_total": q_streaming_running_total,
         "pivot_wider": q_pivot_wider,
         "pivot_longer": q_pivot_longer,
         "bind_cols": q_bind_cols,
@@ -2993,6 +3025,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup_keys": """
             SELECT DISTINCT concat(user_id, '_', event_type) AS key FROM events
+        """,
+        "streaming_running_total": """
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS total,
+                   count(*) AS n
+            FROM events GROUP BY user_id
         """,
         "streaming_windowed": """
             SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS bucket_ms,

@@ -142,6 +142,7 @@ SKIP = {
     "streaming_windowed",
     "streaming_static_join",
     "streaming_dedup_keys",
+    "streaming_running_total",
 }  # streaming plans print differently
 
 
