@@ -28,6 +28,7 @@ Anything that is not valid Python syntax (e.g. SQL like
 from __future__ import annotations
 
 import ast
+import functools
 import operator
 import re
 
@@ -66,6 +67,12 @@ _FN_ALIASES = {
     "if_else": "expr_if_else",
     "ifelse": "expr_if_else",
     "coalesce": "coalesce",
+    # dplyr vector helpers
+    "na_if": "expr_na_if",
+    "replace_na": "coalesce",  # replace_na(x, v) == coalesce(x, v)
+    "between": "expr_between",
+    "pmin": "expr_pmin",
+    "pmax": "expr_pmax",
 }
 
 # R coercion functions -> Spark cast targets (callable in the R-style
@@ -273,6 +280,24 @@ def _compile_call(node: ast.Call) -> Column:
         if len(args) != 3:
             raise ExprError("if_else(cond, yes, no)")
         return F.when(args[0], args[1]).otherwise(args[2])
+    if name == "expr_na_if":
+        # dplyr na_if(x, y): NULL where x == y, else x
+        if len(args) != 2:
+            raise ExprError("na_if(x, y)")
+        return F.when(args[0] == args[1], F.lit(None)).otherwise(args[0])
+    if name == "expr_between":
+        # dplyr between(x, lo, hi): inclusive both ends
+        if len(args) != 3:
+            raise ExprError("between(x, lo, hi)")
+        return (args[0] >= args[1]) & (args[0] <= args[2])
+    if name in ("expr_pmin", "expr_pmax"):
+        # R pmin/pmax propagate NA (na.rm=FALSE default); Spark's
+        # least/greatest SKIP nulls, so guard explicitly.
+        if len(args) < 2:
+            raise ExprError("pmin/pmax need at least two arguments")
+        inner = F.least(*args) if name == "expr_pmin" else F.greatest(*args)
+        any_null = functools.reduce(operator.or_, [a.isNull() for a in args])
+        return F.when(any_null, F.lit(None)).otherwise(inner)
     if name == "expr_trunc":
         # R trunc(): toward zero. Spark F.trunc is date-only.
         (x,) = args

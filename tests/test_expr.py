@@ -197,3 +197,33 @@ def test_str_replace_whole_match_ref_rejected(spark):
     t = from_pandas(spark, pd.DataFrame({"s": ["ab"]}))
     with pytest.raises(ValueError):
         t.mutate(x="str_replace(s, 'a', '\\\\0')").collect()
+
+
+def test_dplyr_vector_helpers(spark):
+    """na_if / replace_na / between / pmin / pmax in the R-style
+    grammar, checked against their dplyr definitions."""
+    t = from_pandas(
+        spark,
+        pd.DataFrame(
+            {
+                "x": pd.array([1, 2, None, 4], dtype="Int64"),
+                "y": pd.array([2, 2, 3, 3], dtype="Int64"),
+            }
+        ),
+    )
+    out = t.mutate(
+        nil="na_if(x, 2)",            # 2 -> NULL
+        filled="replace_na(x, 0)",    # NULL -> 0
+        inside="between(x, 2, 4)",
+        lo="pmin(x, y)",
+        hi="pmax(x, y)",
+    ).collect()
+    assert out["nil"].tolist()[1] is None or pd.isna(out["nil"].tolist()[1])
+    assert out["nil"][0] == 1 and out["nil"][3] == 4
+    assert out["filled"].tolist() == [1, 2, 0, 4]
+    got_inside = [None if pd.isna(v) else bool(v) for v in out["inside"]]
+    assert got_inside == [False, True, None, True]
+    # R pmin/pmax propagate NA (na.rm=FALSE) — row 2 must be NA, not 3
+    assert pd.isna(out["lo"][2]) and pd.isna(out["hi"][2])
+    assert [v for i, v in enumerate(out["lo"]) if i != 2] == [1, 2, 3]
+    assert [v for i, v in enumerate(out["hi"]) if i != 2] == [2, 2, 4]
