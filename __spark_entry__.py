@@ -479,6 +479,17 @@ def q_text_lang_id(spark, sf_dir):
     )
 
 
+def q_text_token_rarity(spark, sf_dir):
+    """Corpus-relative token rarity (perplexity-proxy quality signal):
+    per-doc token count, distinct tokens, and occurrence-weighted sum
+    of corpus document frequencies — integer-exact by design."""
+    return (
+        TX.with_token_rarity(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "n_tokens", "n_distinct_tokens", "sum_token_df")
+        .df
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     """md5 document fingerprint (portable dedup key)."""
     return (
@@ -1969,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_token_rarity": q_text_token_rarity,
         "text_gopher_quality": q_text_gopher_quality,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
@@ -2331,6 +2343,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "text_token_rarity": """
+            WITH tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+              ) GROUP BY doc_id, tok
+            ), dfreq AS (
+              SELECT tok, count(*) AS df FROM tf GROUP BY tok
+            )
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct_tokens,
+                   CAST(sum(tf * df) AS BIGINT) AS sum_token_df
+            FROM tf JOIN dfreq USING (tok)
+            GROUP BY doc_id
         """,
         "text_gopher_quality": r"""
             WITH t AS (

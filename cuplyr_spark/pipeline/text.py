@@ -382,6 +382,41 @@ def with_fingerprint(frame: Frame, text_col: str = "text") -> Frame:
     )
 
 
+def with_token_rarity(frame: Frame, text_col: str = "text", id_col: str = "doc_id") -> Frame:
+    """Corpus-relative token-rarity signals per document — the
+    dependency-free stand-in for LM-perplexity quality filters (docs
+    whose vocabulary is corpus-common score high, rare-gibberish docs
+    score low):
+
+    - ``n_tokens`` — whitespace token occurrences
+    - ``n_distinct_tokens`` — distinct tokens in the doc
+    - ``sum_token_df`` — sum over token OCCURRENCES of the token's
+      corpus document frequency (how many docs contain it)
+
+    All three are exact integers (no log/float), so the DuckDB oracle
+    hash-matches bit-for-bit; consumers derive mean-df or -log scores
+    downstream.
+
+    Scale shape: tokens collapse to per-(doc, token) counts FIRST (one
+    shuffle at tf grain, the same compaction tf_idf_top_terms uses), df
+    is an aggregate of those compacted rows, and the join back runs at
+    tf grain, never at raw-occurrence grain. Four slim-row shuffles
+    total; no driver-side state.
+    """
+    toks = frame.df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(dfreq, "tok")
+    out = j.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.sum(F.col("tf") * F.col("df")).alias("sum_token_df"),
+    )
+    return Frame(out, ())
+
+
 def tf_idf_top_terms(
     frame: Frame,
     text_col: str = "text",

@@ -434,3 +434,16 @@ def test_paragraph_dedup_within_doc_repeat(spark):
     fr = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
     out = D.dedup_paragraphs(fr).collect()
     assert out["text"].tolist() == ["same para\nother"]
+
+
+def test_token_rarity_known_values(spark):
+    """Hand-checked corpus: df('a')=3, df('b')=2, df('c')=1."""
+    rows = [(1, "a b"), (2, "a a c"), (3, "a b")]
+    fr = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        TX.with_token_rarity(fr).collect().set_index("doc_id").sort_index()
+    )
+    assert out["n_tokens"].tolist() == [2, 3, 2]
+    assert out["n_distinct_tokens"].tolist() == [2, 2, 2]
+    # doc1: df(a)+df(b)=3+2=5; doc2: 3+3+1=7; doc3: 5
+    assert out["sum_token_df"].tolist() == [5, 7, 5]

@@ -58,6 +58,7 @@ EXCHANGE_BUDGETS = {
     "text_quality": 0,
     "text_lang_id": 0,
     "text_fingerprint": 0,
+    "text_token_rarity": 4,     # tf-grain agg + df agg + tok join + doc agg, all slim rows
     "text_gopher_quality": 0,
     "text_repetition": 0,
     "pii_scrub": 0,
