@@ -102,6 +102,7 @@ from cuplyr_spark.pipeline.text import (
     with_pii_scrub,
     with_quality_score,
     with_repetition_stats,
+    with_token_rarity,
     with_token_stats,
 )
 from cuplyr_spark.functions import window as win
