@@ -134,6 +134,22 @@ def q_filter_select(spark, sf_dir):
     )
 
 
+def q_select_where_numeric(spark, sf_dir):
+    """§2.2 tidyselect ``where()`` (r5): select columns by TYPE
+    predicate — the reference gets this free via
+    ``tidyselect::eval_select`` (R/select.R:55-115). Resolution is
+    driver-side schema inspection; the projection still prunes the
+    parquet scan to the numeric columns."""
+    from cuplyr_spark import is_numeric, where
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter("l_linenumber >= 5")
+        .select(where(is_numeric))
+        .df
+    )
+
+
 def q_filter_col_op_col(spark, sf_dir):
     """§2.3: column-vs-column comparison."""
     return (
@@ -1248,8 +1264,11 @@ def q_tpch_q4(spark, sf_dir):
 
 def q_tpch_q5(spark, sf_dir):
     """TPC-H Q5 (local-supplier volume): 6-way join where customer and
-    supplier must share a nation. Dims (nation⋈region, supplier,
-    customer) broadcast; only the orders⋈lineitem fact join shuffles."""
+    supplier must share a nation. Fixed-size dims (nation⋈region)
+    broadcast; supplier and customer scale with SF so their join
+    strategy is left to AQE's runtime sizes — an explicit hint there
+    is exactly the oversized-broadcast hazard Frame.broadcast() now
+    refuses. Only the orders⋈lineitem fact join must shuffle."""
     nr = (
         _t(spark, sf_dir, "nation")
         .inner_join(
@@ -1268,9 +1287,9 @@ def q_tpch_q5(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
-        .inner_join(supp.broadcast(), by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        .inner_join(supp, by={"l_suppkey": "s_suppkey"}, na_matches="never")
         # local-supplier condition: customer nation == supplier nation
-        .inner_join(cust.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
+        .inner_join(cust, by={"o_custkey": "c_custkey"}, na_matches="never")
         .filter("c_nationkey == s_nationkey")
         .group_by("n_name")
         .summarise(revenue=_revenue_sum())
@@ -1281,8 +1300,11 @@ def q_tpch_q5(spark, sf_dir):
 
 def q_tpch_q10(spark, sf_dir):
     """TPC-H Q10 (returned-item reporting): revenue lost to returns
-    per customer, one quarter, top 20. Fact join shuffles; customer
-    and nation broadcast; TakeOrderedAndProject for the limit."""
+    per customer, one quarter, top 20. Fact join shuffles; the
+    fixed-size nation dim broadcasts, but customer scales with SF so
+    its join strategy is AQE's call (r5: explicit hint removed —
+    Frame.broadcast()'s size guard flagged it at sf0.1);
+    TakeOrderedAndProject for the limit."""
     cust = _t(spark, sf_dir, "customer").inner_join(
         _t(spark, sf_dir, "nation").broadcast(),
         by={"c_nationkey": "n_nationkey"},
@@ -1294,7 +1316,7 @@ def q_tpch_q10(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter("l_returnflag == 'R'")
     return (
         li.inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
-        .inner_join(cust.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
+        .inner_join(cust, by={"o_custkey": "c_custkey"}, na_matches="never")
         .rename(c_custkey="o_custkey")
         .group_by("c_custkey", "c_name", "c_acctbal", "n_name")
         .summarise(revenue=_revenue_sum())
@@ -1390,8 +1412,11 @@ def q_tpch_q7(spark, sf_dir):
 
 def q_tpch_q8(spark, sf_dir):
     """TPC-H Q8 shape (national market share): NATION_3's share of
-    ASIA-region PROMO-part revenue by order year. All dims broadcast;
-    the share is a conditional-sum ratio over exact integer cents."""
+    ASIA-region PROMO-part revenue by order year. Fixed-size dims
+    (nation, region) broadcast; the SF-scaling customer/supplier/part
+    sides are left to AQE — the asia_cust hint the engine's own size
+    advisory flagged is gone. The share is a conditional-sum ratio
+    over exact integer cents."""
     nat = _t(spark, sf_dir, "nation")
     asia_cust = (
         _t(spark, sf_dir, "customer")
@@ -1417,10 +1442,10 @@ def q_tpch_q8(spark, sf_dir):
     vol = cents * (F.lit(100) - bp)
     national = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
     return (
-        li.inner_join(part.broadcast(), by={"l_partkey": "p_partkey"}, na_matches="never")
+        li.inner_join(part, by={"l_partkey": "p_partkey"}, na_matches="never")
         .inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
-        .inner_join(asia_cust.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
-        .inner_join(supp.broadcast(), by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        .inner_join(asia_cust, by={"o_custkey": "c_custkey"}, na_matches="never")
+        .inner_join(supp, by={"l_suppkey": "s_suppkey"}, na_matches="never")
         .mutate(o_year=F.year("o_orderdate"))
         .group_by("o_year")
         .summarise(
@@ -1501,8 +1526,11 @@ def q_tpch_q15(spark, sf_dir):
 def q_tpch_q17(spark, sf_dir):
     """TPC-H Q17 (small-quantity-order revenue): lineitems below 20%
     of their part's average quantity. The per-part avg is a fact-grain
-    agg broadcast back — no second fact shuffle, no correlated
-    rescan."""
+    agg joined back with NO broadcast hint (r5): its cardinality
+    scales with the part count, so the strategy is AQE's call — the
+    agg output is already hash-partitioned on l_partkey, so a
+    sort-merge join at scale reuses that exchange and shuffles the
+    fact side exactly once; no correlated rescan either way."""
     li = _t(spark, sf_dir, "lineitem")
     brand_parts = _t(spark, sf_dir, "part").filter("p_brand == 'Brand#1'").select(
         "p_partkey"
@@ -1515,7 +1543,7 @@ def q_tpch_q17(spark, sf_dir):
         .summarise(threshold=F.avg("l_quantity") * 0.2)
     )
     return (
-        flt.inner_join(avg_qty.broadcast(), by="l_partkey", na_matches="never")
+        flt.inner_join(avg_qty, by="l_partkey", na_matches="never")
         .filter(F.col("l_quantity") < F.col("threshold"))
         .summarise(
             avg_yearly=F.round(
@@ -1953,6 +1981,7 @@ def q_complete_fill(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_select": q_filter_select,
+        "select_where_numeric": q_select_where_numeric,
         "filter_col_op_col": q_filter_col_op_col,
         "mutate_arithmetic": q_mutate_arithmetic,
         "mutate_if_else": q_mutate_if_else,
@@ -2157,6 +2186,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
             FROM lineitem
             WHERE l_quantity > 30 AND l_discount < 0.05 AND l_returnflag = 'N'
+        """,
+        "select_where_numeric": """
+            SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                   l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem WHERE l_linenumber >= 5
         """,
         "filter_col_op_col": """
             SELECT l_orderkey, l_linenumber, l_discount, l_tax

@@ -49,6 +49,10 @@ HEADLINE = [
     "text_quality",          # text analysis
     "tpch_q6",               # scan-filter-aggregate
     "tpch_q3",               # selective join + group + top-k
+    # r5: the bucketed 100 TB scale paths, tracked round-over-round
+    "minhash_lsh_pairs",     # LSH band-join candidate pairs + skew guard
+    "paragraph_dedup",       # corpus-wide paragraph scrub (one para shuffle)
+    "decontaminate_hashed",  # hashed-prefilter benchmark decontamination
 ]
 
 

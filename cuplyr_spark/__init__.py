@@ -47,6 +47,16 @@ from cuplyr_spark.selectors import (
     all_of,
     any_of,
     last_col,
+    where,
+    is_numeric,
+    is_integer,
+    is_double,
+    is_character,
+    is_string,
+    is_logical,
+    is_date,
+    is_datetime,
+    is_temporal,
 )
 
 # Extended operators (temporal / skew / pipeline) re-exported for
@@ -141,4 +151,14 @@ __all__ = [
     "all_of",
     "any_of",
     "last_col",
+    "where",
+    "is_numeric",
+    "is_integer",
+    "is_double",
+    "is_character",
+    "is_string",
+    "is_logical",
+    "is_date",
+    "is_datetime",
+    "is_temporal",
 ]

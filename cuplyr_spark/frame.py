@@ -243,7 +243,7 @@ class Frame:
         Grouping columns that are de-selected are dropped from the
         group metadata (reference ``R/select.R:98-110``).
         """
-        cols = resolve_selection(args, self._df.columns)
+        cols = resolve_selection(args, self._df.columns, self._df.schema)
         groups = tuple(g for g in self._groups if g in cols)
         return Frame(self._df.select(*[_qcol(c) for c in cols]), groups)
 
@@ -301,14 +301,54 @@ class Frame:
         out = self._df.toDF(*mapping.values())
         return Frame(out, tuple(mapping[g] for g in self._groups))
 
-    def complete(self, *cols: str, fill: dict | None = None) -> Frame:
+    # complete() grids larger than this REFUSE (raise) rather than
+    # build: the cross join multiplies distinct counts, so completing
+    # on high-cardinality ids silently becomes a job-killing explosion
+    # at cluster scale. 10M cells is far beyond any categorical grid.
+    COMPLETE_MAX_CELLS = 10_000_000
+
+    def complete(
+        self,
+        *cols: str,
+        fill: dict | None = None,
+        max_cells: int | None = None,
+    ) -> Frame:
         """tidyr complete: expand to ALL combinations of the listed
         key columns (cross join of their distinct values — one tiny
         shuffle per key column), left-join the data back, optionally
-        fill the introduced NULLs. Combination count multiplies —
-        meant for categorical keys, not high-cardinality ids."""
+        fill the introduced NULLs.
+
+        Combination count multiplies — complete() is meant for
+        categorical keys, not high-cardinality ids, and that policy is
+        ENFORCED: a guard job (one column-pruned distinct-count
+        aggregate over just the key columns — cheap next to the grid
+        build it prevents) estimates the grid size and **refuses**
+        (raises) when it exceeds ``max_cells`` (default
+        :data:`COMPLETE_MAX_CELLS`). ``max_cells=0`` disables the
+        guard for callers who accept the blowup."""
         if len(cols) < 1:
             raise ValueError("complete() needs at least one column")
+        limit = self.COMPLETE_MAX_CELLS if max_cells is None else max_cells
+        if limit and limit > 0:
+            aggs = []
+            for c in cols:
+                aggs.append(F.count_distinct(_qcol(c)).alias(f"__n_{c}"))
+                aggs.append(
+                    F.max(_qcol(c).isNull().cast("int")).alias(f"__null_{c}")
+                )
+            row = self._df.agg(*aggs).first()
+            cells = 1
+            for c in cols:
+                # tidyr keeps NA as a grid level, so a NULL adds one
+                cells *= max(1, row[f"__n_{c}"] + (row[f"__null_{c}"] or 0))
+            if cells > limit:
+                raise ValueError(
+                    f"complete(): grid of {cells:,} combinations over "
+                    f"{cols} exceeds max_cells={limit:,} — completing on "
+                    "high-cardinality keys explodes multiplicatively at "
+                    "scale. Complete on categorical keys, or pass "
+                    "max_cells=0 to force."
+                )
         grid = None
         for c in cols:
             d = self._df.select(_qcol(c)).distinct()
@@ -465,7 +505,7 @@ class Frame:
 
     def group_by(self, *cols: str | Selector, add: bool = False) -> Frame:
         """Metadata-only, like the reference (``R/group-by.R:51-82``)."""
-        names = resolve_selection(cols, self._df.columns)
+        names = resolve_selection(cols, self._df.columns, self._df.schema)
         if add:
             names = [g for g in self._groups] + [n for n in names if n not in self._groups]
         return Frame(self._df, tuple(names))
@@ -477,11 +517,11 @@ class Frame:
         """Aggregate over ALL 2^n combinations of the keys (each level
         NULL where rolled up). Spark computes this in the same
         partial+final hash agg as a plain groupBy — no extra passes."""
-        return Frame(self._df, tuple(resolve_selection(cols, self._df.columns)), "cube")
+        return Frame(self._df, tuple(resolve_selection(cols, self._df.columns, self._df.schema)), "cube")
 
     def rollup(self, *cols: str | Selector) -> Frame:
         """Hierarchical subtotals: (a,b), (a), () for rollup("a","b")."""
-        return Frame(self._df, tuple(resolve_selection(cols, self._df.columns)), "rollup")
+        return Frame(self._df, tuple(resolve_selection(cols, self._df.columns, self._df.schema)), "rollup")
 
     def summarise(self, **aggs: AggSpec | Column) -> Frame:
         """One hash aggregation (partial+final, spill-capable — the
@@ -1124,46 +1164,66 @@ class Frame:
 
     # -- scale hints ------------------------------------------------------
 
-    # An explicitly-hinted broadcast side above this estimate gets an
-    # advisory warning: every executor (and the driver) materializes the
-    # whole relation, and Spark hard-fails broadcasts above 8 GB.
-    BROADCAST_WARN_BYTES = 512 * 1024 * 1024
+    # An explicitly-hinted broadcast side above this estimate gets the
+    # hint DROPPED (degrade to AQE's runtime size-based choice): every
+    # executor (and the driver) materializes the whole relation, and
+    # Spark hard-fails broadcasts above 8 GB, so a hint on an oversized
+    # side is a scale-killer that must never ship silently.
+    BROADCAST_MAX_BYTES = 512 * 1024 * 1024
 
-    def broadcast(self, warn_bytes: int | None = None) -> Frame:
+    def broadcast(
+        self, max_bytes: int | None = None, *, force: bool = False
+    ) -> Frame:
         """Mark as broadcast-join candidate (small dimension tables).
 
-        Advisory parity with the reference's pre-join OOM estimate
+        Guard-rail parity with the reference's pre-join OOM estimate
         (cuplyr ``R/join.R:102-166``, which warns when the projected
-        join output approaches free device memory): an explicit hint
-        overrides Spark's own size-based strategy choice, so if the
-        Catalyst size estimate for this side exceeds ``warn_bytes``
-        (default :data:`BROADCAST_WARN_BYTES`), a warning explains the
-        risk instead of letting the job die in the broadcast build.
-        The hint is still applied — the caller may know better (e.g.
-        filters Catalyst can't estimate through). ``warn_bytes=0``
-        disables the check."""
-        limit = self.BROADCAST_WARN_BYTES if warn_bytes is None else warn_bytes
-        if limit and limit > 0:
-            try:
-                est = int(
-                    self._df._jdf.queryExecution()
-                    .optimizedPlan()
-                    .stats()
-                    .sizeInBytes()
-                )
-            except Exception:
-                est = None
+        join output approaches free device memory), hardened for
+        cluster scale: an explicit hint overrides Spark's own
+        size-based strategy choice, so if the Catalyst size estimate
+        for this side exceeds ``max_bytes`` (default
+        :data:`BROADCAST_MAX_BYTES`), the hint is **dropped** — the
+        frame is returned un-hinted with a warning, and AQE still
+        picks broadcast at runtime if the actual size turns out small.
+        This makes it impossible for an advisory to ship as an
+        executor-OOM at 100× data scale.
+
+        The estimate reads the *analyzed* plan's bottom-up size
+        propagation (cheap — no optimizer pass is forced just for the
+        guard). Pass ``force=True`` if you genuinely know better than
+        the estimate (e.g. highly selective filters Catalyst can't see
+        through); ``max_bytes=0`` disables the check entirely."""
+        limit = self.BROADCAST_MAX_BYTES if max_bytes is None else max_bytes
+        if limit and limit > 0 and not force:
+            est = self._estimated_bytes()
             if est is not None and est > limit:
                 warnings.warn(
-                    f"broadcast(): this side is estimated at ~{est / 1e6:,.0f} MB "
-                    f"(> {limit / 1e6:,.0f} MB). Every executor materializes a "
-                    "broadcast relation in memory and Spark rejects broadcasts "
-                    "over 8 GB — consider dropping the hint (AQE picks the "
-                    "strategy from runtime sizes) or filtering/projecting the "
-                    "dimension first.",
+                    f"broadcast(): hint dropped — this side is estimated at "
+                    f"~{est / 1e6:,.0f} MB (> {limit / 1e6:,.0f} MB). Every "
+                    "executor materializes a broadcast relation in memory and "
+                    "Spark rejects broadcasts over 8 GB; AQE will still "
+                    "broadcast at runtime if the actual size is small. Pass "
+                    "force=True to override, or filter/project the dimension "
+                    "first.",
                     stacklevel=2,
                 )
+                return self
         return Frame(F.broadcast(self._df), self._groups)
+
+    def _estimated_bytes(self) -> int | None:
+        """Catalyst bottom-up size estimate from the analyzed plan.
+
+        Uses ``queryExecution().analyzed()`` stats rather than
+        ``optimizedPlan()`` so the guard does not force a full
+        optimizer run per call; the analyzed estimate is conservative
+        (filters don't shrink it), which is the right bias for an
+        OOM guard."""
+        try:
+            return int(
+                self._df._jdf.queryExecution().analyzed().stats().sizeInBytes()
+            )
+        except Exception:
+            return None
 
     def repartition(self, n: int, *cols: str) -> Frame:
         if cols:

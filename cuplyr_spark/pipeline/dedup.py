@@ -345,8 +345,13 @@ def dedup_paragraphs(
     if min_chars < 0:
         raise ValueError("min_chars must be >= 0")
     df = frame.df
+    # F.split treats sep as a Java regex but array_join rejoins it as a
+    # literal — quote it so a metachar separator ('.', '|', ...) splits
+    # on the literal string and round-trips exactly (ADVICE r4).
+    sep_rx = "".join("\\" + ch if ch in r"\.[]{}()*+-?^$|" else ch for ch in sep)
     paras = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("pos", "para"),
     )
     w_para = Window.partitionBy("para")
     w_doc = Window.partitionBy("para", id_col)
@@ -396,7 +401,11 @@ def flag_contaminated(
     reduced to its DISTINCT gram set and broadcast; the corpus side is
     a map-side explode + broadcast semi-join, so the corpus never
     shuffles. Only the matched (id) pairs pass through one distinct
-    aggregation before the flag broadcasts back onto the corpus.
+    aggregation before the flag joins back onto the corpus. The
+    flag-back join carries NO broadcast hint: the hit set scales with
+    corpus contamination (a majority-contaminated corpus makes it as
+    big as the corpus id space), so the strategy is left to AQE, which
+    still broadcasts at runtime when the hit set is actually small.
     """
     if ngram < 1:
         raise ValueError("ngram must be >= 1")
@@ -417,7 +426,7 @@ def flag_contaminated(
         .distinct()
         .withColumn("contaminated", F.lit(True))
     )
-    out = corpus.df.join(F.broadcast(hit_ids), on=id_col, how="left").withColumn(
+    out = corpus.df.join(hit_ids, on=id_col, how="left").withColumn(
         "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
     return Frame(out, corpus.group_vars())
@@ -468,7 +477,7 @@ def flag_contaminated_hashed(
         .distinct()
         .withColumn("contaminated", F.lit(True))
     )
-    out = corpus.df.join(F.broadcast(hit_ids), on=id_col, how="left").withColumn(
+    out = corpus.df.join(hit_ids, on=id_col, how="left").withColumn(
         "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
     return Frame(out, corpus.group_vars())

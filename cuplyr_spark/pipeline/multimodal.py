@@ -218,19 +218,44 @@ def sample_video_frames(
 
 
 def pcm_audio_decoder(data: bytes) -> np.ndarray:
-    """Dependency-free audio decoder: 16-bit PCM WAV when the RIFF/WAVE
-    header is present (real — the format is a fixed header + raw
-    samples, no codec needed), otherwise the bytes themselves as
+    """Dependency-free audio decoder: 16-bit integer PCM WAV when the
+    RIFF/WAVE header is present (real — the format is a fixed header +
+    raw samples, no codec needed), otherwise the bytes themselves as
     unsigned 8-bit samples (the deterministic fixture path). Real
     deployments swap in a soundfile/ffmpeg decoder with the same
-    signature: bytes -> 1-D integer sample array."""
+    signature: bytes -> 1-D integer sample array.
+
+    The fmt chunk IS inspected (ADVICE r4): a WAV whose audio format
+    isn't integer PCM (tag 1) with 16 bits per sample raises instead
+    of silently misdecoding 8/24-bit or IEEE-float payloads into
+    garbage samples. Multi-channel 16-bit PCM decodes with channels
+    interleaved (documented)."""
     if len(data) >= 44 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        # canonical WAV: find the 'data' chunk (fmt may vary in size)
+        # walk chunks: validate 'fmt ' before decoding 'data'
         off = 12
+        fmt_tag = bits = None
         while off + 8 <= len(data):
             cid = data[off : off + 4]
             size = int.from_bytes(data[off + 4 : off + 8], "little")
-            if cid == b"data":
+            if cid == b"fmt " and size >= 16:
+                body = data[off + 8 : off + 8 + size]
+                fmt_tag = int.from_bytes(body[0:2], "little")
+                bits = int.from_bytes(body[14:16], "little")
+            elif cid == b"data":
+                if fmt_tag is None:
+                    raise ValueError(
+                        "malformed WAV: 'data' chunk before any 'fmt ' chunk"
+                    )
+                # 0xFFFE = WAVE_FORMAT_EXTENSIBLE; its SubFormat can
+                # still be PCM but decoding it needs the 24-byte
+                # extension — out of scope for the dependency-free path.
+                if fmt_tag != 1 or bits != 16:
+                    raise ValueError(
+                        f"pcm_audio_decoder handles 16-bit integer PCM only; "
+                        f"this WAV has format tag {fmt_tag} with {bits} bits "
+                        "per sample — plug in a soundfile/ffmpeg decoder via "
+                        "the decoder= parameter"
+                    )
                 payload = data[off + 8 : off + 8 + size]
                 return np.frombuffer(
                     payload[: len(payload) // 2 * 2], dtype="<i2"

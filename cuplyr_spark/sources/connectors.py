@@ -14,14 +14,24 @@ Two tiers:
   formats formalize (Delta's _delta_log, Iceberg's metadata pointer),
   reduced to one pointer file; it provides their two essential
   guarantees (atomic publish, versioned reads) without transactions,
-  schema evolution, or compaction. The manifest swap relies on
-  atomic rename — true on POSIX filesystems and HDFS; on S3-style
-  object stores, front it with a small lock or use the real formats.
+  schema evolution, or compaction.
+
+  Scope (enforced, not just documented): **local filesystem,
+  single-writer**. The manifest IO uses driver-local ``os.*`` calls
+  while the parquet write goes through Spark's Hadoop FS layer, so a
+  remote ``table_dir`` (hdfs://, s3a://, ...) would land the data
+  remotely but the ``_LATEST`` pointer on the driver's local disk —
+  every snapshot function therefore REJECTS URI-scheme paths up front.
+  Concurrent writers are also out of scope (last manifest swap wins; a
+  slow writer of v2 can regress the pointer after v3 published) —
+  coordinate writers externally, or use the real lakehouse formats,
+  which exist precisely to solve these two problems.
 """
 
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -67,6 +77,26 @@ def read_lakehouse(spark: SparkSession, fmt: str, path: str) -> Frame:
 
 _MANIFEST = "_LATEST"
 
+_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def _check_local(table_dir: str) -> str:
+    """Reject URI-scheme table dirs: manifest IO is driver-local os.*
+    while frame.df.write goes through Hadoop FS — a remote scheme
+    would silently split data (remote) from pointer (driver disk).
+    ``file://`` is accepted and stripped (both layers agree on it)."""
+    if _URI_SCHEME.match(table_dir):
+        if table_dir.startswith("file://"):
+            return table_dir[len("file://"):]
+        raise ValueError(
+            f"snapshot tables are local-filesystem only, got {table_dir!r}; "
+            "the manifest pointer is written with driver-local file IO, so a "
+            "remote scheme would publish data remotely but the _LATEST "
+            "pointer on the driver's disk. Use Delta/Iceberg/Hudi for "
+            "remote/multi-writer tables (read_lakehouse)."
+        )
+    return table_dir
+
 
 def _manifest_path(table_dir: str) -> str:
     return os.path.join(table_dir, _MANIFEST)
@@ -74,6 +104,7 @@ def _manifest_path(table_dir: str) -> str:
 
 def snapshot_versions(table_dir: str) -> list[int]:
     """All version directories present (published or not), ascending."""
+    table_dir = _check_local(table_dir)
     if not os.path.isdir(table_dir):
         return []
     out = []
@@ -85,6 +116,7 @@ def snapshot_versions(table_dir: str) -> list[int]:
 
 def latest_snapshot_version(table_dir: str) -> int | None:
     """The PUBLISHED version (manifest pointer), or None."""
+    table_dir = _check_local(table_dir)
     try:
         with open(_manifest_path(table_dir)) as f:
             return int(f.read().strip())
@@ -101,6 +133,7 @@ def write_snapshot(frame: Frame, table_dir: str) -> int:
     version or the new complete version — never a partial directory.
     A writer crash leaves an orphan ``v=`` dir that readers ignore.
     Returns the published version number."""
+    table_dir = _check_local(table_dir)
     os.makedirs(table_dir, exist_ok=True)
     version = max(snapshot_versions(table_dir), default=0) + 1
     data_dir = os.path.join(table_dir, f"v={version}")
@@ -117,6 +150,7 @@ def read_snapshot(
 ) -> Frame:
     """Read the published version (default) or a pinned earlier one
     (time travel). Unpublished/orphaned version dirs are never read."""
+    table_dir = _check_local(table_dir)
     if version is None:
         version = latest_snapshot_version(table_dir)
         if version is None:

@@ -54,3 +54,39 @@ def test_snapshot_unpublished_version_invisible(spark, tmp_path):
     assert len(got.collect()) == 1
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, str(tmp_path / "missing"))
+
+
+def test_snapshot_rejects_remote_uri(spark, tmp_path):
+    """The snapshot connector is local-filesystem only (enforced, r5):
+    manifest IO is driver-local os.* while the parquet write goes
+    through Hadoop FS, so a remote table_dir would split data from
+    pointer. URI schemes must be rejected up front; file:// is
+    equivalent to a local path and accepted."""
+    import pandas as pd
+    import pytest
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        latest_snapshot_version,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    f = from_pandas(spark, pd.DataFrame({"x": [1, 2]}))
+    for bad in ("hdfs://nn:8020/tbl", "s3a://bucket/tbl", "abfss://c@a.dfs/x"):
+        with pytest.raises(ValueError, match="local-filesystem only"):
+            write_snapshot(f, bad)
+        with pytest.raises(ValueError, match="local-filesystem only"):
+            read_snapshot(spark, bad)
+        with pytest.raises(ValueError, match="local-filesystem only"):
+            snapshot_versions(bad)
+        with pytest.raises(ValueError, match="local-filesystem only"):
+            latest_snapshot_version(bad)
+
+    # file:// is local — write under the scheme, read without it
+    d = str(tmp_path / "snap_file_scheme")
+    v = write_snapshot(f, "file://" + d)
+    assert v == 1
+    assert latest_snapshot_version(d) == 1
+    assert len(read_snapshot(spark, "file://" + d).collect()) == 2

@@ -174,22 +174,31 @@ def test_key_type_mismatch_joins_numerics(spark):
     assert len(out) == 1
 
 
-def test_broadcast_size_advisory(customer):
-    """Advisory parity with the reference's pre-join OOM estimate
-    (R/join.R:102-166): an explicit broadcast hint whose Catalyst size
-    estimate exceeds the threshold warns (but still applies the hint);
-    under the threshold, and with the check disabled, it stays silent."""
+def test_broadcast_size_guard(customer):
+    """Guard-rail parity with the reference's pre-join OOM estimate
+    (R/join.R:102-166), hardened: an explicit broadcast hint whose
+    Catalyst size estimate exceeds the threshold is DROPPED (no-op +
+    warning) so an oversized hint can never ship as an executor OOM;
+    force=True overrides; under the threshold, and with the check
+    disabled, the hint applies silently."""
     import warnings
 
     import pytest
 
-    with pytest.warns(UserWarning, match="broadcast.*estimated"):
-        hinted = customer.broadcast(warn_bytes=1)
-    # hint still applied despite the warning
-    assert "ResolvedHint" in hinted.df._jdf.queryExecution().analyzed().toString() \
-        or "hint" in hinted.df._jdf.queryExecution().analyzed().toString().lower()
+    def _has_hint(frame):
+        s = frame.df._jdf.queryExecution().analyzed().toString()
+        return "ResolvedHint" in s or "hint" in s.lower()
+
+    with pytest.warns(UserWarning, match="broadcast.*hint dropped"):
+        dropped = customer.broadcast(max_bytes=1)
+    assert not _has_hint(dropped)  # degraded to no-op, AQE decides
+
+    forced = customer.broadcast(max_bytes=1, force=True)
+    assert _has_hint(forced)  # explicit override keeps the hint
 
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        customer.broadcast()              # tiny table, default threshold
-        customer.broadcast(warn_bytes=0)  # disabled
+        # tiny table, default threshold — silent, hint applied
+        assert _has_hint(customer.broadcast())
+        # check disabled — silent, hint applied
+        assert _has_hint(customer.broadcast(max_bytes=0))

@@ -200,3 +200,25 @@ def test_salted_join_matches_plain_join(spark):
     )
     lj = salted_join(left, right_small, by=["k"], how="left", n_salts=8).collect()
     assert len(lj) == 1000 and lj.name.isna().sum() == 901  # all 901 sevens
+
+
+def test_complete_refuses_cardinality_explosion(spark):
+    """Scale-guard policy (r5): complete() REFUSES a grid whose
+    estimated combination count exceeds max_cells, instead of silently
+    building a multiplicative cross join; max_cells=0 forces; NULL
+    counts as a grid level in the estimate (tidyr keeps NA)."""
+    import pytest
+
+    pdf = pd.DataFrame({"a": range(200), "b": range(200), "v": [1.0] * 200})
+    f = from_pandas(spark, pdf)
+    with pytest.raises(ValueError, match="exceeds max_cells"):
+        f.complete("a", "b", max_cells=10_000)  # 200*200 = 40k > 10k
+    forced = f.complete("a", "b", max_cells=0)
+    assert len(forced.collect()) == 200 * 200
+
+    # NULL adds one level to the estimate
+    pdf2 = pd.DataFrame({"g": [None, "x"], "h": ["p", "q"], "v": [1.0, 2.0]})
+    f2 = from_pandas(spark, pdf2)
+    with pytest.raises(ValueError, match="exceeds max_cells"):
+        f2.complete("g", "h", max_cells=3)  # (1+1 null)*2 = 4 > 3
+    assert len(f2.complete("g", "h", max_cells=4).collect()) == 4

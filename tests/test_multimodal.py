@@ -160,3 +160,37 @@ def test_audio_features_wav_decode(spark):
     assert out["n_samples"].tolist() == [4, 2]
     assert out["sum_amp"].tolist() == [int(s[:4].sum()), int(s[4:].sum())]
     assert out["sum_sq"].tolist() == [int((s[:4] ** 2).sum()), int((s[4:] ** 2).sum())]
+
+
+def test_pcm_decoder_rejects_non_16bit_pcm():
+    """The fmt chunk is parsed (r5): 8-bit PCM, IEEE-float, and
+    extensible WAVs raise instead of silently misdecoding; a data
+    chunk before fmt is malformed."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cuplyr_spark.pipeline.multimodal import pcm_audio_decoder
+
+    def wav(fmt_tag, bits, payload, fmt_first=True):
+        fmt_body = struct.pack(
+            "<HHIIHH", fmt_tag, 1, 8000, 8000 * (bits // 8), bits // 8, bits
+        )
+        fmt_ck = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        data_ck = b"data" + struct.pack("<I", len(payload)) + payload
+        body = (fmt_ck + data_ck) if fmt_first else (data_ck + fmt_ck)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    good = wav(1, 16, np.array([1, -2, 3], "<i2").tobytes())
+    assert pcm_audio_decoder(good).tolist() == [1, -2, 3]
+
+    for tag, bits in [(1, 8), (1, 24), (3, 32), (0xFFFE, 16)]:
+        with pytest.raises(ValueError, match="16-bit integer PCM only"):
+            pcm_audio_decoder(wav(tag, bits, b"\x00" * 16))
+
+    with pytest.raises(ValueError, match="malformed WAV"):
+        pcm_audio_decoder(wav(1, 16, b"\x00" * 16, fmt_first=False))
+
+    # non-WAV bytes keep the deterministic u8 fixture path
+    assert pcm_audio_decoder(b"\x01\x02").tolist() == [1, 2]

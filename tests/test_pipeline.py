@@ -447,3 +447,49 @@ def test_token_rarity_known_values(spark):
     assert out["n_distinct_tokens"].tolist() == [2, 2, 2]
     # doc1: df(a)+df(b)=3+2=5; doc2: 3+3+1=7; doc3: 5
     assert out["sum_token_df"].tolist() == [5, 7, 5]
+
+
+def test_decontamination_majority_contaminated(spark):
+    """A heavily contaminated corpus makes the hit-id set as large as
+    the corpus itself — the flag-back join must stay correct with no
+    broadcast hint on it (strategy left to AQE; an explicit hint there
+    is the oversized-broadcast scale hazard removed in r5). 90% of
+    docs share the benchmark passage; both paths must agree."""
+    n = 400
+    rows = [
+        (
+            i,
+            BASE + f" tail {i}" if i % 10 != 0 else f"totally unrelated words {i} " * 6,
+        )
+        for i in range(n)
+    ]
+    corpus = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    bench = from_pandas(
+        spark, pd.DataFrame([(100, BASE)], columns=["doc_id", "text"])
+    )
+    for fn in (D.flag_contaminated, D.flag_contaminated_hashed):
+        out = fn(corpus, bench, ngram=5).collect().set_index("doc_id")
+        assert int(out["contaminated"].sum()) == n - n // 10
+        assert not out.loc[0, "contaminated"]  # i % 10 == 0 rows clean
+        assert bool(out.loc[1, "contaminated"])
+
+
+def test_paragraph_dedup_metachar_separator(spark):
+    """sep goes to F.split as a Java regex but to array_join as a
+    literal; the r5 fix regex-quotes it so metachar separators ('|',
+    '.') split literally and round-trip exactly."""
+    rows = [
+        (0, "dup para|unique zero"),
+        (1, "dup para|unique one"),
+        (2, "all mine here"),
+    ]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        D.dedup_paragraphs(f, sep="|")
+        .collect()
+        .set_index("doc_id")["text"]
+        .to_dict()
+    )
+    assert out[0] == "dup para|unique zero"   # first occurrence keeps it
+    assert out[1] == "unique one"             # later occurrence drops it
+    assert out[2] == "all mine here"

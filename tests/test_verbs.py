@@ -271,3 +271,55 @@ def test_arrange_stable(spark):
     pdf = pd.DataFrame({"k": [1, 1, 1, 1], "tag": ["a", "b", "c", "d"]})
     out = from_pandas(spark, pdf).coalesce(1).arrange("k", stable=True).collect()
     assert out["tag"].tolist() == ["a", "b", "c", "d"]
+
+
+def test_select_where_type_predicate(lineitem):
+    """tidyselect where(): select by column TYPE (reference gets it
+    free via tidyselect::eval_select, R/select.R:55-115). Pure
+    driver-side schema inspection."""
+    from cuplyr_spark import (
+        is_character,
+        is_double,
+        is_integer,
+        is_numeric,
+        is_temporal,
+        where,
+    )
+
+    types = {f.name: f.dataType.typeName() for f in lineitem.df.schema.fields}
+    num = [
+        c
+        for c in lineitem.columns
+        if types[c] in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    ]
+    assert lineitem.select(where(is_numeric)).columns == num
+    assert lineitem.select(where(is_character)).columns == [
+        c for c in lineitem.columns if types[c] == "string"
+    ]
+    assert lineitem.select(where(is_temporal)).columns == [
+        c for c in lineitem.columns if types[c] in ("date", "timestamp", "timestamp_ntz")
+    ]
+    # composes with names / other selectors, selection-order semantics
+    got = lineitem.select("l_returnflag", where(is_integer)).columns
+    assert got[0] == "l_returnflag" and set(got[1:]) == {
+        c for c in lineitem.columns if types[c] in ("byte", "short", "integer", "long")
+    }
+    # arbitrary callable over the DataType works too
+    assert lineitem.select(
+        where(lambda dt: dt.typeName() == "double")
+    ).columns == [c for c in lineitem.columns if types[c] == "double"]
+    assert set(lineitem.select(where(is_double)).columns) >= set(
+        lineitem.select(where(lambda dt: dt.typeName() == "double")).columns
+    )
+
+
+def test_where_requires_schema_context():
+    """A TypeSelector resolved without a schema must raise, not
+    silently select nothing."""
+    import pytest as _pytest
+
+    from cuplyr_spark import is_numeric, where
+    from cuplyr_spark.selectors import resolve_selection
+
+    with _pytest.raises(TypeError, match="schema"):
+        resolve_selection([where(is_numeric)], ["a", "b"])
