@@ -466,6 +466,21 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_source_quality_gate(spark, sf_dir):
+    """Domain-level curation gate: per-source dup rate + mean token
+    count aggregated once at source grain, joined back (AQE broadcasts
+    the tiny stats side), then documents from low-quality sources are
+    dropped."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TX.filter_by_source_quality(
+            docs, max_dup_rate=0.5, min_mean_tokens=52.0
+        )
+        .select("doc_id", "source", "src_docs", "src_dup_rate", "src_mean_tokens")
+        .df
+    )
+
+
 # Real-CJK fixture rows for the language-ID contract: the synthetic
 # documents corpus is English-only, so without these the CJK scoring
 # path would be oracle-unexercised (that is exactly how round 2's
@@ -1607,6 +1622,312 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: this star has
+    no partsupp, so the supplier catalog is derived from observed
+    lineitem offers — min price in cents per (part, supplier). The
+    correlated MIN subquery is realized as a part-grain agg joined
+    back (one shuffle, both sides already partitioned on l_partkey);
+    region-filtered suppliers broadcast (fixed small dim at any SF)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter("p_size <= 25", "p_type == 'LARGE'")
+        .select("p_partkey", "p_name")
+    )
+    eur_supp = (
+        _t(spark, sf_dir, "supplier")
+        .inner_join(
+            _t(spark, sf_dir, "nation")
+            .inner_join(
+                _t(spark, sf_dir, "region").filter("r_name == 'EUROPE'").broadcast(),
+                by={"n_regionkey": "r_regionkey"},
+                na_matches="never",
+            )
+            .broadcast(),
+            by={"s_nationkey": "n_nationkey"},
+            na_matches="never",
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # Aggregate at int-key grain FIRST (the 100 TB move: never shuffle
+    # supplier name strings through the fact agg); supplier scales with
+    # SF so its join carries no broadcast hint — AQE decides. Winner
+    # attributes are attached only after the per-part argmin prunes the
+    # result to ~|part_f| rows.
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .inner_join(part.broadcast().select("p_partkey"), by={"l_partkey": "p_partkey"}, na_matches="never")
+        .semi_join(eur_supp.select("s_suppkey"), by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        .group_by("l_partkey", "l_suppkey")
+        .summarise(cost_cents=F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    winners = Frame(
+        offers.df.withColumn("mc", F.min("cost_cents").over(w)).filter(
+            F.col("cost_cents") == F.col("mc")
+        ),
+        (),
+    )
+    return (
+        winners.inner_join(eur_supp, by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        .inner_join(part.broadcast(), by={"l_partkey": "p_partkey"}, na_matches="never")
+        .mutate(cost=F.col("cost_cents").cast("double") / 100)
+        .select("s_acctbal", "s_name", "n_name", "l_partkey", "p_name", "cost")
+        .arrange(desc("s_acctbal"), "n_name", "s_name", "l_partkey")
+        .head(100)
+        .df
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation/year), adapted:
+    supplycost comes from p_retailprice (no partsupp). Exact int64
+    profit: revenue in 1e-4 dollars minus retail-cost in 1e-4 dollars;
+    one final division. part/supplier dims broadcast onto the fact,
+    single agg shuffle on (nation, year)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .inner_join(
+            _t(spark, sf_dir, "nation").broadcast(),
+            by={"s_nationkey": "n_nationkey"},
+            na_matches="never",
+        )
+        .select("s_suppkey", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dbp = F.round(F.col("l_discount") * 100, 0).cast("long")
+    rcents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    amount = cents * (F.lit(100) - dbp) - rcents * qty * F.lit(100)
+    return (
+        li.inner_join(part.broadcast(), by={"l_partkey": "p_partkey"}, na_matches="never")
+        .inner_join(supp.broadcast(), by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        .inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
+        .mutate(o_year=F.year("o_orderdate"))
+        .group_by("n_name", "o_year")
+        .summarise(sum_profit=(F.sum(amount).cast("double") / 10000))
+        .arrange("n_name", desc("o_year"))
+        .df
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock), adapted to lineitem-derived
+    inventory value: per-part value from one nation's suppliers,
+    HAVING value > fraction-of-total. The global scalar is a 1-row agg
+    broadcast-cross-joined back (no second fact scan, no driver
+    round-trip)."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .inner_join(
+            _t(spark, sf_dir, "nation").filter("n_name == 'NATION_8'").broadcast(),
+            by={"s_nationkey": "n_nationkey"},
+            na_matches="never",
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    per_part = (
+        li.inner_join(supp.broadcast(), by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        .group_by("l_partkey")
+        .summarise(value_e2=F.sum(cents * qty))
+    )
+    total = per_part.df.agg(F.sum("value_e2").alias("total_e2"))
+    out = (
+        per_part.df.join(F.broadcast(total))
+        .filter(F.col("value_e2").cast("double") > F.col("total_e2").cast("double") * 0.001)
+        .select(
+            "l_partkey",
+            (F.col("value_e2").cast("double") / 100).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+    return out
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority counts), adapted:
+    l_linestatus stands in for l_shipmode and the late-delivery
+    predicate is the ship-lag proxy (no commit/receipt dates in this
+    star). Conditional aggregates over one fact⋈orders join; the
+    orders side carries only 2 columns into the shuffle."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= '1996-01-01'", "l_shipdate < '1997-01-01'"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
+        .group_by("l_linestatus")
+        .summarise(
+            high_line_count=F.sum(F.when(high, 1).otherwise(0)).cast("long"),
+            low_line_count=F.sum(F.when(high, 0).otherwise(1)).cast("long"),
+        )
+        .arrange("l_linestatus")
+        .df
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count by part attributes): distinct
+    observed (part, supplier) pairs from lineitem stand in for
+    partsupp; 'complaint' suppliers (negative balance) are removed by
+    an anti-join that broadcasts (the exclusion list is a filtered
+    fixed-rate slice of a small dim). count_distinct(suppkey) groups
+    by the part attributes — one shuffle at pair grain, one at group
+    grain."""
+    pairs = _t(spark, sf_dir, "lineitem").distinct("l_partkey", "l_suppkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            "p_brand != 'Brand#1'",
+            "p_type != 'PROMO'",
+            F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35),
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = _t(spark, sf_dir, "supplier").filter("s_acctbal < 0.0").select(
+        "s_suppkey"
+    )
+    return (
+        pairs.inner_join(part.broadcast(), by={"l_partkey": "p_partkey"}, na_matches="never")
+        .anti_join(complaints.broadcast(), by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        .group_by("p_brand", "p_type", "p_size")
+        .summarise(supplier_cnt=F.count_distinct(F.col("l_suppkey")))
+        .arrange(desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .df
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion), adapted: suppliers
+    who shipped more than half of a 'small %' part's 1996 volume.
+    The EXISTS chain is two fact-grain aggs sharing the same
+    (partkey) partitioning plus a semi-join up to the supplier dim —
+    no correlated rescan. Nation filter keeps the output stable."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    li96 = (
+        _t(spark, sf_dir, "lineitem")
+        .filter("l_shipdate >= '1996-01-01'", "l_shipdate < '1997-01-01'")
+        .inner_join(part.broadcast(), by={"l_partkey": "p_partkey"}, na_matches="never")
+    )
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    per_supp = li96.group_by("l_partkey", "l_suppkey").summarise(supp_qty=F.sum(qty))
+    per_part = li96.group_by("l_partkey").summarise(part_qty=F.sum(qty))
+    big_suppliers = (
+        per_supp.inner_join(per_part, by="l_partkey", na_matches="never")
+        .filter(F.col("supp_qty").cast("double") > F.col("part_qty").cast("double") * 0.5)
+        .distinct("l_suppkey")
+    )
+    nat = _t(spark, sf_dir, "nation").filter("n_name == 'NATION_7'")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .inner_join(nat.broadcast(), by={"s_nationkey": "n_nationkey"}, na_matches="never")
+        .semi_join(big_suppliers, by={"s_suppkey": "l_suppkey"}, na_matches="never")
+        .select("s_name", "s_acctbal")
+        .arrange("s_name")
+        .df
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the ship-lag late proxy: finished multi-supplier orders where
+    exactly ONE supplier shipped late. EXISTS/NOT-EXISTS become two
+    countDistincts in a single order-grain agg (one fact shuffle);
+    the late lines then join that verdict at order grain and roll up
+    per supplier."""
+    orders = _t(spark, sf_dir, "orders").filter("o_orderstatus == 'F'").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
+        .mutate(
+            late=(
+                F.col("l_shipdate")
+                > F.date_add(F.col("o_orderdate").cast("date"), 90).cast("timestamp")
+            )
+        )
+    )
+    per_order = li.group_by("l_orderkey").summarise(
+        n_supp=F.count_distinct(F.col("l_suppkey")),
+        n_late_supp=F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))),
+    )
+    blamed = (
+        li.filter("late")
+        .distinct("l_orderkey", "l_suppkey")
+        .inner_join(
+            per_order.filter("n_supp >= 2", "n_late_supp == 1"),
+            by="l_orderkey",
+            na_matches="never",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.inner_join(supp.broadcast(), by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        .group_by("s_name")
+        .summarise(numwait=A.n())
+        .arrange(desc("numwait"), "s_name")
+        .head(100)
+        .df
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): rich-but-inactive
+    customers by country code (c_nationkey % 10 stands in for the
+    phone prefix). The AVG scalar subquery is a 1-row agg broadcast-
+    cross-joined; the NOT EXISTS is an anti-join against orders
+    (orders side reduced to its key column before the shuffle)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .mutate(cntrycode=(F.col("c_nationkey") % 10).cast("int"))
+        .filter(F.col("cntrycode").isin(1, 2, 3, 4, 5, 6, 7))
+    )
+    # Order-independent mean: exact decimal sum / count, one division —
+    # bit-identical to the oracle regardless of partition order.
+    avg_bal = cust.df.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = Frame(
+        cust.df.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal")),
+        (),
+    ).select("c_custkey", "cntrycode", "c_acctbal")
+    # "no orders in the last window" (rather than ever — this synthetic
+    # star gives every customer at least one early order).
+    inactive = rich.anti_join(
+        _t(spark, sf_dir, "orders")
+        .filter("o_orderdate >= '1999-01-01'")
+        .select("o_custkey"),
+        by={"c_custkey": "o_custkey"},
+        na_matches="never",
+    )
+    return (
+        inactive.group_by("cntrycode")
+        .summarise(
+            numcust=A.n(),
+            totacctbal=F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"),
+        )
+        .arrange("cntrycode")
+        .df
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Strict ordered funnel view -> click -> purchase per user: each
     step's first completion strictly after the previous one. Single
@@ -2007,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
+        "source_quality_gate": q_source_quality_gate,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_token_rarity": q_text_token_rarity,
@@ -2066,6 +2388,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "funnel": q_funnel,
         "retention_cohorts": q_retention_cohorts,
         "events_rolling_24h": q_events_rolling_24h,
@@ -2353,6 +2683,22 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                          / len(string_split(text, ' ')), 6) AS avg_token_len
             FROM documents
+        """,
+        "source_quality_gate": """
+            WITH stats AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS src_docs,
+                       round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                             / count(*), 6) AS src_dup_rate,
+                       round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                             / count(*), 6) AS src_mean_tokens
+                FROM documents
+                GROUP BY source
+            )
+            SELECT doc_id, source, src_docs, src_dup_rate, src_mean_tokens
+            FROM documents
+            JOIN stats USING (source)
+            WHERE src_dup_rate <= 0.5 AND src_mean_tokens >= 52.0
         """,
         "text_quality": """
             WITH t AS (
@@ -3256,6 +3602,172 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l_shipdate >= TIMESTAMP '1996-09-01'
                   AND l_shipdate <  TIMESTAMP '1996-10-01'
             )
+        """,
+        "tpch_q2": """
+            WITH part_f AS (
+                SELECT p_partkey, p_name FROM part
+                WHERE p_size <= 25 AND p_type = 'LARGE'
+            ),
+            eur AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ),
+            offers AS (
+                SELECT l_partkey, p_name, l_suppkey, s_name, s_acctbal, n_name,
+                       min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+                FROM lineitem
+                JOIN part_f ON l_partkey = p_partkey
+                JOIN eur ON l_suppkey = s_suppkey
+                GROUP BY l_partkey, p_name, l_suppkey, s_name, s_acctbal, n_name
+            )
+            SELECT s_acctbal, s_name, n_name, l_partkey, p_name,
+                   CAST(cost_cents AS DOUBLE) / 100 AS cost
+            FROM (
+                SELECT *, min(cost_cents) OVER (PARTITION BY l_partkey) AS mc
+                FROM offers
+            )
+            WHERE cost_cents = mc
+            ORDER BY s_acctbal DESC, n_name, s_name, l_partkey
+            LIMIT 100
+        """,
+        "tpch_q9": """
+            SELECT n_name, o_year, CAST(sum(amount) AS DOUBLE) / 10000 AS sum_profit
+            FROM (
+                SELECT n_name, year(o_orderdate) AS o_year,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       - CAST(round(p_retailprice * 100) AS BIGINT)
+                         * CAST(round(l_quantity) AS BIGINT) * 100 AS amount
+                FROM lineitem
+                JOIN part     ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                WHERE p_name LIKE '%gear%'
+            )
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year DESC
+        """,
+        "tpch_q11": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * CAST(round(l_quantity) AS BIGINT)) AS value_e2
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_8'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, CAST(value_e2 AS DOUBLE) / 100 AS part_value
+            FROM per_part
+            WHERE CAST(value_e2 AS DOUBLE)
+                  > (SELECT CAST(sum(value_e2) AS DOUBLE) * 0.001 FROM per_part)
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q20": """
+            WITH li96 AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(round(l_quantity) AS BIGINT) AS qty
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'
+            ),
+            per_supp AS (
+                SELECT l_partkey, l_suppkey, sum(qty) AS supp_qty
+                FROM li96 GROUP BY l_partkey, l_suppkey
+            ),
+            per_part AS (
+                SELECT l_partkey, sum(qty) AS part_qty FROM li96 GROUP BY l_partkey
+            ),
+            big AS (
+                SELECT DISTINCT l_suppkey
+                FROM per_supp JOIN per_part USING (l_partkey)
+                WHERE CAST(supp_qty AS DOUBLE) > CAST(part_qty AS DOUBLE) * 0.5
+            )
+            SELECT s_name, s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+              AND s_suppkey IN (SELECT l_suppkey FROM big)
+            ORDER BY s_name
+        """,
+        "tpch_q21": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ),
+            per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+                FROM li GROUP BY l_orderkey
+            )
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) b
+            JOIN per_order USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE n_supp >= 2 AND n_late_supp = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
+        """,
+        "tpch_q22": """
+            WITH cust AS (
+                SELECT c_custkey,
+                       CAST(c_nationkey % 10 AS INTEGER) AS cntrycode, c_acctbal
+                FROM customer
+                WHERE CAST(c_nationkey % 10 AS INTEGER) IN (1, 2, 3, 4, 5, 6, 7)
+            ),
+            rich AS (
+                SELECT * FROM cust
+                WHERE c_acctbal > (
+                    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                           / count(*)
+                    FROM cust WHERE c_acctbal > 0.0
+                )
+            )
+            SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM rich
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY cntrycode
+            ORDER BY cntrycode
         """,
         "tpch_q18": """
             WITH big AS (

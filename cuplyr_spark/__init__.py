@@ -105,6 +105,7 @@ from cuplyr_spark.sources.connectors import (
     write_snapshot,
 )
 from cuplyr_spark.pipeline.text import (
+    filter_by_source_quality,
     tf_idf_top_terms,
     with_fingerprint,
     with_gopher_flags,
@@ -112,6 +113,7 @@ from cuplyr_spark.pipeline.text import (
     with_pii_scrub,
     with_quality_score,
     with_repetition_stats,
+    with_source_stats,
     with_token_rarity,
     with_token_stats,
 )

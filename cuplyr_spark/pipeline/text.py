@@ -468,3 +468,66 @@ def tf_idf_top_terms(
         .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "tfidf", "rank")
     )
     return Frame(out, ())
+
+
+def with_source_stats(
+    frame: Frame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> Frame:
+    """Per-source (domain-level) corpus statistics joined back to each
+    document: doc count, exact-duplicate rate, and mean whitespace
+    token count for the document's source.
+
+    The C4/RefinedWeb-style "drop bad domains" precursor: curation
+    decisions at domain grain need these three numbers. One agg shuffle
+    at source grain (domains ≪ documents at any SF; partial aggregation
+    does the heavy lifting map-side) and one join back — the source-
+    stats side is tiny relative to the corpus so AQE broadcasts it; no
+    hint needed (domain count scales with the corpus, the r4 lesson).
+
+    ``src_dup_rate`` uses an exact distinct count of md5(text) per
+    source: deterministic, oracle-checkable, and the per-source
+    distinct is computed inside the same shuffle as the count.
+    """
+    text = F.col(text_col)
+    stats = (
+        frame.df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("src_docs"),
+            F.countDistinct(F.md5(text.cast("binary"))).alias("__uniq"),
+            F.sum(F.size(_tokens(text))).alias("__toks"),
+        )
+        .select(
+            source_col,
+            F.col("src_docs").cast("long").alias("src_docs"),
+            F.round(
+                1.0 - F.col("__uniq").cast("double") / F.col("src_docs"), 6
+            ).alias("src_dup_rate"),
+            F.round(F.col("__toks").cast("double") / F.col("src_docs"), 6).alias(
+                "src_mean_tokens"
+            ),
+        )
+    )
+    return Frame(frame.df.join(stats, on=source_col, how="left"), frame.group_vars())
+
+
+def filter_by_source_quality(
+    frame: Frame,
+    text_col: str = "text",
+    source_col: str = "source",
+    max_dup_rate: float = 0.5,
+    min_mean_tokens: float = 0.0,
+) -> Frame:
+    """Keep only documents whose source passes the domain-quality gate:
+    exact-dup rate at most ``max_dup_rate`` and mean token count at
+    least ``min_mean_tokens``. Stats columns stay attached so the
+    decision is auditable downstream."""
+    gated = with_source_stats(frame, text_col=text_col, source_col=source_col)
+    return Frame(
+        gated.df.filter(
+            (F.col("src_dup_rate") <= F.lit(max_dup_rate))
+            & (F.col("src_mean_tokens") >= F.lit(min_mean_tokens))
+        ),
+        frame.group_vars(),
+    )

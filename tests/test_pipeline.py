@@ -493,3 +493,36 @@ def test_paragraph_dedup_metachar_separator(spark):
     assert out[0] == "dup para|unique zero"   # first occurrence keeps it
     assert out[1] == "unique one"             # later occurrence drops it
     assert out[2] == "all mine here"
+
+
+def test_source_stats_dup_rate_and_gate(spark):
+    """Planted duplicate docs in one source push its dup rate over the
+    gate; a short-doc source fails the mean-token floor; the clean
+    source survives with exact stats."""
+    rows = [
+        (0, "alpha beta gamma delta", "good"),
+        (1, "epsilon zeta eta theta", "good"),
+        (2, "same text here today", "dupey"),
+        (3, "same text here today", "dupey"),
+        (4, "same text here today", "dupey"),
+        (5, "other words entirely now", "dupey"),
+        (6, "tiny", "short"),
+        (7, "also tiny", "short"),
+    ]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    stats = (
+        TX.with_source_stats(f)
+        .collect()
+        .drop_duplicates("source")
+        .set_index("source")
+    )
+    assert stats.loc["good", "src_dup_rate"] == 0.0
+    assert stats.loc["good", "src_mean_tokens"] == 4.0
+    assert stats.loc["dupey", "src_dup_rate"] == 0.5  # 2 uniq / 4 docs
+    assert stats.loc["short", "src_mean_tokens"] == 1.5
+
+    kept = TX.filter_by_source_quality(
+        f, max_dup_rate=0.4, min_mean_tokens=2.0
+    ).collect()
+    assert sorted(kept["source"].unique()) == ["good"]
+    assert sorted(kept["doc_id"]) == [0, 1]

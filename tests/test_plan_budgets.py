@@ -108,6 +108,15 @@ EXCHANGE_BUDGETS = {
     "tpch_q15": 4,              # quarter agg + global max + supplier join + sort
     "tpch_q17": 3,              # r5: avg_qty hint dropped (scales with part count) — agg output already partitioned on l_partkey, SMJ reuses it; part broadcast
     "salted_join": 2,           # salted equi-join + segment agg
+    "tpch_q2": 5,               # int-key offer agg + part-min window + winner dim joins + sort
+    "tpch_q9": 2,               # dims broadcast; (nation, year) agg + sort
+    "tpch_q11": 4,              # per-part value agg + global scalar + threshold sort
+    "tpch_q12": 2,              # orders join (2 cols) + linestatus agg
+    "tpch_q16": 4,              # distinct pair grain + attr-group countDistinct
+    "tpch_q20": 6,              # shared li96 feeds per-supp/per-part aggs + semi up
+    "tpch_q21": 5,              # order-grain verdict agg + blamed join + supplier rollup
+    "tpch_q22": 3,              # scalar avg + anti-join + cntry agg
+    "source_quality_gate": 2,   # source-grain stats agg + join back
     "dedup_cluster_labels": 0,  # final plan reads the CC localCheckpoint
     "media_metadata": 0,        # per-row binary hash, map-only
     "video_frame_sample": 0,    # mapInPandas chunk decode, map-only
