@@ -2294,6 +2294,77 @@ def q_complete_fill(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping character chunks (size=200, overlap=50):
+    sequence + posexplode + substring, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, size=200, overlap=50).df
+
+
+def q_doc_classifier(spark, sf_dir):
+    """Hashing-trick linear quality classifier (dims=256): integer
+    weight sums, one final division, exact across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TX.score_linear_classifier(docs, dims=256)
+        .select("doc_id", "clf_logit", "clf_keep")
+        .df
+    )
+
+
+def q_dup_ngram_frac(spark, sf_dir):
+    """Corpus-level duplicated 5-gram fraction per document: one
+    gram-keyed window shuffle + one doc-grain aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        D.with_dup_ngram_frac(docs, k=5)
+        .select("doc_id", "n_ngrams", "n_dup_ngrams", "dup_ngram_frac")
+        .df
+    )
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization summary: per-vector scale + exact
+    integer stats over the quantized values."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = S.quantize_embeddings(emb)
+    return q.df.select(
+        "vec_id",
+        "qscale",
+        F.aggregate(
+            F.col("qvec"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+    )
+
+
+def q_quantized_cosine_topk(spark, sf_dir):
+    """Top-5 cosine neighbors on int8-quantized vectors: integer dot
+    products (order-independent, exact), floats only in the final
+    divide."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.quantized_cosine_topk(emb, k=5, query_filter="vec_id < 10").df
+
+
+def q_arrange_collated(spark, sf_dir):
+    """Collation-aware sort (Spark 4 UTF8_LCASE): case-insensitive
+    order observable through top-k selection; deterministic id
+    tie-break."""
+    from cuplyr_spark import collate
+
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.mutate(
+            name_mixed="if_else(p_partkey % 2 == 0, str_to_upper(p_name), p_name)"
+        )
+        .arrange(collate("name_mixed"), "p_partkey")
+        .head(50)
+        .select("p_partkey", "name_mixed")
+        .df
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2416,6 +2487,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_centroid": q_vector_centroid,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "complete_fill": q_complete_fill,
+        "doc_chunks": q_doc_chunks,
+        "doc_classifier": q_doc_classifier,
+        "dup_ngram_frac": q_dup_ngram_frac,
+        "embedding_quantize": q_embedding_quantize,
+        "quantized_cosine_topk": q_quantized_cosine_topk,
+        "arrange_collated": q_arrange_collated,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -3868,6 +3945,83 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(embedding[3] AS DOUBLE)), 4) AS d2,
                    round(avg(CAST(embedding[4] AS DOUBLE)), 4) AS d3
             FROM embeddings GROUP BY label
+        """,
+        "doc_chunks": """
+            SELECT doc_id,
+                   CAST((s - 1) // 150 AS INT) AS chunk_id,
+                   substr(text, CAST(s AS INT), 200) AS chunk_text
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, greatest(length(text) - 50, 1), 150)) AS s
+                  FROM documents)
+        """,
+        "doc_classifier": """
+            SELECT doc_id,
+                   round(total / (1000000.0 * n), 6) AS clf_logit,
+                   round(total / (1000000.0 * n), 6) > 0 AS clf_keep
+            FROM (SELECT doc_id,
+                         list_sum(list_transform(string_split(text, ' '),
+                            t -> (CAST(concat('0x', substr(md5(concat('w', CAST((CAST(concat('0x', substr(md5(concat(t, 'quality')), 1, 15)) AS BIGINT) % 256) AS VARCHAR), 'quality')), 1, 15)) AS BIGINT) % 2000001 - 1000000))) AS total,
+                         len(string_split(text, ' ')) AS n
+                  FROM documents)
+        """,
+        "dup_ngram_frac": """
+            WITH gh AS (
+              SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS gh
+              FROM (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)), i -> concat_ws(' ', string_split(text, ' ')[i+0], string_split(text, ' ')[i+1], string_split(text, ' ')[i+2], string_split(text, ' ')[i+3], string_split(text, ' ')[i+4])))) AS g FROM documents)
+            ), cnt AS (
+              SELECT doc_id, count(*) OVER (PARTITION BY gh) AS n_docs FROM gh
+            )
+            SELECT doc_id,
+                   count(*) AS n_ngrams,
+                   CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
+                   round(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS dup_ngram_frac
+            FROM cnt GROUP BY doc_id
+        """,
+        "embedding_quantize": """
+            SELECT vec_id,
+                   round(CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END, 6) AS qscale,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_min(qv) AS INT) AS q_min,
+                   CAST(list_max(qv) AS INT) AS q_max
+            FROM (SELECT vec_id, amax, CASE WHEN amax > 0 THEN list_transform(v, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+                  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                       x -> abs(x))) AS amax
+                        FROM embeddings))
+        """,
+        "quantized_cosine_topk": """
+            WITH qv AS (
+              SELECT vec_id, CASE WHEN amax > 0 THEN list_transform(v, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)) ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                           list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                   x -> abs(x))) AS amax
+                    FROM embeddings)
+            ), qq AS (SELECT vec_id AS query_id, q AS qa FROM qv WHERE vec_id < 10),
+            scored AS (
+              SELECT qq.query_id, e.vec_id AS neighbor_id,
+                     round(CASE WHEN list_dot_product(qa, qa) > 0
+                                 AND list_dot_product(e.q, e.q) > 0
+                           THEN list_dot_product(qa, e.q)
+                                / (sqrt(CAST(list_dot_product(qa, qa) AS DOUBLE))
+                                   * sqrt(CAST(list_dot_product(e.q, e.q) AS DOUBLE)))
+                           ELSE 0.0 END, 6) AS score
+              FROM qv e, qq WHERE qq.query_id <> e.vec_id
+            )
+            SELECT query_id, neighbor_id, score, rank FROM (
+              SELECT query_id, neighbor_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS INT) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "arrange_collated": """
+            SELECT p_partkey, name_mixed FROM (
+              SELECT p_partkey,
+                     CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS name_mixed
+              FROM part)
+            ORDER BY lower(name_mixed), p_partkey
+            LIMIT 50
         """,
         "complete_fill": """
             WITH f AS (SELECT * FROM orders WHERE o_totalprice > 350000)

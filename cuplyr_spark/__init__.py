@@ -84,6 +84,7 @@ from cuplyr_spark.pipeline.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_signatures,
+    with_dup_ngram_frac,
 )
 from cuplyr_spark.pipeline.multimodal import (
     attach_media_meta,
@@ -97,15 +98,20 @@ from cuplyr_spark.pipeline.similarity import (
     embedding_near_dup_pairs,
     ivf_cosine_topk,
     lsh_cosine_topk,
+    quantize_embeddings,
+    quantized_cosine_topk,
     vector_centroids,
 )
 from cuplyr_spark.sources.connectors import (
     read_snapshot,
     snapshot_versions,
+    upsert_snapshot,
     write_snapshot,
 )
 from cuplyr_spark.pipeline.text import (
+    chunk_documents,
     filter_by_source_quality,
+    score_linear_classifier,
     tf_idf_top_terms,
     with_fingerprint,
     with_gopher_flags,
@@ -118,7 +124,7 @@ from cuplyr_spark.pipeline.text import (
     with_token_stats,
 )
 from cuplyr_spark.functions import window as win
-from cuplyr_spark.functions.expr import case_when
+from cuplyr_spark.functions.expr import case_when, collate
 from cuplyr_spark.agg import across
 from cuplyr_spark.pipeline.sampling import (
     deterministic_split,
@@ -144,6 +150,7 @@ __all__ = [
     "win",
     "across",
     "case_when",
+    "collate",
     "starts_with",
     "ends_with",
     "contains",

@@ -364,3 +364,18 @@ def case_when(*cases, default=None) -> Column:
         d = default if isinstance(default, Column) else F.lit(default)
         out = out.otherwise(d)
     return out
+
+
+def collate(col: Column | str, collation: str = "UTF8_LCASE") -> Column:
+    """Collation-aware string comparison/sort key (Spark 4 collations).
+
+    The reference documents binary-UTF-8 ordering only
+    (``/root/reference/R/arrange.R:41``); this is the upgrade Spark 4
+    enables: ``frame.arrange(collate("name"), "id")`` sorts
+    case-insensitively (``UTF8_LCASE``) or by ICU locale rules
+    (e.g. ``"UNICODE_CI"``) while leaving the column's bytes
+    untouched. Collation rides the sort expression, so Catalyst still
+    plans a normal range-partitioned sort / TakeOrderedAndProject.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.collate(c, collation)

@@ -481,3 +481,52 @@ def flag_contaminated_hashed(
         "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
     return Frame(out, corpus.group_vars())
+
+
+def with_dup_ngram_frac(
+    frame: Frame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Frame:
+    """CORPUS-level duplicated-n-gram fraction per document: the share
+    of a document's distinct k-word shingles that appear in at least
+    one OTHER document (the cross-doc companion to
+    ``text.with_repetition_stats``, which is within-doc only; Dolma and
+    RefinedWeb gate on both).
+
+    Plan: explode distinct shingles to 8-byte hashes, count documents
+    per gram with a window over the gram key (ONE shuffle that the
+    count shares — no gram-level self-join), then aggregate back to
+    document grain. Gram rows are (id, hash) pairs — 16 bytes — not
+    text, so the exchange stays small at corpus scale; the per-doc
+    aggregate partial-combines map-side. Documents shorter than k
+    words contribute their full text as a single shingle (same rule as
+    ``minhash_signatures``), so every document gets a defined fraction.
+    """
+    grams = frame.df.select(
+        F.col(id_col),
+        F.explode(_word_shingles(F.col(text_col), k)).alias("g"),
+    ).select(F.col(id_col), _hash64(F.col("g")).alias("gh"))
+    wg = Window.partitionBy("gh")
+    flagged = grams.withColumn("n_docs", F.count(F.lit(1)).over(wg))
+    per_doc = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_ngrams"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            F.col("n_dup_ngrams").cast("long").alias("n_dup_ngrams"),
+            F.round(
+                F.col("n_dup_ngrams").cast("double") / F.col("n_ngrams"), 6
+            ).alias("dup_ngram_frac"),
+        )
+    )
+    return Frame(
+        frame.df.join(per_doc, on=id_col, how="left"), frame.group_vars()
+    )

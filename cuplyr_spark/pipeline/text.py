@@ -531,3 +531,95 @@ def filter_by_source_quality(
         ),
         frame.group_vars(),
     )
+
+
+def chunk_documents(
+    frame: Frame,
+    size: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Frame:
+    """Split each document into fixed-size character chunks with
+    overlap — the standard pre-embedding / context-window-packing step
+    of a training-data pipeline.
+
+    Chunk c starts at ``1 + c * (size - overlap)``; starts run while
+    ``start <= max(len - overlap, 1)`` so the final partial chunk is
+    emitted once and a trailing fragment fully contained in the
+    previous chunk is not. Output one row per chunk:
+    ``(id_col, chunk_id, chunk_text)``.
+
+    Pure per-row column math (sequence + posexplode + substring):
+    zero shuffles, scales linearly, and the explode multiplies rows
+    *after* the parquet scan so column pruning still reaches the
+    source. ``overlap`` must be smaller than ``size``.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+    text = F.col(text_col)
+    n = F.coalesce(F.length(text), F.lit(0))
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride))
+    out = frame.df.select(
+        F.col(id_col),
+        text.alias("__text"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.substring(F.col("__text"), F.col("__start"), F.lit(size)).alias(
+            "chunk_text"
+        ),
+    )
+    return Frame(out, ())
+
+
+def score_linear_classifier(
+    frame: Frame,
+    dims: int = 1024,
+    text_col: str = "text",
+    salt: str = "quality",
+) -> Frame:
+    """Hashing-trick linear classifier score (fastText-style quality
+    filter), evaluated entirely as column math.
+
+    Each whitespace token hashes into one of ``dims`` buckets; the
+    bucket's weight is a deterministic value in [-1, 1] derived from a
+    portable 60-bit md5 hash (the same construction real deployments
+    would replace with a broadcast learned-weight array — the plan
+    shape is identical, only the weight expression changes). The logit
+    is the mean token weight:
+
+        clf_logit = round(sum(int_weight(tok)) / (1e6 * n_tokens), 6)
+
+    Weight lookups stay INTEGER until the single final division, so
+    the score is exact and order-independent — the DuckDB oracle
+    reproduces it bit-for-bit. ``clf_keep`` is the >0 decision.
+
+    Zero shuffles; at 100 TB this is a pure map over the corpus scan
+    and pipelines into the filter that consumes it.
+    """
+    from cuplyr_spark.pipeline.dedup import _hash64
+
+    toks = _tokens(F.col(text_col))
+    iw = F.transform(
+        toks,
+        lambda t: F.pmod(_hash64(F.concat(t, F.lit(salt))), F.lit(dims)),
+    )
+    iweights = F.transform(
+        iw,
+        lambda b: _hash64(F.concat(F.lit("w"), b.cast("string"), F.lit(salt)))
+        % 2000001
+        - 1000000,
+    )
+    total = F.aggregate(
+        iweights, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    logit = F.round(
+        total.cast("double") / (F.lit(1000000.0) * F.size(toks)), 6
+    )
+    df = frame.df.withColumn("clf_logit", logit).withColumn(
+        "clf_keep", F.col("clf_logit") > 0
+    )
+    return Frame(df, frame.group_vars())

@@ -90,3 +90,55 @@ def test_snapshot_rejects_remote_uri(spark, tmp_path):
     assert v == 1
     assert latest_snapshot_version(d) == 1
     assert len(read_snapshot(spark, "file://" + d).collect()) == 2
+
+
+def test_snapshot_upsert_merge(spark, tmp_path):
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        read_snapshot,
+        upsert_snapshot,
+    )
+
+    d = str(tmp_path / "tbl")
+    base = from_pandas(
+        spark,
+        pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"], "dead": [False, False, True]}),
+    )
+    assert upsert_snapshot(spark, base, d, key="k") == 1
+
+    # update k=2, insert k=4, and delete rows matching the filter
+    delta = from_pandas(
+        spark,
+        pd.DataFrame({"k": [2, 4], "v": ["B", "d"], "dead": [False, False]}),
+    )
+    v = upsert_snapshot(spark, delta, d, key="k", delete_filter="dead = true")
+    assert v == 2
+    got = (
+        read_snapshot(spark, d)
+        .collect()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 2, 4]  # 3 deleted, 2 updated, 4 inserted
+    assert got["v"].tolist() == ["a", "B", "d"]
+    # time travel to pre-merge still works
+    old = read_snapshot(spark, d, version=1).collect()
+    assert sorted(old["k"].tolist()) == [1, 2, 3]
+
+
+def test_snapshot_upsert_schema_guard(spark, tmp_path):
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import upsert_snapshot
+
+    d = str(tmp_path / "tbl2")
+    base = from_pandas(spark, pd.DataFrame({"k": [1], "v": ["a"]}))
+    upsert_snapshot(spark, base, d, key="k")
+    bad = from_pandas(spark, pd.DataFrame({"k": [2], "other": ["x"]}))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        upsert_snapshot(spark, bad, d, key="k")

@@ -526,3 +526,114 @@ def test_source_stats_dup_rate_and_gate(spark):
     ).collect()
     assert sorted(kept["source"].unique()) == ["good"]
     assert sorted(kept["doc_id"]) == [0, 1]
+
+
+# -- round-5 additions: chunking, classifier, cross-doc dup n-grams,
+#    quantization, collated sort ---------------------------------------
+
+
+def test_chunk_documents_covers_text_with_overlap(spark):
+    text = "abcdefghij" * 10  # 100 chars
+    f = from_pandas(spark, pd.DataFrame({"doc_id": [1], "text": [text]}))
+    out = TX.chunk_documents(f, size=40, overlap=10).collect()
+    # stride 30: starts 1, 31, 61 (start <= len-overlap = 90)
+    assert out["chunk_id"].tolist() == [0, 1, 2]
+    chunks = out["chunk_text"].tolist()
+    assert chunks[0] == text[0:40]
+    assert chunks[1] == text[30:70]
+    assert chunks[2] == text[60:100]
+    # consecutive chunks overlap by exactly `overlap` chars
+    assert chunks[0][-10:] == chunks[1][:10]
+
+
+def test_chunk_documents_short_and_empty_docs(spark):
+    f = from_pandas(
+        spark, pd.DataFrame({"doc_id": [1, 2], "text": ["tiny", ""]})
+    )
+    out = TX.chunk_documents(f, size=100, overlap=20).collect()
+    assert len(out) == 2  # one chunk each
+    assert out.set_index("doc_id")["chunk_text"].to_dict() == {1: "tiny", 2: ""}
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    f = from_pandas(spark, pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        TX.chunk_documents(f, size=10, overlap=10)
+
+
+def test_linear_classifier_deterministic_and_bounded(docs):
+    out = TX.score_linear_classifier(docs, dims=64).collect()
+    again = TX.score_linear_classifier(docs, dims=64).collect()
+    assert out["clf_logit"].tolist() == again["clf_logit"].tolist()
+    # mean of [-1,1] weights stays in [-1,1]
+    assert out["clf_logit"].abs().max() <= 1.0
+    assert (out["clf_keep"] == (out["clf_logit"] > 0)).all()
+    # identical texts score identically
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[0, "clf_logit"] == by_id.loc[1, "clf_logit"]
+
+
+def test_dup_ngram_frac_flags_cross_doc_overlap(docs):
+    out = (
+        D.with_dup_ngram_frac(docs, k=3)
+        .collect()
+        .set_index("doc_id")
+    )
+    # docs 0 and 1 are byte-identical: every 3-gram is shared
+    assert out.loc[0, "dup_ngram_frac"] == 1.0
+    assert out.loc[1, "dup_ngram_frac"] == 1.0
+    # doc 2 differs by one token: most (but not all) 3-grams shared
+    assert 0.5 < out.loc[2, "dup_ngram_frac"] < 1.0
+    # doc 3 shares nothing
+    assert out.loc[3, "dup_ngram_frac"] == 0.0
+    # short doc contributes its full text as one shingle
+    assert out.loc[4, "n_ngrams"] == 1
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.001, 0.002, -0.003, 0.004]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # all-zero edge
+    ]
+    f = from_pandas(spark, pd.DataFrame(vecs, columns=["vec_id", "embedding"]))
+    out = S.quantize_embeddings(f).collect().set_index("vec_id")
+    q1, s1 = out.loc[1, "qvec"], out.loc[1, "qscale"]
+    assert max(abs(int(v)) for v in q1) == 127
+    # dequantized values within half a quantization step
+    orig = [0.5, -1.0, 0.25, 0.0]
+    for o, q in zip(orig, q1):
+        assert abs(o - int(q) * s1) <= s1 / 2 + 1e-9
+    assert [int(v) for v in out.loc[3, "qvec"]] == [0, 0, 0, 0]
+    assert out.loc[3, "qscale"] == 0.0
+
+
+def test_quantized_topk_agrees_with_exact_topk(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, rng.randn(16).astype(float).tolist()) for i in range(60)]
+    f = from_pandas(spark, pd.DataFrame(vecs, columns=["vec_id", "embedding"]))
+    exact = S.cosine_topk(f, k=3, query_filter="vec_id < 3").collect()
+    quant = S.quantized_cosine_topk(f, k=3, query_filter="vec_id < 3").collect()
+    # int8 quantization preserves neighbor rankings on random vectors:
+    # top-1 neighbor matches, top-3 sets mostly overlap
+    for qid in range(3):
+        e = exact[exact.query_id == qid].sort_values("rank")["neighbor_id"].tolist()
+        q = quant[quant.query_id == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert e[0] == q[0]
+        assert len(set(e) & set(q)) >= 2
+
+
+def test_collated_arrange_case_insensitive(spark):
+    from cuplyr_spark import collate
+
+    f = from_pandas(
+        spark,
+        pd.DataFrame(
+            {"id": [1, 2, 3, 4], "s": ["BETA", "alpha", "Alpha", "beta"]}
+        ),
+    )
+    out = f.arrange(collate("s"), "id").collect()
+    # case-insensitive: both alphas before both betas; ties by id
+    assert out["s"].tolist() == ["alpha", "Alpha", "BETA", "beta"]

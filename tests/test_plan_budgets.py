@@ -32,6 +32,12 @@ SF_DIR = "/root/testdata/sf0.001"
 EXCHANGE_BUDGETS = {
     "filter_select": 0,
     "select_where_numeric": 0,  # r5: type-predicate projection, map-only
+    "arrange_collated": 0,      # r5: collated sort + head -> TakeOrderedAndProject
+    "doc_chunks": 0,            # r5: sequence+posexplode+substring, map-only
+    "doc_classifier": 0,        # r5: hashing-trick weights, map-only
+    "dup_ngram_frac": 2,        # r5: gram-key window + doc-grain agg; join back broadcasts
+    "embedding_quantize": 0,    # r5: per-row quantization, map-only
+    "quantized_cosine_topk": 1, # r5: broadcast q side; per-query window rank
     "filter_col_op_col": 0,
     "mutate_arithmetic": 0,
     "mutate_if_else": 0,
