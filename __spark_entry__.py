@@ -2365,6 +2365,86 @@ def q_arrange_collated(spark, sf_dir):
     )
 
 
+def q_c4_line_clean(spark, sf_dir):
+    """C4-style line-level cleaning: terminal-punctuation + min-words
+    + javascript rules inside an array filter lambda, page-level
+    boilerplate flags. Zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TX.clean_lines_c4(docs)
+        .select(
+            "doc_id", "n_lines", "n_kept_lines", "text_clean",
+            "has_brace", "has_lorem",
+        )
+        .df
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + exact dedup: normalize (fragment/case/
+    www/tracking-param rules as portable regex chains), then one
+    hash-agg on the normalized key."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.df.select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.upper(F.col("source")),
+            F.lit(".COM/page/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("?utm_source=s"),
+            F.lit("#sec"),
+        ).alias("url"),
+    )
+    return TX.dedup_by_url(Frame(urls, ())).df
+
+
+
+
+def q_near_dedup(spark, sf_dir):
+    """End-to-end fuzzy dedup composition: MinHash -> LSH -> connected
+    components -> one survivor per near-dup cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.near_dedup(docs).select("doc_id").df
+
+
+def q_cross_corpus_dedup(spark, sf_dir):
+    """Incremental shard-vs-corpus dedup: odd doc_ids are the incoming
+    shard, even the existing corpus; exact (fingerprint) and near
+    (shared LSH band bucket) flags via 8-byte-key semi-joins."""
+    docs = _t(spark, sf_dir, "documents")
+    newd = docs.filter("doc_id % 2 == 1")
+    oldd = docs.filter("doc_id % 2 == 0")
+    return (
+        D.flag_cross_duplicates(newd, oldd)
+        .select("doc_id", "is_exact_dup", "is_near_dup")
+        .df
+    )
+
+
+def q_nest_join(spark, sf_dir):
+    """dplyr nest_join: customers packed per nation as a sorted
+    list-of-structs column; scalars projected out of the nest (size +
+    integer-cents balance fold) so the oracle compare stays exact."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    packed = nation.nest_join(
+        cust, by={"n_nationkey": "c_nationkey"}, name="custs"
+    )
+    return packed.df.select(
+        "n_nationkey",
+        "n_name",
+        F.size("custs").alias("n_customers"),
+        F.aggregate(
+            F.col("custs"),
+            F.lit(0).cast("long"),
+            lambda a, c: a + F.round(c["c_acctbal"] * 100).cast("long"),
+        ).alias("acct_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2493,6 +2573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "quantized_cosine_topk": q_quantized_cosine_topk,
         "arrange_collated": q_arrange_collated,
+        "c4_line_clean": q_c4_line_clean,
+        "url_dedup": q_url_dedup,
+        "near_dedup_survivors": q_near_dedup,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "nest_join": q_nest_join,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -2526,7 +2611,7 @@ def _shingles_sql(k: int) -> str:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(where: str = "") -> str:
     p = D.MINHASH_PRIME
     h = _H64.format(x="s")
     sig_exprs = ",\n       ".join(
@@ -2536,8 +2621,20 @@ def _minhash_oracle() -> str:
     return f"""
     SELECT doc_id,
        {sig_exprs}
-    FROM (SELECT doc_id, {_SHINGLES3} AS sh FROM documents)
+    FROM (SELECT doc_id, {_SHINGLES3} AS sh FROM documents{where})
     """
+
+
+def _bands_sql(sig: str) -> str:
+    """DuckDB replay of ``dedup._explode_band_hashes`` (8 hashes, 4
+    bands, 8-byte portable band hash) over a sig CTE named ``sig``."""
+    rows = [
+        f"SELECT doc_id, {b} AS band, "
+        + _H64.format(x=f"concat_ws('_', mh_{2*b}, mh_{2*b+1})")
+        + f" AS bh FROM {sig}"
+        for b in range(4)
+    ]
+    return " UNION ALL ".join(rows)
 
 
 def _simhash_oracle(bits: int = 16) -> str:
@@ -3263,10 +3360,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": f"""
             WITH sig AS ({_minhash_oracle()}),
             bands AS (
-              SELECT doc_id, 0 AS band, md5(concat_ws('_', mh_0, mh_1)) AS bh FROM sig
-              UNION ALL SELECT doc_id, 1, md5(concat_ws('_', mh_2, mh_3)) FROM sig
-              UNION ALL SELECT doc_id, 2, md5(concat_ws('_', mh_4, mh_5)) FROM sig
-              UNION ALL SELECT doc_id, 3, md5(concat_ws('_', mh_6, mh_7)) FROM sig
+              SELECT doc_id, 0 AS band, CAST(concat('0x', substr(md5(concat_ws('_', mh_0, mh_1)), 1, 15)) AS BIGINT) AS bh FROM sig
+              UNION ALL SELECT doc_id, 1, CAST(concat('0x', substr(md5(concat_ws('_', mh_2, mh_3)), 1, 15)) AS BIGINT) FROM sig
+              UNION ALL SELECT doc_id, 2, CAST(concat('0x', substr(md5(concat_ws('_', mh_4, mh_5)), 1, 15)) AS BIGINT) FROM sig
+              UNION ALL SELECT doc_id, 3, CAST(concat('0x', substr(md5(concat_ws('_', mh_6, mh_7)), 1, 15)) AS BIGINT) FROM sig
             ),
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -3408,10 +3505,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": f"""
             WITH sig AS ({_minhash_oracle()}),
             bands AS (
-              SELECT doc_id, 0 AS band, md5(concat_ws('_', mh_0, mh_1)) AS bh FROM sig
-              UNION ALL SELECT doc_id, 1, md5(concat_ws('_', mh_2, mh_3)) FROM sig
-              UNION ALL SELECT doc_id, 2, md5(concat_ws('_', mh_4, mh_5)) FROM sig
-              UNION ALL SELECT doc_id, 3, md5(concat_ws('_', mh_6, mh_7)) FROM sig
+              SELECT doc_id, 0 AS band, CAST(concat('0x', substr(md5(concat_ws('_', mh_0, mh_1)), 1, 15)) AS BIGINT) AS bh FROM sig
+              UNION ALL SELECT doc_id, 1, CAST(concat('0x', substr(md5(concat_ws('_', mh_2, mh_3)), 1, 15)) AS BIGINT) FROM sig
+              UNION ALL SELECT doc_id, 2, CAST(concat('0x', substr(md5(concat_ws('_', mh_4, mh_5)), 1, 15)) AS BIGINT) FROM sig
+              UNION ALL SELECT doc_id, 3, CAST(concat('0x', substr(md5(concat_ws('_', mh_6, mh_7)), 1, 15)) AS BIGINT) FROM sig
             ), keep AS (
               -- mirror the engine's skew guard: buckets of size 1 can't
               -- produce a pair; buckets above max_bucket_size are dropped
@@ -3462,10 +3559,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_labels": f"""
             WITH RECURSIVE sig AS ({_minhash_oracle()}),
             bands AS (
-              SELECT doc_id, 0 AS band, md5(concat_ws('_', mh_0, mh_1)) AS bh FROM sig
-              UNION ALL SELECT doc_id, 1, md5(concat_ws('_', mh_2, mh_3)) FROM sig
-              UNION ALL SELECT doc_id, 2, md5(concat_ws('_', mh_4, mh_5)) FROM sig
-              UNION ALL SELECT doc_id, 3, md5(concat_ws('_', mh_6, mh_7)) FROM sig
+              SELECT doc_id, 0 AS band, CAST(concat('0x', substr(md5(concat_ws('_', mh_0, mh_1)), 1, 15)) AS BIGINT) AS bh FROM sig
+              UNION ALL SELECT doc_id, 1, CAST(concat('0x', substr(md5(concat_ws('_', mh_2, mh_3)), 1, 15)) AS BIGINT) FROM sig
+              UNION ALL SELECT doc_id, 2, CAST(concat('0x', substr(md5(concat_ws('_', mh_4, mh_5)), 1, 15)) AS BIGINT) FROM sig
+              UNION ALL SELECT doc_id, 3, CAST(concat('0x', substr(md5(concat_ws('_', mh_6, mh_7)), 1, 15)) AS BIGINT) FROM sig
             ), keep AS (
               SELECT band, bh FROM bands GROUP BY band, bh
               HAVING count(*) BETWEEN 2 AND 10000
@@ -4022,6 +4119,103 @@ def oracle_sql() -> dict[str, str]:
               FROM part)
             ORDER BY lower(name_mixed), p_partkey
             LIMIT 50
+        """,
+        "c4_line_clean": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+                   contains(text, '{') AS has_brace,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem
+            FROM (SELECT doc_id, text,
+                         list_filter(string_split(text, chr(10)), l ->
+                           regexp_matches(l, '[.!?"'']\\s*$')
+                           AND len(string_split_regex(trim(l), ' +')) >= 3
+                           AND NOT contains(lower(l), 'javascript')) AS kept
+                  FROM documents)
+        """,
+        "url_dedup": """
+            WITH urls AS (
+              SELECT doc_id,
+                     concat('HTTPS://WWW.', upper(source), '.COM/page/',
+                            CAST(doc_id % 50 AS VARCHAR), '?utm_source=s', '#sec') AS url
+              FROM documents
+            ), stripped AS (
+              SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u0 FROM urls
+            ), norm AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     concat(
+                       regexp_replace(lower(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0)),
+                                      '://www\\.', '://', 'g'),
+                       substr(u0, length(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0)) + 1)
+                     ),
+                     '[?&](utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*', '', 'g'),
+                     '\\?&', '?', 'g'),
+                     '[?&]$', '', 'g'),
+                     '/$', '', 'g') AS url_norm
+              FROM stripped
+            )
+            SELECT min(doc_id) AS doc_id, url_norm,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM norm GROUP BY url_norm
+        """,
+        "near_dedup_survivors": f"""
+            WITH RECURSIVE sig AS ({_minhash_oracle()}),
+            bands AS (
+              {_bands_sql("sig")}
+            ), keep AS (
+              SELECT band, bh FROM bands GROUP BY band, bh
+              HAVING count(*) BETWEEN 2 AND 10000
+            ), kept AS (
+              SELECT b.* FROM bands b JOIN keep k USING (band, bh)
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM kept a JOIN kept b ON a.band = b.band AND a.bh = b.bh
+                                      AND a.doc_id < b.doc_id
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), labels AS (
+              SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+              FROM reach GROUP BY a
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN
+                  (SELECT doc_id FROM labels WHERE cluster_id <> doc_id)
+        """,
+        "cross_corpus_dedup": f"""
+            WITH sig_new AS ({_minhash_oracle(" WHERE doc_id % 2 = 1")}),
+            sig_old AS ({_minhash_oracle(" WHERE doc_id % 2 = 0")}),
+            bn AS ({_bands_sql("sig_new")}),
+            bo AS ({_bands_sql("sig_old")}),
+            bo_keep AS (
+              SELECT band, bh FROM bo GROUP BY band, bh
+              HAVING count(*) <= 10000
+            ), near AS (
+              SELECT DISTINCT bn.doc_id
+              FROM bn JOIN bo_keep USING (band, bh)
+            ), fpo AS (
+              SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+              FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT n.doc_id,
+                   md5(regexp_replace(trim(lower(n.text)), '\\s+', ' ', 'g'))
+                     IN (SELECT fp FROM fpo) AS is_exact_dup,
+                   n.doc_id IN (SELECT doc_id FROM near) AS is_near_dup
+            FROM documents n WHERE n.doc_id % 2 = 1
+        """,
+        "nest_join": """
+            SELECT n.n_nationkey, n.n_name,
+                   CAST(count(c.c_custkey) AS INT) AS n_customers,
+                   CAST(coalesce(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)), 0)
+                        AS BIGINT) AS acct_cents
+            FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_nationkey, n.n_name
         """,
         "complete_fill": """
             WITH f AS (SELECT * FROM orders WHERE o_totalprice > 350000)

@@ -80,8 +80,10 @@ from cuplyr_spark.pipeline.dedup import (
     exact_dedup,
     flag_contaminated,
     flag_contaminated_hashed,
+    flag_cross_duplicates,
     minhash_lsh_pairs,
     minhash_signatures,
+    near_dedup,
     ngram_jaccard_pairs,
     simhash_signatures,
     with_dup_ngram_frac,
@@ -110,7 +112,10 @@ from cuplyr_spark.sources.connectors import (
 )
 from cuplyr_spark.pipeline.text import (
     chunk_documents,
+    clean_lines_c4,
+    dedup_by_url,
     filter_by_source_quality,
+    normalize_url,
     score_linear_classifier,
     tf_idf_top_terms,
     with_fingerprint,

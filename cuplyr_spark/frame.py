@@ -703,6 +703,40 @@ class Frame:
     def anti_join(self, other: Frame, by=None, na_matches="na") -> Frame:
         return self._join(other, by, "left_anti", (".x", ".y"), na_matches, False)
 
+    def nest_join(self, other: Frame, by=None, name: str = "y") -> Frame:
+        """dplyr ``nest_join``: a left join that PACKS the matching
+        right-side rows into one list-of-structs column per left row
+        (never duplicating left rows, unlike ``left_join``). The
+        reference has no nesting support (``README.md:72-78``); Spark
+        expresses it natively as groupBy + ``collect_list(struct)`` on
+        the right side followed by a plain left join — one shuffle at
+        the key grain, and the packed column rides the join like any
+        other value. Rows with no match get an EMPTY array (dplyr
+        semantics: a 0-row nested frame, not NULL). Struct order inside
+        the array is sorted by all right-side columns so the result is
+        deterministic under any partitioning."""
+        keys = self._resolve_by(other, by)
+        lkeys, rkeys = list(keys), list(keys.values())
+        payload_cols = [c for c in other._df.columns if c not in rkeys]
+        if not payload_cols:
+            raise ValueError("nest_join: right side has only key columns")
+        packed = (
+            other._df.groupBy(*[_qcol(k) for k in rkeys])
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(*[_qcol(c) for c in payload_cols]))
+                ).alias(name)
+            )
+        )
+        cond = [self._df[lk] == packed[rk] for lk, rk in keys.items()]
+        joined = self._df.join(packed, cond, "left")
+        empty = F.array().cast(joined.schema[name].dataType)
+        out = joined.select(
+            *[self._df[c] for c in self._df.columns],
+            F.coalesce(packed[name], empty).alias(name),
+        )
+        return Frame(out, self._groups)
+
     def cross_join(self, other: Frame, suffix=(".x", ".y")) -> Frame:
         lp, rp = "__cuplyr_l__", "__cuplyr_r__"
         ldf = self._df.select([_qcol(c).alias(lp + c) for c in self._df.columns])

@@ -109,6 +109,27 @@ def minhash_signatures(
     return Frame(out, ())
 
 
+def _explode_band_hashes(sigs_df, id_col: str, n_hashes: int, bands: int):
+    """(id, band, bh) rows from a signature table. The band hash is an
+    8-byte portable hash, not the md5 hex string: the (band, bh) key
+    rides every LSH shuffle, so 8 bytes vs 32 cuts exchange volume 4x
+    at corpus scale; equality semantics (and the DuckDB replay) are
+    unchanged."""
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                _hash64(F.concat_ws("_", *parts)).alias("bh"),
+            )
+        )
+    return sigs_df.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bx")
+    ).select(id_col, F.col("bx.band").alias("band"), F.col("bx.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     frame: Frame,
     text_col: str = "text",
@@ -117,6 +138,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket_size: int | None = 10_000,
+    sigs: Frame | None = None,
 ) -> Frame:
     """LSH candidate pairs: split the signature into ``bands``, hash
     each band, self-join on (band index, band hash). The join key is a
@@ -132,7 +154,13 @@ def minhash_lsh_pairs(
     pair, so filtering them shrinks the self-join input for free. The
     per-bucket counts are computed in-plan (one extra aggregate on the
     slim (band, hash) table — no driver action). ``None`` disables the
-    cap (size-1 pruning stays on; it never changes results)."""
+    cap (size-1 pruning stays on; it never changes results).
+
+    ``sigs`` accepts a precomputed ``minhash_signatures`` result (same
+    ``n_hashes``/``id_col``): at corpus scale, signatures are worth
+    computing once — persisted or written to parquet — and reused
+    across band configurations and audit passes instead of re-hashing
+    every shingle per consumer."""
     if n_hashes % bands != 0:
         raise ValueError(
             f"minhash_lsh_pairs: n_hashes ({n_hashes}) must be divisible by "
@@ -142,16 +170,15 @@ def minhash_lsh_pairs(
     if max_bucket_size is not None and max_bucket_size < 2:
         raise ValueError("max_bucket_size must be >= 2 (or None to disable)")
     rows = n_hashes // bands
-    sigs = minhash_signatures(frame, text_col, id_col, n_hashes, shingle_k).df
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("bh"))
-        )
-    exploded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bx")
-    ).select(id_col, F.col("bx.band").alias("band"), F.col("bx.bh").alias("bh"))
+    if sigs is not None:
+        missing = [c for c in [id_col] + [f"mh_{i}" for i in range(n_hashes)]
+                   if c not in sigs.df.columns]
+        if missing:
+            raise ValueError(f"precomputed sigs lack columns {missing}")
+        sigs_df = sigs.df
+    else:
+        sigs_df = minhash_signatures(frame, text_col, id_col, n_hashes, shingle_k).df
+    exploded = _explode_band_hashes(sigs_df, id_col, n_hashes, bands)
     cnt_pred = F.col("__bsz") >= 2
     if max_bucket_size is not None:
         cnt_pred = cnt_pred & (F.col("__bsz") <= max_bucket_size)
@@ -530,3 +557,98 @@ def with_dup_ngram_frac(
     return Frame(
         frame.df.join(per_doc, on=id_col, how="left"), frame.group_vars()
     )
+
+
+def near_dedup(
+    frame: Frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 10_000,
+    max_iter: int = 10,
+) -> Frame:
+    """End-to-end fuzzy dedup: MinHash -> LSH candidate pairs ->
+    connected components -> keep one representative (the min-id member)
+    per near-dup cluster, all other rows unchanged.
+
+    The one-call composition of ``minhash_signatures`` /
+    ``minhash_lsh_pairs`` / ``dedup_clusters`` a pipeline actually
+    runs. Non-representatives are removed with a single anti-join on
+    the id — the loser set is bounded by the pair set, which the LSH
+    bucket cap already keeps skew-safe, and the corpus itself is never
+    shuffled (the anti-join build side is (id) only).
+    """
+    pairs = minhash_lsh_pairs(
+        frame, text_col, id_col, n_hashes, bands, shingle_k, max_bucket_size
+    )
+    labels = dedup_clusters(pairs, max_iter=max_iter)
+    losers = labels.df.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return Frame(
+        frame.df.join(losers, on=id_col, how="left_anti"), frame.group_vars()
+    )
+
+
+def flag_cross_duplicates(
+    new: Frame,
+    existing: Frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> Frame:
+    """Incremental dedup of an incoming shard against an existing
+    corpus — the production crawl-ingest pattern (the full corpus is
+    never re-deduped; each new shard is checked against what's
+    already kept).
+
+    Adds to ``new``: ``is_exact_dup`` (normalized-text fingerprint
+    already present in ``existing``) and ``is_near_dup`` (shares an
+    LSH band bucket with ``existing``). Both checks are semi-joins on
+    8-byte keys (fingerprint md5 / band hash) — documents never ride a
+    shuffle. The bucket cap applies to EXISTING-side band buckets:
+    a degenerate boilerplate bucket in the reference corpus would
+    otherwise mark every incoming doc that touches it, and such
+    content is exact-dedup's job anyway.
+    """
+
+    def fp(df):
+        return F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+        )
+
+    ex_fp = existing.df.select(fp(existing.df).alias("__fp")).distinct()
+    new_sigs = minhash_signatures(new, text_col, id_col, n_hashes, shingle_k).df
+    ex_sigs = minhash_signatures(
+        existing, text_col, id_col, n_hashes, shingle_k
+    ).df
+    nb = _explode_band_hashes(new_sigs, id_col, n_hashes, bands)
+    eb = _explode_band_hashes(ex_sigs, id_col, n_hashes, bands)
+    ebuckets = eb.groupBy("band", "bh").count()
+    if max_bucket_size is not None:
+        ebuckets = ebuckets.filter(F.col("count") <= max_bucket_size)
+    near_ids = (
+        nb.join(ebuckets.select("band", "bh"), ["band", "bh"], "left_semi")
+        .select(F.col(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    flagged = (
+        new.df.withColumn("__fp_new", fp(new.df))
+        .join(
+            ex_fp.withColumn("__exact", F.lit(True)),
+            F.col("__fp_new") == F.col("__fp"),
+            "left",
+        )
+        .drop("__fp", "__fp_new")
+        .join(near_ids, on=id_col, how="left")
+        .withColumn("is_exact_dup", F.coalesce(F.col("__exact"), F.lit(False)))
+        .withColumn("is_near_dup", F.coalesce(F.col("__near"), F.lit(False)))
+        .drop("__exact", "__near")
+    )
+    return Frame(flagged, new.group_vars())

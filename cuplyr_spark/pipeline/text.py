@@ -623,3 +623,94 @@ def score_linear_classifier(
         "clf_keep", F.col("clf_logit") > 0
     )
     return Frame(df, frame.group_vars())
+
+
+def clean_lines_c4(
+    frame: Frame,
+    text_col: str = "text",
+    min_words: int = 3,
+) -> Frame:
+    """C4-style line-level cleaning: keep only lines that end in a
+    terminal punctuation mark, have at least ``min_words`` whitespace
+    words, and do not mention "javascript"; surface the page-level
+    boilerplate flags (curly brace, "lorem ipsum") the C4 recipe drops
+    pages on.
+
+    Adds: ``n_lines``, ``n_kept_lines``, ``text_clean`` (kept lines
+    re-joined), ``has_brace``, ``has_lorem``. Filtering happens inside
+    an array ``filter`` lambda — per-row JVM column math, zero
+    shuffles, and the regexes are Java/RE2-portable so the DuckDB
+    oracle replays them exactly.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+
+    def keep(line: Column) -> Column:
+        words = F.size(F.split(F.trim(line), " +"))
+        return (
+            line.rlike('[.!?"\']\\s*$')
+            & (words >= min_words)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    kept = F.filter(lines, keep)
+    return Frame(
+        frame.df.withColumns(
+            {
+                "n_lines": F.size(lines).cast("long"),
+                "n_kept_lines": F.size(kept).cast("long"),
+                "text_clean": F.array_join(kept, "\n"),
+                "has_brace": text.contains("{"),
+                "has_lorem": F.lower(text).contains("lorem ipsum"),
+            }
+        ),
+        frame.group_vars(),
+    )
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonicalize a URL for dedup joins: drop the fragment,
+    lowercase the scheme+host (path/query case is preserved — it is
+    significant), strip a leading ``www.``, remove tracking params
+    (``utm_*``, ``gclid``, ``fbclid``), and drop dangling separators
+    and a trailing slash.
+
+    Heuristic by design (no percent-decoding, no param re-ordering —
+    both would need lookarounds or callbacks that RE2 lacks); every
+    step is a chained ``regexp_replace``/``regexp_extract`` that the
+    DuckDB oracle replays verbatim, so normalized URLs are portable
+    join keys. Pure per-row column math.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    u0 = F.regexp_replace(u, "#.*", "")
+    pre = F.regexp_extract(u0, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", 0)
+    rest = F.substring(u0, F.length(pre) + 1, F.lit(1 << 30))
+    pre2 = F.regexp_replace(F.lower(pre), "://www\\.", "://")
+    u1 = F.concat(pre2, rest)
+    u2 = F.regexp_replace(
+        u1, "[?&](utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*", ""
+    )
+    u3 = F.regexp_replace(u2, "\\?&", "?")
+    u4 = F.regexp_replace(u3, "[?&]$", "")
+    return F.regexp_replace(u4, "/$", "")
+
+
+def dedup_by_url(
+    frame: Frame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> Frame:
+    """URL-level exact dedup (the first pass of every web-corpus
+    pipeline): normalize, keep the smallest-id document per normalized
+    URL, carry the duplicate count. One hash-agg shuffle on the
+    normalized key — same scale shape as ``dedup.exact_dedup``."""
+    norm = normalize_url(F.col(url_col))
+    per_url = (
+        frame.df.withColumn("url_norm", norm)
+        .groupBy("url_norm")
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+    return Frame(per_url.select(id_col, "url_norm", "n_copies"), ())

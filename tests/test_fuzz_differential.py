@@ -339,3 +339,86 @@ def test_fuzz_asof_directions(spark, inputs, direction):
         ["lid", "rid"]
     ]
     assert_frame_matches(got, want)
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Property: dropping each chunk's leading `overlap` chars (except
+    chunk 0) and concatenating reconstructs the original text exactly,
+    for arbitrary text lengths around the stride boundaries."""
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.pipeline.text import chunk_documents
+
+    size, overlap = 40, 10
+    texts = [
+        ("x" * 0), ("a" * 29), ("b" * 30), ("c" * 31), ("d" * 40),
+        ("e" * 41), ("f" * 100), ("g" * 99),
+        "".join(chr(97 + i % 26) for i in range(137)),
+    ]
+    f = from_pandas(
+        spark,
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    out = chunk_documents(f, size=size, overlap=overlap).collect()
+    for doc_id, text in enumerate(texts):
+        chunks = (
+            out[out.doc_id == doc_id]
+            .sort_values("chunk_id")["chunk_text"]
+            .tolist()
+        )
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == text, (doc_id, len(text))
+        # every chunk except the last is full-size
+        assert all(len(c) == size for c in chunks[:-1])
+
+
+def test_normalize_url_differential_vs_duckdb(spark, duck):
+    """The entry oracle replays normalize_url as a DuckDB regex chain;
+    fuzz the chain equivalence over adversarial URL shapes (ports,
+    multiple tracking params, params before/after real ones, no-path
+    hosts, mixed-case schemes)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.pipeline.text import normalize_url
+
+    urls = [
+        "HTTP://WWW.A.COM",
+        "http://a.com/",
+        "https://A.com:8080/P?utm_a=1&x=2&utm_b=3#f",
+        "ftp://www.Files.NET/Dir/File.TXT",
+        "https://a.com/p?x=1&utm_source=t",
+        "https://a.com/p?utm_source=t&x=1",
+        "https://a.com/p?gclid=abc",
+        "https://a.com/p?fbclid=1&gclid=2",
+        "https://www.a.com/www.b.com/Path",
+        "https://a.com/p#frag#frag2",
+        "https://a.com/trailing/",
+        "noscheme/just/a/path?utm_x=1",
+    ]
+    f = from_pandas(spark, pd.DataFrame({"url": urls}))
+    got = {
+        r["url"]: r["n"]
+        for r in f.df.withColumn("n", normalize_url(F.col("url"))).collect()
+    }
+    chain = """
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        concat(
+          regexp_replace(lower(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0)),
+                         '://www\\.', '://', 'g'),
+          substr(u0, length(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0)) + 1)
+        ),
+        '[?&](utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*', '', 'g'),
+        '\\?&', '?', 'g'),
+        '[?&]$', '', 'g'),
+        '/$', '', 'g')
+    """
+    for url in urls:
+        want = duck.execute(
+            f"SELECT {chain} FROM (SELECT regexp_replace(?, '#.*', '', 'g') AS u0)",
+            [url],
+        ).fetchone()[0]
+        assert got[url] == want, (url, got[url], want)

@@ -637,3 +637,138 @@ def test_collated_arrange_case_insensitive(spark):
     out = f.arrange(collate("s"), "id").collect()
     # case-insensitive: both alphas before both betas; ties by id
     assert out["s"].tolist() == ["alpha", "Alpha", "BETA", "beta"]
+
+
+def test_c4_line_clean_rules(spark):
+    f = from_pandas(
+        spark,
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "A good sentence right here.\nshort\nno terminal punct line\n"
+                    "Another proper sentence!\nthe javascript cookie line is bad.",
+                    "code { block } here\nlorem ipsum dolor sit.",
+                ],
+            }
+        ),
+    )
+    out = TX.clean_lines_c4(f).collect().set_index("doc_id")
+    assert out.loc[1, "n_lines"] == 5
+    assert out.loc[1, "n_kept_lines"] == 2  # terminal punct + >=3 words, no js
+    assert out.loc[1, "text_clean"] == (
+        "A good sentence right here.\nAnother proper sentence!"
+    )
+    assert bool(out.loc[2, "has_brace"]) and bool(out.loc[2, "has_lorem"])
+    # all-filtered doc yields empty string, not NULL
+    g = from_pandas(spark, pd.DataFrame({"doc_id": [9], "text": ["nope"]}))
+    got = TX.clean_lines_c4(g).collect()
+    assert got["text_clean"].tolist() == [""]
+
+
+def test_normalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    cases = {
+        # host case + www + fragment + tracking param
+        "HTTPS://WWW.Example.COM/Page/1?utm_source=x#frag": "https://example.com/Page/1",
+        # path case preserved
+        "https://example.com/Page/1": "https://example.com/Page/1",
+        # trailing slash
+        "https://example.com/Page/1/": "https://example.com/Page/1",
+        # non-tracking params survive; tracking tail stripped
+        "http://other.org/a?id=3&utm_campaign=z": "http://other.org/a?id=3",
+        # utm first, real param second: leading ? re-attaches
+        "http://a.io/p?utm_x=1": "http://a.io/p",
+    }
+    f = from_pandas(
+        spark, pd.DataFrame({"url": list(cases)})
+    )
+    got = f.df.withColumn("n", TX.normalize_url(F.col("url"))).collect()
+    for row in got:
+        assert row["n"] == cases[row["url"]], (row["url"], row["n"])
+
+
+def test_dedup_by_url_groups_equivalent_urls(spark):
+    f = from_pandas(
+        spark,
+        pd.DataFrame(
+            {
+                "doc_id": [3, 1, 2, 9],
+                "url": [
+                    "https://example.com/x",
+                    "HTTPS://WWW.EXAMPLE.COM/x#top",
+                    "https://example.com/x?utm_source=a",
+                    "https://example.com/y",
+                ],
+            }
+        ),
+    )
+    out = TX.dedup_by_url(f).collect().sort_values("url_norm").reset_index(drop=True)
+    assert out["n_copies"].tolist() == [3, 1]
+    assert out["doc_id"].tolist() == [1, 9]  # min-id winner
+
+
+def test_lsh_pairs_precomputed_sigs_identical(docs):
+    """The staged-signatures path (compute once, reuse) must produce
+    exactly the pairs of the recompute path."""
+    direct = D.minhash_lsh_pairs(docs).collect()
+    sigs = D.minhash_signatures(docs)
+    staged = D.minhash_lsh_pairs(docs, sigs=sigs).collect()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values))
+    assert key(direct) == key(staged)
+    with pytest.raises(ValueError, match="lack columns"):
+        D.minhash_lsh_pairs(docs, n_hashes=8, sigs=D.minhash_signatures(docs, n_hashes=4))
+
+
+def test_near_dedup_keeps_one_per_cluster(docs):
+    out = D.near_dedup(docs).collect()
+    kept = sorted(out["doc_id"].tolist())
+    # docs 0/1 byte-identical and 2 a near-dup: one survivor (min id 0)
+    assert 0 in kept
+    assert 1 not in kept
+    assert 2 not in kept
+    # unrelated docs untouched
+    assert 3 in kept and 4 in kept
+    # all original columns preserved
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_flag_cross_duplicates(spark):
+    existing = from_pandas(
+        spark, pd.DataFrame({"doc_id": [100, 101], "text": [BASE, FAR]})
+    )
+    new = from_pandas(
+        spark,
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [BASE, NEAR, "totally novel content nothing shared"],
+            }
+        ),
+    )
+    out = (
+        D.flag_cross_duplicates(new, existing)
+        .collect()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[1, "is_exact_dup"]) and bool(out.loc[1, "is_near_dup"])
+    assert not bool(out.loc[2, "is_exact_dup"])
+    assert bool(out.loc[2, "is_near_dup"])  # one-token change shares bands
+    assert not bool(out.loc[3, "is_exact_dup"])
+    assert not bool(out.loc[3, "is_near_dup"])
+
+
+def test_nest_join_packs_and_empty(spark):
+    x = from_pandas(spark, pd.DataFrame({"k": [1, 2, 3], "a": ["p", "q", "r"]}))
+    y = from_pandas(
+        spark,
+        pd.DataFrame({"k": [1, 1, 2], "v": [10, 5, 7], "w": ["m", "n", "o"]}),
+    )
+    out = x.nest_join(y, by="k").collect().set_index("k").sort_index()
+    assert [(r["v"], r["w"]) for r in out.loc[1, "y"]] == [(5, "n"), (10, "m")]
+    assert [(r["v"], r["w"]) for r in out.loc[2, "y"]] == [(7, "o")]
+    assert list(out.loc[3, "y"]) == []  # no match -> empty, not NULL
+    with pytest.raises(ValueError, match="only key columns"):
+        x.nest_join(from_pandas(spark, pd.DataFrame({"k": [1]})), by="k")

@@ -38,6 +38,11 @@ EXCHANGE_BUDGETS = {
     "dup_ngram_frac": 2,        # r5: gram-key window + doc-grain agg; join back broadcasts
     "embedding_quantize": 0,    # r5: per-row quantization, map-only
     "quantized_cosine_topk": 1, # r5: broadcast q side; per-query window rank
+    "c4_line_clean": 0,         # r5: array-filter lambda, map-only
+    "url_dedup": 1,             # r5: one hash-agg on the normalized key
+    "near_dedup_survivors": 2,  # r5: LSH window shuffle + anti-join (CC ran eagerly)
+    "cross_corpus_dedup": 3,    # r5: existing-bucket agg + two semi-join flags
+    "nest_join": 1,             # r5: right-side pack agg; join broadcasts
     "filter_col_op_col": 0,
     "mutate_arithmetic": 0,
     "mutate_if_else": 0,
