@@ -2445,6 +2445,95 @@ def q_nest_join(spark, sf_dir):
     )
 
 
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style one-call embedding dedup: label-blocked cosine
+    pairs (>= 0.3) -> connected components -> min-id survivors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        S.semantic_dedup(emb, threshold=0.3, block_col="label")
+        .select("vec_id", "label")
+        .df
+    )
+
+
+
+
+def q_group_modify_trimmed(spark, sf_dir):
+    """dplyr group_modify via applyInPandas: per-nation trimmed sum of
+    customer balances (drop the min and max row per nation). Integer
+    cents with floor(x+0.5) rounding so the pandas path and the SQL
+    window replay agree exactly; nations with <= 2 customers emit no
+    row (nothing left after trimming), matching the SQL."""
+    import numpy as np
+    import pandas as pd
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+
+    def trimmed(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= 2:
+            return pd.DataFrame(
+                {"c_nationkey": [], "trimmed_cents": [], "n_used": []}
+            ).astype("int64")
+        cents = np.floor(pdf["c_acctbal"] * 100 + 0.5).astype("int64")
+        order = np.lexsort((pdf["c_custkey"].values, cents.values))
+        kept = cents.values[order][1:-1]
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],
+                "trimmed_cents": [int(kept.sum())],
+                "n_used": [len(kept)],
+            }
+        )
+
+    return (
+        cust.group_by("c_nationkey")
+        .group_modify(
+            trimmed, "c_nationkey long, trimmed_cents long, n_used long"
+        )
+        .df
+    )
+
+
+def q_streaming_stream_join(spark, sf_dir):
+    """Stream-stream join: purchases matched to same-user clicks
+    within the following hour, both sides watermarked so join state is
+    GC-able; driven to completion over the bounded events stream.
+    Oracle: the equivalent batch self-join."""
+    from pyspark.sql import functions as SF
+
+    from cuplyr_spark.streaming.stream import run_to_memory, stream_stream_join
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    clicks = src().filter(SF.col("event_type") == "click").select(
+        "user_id", SF.col("event_id").alias("click_id"), SF.col("ts").alias("cts")
+    )
+    purchases = src().filter(SF.col("event_type") == "purchase").select(
+        "user_id", SF.col("event_id").alias("purchase_id"), SF.col("ts").alias("pts")
+    )
+    joined = stream_stream_join(
+        clicks, purchases, on="user_id", left_ts="cts", right_ts="pts",
+        within="1 hour", left_watermark="365 days", right_watermark="365 days",
+    )
+    run_to_memory(
+        joined.select("user_id", "click_id", "purchase_id"),
+        "q_stream_stream_join",
+    )
+    return spark.sql("SELECT * FROM q_stream_stream_join")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2578,6 +2667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_survivors": q_near_dedup,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "nest_join": q_nest_join,
+        "semantic_dedup": q_semantic_dedup,
+        "group_modify_trimmed": q_group_modify_trimmed,
+        "streaming_stream_join": q_streaming_stream_join,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -4216,6 +4308,58 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS acct_cents
             FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
             GROUP BY n.n_nationkey, n.n_name
+        """,
+        "semantic_dedup": f"""
+            WITH RECURSIVE keepb AS (
+              SELECT label FROM embeddings GROUP BY label
+              HAVING count(*) BETWEEN 2 AND 10000
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE a.label IN (SELECT label FROM keepb)
+                AND {_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), labels AS (
+              SELECT a AS vid, least(a, min(b)) AS cluster_id
+              FROM reach GROUP BY a
+            )
+            SELECT e.vec_id, e.label FROM embeddings e
+            WHERE e.vec_id NOT IN
+                  (SELECT vid FROM labels WHERE cluster_id <> vid)
+        """,
+        "group_modify_trimmed": """
+            WITH cents AS (
+              SELECT c_nationkey, c_custkey,
+                     CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+              FROM customer
+            ), ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY cents, c_custkey) AS rn,
+                     count(*) OVER (PARTITION BY c_nationkey) AS cnt
+              FROM cents
+            )
+            SELECT c_nationkey,
+                   CAST(sum(cents) AS BIGINT) AS trimmed_cents,
+                   CAST(count(*) AS BIGINT) AS n_used
+            FROM ranked WHERE rn > 1 AND rn < cnt
+            GROUP BY c_nationkey
+        """,
+        "streaming_stream_join": """
+            SELECT l.user_id,
+                   l.event_id AS click_id,
+                   r.event_id AS purchase_id
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND l.event_type = 'click' AND r.event_type = 'purchase'
+             AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
         """,
         "complete_fill": """
             WITH f AS (SELECT * FROM orders WHERE o_totalprice > 350000)

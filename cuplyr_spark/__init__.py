@@ -102,6 +102,7 @@ from cuplyr_spark.pipeline.similarity import (
     lsh_cosine_topk,
     quantize_embeddings,
     quantized_cosine_topk,
+    semantic_dedup,
     vector_centroids,
 )
 from cuplyr_spark.sources.connectors import (

@@ -513,6 +513,27 @@ class Frame:
     def ungroup(self) -> Frame:
         return Frame(self._df, ())
 
+    def group_modify(self, fn, schema) -> Frame:
+        """dplyr ``group_modify``: apply an arbitrary
+        pandas-DataFrame -> pandas-DataFrame function to each group.
+
+        This is the sanctioned Arrow-batch escape hatch
+        (``applyInPandas``) for per-group logic the expression grammar
+        can't say — each group arrives as ONE pandas DataFrame
+        (including the key columns, unlike dplyr which splits them
+        off), and the returned frame must match ``schema``. Groups are
+        processed partition-parallel after one shuffle on the group
+        keys; a group must fit in executor memory, which is the same
+        contract dplyr's list-of-frames model has on the driver.
+        Prefer built-in verbs when they can express the computation —
+        this path forfeits codegen and columnar execution."""
+        if not self._groups:
+            raise ValueError("group_modify requires group_by()")
+        out = self._df.groupBy(*[_qcol(g) for g in self._groups]).applyInPandas(
+            fn, schema
+        )
+        return Frame(out, self._groups)
+
     def cube(self, *cols: str | Selector) -> Frame:
         """Aggregate over ALL 2^n combinations of the keys (each level
         NULL where rolled up). Spark computes this in the same

@@ -206,16 +206,21 @@ def minhash_lsh_pairs(
     return Frame(pairs, ())
 
 
-def dedup_clusters(pairs: Frame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 10) -> Frame:
+def dedup_clusters(pairs: Frame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25) -> Frame:
     """Connected components over candidate near-dup pairs -> cluster
     representative per document (label propagation: every node
     repeatedly adopts the min id among itself and its neighbors).
 
-    Iterative joins, each shuffling only (id, label) pairs; converges
-    in O(cluster diameter) rounds — near-dup clusters are shallow
-    (duplicates of a common source), so a handful of iterations
-    suffices at corpus scale. Returns (doc id, cluster id = min member).
+    Iterative joins, each shuffling only (id, label) pairs. Each round
+    combines neighbor-min propagation with POINTER JUMPING (also adopt
+    my label's label), so convergence is O(log diameter) instead of
+    O(diameter) — long sparse chains (low-threshold similarity graphs)
+    would otherwise exhaust the iteration cap and silently under-merge
+    (caught by the sf0.1 oracle gate in round 5). If the cap is still
+    hit before convergence a warning is raised. Returns
+    (doc id, cluster id = min member).
     """
+    import warnings
     edges = (
         pairs.df.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(
@@ -228,6 +233,7 @@ def dedup_clusters(pairs: Frame, id_a: str = "id_a", id_b: str = "id_b", max_ite
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -243,17 +249,46 @@ def dedup_clusters(pairs: Frame, id_a: str = "id_a", id_b: str = "id_b", max_ite
                 ).alias("label"),
             )
         )
+        # pointer jumping: also adopt my (new) label's label. This is
+        # the path-halving step that turns O(diameter) propagation into
+        # O(log diameter) — each round a node reaches the min of its
+        # 2^round-hop neighborhood instead of its round-hop one.
+        jumped = (
+            updated.alias("x")
+            .join(
+                updated.select(
+                    F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+                ),
+                F.col("x.label") == F.col("jnode"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.label"),
+                    F.coalesce(F.col("jlabel"), F.col("x.label")),
+                ).alias("label"),
+            )
+        )
         # convergence check: any label still above a neighbor's?
         changed = (
-            updated.alias("u")
+            jumped.alias("u")
             .join(labels.alias("old"), "node")
             .filter(F.col("u.label") < F.col("old.label"))
             .limit(1)
             .count()
         )
-        labels = updated.localCheckpoint(eager=True)  # cut iterative lineage
+        labels = jumped.localCheckpoint(eager=True)  # cut iterative lineage
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"dedup_clusters: iteration cap max_iter={max_iter} reached "
+            "before convergence — labels may under-merge deep chains. "
+            "Raise max_iter (each round doubles the reachable horizon).",
+            stacklevel=2,
+        )
     return Frame(labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")), ())
 
 
@@ -567,7 +602,7 @@ def near_dedup(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket_size: int | None = 10_000,
-    max_iter: int = 10,
+    max_iter: int = 25,
 ) -> Frame:
     """End-to-end fuzzy dedup: MinHash -> LSH candidate pairs ->
     connected components -> keep one representative (the min-id member)

@@ -138,3 +138,58 @@ def stream_static_join(
     if how not in ("inner", "left"):
         raise ValueError("stream-static join supports how='inner'|'left'")
     return stream.join(F.broadcast(dim.df), on=on, how=how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with the time-range bound Spark needs
+    to garbage-collect join state: right rows match left rows with the
+    same key(s) whose ``right_ts`` falls in
+    ``[left_ts, left_ts + within]``.
+
+    Both sides carry watermarks; together with the range condition the
+    state store keeps only the ``within``+watermark horizon per key —
+    the construction that makes a join of two unbounded streams
+    runnable forever. Outer variants emit NULL-padded rows only after
+    the watermark closes a row's match window, so they require the
+    same bounds (enforced here for every ``how``).
+
+    Column collisions: right-side non-key columns that clash with left
+    names come out suffixed ``_r`` (key columns are emitted once, from
+    the left side).
+    """
+    import functools
+    import operator
+
+    keys = [on] if isinstance(on, str) else list(on)
+    lw = left.withWatermark(left_ts, left_watermark).alias("__l")
+    rw = right.withWatermark(right_ts, right_watermark).alias("__r")
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"__l.{k}") == F.col(f"__r.{k}") for k in keys],
+    )
+    cond = (
+        cond
+        & (F.col(f"__r.{right_ts}") >= F.col(f"__l.{left_ts}"))
+        & (
+            F.col(f"__r.{right_ts}")
+            <= F.col(f"__l.{left_ts}") + F.expr(f"interval {within}")
+        )
+    )
+    joined = lw.join(rw, cond, how)
+    lcols = left.columns
+    rcols = [c for c in right.columns if c not in keys]
+    out = [F.col(f"__l.{c}").alias(c) for c in lcols]
+    out += [
+        F.col(f"__r.{c}").alias(c + "_r" if c in lcols else c) for c in rcols
+    ]
+    return joined.select(*out)

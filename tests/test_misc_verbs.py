@@ -222,3 +222,29 @@ def test_complete_refuses_cardinality_explosion(spark):
     with pytest.raises(ValueError, match="exceeds max_cells"):
         f2.complete("g", "h", max_cells=3)  # (1+1 null)*2 = 4 > 3
     assert len(f2.complete("g", "h", max_cells=4).collect()) == 4
+
+
+def test_group_modify_per_group_pandas(spark):
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+
+    f = from_pandas(
+        spark,
+        pd.DataFrame({"g": [1, 1, 1, 2, 2], "v": [1.0, 5.0, 3.0, 2.0, 9.0]}),
+    )
+
+    def trimmed_mean(pdf):
+        if len(pdf) <= 2:
+            return pd.DataFrame({"g": [], "m": []}).astype(
+                {"g": "int64", "m": "float64"}
+            )
+        s = pdf.sort_values("v").iloc[1:-1]
+        return pd.DataFrame({"g": [pdf["g"].iloc[0]], "m": [s["v"].mean()]})
+
+    out = f.group_by("g").group_modify(trimmed_mean, "g long, m double").collect()
+    assert out.set_index("g")["m"].to_dict() == {1: 3.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires group_by"):
+        f.group_modify(trimmed_mean, "g long, m double")

@@ -772,3 +772,53 @@ def test_nest_join_packs_and_empty(spark):
     assert list(out.loc[3, "y"]) == []  # no match -> empty, not NULL
     with pytest.raises(ValueError, match="only key columns"):
         x.nest_join(from_pandas(spark, pd.DataFrame({"k": [1]})), by="k")
+
+
+def test_semantic_dedup_survivors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(8)
+    rows = [
+        (1, 0, (base + rng.randn(8) * 0.001).tolist()),   # near-dup of 2
+        (2, 0, base.tolist()),
+        (3, 0, rng.randn(8).tolist()),                     # distinct
+        (4, 1, rng.randn(8).tolist()),                     # different block
+    ]
+    f = from_pandas(
+        spark, pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    )
+    out = S.semantic_dedup(f, threshold=0.99, block_col="label").collect()
+    kept = sorted(out["vec_id"].tolist())
+    assert kept == [1, 3, 4]  # min-id of the (1,2) cluster survives
+    assert set(out.columns) == {"vec_id", "label", "embedding"}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """Regression (r5, caught by the sf0.1 oracle gate): a long path
+    graph must fully converge to the global min label — the iteration
+    cap used to silently under-merge deep chains. Pointer jumping
+    makes the reachable horizon grow geometrically, so a 300-node
+    chain closes well inside the default cap."""
+    n = 300
+    pairs = from_pandas(
+        spark,
+        pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)}),
+    )
+    out = D.dedup_clusters(pairs).collect()
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()
+
+
+def test_dedup_clusters_warns_at_cap(spark):
+    import warnings as _w
+
+    n = 40
+    pairs = from_pandas(
+        spark,
+        pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)}),
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        D.dedup_clusters(pairs, max_iter=2).collect()
+    assert any("before convergence" in str(x.message) for x in rec)

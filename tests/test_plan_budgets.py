@@ -43,6 +43,9 @@ EXCHANGE_BUDGETS = {
     "near_dedup_survivors": 2,  # r5: LSH window shuffle + anti-join (CC ran eagerly)
     "cross_corpus_dedup": 3,    # r5: existing-bucket agg + two semi-join flags
     "nest_join": 1,             # r5: right-side pack agg; join broadcasts
+    "semantic_dedup": 2,        # r5: block window guard + survivor anti-join (CC ran eagerly)
+    "group_modify_trimmed": 1,  # r5: one group-key shuffle into applyInPandas
+    "streaming_stream_join": 0, # r5: memory-sink table scan (join ran in the stream)
     "filter_col_op_col": 0,
     "mutate_arithmetic": 0,
     "mutate_if_else": 0,

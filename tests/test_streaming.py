@@ -229,3 +229,49 @@ def test_rate_source_watermark_monotone(spark):
         assert wms == sorted(wms), f"watermark regressed: {wms}"
     finally:
         q.stop()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream time-bounded join over a bounded input equals the
+    batch join with the same key + range condition."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from cuplyr_spark.streaming.stream import run_to_memory, stream_stream_join
+
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "lid": [10, 11, 12],
+            "lts": [ts, ts + pd.Timedelta("2h"), ts],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2],
+            "rid": [20, 21, 22, 23],
+            "rts": [
+                ts + pd.Timedelta("30min"),   # matches lid=10
+                ts + pd.Timedelta("90min"),   # outside 1h of lid=10, before lid=11
+                ts + pd.Timedelta("59min"),   # matches lid=12
+                ts + pd.Timedelta("61min"),   # outside
+            ],
+        }
+    )
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(left).write.parquet(ldir)
+    spark.createDataFrame(right).write.parquet(rdir)
+    ls = spark.readStream.schema("k long, lid long, lts timestamp").parquet(ldir)
+    rs = spark.readStream.schema("k long, rid long, rts timestamp").parquet(rdir)
+    joined = stream_stream_join(
+        ls, rs, on="k", left_ts="lts", right_ts="rts", within="1 hour",
+        left_watermark="10 days", right_watermark="10 days",
+    )
+    run_to_memory(joined, "t_ssj")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in spark.sql("SELECT * FROM t_ssj").collect()
+    )
+    assert got == [(10, 20), (12, 22)]
