@@ -2534,6 +2534,16 @@ def q_streaming_stream_join(spark, sf_dir):
     return spark.sql("SELECT * FROM q_stream_stream_join")
 
 
+
+
+def q_profile_lineitem(spark, sf_dir):
+    """One-pass column profile (nulls / exact distinct / numeric
+    min-max) over four lineitem columns — single aggregate, unpivoted
+    JVM-side with stack."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.profile("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate").df
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2670,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "group_modify_trimmed": q_group_modify_trimmed,
         "streaming_stream_join": q_streaming_stream_join,
+        "profile_lineitem": q_profile_lineitem,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -4360,6 +4371,27 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id
              AND l.event_type = 'click' AND r.event_type = 'purchase'
              AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+        """,
+        "profile_lineitem": """
+            SELECT 'l_orderkey' AS column,
+                   count(*) - count(l_orderkey) AS n_nulls,
+                   count(DISTINCT l_orderkey) AS n_distinct,
+                   CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+                   CAST(max(l_orderkey) AS DOUBLE) AS max_num
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', count(*) - count(l_quantity),
+                   count(DISTINCT l_quantity),
+                   CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', count(*) - count(l_returnflag),
+                   count(DISTINCT l_returnflag), NULL, NULL
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate', count(*) - count(l_shipdate),
+                   count(DISTINCT l_shipdate), NULL, NULL
+            FROM lineitem
         """,
         "complete_fill": """
             WITH f AS (SELECT * FROM orders WHERE o_totalprice > 350000)

@@ -35,6 +35,7 @@ from cuplyr_spark.sources.readers import (
     read_orc,
     from_pandas,
     tbl,
+    write_parquet_sorted,
 )
 from cuplyr_spark import agg
 from cuplyr_spark.selectors import (

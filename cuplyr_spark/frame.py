@@ -1130,6 +1130,51 @@ class Frame:
 
     # -- materialization / lifecycle (§2.1) ---------------------------------
 
+    def profile(self, *cols: str) -> Frame:
+        """One-pass column profiling: null count, exact distinct
+        count, and numeric min/max per column — the pre-flight data
+        audit every pipeline runs before heavier work.
+
+        All statistics come from a SINGLE aggregate over the scan
+        (count-distinct for several columns expands rows map-side but
+        still reads the data once; profile a column subset when the
+        table is wide). The one-row aggregate is unpivoted JVM-side
+        with ``stack``. Non-numeric columns get NULL min/max (numeric
+        formatting is engine-specific; counts are not).
+        """
+        names = list(cols) if cols else list(self._df.columns)
+        numeric = {
+            f.name
+            for f in self._df.schema.fields
+            if f.dataType.typeName()
+            in ("byte", "short", "integer", "long", "float", "double", "decimal")
+        }
+        aggs = []
+        for i, c in enumerate(names):
+            qc = _qcol(c)
+            aggs.append(
+                F.count(F.when(qc.isNull(), F.lit(1))).alias(f"__nn_{i}")
+            )
+            aggs.append(F.count_distinct(qc).alias(f"__nd_{i}"))
+            if c in numeric:
+                aggs.append(F.min(qc).cast("double").alias(f"__mn_{i}"))
+                aggs.append(F.max(qc).cast("double").alias(f"__mx_{i}"))
+            else:
+                aggs.append(F.lit(None).cast("double").alias(f"__mn_{i}"))
+                aggs.append(F.lit(None).cast("double").alias(f"__mx_{i}"))
+        row = self._df.agg(*aggs)
+        parts = []
+        for i, c in enumerate(names):
+            lit = c.replace("'", "\'")
+            parts.append(
+                f"'{lit}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}"
+            )
+        stacked = row.selectExpr(
+            f"stack({len(names)}, {', '.join(parts)}) AS "
+            "(column, n_nulls, n_distinct, min_num, max_num)"
+        )
+        return Frame(stacked, ())
+
     def as_lazy(self) -> Frame:
         """No-op: Spark is always lazy. The reference's dual eager/lazy
         execution modes (``R/tbl-gpu.R:33-45``) collapse here — a

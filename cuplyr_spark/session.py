@@ -58,6 +58,9 @@ def get_session(
         # the DuckDB oracle, not an ANSI error). Spark 4 defaults ANSI on.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Write modern annotated micros, not legacy INT96 (deprecated;
+        # footer-ambiguous — external readers see INT96 as unit-ns).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config(

@@ -100,7 +100,12 @@ def read_parquet(spark: SparkSession, path: str, coerce_nanos: bool = True) -> F
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        # Guard on the READ type: INT96 timestamps (Spark's legacy
+        # output format) also surface as unit-ns in the parquet footer
+        # but Spark reads them as TIMESTAMP directly — only columns
+        # that actually arrived as int64 nanos need the cast.
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return Frame(_denoz(df))
 
 
@@ -188,3 +193,39 @@ def write_json(frame: Frame, path: str, mode: str = "overwrite") -> None:
 
 def write_orc(frame: Frame, path: str, mode: str = "overwrite") -> None:
     frame.df.write.mode(mode).orc(path)
+
+
+def write_parquet_sorted(
+    frame: Frame,
+    path: str,
+    sort_by: str | list[str],
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    num_files: int | None = None,
+) -> None:
+    """Parquet write with DATA LAYOUT for scan pruning: range-partition
+    on the sort keys, then sort within each partition before writing.
+
+    Each output file then covers a narrow, non-overlapping range of
+    the sort key, so its parquet row-group/file min-max statistics
+    become selective — a pushed-down point or range predicate skips
+    whole files instead of scanning everything. This is the jar-free
+    core of what table formats call clustering/Z-ordering (single-key
+    case), and at 100 TB it is the difference between a key lookup
+    touching one file and touching all of them. Costs one range
+    exchange (with a sampling pass to pick balanced boundaries) at
+    write time — paid once, saved on every subsequent selective read.
+
+    ``num_files`` pins the range-partition count (file sizing: target
+    ~128 MB-1 GB per file at scale); by default Spark/AQE choose.
+    """
+    keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+    if num_files is not None:
+        df = frame.df.repartitionByRange(num_files, *keys)
+    else:
+        df = frame.df.repartitionByRange(*keys)
+    df = df.sortWithinPartitions(*keys)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -193,3 +193,21 @@ def stream_stream_join(
         F.col(f"__r.{c}").alias(c + "_r" if c in lcols else c) for c in rcols
     ]
     return joined.select(*out)
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-arrival dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes it, so state size tracks the watermark horizon
+    instead of the full key history — the difference between a dedup
+    stream that runs for a day and one that runs forever. Two events
+    with the same key farther apart than the watermark may BOTH
+    survive (by design; use the stateful exact dedup when the key
+    space is small enough to hold)."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(ks)

@@ -167,3 +167,58 @@ def test_json_orc_roundtrip(spark, tmp_path):
     back_o = read_orc(spark, po).collect().sort_values("a")
     assert back_j.a.tolist() == [1, 2, 3] and back_j.s.tolist() == ["x", "y", "z"]
     assert back_o.a.tolist() == [1, 2, 3] and back_o.s.tolist() == ["x", "y", "z"]
+
+
+def test_write_parquet_sorted_produces_prunable_layout(spark, tmp_path):
+    """Files written by write_parquet_sorted must cover disjoint key
+    ranges (checked via parquet footer min/max), which is what makes
+    min/max pruning effective on selective reads."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from cuplyr_spark import read_parquet
+    from cuplyr_spark.sources.readers import write_parquet_sorted
+
+    li = read_parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    out = str(tmp_path / "sorted")
+    write_parquet_sorted(li, out, sort_by="l_orderkey", num_files=4)
+    ranges = []
+    for f in _glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_orderkey"
+        )
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    assert len(ranges) > 1  # actually range-partitioned into several files
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+    # and the data round-trips
+    assert read_parquet(spark, out).df.count() == li.df.count()
+
+
+def test_timestamp_write_read_roundtrip(spark, tmp_path):
+    """Regression (r5): a timestamp table written by this engine must
+    re-read identically. Spark's legacy INT96 output surfaces as
+    unit-ns in the parquet footer, which used to trip the int64-nanos
+    coercion on a column that was already TIMESTAMP; the reader now
+    guards on the actual read type and the session writes annotated
+    micros."""
+    from cuplyr_spark import read_parquet
+    from cuplyr_spark.sources.readers import write_parquet
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "ev")
+    write_parquet(ev, out)
+    back = read_parquet(spark, out)
+    assert dict(back.df.dtypes)["ts"] == "timestamp"
+    a = ev.df.selectExpr("min(ts) mn", "max(ts) mx", "count(*) n").collect()[0]
+    b = back.df.selectExpr("min(ts) mn", "max(ts) mx", "count(*) n").collect()[0]
+    assert (a.mn, a.mx, a.n) == (b.mn, b.mx, b.n)

@@ -248,3 +248,26 @@ def test_group_modify_per_group_pandas(spark):
 
     with _pytest.raises(ValueError, match="requires group_by"):
         f.group_modify(trimmed_mean, "g long, m double")
+
+
+def test_profile_one_pass_stats(spark):
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+
+    f = from_pandas(
+        spark,
+        pd.DataFrame(
+            {
+                "x": [1.0, 2.0, None, 2.0],
+                "s": ["a", None, None, "b"],
+            }
+        ),
+    )
+    out = f.profile().collect().set_index("column")
+    assert out.loc["x", "n_nulls"] == 1
+    assert out.loc["x", "n_distinct"] == 2
+    assert out.loc["x", "min_num"] == 1.0 and out.loc["x", "max_num"] == 2.0
+    assert out.loc["s", "n_nulls"] == 2
+    assert out.loc["s", "n_distinct"] == 2
+    assert pd.isna(out.loc["s", "min_num"])

@@ -46,6 +46,7 @@ EXCHANGE_BUDGETS = {
     "semantic_dedup": 2,        # r5: block window guard + survivor anti-join (CC ran eagerly)
     "group_modify_trimmed": 1,  # r5: one group-key shuffle into applyInPandas
     "streaming_stream_join": 0, # r5: memory-sink table scan (join ran in the stream)
+    "profile_lineitem": 2,      # r5: multi-countDistinct expand: partial+final agg
     "filter_col_op_col": 0,
     "mutate_arithmetic": 0,
     "mutate_if_else": 0,

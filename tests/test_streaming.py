@@ -275,3 +275,28 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_ssj").collect()
     )
     assert got == [(10, 20), (12, 22)]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    import pandas as pd
+
+    from cuplyr_spark.streaming.stream import (
+        run_to_memory,
+        streaming_dedup_within_watermark,
+    )
+
+    ts = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2, 3],
+            "ts": [ts, ts + pd.Timedelta("5min"), ts, ts + pd.Timedelta("1min"), ts],
+            "v": [1, 2, 3, 4, 5],
+        }
+    )
+    d = str(tmp_path / "in")
+    spark.createDataFrame(pdf).write.parquet(d)
+    src = spark.readStream.schema("k long, ts timestamp, v long").parquet(d)
+    out = streaming_dedup_within_watermark(src, "k", "ts", watermark="10 days")
+    run_to_memory(out, "t_ddww")
+    got = spark.sql("SELECT k FROM t_ddww").collect()
+    assert sorted(r.k for r in got) == [1, 2, 3]  # one survivor per key
