@@ -2544,6 +2544,59 @@ def q_profile_lineitem(spark, sf_dir):
     return li.profile("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate").df
 
 
+
+
+def _rows_demo_y(spark, sf_dir):
+    """Deterministic rows_* right-hand side derived from region:
+    keys r_regionkey*10 — 0/10/20 collide with nation keys, 30/40 are
+    new."""
+    region = _t(spark, sf_dir, "region")
+    return Frame(
+        region.df.select(
+            (F.col("r_regionkey") * 10).alias("n_nationkey"),
+            F.concat(F.lit("R_"), F.upper(F.col("r_name"))).alias("n_name"),
+            F.col("r_regionkey").alias("n_regionkey"),
+        ),
+        (),
+    )
+
+
+def q_rows_upsert(spark, sf_dir):
+    """dplyr rows_upsert: matched nation keys take the y payload
+    (including its NULL comment), unmatched y keys append."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.rows_upsert(_rows_demo_y(spark, sf_dir), by="n_nationkey").df
+
+
+def q_rows_patch(spark, sf_dir):
+    """dplyr rows_patch: only x's NULLs are filled from y — names
+    nullified on even keys, patched where a y row matches."""
+    nation = _t(spark, sf_dir, "nation")
+    x = Frame(
+        nation.df.withColumn(
+            "n_name",
+            F.when(F.col("n_nationkey") % 2 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("n_name")),
+        ),
+        (),
+    )
+    region = _t(spark, sf_dir, "region")
+    y = Frame(
+        region.df.select(
+            (F.col("r_regionkey") * 10).alias("n_nationkey"),
+            F.concat(F.lit("patched_"), F.col("r_name")).alias("n_name"),
+        ),
+        (),
+    )
+    return x.rows_patch(y, by="n_nationkey").df
+
+
+def q_rows_delete(spark, sf_dir):
+    """dplyr rows_delete: drop nation rows whose key appears in y."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.rows_delete(_rows_demo_y(spark, sf_dir), by="n_nationkey").df
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2681,6 +2734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_modify_trimmed": q_group_modify_trimmed,
         "streaming_stream_join": q_streaming_stream_join,
         "profile_lineitem": q_profile_lineitem,
+        "rows_upsert": q_rows_upsert,
+        "rows_patch": q_rows_patch,
+        "rows_delete": q_rows_delete,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -4392,6 +4448,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_shipdate', count(*) - count(l_shipdate),
                    count(DISTINCT l_shipdate), NULL, NULL
             FROM lineitem
+        """,
+        "rows_upsert": """
+            WITH y AS (
+              SELECT r_regionkey * 10 AS k,
+                     concat('R_', upper(r_name)) AS name,
+                     r_regionkey AS rk
+              FROM region
+            )
+            SELECT n.n_nationkey,
+                   CASE WHEN y.k IS NOT NULL THEN y.name ELSE n.n_name END AS n_name,
+                   CASE WHEN y.k IS NOT NULL THEN y.rk ELSE n.n_regionkey END AS n_regionkey
+            FROM nation n LEFT JOIN y ON n.n_nationkey = y.k
+            UNION ALL
+            SELECT k, name, rk FROM y
+            WHERE k NOT IN (SELECT n_nationkey FROM nation)
+        """,
+        "rows_patch": """
+            WITH x AS (
+              SELECT n_nationkey,
+                     CASE WHEN n_nationkey % 2 = 0 THEN NULL
+                          ELSE n_name END AS n_name,
+                     n_regionkey
+              FROM nation
+            ), y AS (
+              SELECT r_regionkey * 10 AS k,
+                     concat('patched_', r_name) AS nm
+              FROM region
+            )
+            SELECT x.n_nationkey,
+                   CASE WHEN y.k IS NOT NULL
+                        THEN coalesce(x.n_name, y.nm)
+                        ELSE x.n_name END AS n_name,
+                   x.n_regionkey
+            FROM x LEFT JOIN y ON x.n_nationkey = y.k
+        """,
+        "rows_delete": """
+            SELECT * FROM nation
+            WHERE n_nationkey NOT IN (SELECT r_regionkey * 10 FROM region)
         """,
         "complete_fill": """
             WITH f AS (SELECT * FROM orders WHERE o_totalprice > 350000)

@@ -36,6 +36,7 @@ from cuplyr_spark.sources.readers import (
     from_pandas,
     tbl,
     write_parquet_sorted,
+    write_parquet_zorder,
 )
 from cuplyr_spark import agg
 from cuplyr_spark.selectors import (

@@ -724,6 +724,87 @@ class Frame:
     def anti_join(self, other: Frame, by=None, na_matches="na") -> Frame:
         return self._join(other, by, "left_anti", (".x", ".y"), na_matches, False)
 
+    # -- keyed row modification (dplyr rows_* family) --------------------
+
+    def _rows_prep(self, y: Frame, by):
+        keys = list(self._resolve_by(y, by))
+        if sorted(self._df.columns) != sorted(y._df.columns) and not set(
+            y._df.columns
+        ) <= set(self._df.columns):
+            raise ValueError(
+                f"rows_* verb: y has columns {sorted(set(y._df.columns) - set(self._df.columns))} not in x"
+            )
+        payload = [c for c in y._df.columns if c not in keys]
+        return keys, payload
+
+    def rows_insert(self, y: Frame, by=None, conflict: str = "ignore") -> Frame:
+        """dplyr ``rows_insert``: append y rows whose keys are absent
+        from x. ``conflict="ignore"`` (default here; dplyr defaults to
+        error) silently skips y keys already present — the only mode
+        that stays a pure plan; ``"error"`` runs one count to enforce
+        key absence. One key-grain anti-join either way."""
+        keys, _ = self._rows_prep(y, by)
+        if conflict == "error":
+            n = self._df.join(y._df.select(*keys), on=keys, how="inner").count()
+            if n:
+                raise ValueError(f"rows_insert: {n} y key(s) already exist in x")
+        elif conflict != "ignore":
+            raise ValueError("conflict must be 'ignore' or 'error'")
+        new_rows = y._df.join(self._df.select(*keys), on=keys, how="left_anti")
+        out = self._df.unionByName(
+            new_rows.select(*self._df.columns)
+            if set(y._df.columns) == set(self._df.columns)
+            else new_rows,
+            allowMissingColumns=True,
+        )
+        return Frame(out, self._groups)
+
+    def _rows_merge(self, y: Frame, by, take_y) -> Frame:
+        """Shared matched-row merge: left join on keys, per-column
+        choice between x's and y's value via ``take_y(xcol, ycol)``."""
+        keys, payload = self._rows_prep(y, by)
+        ydf = y._df.select(
+            *[_qcol(k) for k in keys],
+            F.lit(True).alias("__m"),
+            *[_qcol(c).alias(f"__y_{c}") for c in payload],
+        )
+        joined = self._df.join(ydf, on=keys, how="left")
+        cols = []
+        for c in self._df.columns:
+            if c in payload:
+                cols.append(
+                    F.when(F.col("__m"), take_y(_qcol(c), F.col(f"__y_{c}")))
+                    .otherwise(_qcol(c))
+                    .alias(c)
+                )
+            else:
+                cols.append(_qcol(c))
+        return Frame(joined.select(*cols), self._groups)
+
+    def rows_update(self, y: Frame, by=None) -> Frame:
+        """dplyr ``rows_update`` (unmatched="ignore"): matched x rows
+        take y's payload values (including NULLs); one key join."""
+        return self._rows_merge(y, by, lambda xc, yc: yc)
+
+    def rows_patch(self, y: Frame, by=None) -> Frame:
+        """dplyr ``rows_patch``: like update but only fills x's NULLs —
+        matched rows take ``coalesce(x, y)``."""
+        return self._rows_merge(y, by, lambda xc, yc: F.coalesce(xc, yc))
+
+    def rows_upsert(self, y: Frame, by=None) -> Frame:
+        """dplyr ``rows_upsert``: update matched keys, insert new ones
+        (the in-memory twin of ``connectors.upsert_snapshot``)."""
+        return self.rows_update(y, by).rows_insert(y, by, conflict="ignore")
+
+    def rows_delete(self, y: Frame, by=None) -> Frame:
+        """dplyr ``rows_delete`` (unmatched="ignore"): drop x rows
+        whose key appears in y. One anti-join; y's payload ignored."""
+        keys = list(self._resolve_by(y, by))
+        return Frame(
+            self._df.join(y._df.select(*keys), on=keys, how="left_anti"),
+            self._groups,
+        )
+
     def nest_join(self, other: Frame, by=None, name: str = "y") -> Frame:
         """dplyr ``nest_join``: a left join that PACKS the matching
         right-side rows into one list-of-structs column per left row

@@ -229,3 +229,70 @@ def write_parquet_sorted(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_parquet_zorder(
+    frame: Frame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """Multi-column layout clustering: order files along a Z-ORDER
+    (Morton) curve over ``cols`` so selective predicates on ANY of the
+    clustered columns skip most files — what a single-key sort
+    (``write_parquet_sorted``) can only do for its leading key.
+
+    Each column is min-max scaled to a ``bits``-bit integer (one tiny
+    2-value aggregate per column, collected once at write time), the
+    per-column bits are interleaved into a Morton code, and the data
+    is range-partitioned + sorted by that code. Nearby Z-values are
+    nearby in EVERY dimension, so per-file min/max footer stats stay
+    tight on all clustered columns at once. This is the jar-free core
+    of Delta/Iceberg ``ZORDER BY``; like there, it is approximate
+    clustering — pruning improves by ~n^(1/k) per k clustered columns,
+    not to a single file.
+
+    Null handling: NULLs scale to bucket 0 and therefore cluster
+    together in the lowest files.
+    """
+    if not 1 <= bits * len(cols) <= 63:
+        raise ValueError("need 1 <= bits*len(cols) <= 63")
+    stats = frame.df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        if mn is None or mx is None or mx == mn:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+        scaled.append(
+            F.coalesce(
+                F.least(
+                    F.floor(frac * (top + 1)).cast("long"), F.lit(top).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            )
+        )
+    morton = F.lit(0).cast("long")
+    k = len(cols)
+    for b in range(bits):
+        for i in range(k):
+            morton = morton.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(scaled[i], b).bitwiseAND(F.lit(1)),
+                    b * k + i,
+                )
+            )
+    zc = "__cuplyr_zorder__"
+    df = frame.df.withColumn(zc, morton)
+    if num_files is not None:
+        df = df.repartitionByRange(num_files, F.col(zc))
+    else:
+        df = df.repartitionByRange(F.col(zc))
+    df.sortWithinPartitions(zc).drop(zc).write.mode(mode).parquet(path)

@@ -222,3 +222,44 @@ def test_timestamp_write_read_roundtrip(spark, tmp_path):
     a = ev.df.selectExpr("min(ts) mn", "max(ts) mx", "count(*) n").collect()[0]
     b = back.df.selectExpr("min(ts) mn", "max(ts) mx", "count(*) n").collect()[0]
     assert (a.mn, a.mx, a.n) == (b.mn, b.mx, b.n)
+
+
+def test_write_parquet_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered files must keep tight min/max ranges on BOTH
+    clustered columns: a point predicate on either column overlaps
+    only a minority of files (single-key sort can only do this for
+    its leading key)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from cuplyr_spark import read_parquet
+    from cuplyr_spark.sources.readers import write_parquet_zorder
+
+    li = read_parquet(spark, "/root/testdata/sf0.01/lineitem.parquet")
+    out = str(tmp_path / "z")
+    write_parquet_zorder(li, out, cols=["l_orderkey", "l_partkey"], num_files=16)
+
+    def file_ranges(col):
+        out_ranges = []
+        for f in _glob.glob(out + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out_ranges.append((min(los), max(his)))
+        return out_ranges
+
+    for col, point in (("l_orderkey", 7500), ("l_partkey", 1000)):
+        ranges = file_ranges(col)
+        hit = sum(1 for lo, hi in ranges if lo <= point <= hi)
+        assert hit <= len(ranges) // 2, (
+            f"{col}: point {point} overlaps {hit}/{len(ranges)} files — no clustering"
+        )
+    assert read_parquet(spark, out).df.count() == li.df.count()

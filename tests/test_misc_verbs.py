@@ -271,3 +271,44 @@ def test_profile_one_pass_stats(spark):
     assert out.loc["s", "n_nulls"] == 2
     assert out.loc["s", "n_distinct"] == 2
     assert pd.isna(out.loc["s", "min_num"])
+
+
+def test_rows_family_semantics(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from cuplyr_spark import from_pandas
+
+    x = from_pandas(
+        spark, pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", None], "w": [1, 2, 3]})
+    )
+    y = from_pandas(
+        spark, pd.DataFrame({"k": [2, 3, 4], "v": ["B", None, "d"], "w": [20, 30, 40]})
+    )
+
+    upd = x.rows_update(y, by="k").collect().set_index("k").sort_index()
+    assert upd["v"].tolist() == ["a", "B", None]  # y values win, incl. NULL
+    assert upd["w"].tolist() == [1, 20, 30]
+
+    pat = x.rows_patch(y, by="k").collect().set_index("k").sort_index()
+    assert pat["v"].tolist() == ["a", "b", None]  # only x NULLs filled
+    assert pat["w"].tolist() == [1, 2, 3]
+
+    ups = x.rows_upsert(y, by="k").collect().set_index("k").sort_index()
+    assert ups.index.tolist() == [1, 2, 3, 4]
+    assert ups.loc[4, "v"] == "d"
+
+    ins = x.rows_insert(y, by="k").collect().set_index("k").sort_index()
+    assert ins.index.tolist() == [1, 2, 3, 4]
+    assert ins.loc[2, "v"] == "b"  # existing keys untouched
+
+    dele = x.rows_delete(y, by="k").collect()
+    assert dele["k"].tolist() == [1]
+
+    with _pytest.raises(ValueError, match="already exist"):
+        x.rows_insert(y, by="k", conflict="error")
+
+    # patch with a payload-subset y (only v)
+    y2 = from_pandas(spark, pd.DataFrame({"k": [3], "v": ["filled"]}))
+    pat2 = x.rows_patch(y2, by="k").collect().set_index("k").sort_index()
+    assert pat2["v"].tolist() == ["a", "b", "filled"]

@@ -47,6 +47,9 @@ EXCHANGE_BUDGETS = {
     "group_modify_trimmed": 1,  # r5: one group-key shuffle into applyInPandas
     "streaming_stream_join": 0, # r5: memory-sink table scan (join ran in the stream)
     "profile_lineitem": 2,      # r5: multi-countDistinct expand: partial+final agg
+    "rows_upsert": 0,           # r5: key join + union; tiny y broadcasts
+    "rows_patch": 0,            # r5: key join; tiny y broadcasts
+    "rows_delete": 0,           # r5: anti-join; tiny y broadcasts
     "filter_col_op_col": 0,
     "mutate_arithmetic": 0,
     "mutate_if_else": 0,
