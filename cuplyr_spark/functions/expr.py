@@ -54,6 +54,11 @@ _FN_ALIASES = {
     "str_ends": "endswith",
     "str_count": "regexp_count",
     "str_split": "split",
+    "str_squish": "expr_str_squish",
+    "str_pad": "expr_str_pad",
+    "str_dup": "repeat",
+    "str_c": "concat",
+    "str_to_title": "initcap",
     "str_extract": "expr_str_extract",
     "str_remove_all": "expr_str_remove_all",
     "str_sub": "expr_str_sub",
@@ -324,6 +329,36 @@ def _compile_call(node: ast.Call) -> Column:
         repl = _shift_group_refs(pat, repl)
         return F.regexp_replace(
             args[0], "^([\\s\\S]*?)(?:" + pat + ")", "$1" + repl
+        )
+    if name == "expr_str_squish":
+        # stringr str_squish: trim + collapse internal whitespace runs
+        (x,) = args
+        return F.regexp_replace(F.trim(x), r"\s+", " ")
+    if name == "expr_str_pad":
+        # stringr str_pad(x, width, side="left", pad=" "): pads to
+        # width but — unlike Spark's lpad/rpad — NEVER truncates a
+        # longer string; side="both" puts floor(extra/2) on the left.
+        if not 2 <= len(node.args) <= 4:
+            raise ExprError("str_pad(x, width, side=, pad=)")
+        x = args[0]
+        width = _raw(node.args[1])
+        side = _raw(node.args[2]) if len(node.args) > 2 else "left"
+        pad = _raw(node.args[3]) if len(node.args) > 3 else " "
+        if side not in ("left", "right", "both") or len(pad) != 1:
+            raise ExprError("str_pad: side in left/right/both, 1-char pad")
+        padstr = F.lit(pad * max(width, 1))
+        need = F.greatest(F.lit(width) - F.length(x), F.lit(0))
+        if side == "left":
+            ln, rn = need, F.lit(0)
+        elif side == "right":
+            ln, rn = F.lit(0), need
+        else:
+            ln = F.floor(need / 2).cast("int")
+            rn = need - ln
+        return F.concat(
+            F.substring(padstr, F.lit(1), ln),
+            x,
+            F.substring(padstr, F.lit(1), rn),
         )
     if name == "expr_str_extract":
         return F.regexp_extract(args[0], _raw(node.args[1]), 1)

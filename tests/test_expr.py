@@ -227,3 +227,28 @@ def test_dplyr_vector_helpers(spark):
     assert pd.isna(out["lo"][2]) and pd.isna(out["hi"][2])
     assert [v for i, v in enumerate(out["lo"]) if i != 2] == [1, 2, 3]
     assert [v for i, v in enumerate(out["hi"]) if i != 2] == [2, 2, 4]
+
+
+def test_stringr_round5_aliases(spark):
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+
+    f = from_pandas(
+        spark, pd.DataFrame({"s": ["  a   b  ", "ab", "abcdef"]})
+    )
+    out = f.mutate(
+        sq="str_squish(s)",
+        pl="str_pad(s, 5, 'left', '.')",
+        pr="str_pad(s, 5, 'right', '.')",
+        pb="str_pad(s, 5, 'both', '.')",
+        dup="str_dup(s, 2)",
+        title="str_to_title(s)",
+    ).collect()
+    assert out["sq"].tolist() == ["a b", "ab", "abcdef"]
+    # stringr: pad to width, never truncate
+    assert out["pl"].tolist()[1:] == ["...ab", "abcdef"]
+    assert out["pr"].tolist()[1:] == ["ab...", "abcdef"]
+    assert out["pb"].tolist()[1:] == [".ab..", "abcdef"]  # floor-left
+    assert out["dup"].tolist()[1] == "abab"
+    assert out["title"].tolist()[1] == "Ab"

@@ -822,3 +822,36 @@ def test_dedup_clusters_warns_at_cap(spark):
         _w.simplefilter("always")
         D.dedup_clusters(pairs, max_iter=2).collect()
     assert any("before convergence" in str(x.message) for x in rec)
+
+
+def test_quantized_topk_staged_equals_on_the_fly(spark):
+    """The stage-once pattern: scoring against parqueted qvec codes
+    must equal on-the-fly quantization (cosine is scale-invariant, so
+    dropping qscale changes nothing)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, rng.randn(12).astype(float).tolist()) for i in range(40)]
+    f = from_pandas(spark, pd.DataFrame(vecs, columns=["vec_id", "embedding"]))
+    queries = from_pandas(
+        spark, pd.DataFrame(vecs[:3], columns=["vec_id", "embedding"])
+    )
+    fly = S.quantized_cosine_topk(f, k=3, queries=queries).collect()
+    from pyspark.sql import functions as F
+
+    staged_codes = S.quantize_embeddings(f).df.select(
+        "vec_id", F.col("qvec").alias("embedding")
+    )
+    from cuplyr_spark.frame import Frame as _F
+
+    staged = S.quantized_cosine_topk(
+        _F(staged_codes, ()), k=3, queries=queries, pre_quantized=True
+    ).collect()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "neighbor_id", "score", "rank"]].values)
+    )
+    assert key(fly) == key(staged)
+    with pytest.raises(ValueError, match="explicit float-vector"):
+        S.quantized_cosine_topk(
+            _F(staged_codes, ()), k=3, query_filter="vec_id < 3", pre_quantized=True
+        )
