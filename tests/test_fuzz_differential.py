@@ -422,3 +422,92 @@ def test_normalize_url_differential_vs_duckdb(spark, duck):
             [url],
         ).fetchone()[0]
         assert got[url] == want, (url, got[url], want)
+
+
+def test_rows_family_differential_vs_duckdb(spark):
+    """rows_update/patch/upsert/delete vs the equivalent DuckDB SQL
+    over randomized keyed frames (fixed seeds; NULLs in payloads,
+    partial key overlap)."""
+    import duckdb as _dd
+    import numpy as np
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        xk = rng.choice(np.arange(20), size=12, replace=False)
+        yk = rng.choice(np.arange(25), size=10, replace=False)
+        xpdf = pd.DataFrame(
+            {
+                "k": xk,
+                "v": [
+                    None if rng.rand() < 0.3 else f"x{i}" for i in range(len(xk))
+                ],
+                "w": rng.randint(0, 100, size=len(xk)),
+            }
+        )
+        ypdf = pd.DataFrame(
+            {
+                "k": yk,
+                "v": [
+                    None if rng.rand() < 0.3 else f"y{i}" for i in range(len(yk))
+                ],
+                "w": rng.randint(100, 200, size=len(yk)),
+            }
+        )
+        x, y = from_pandas(spark, xpdf), from_pandas(spark, ypdf)
+        con = _dd.connect()
+        con.register("x", xpdf)
+        con.register("y", ypdf)
+
+        def norm(pdf):
+            return (
+                pdf.assign(v=pdf["v"].astype(object).where(pdf["v"].notna(), None))
+                .sort_values(["k"])
+                .reset_index(drop=True)[["k", "v", "w"]]
+                .astype({"k": "int64", "w": "int64"})
+            )
+
+        got_u = norm(x.rows_update(y, by="k").collect())
+        want_u = norm(
+            con.execute(
+                """SELECT x.k,
+                          CASE WHEN y.k IS NOT NULL THEN y.v ELSE x.v END AS v,
+                          CASE WHEN y.k IS NOT NULL THEN y.w ELSE x.w END AS w
+                   FROM x LEFT JOIN y USING (k)"""
+            ).fetchdf()
+        )
+        pd.testing.assert_frame_equal(got_u, want_u, check_dtype=False)
+
+        got_p = norm(x.rows_patch(y, by="k").collect())
+        want_p = norm(
+            con.execute(
+                """SELECT x.k,
+                          CASE WHEN y.k IS NOT NULL THEN coalesce(x.v, y.v) ELSE x.v END AS v,
+                          x.w AS w
+                   FROM x LEFT JOIN y USING (k)"""
+            ).fetchdf()
+        )
+        pd.testing.assert_frame_equal(got_p, want_p, check_dtype=False)
+
+        got_s = norm(x.rows_upsert(y, by="k").collect())
+        want_s = norm(
+            con.execute(
+                """SELECT x.k,
+                          CASE WHEN y.k IS NOT NULL THEN y.v ELSE x.v END AS v,
+                          CASE WHEN y.k IS NOT NULL THEN y.w ELSE x.w END AS w
+                   FROM x LEFT JOIN y USING (k)
+                   UNION ALL
+                   SELECT k, v, w FROM y WHERE k NOT IN (SELECT k FROM x)"""
+            ).fetchdf()
+        )
+        pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+        got_d = norm(x.rows_delete(y, by="k").collect())
+        want_d = norm(
+            con.execute(
+                "SELECT * FROM x WHERE k NOT IN (SELECT k FROM y)"
+            ).fetchdf()
+        )
+        pd.testing.assert_frame_equal(got_d, want_d, check_dtype=False)
