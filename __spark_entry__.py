@@ -1369,7 +1369,10 @@ def q_tpch_q18(spark, sf_dir):
     """TPC-H Q18 (large-volume customers): groupBy-HAVING on the fact
     table feeds a semi-filtered 3-way join, top 100. The HAVING side
     aggregates lineitem to order grain BEFORE joining (one fact
-    shuffle), then orders/customer broadcast-join onto it."""
+    shuffle); the customer side SCALES WITH SF, so its join strategy
+    is left to AQE's runtime size choice (r6: hint removed, matching
+    the q5/q8/q10 fix — an advisory that never fires beats one the
+    512 MB guard must drop)."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.group_by("l_orderkey")
@@ -1380,7 +1383,7 @@ def q_tpch_q18(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     return (
         big.inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
-        .inner_join(cust.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
+        .inner_join(cust, by={"o_custkey": "c_custkey"}, na_matches="never")
         .rename(c_custkey="o_custkey")
         .mutate(odate_ms=F.unix_millis(F.col("o_orderdate").cast("timestamp")))
         .select("c_name", "c_custkey", "l_orderkey", "odate_ms", "o_totalprice", "sum_qty")
@@ -1392,8 +1395,10 @@ def q_tpch_q18(spark, sf_dir):
 
 def q_tpch_q7(spark, sf_dir):
     """TPC-H Q7 shape (volume shipping): revenue between two nation
-    pairs by ship year. Nation-tagged supplier/customer dims broadcast
-    onto the fact join; one agg shuffle."""
+    pairs by ship year. The fixed-size nation dim broadcasts; the
+    nation-tagged supplier/customer sides SCALE WITH SF and are left
+    to AQE (r6: hints removed, q5/q8/q10 consistency). One agg
+    shuffle."""
     nat = _t(spark, sf_dir, "nation")
     supp = (
         _t(spark, sf_dir, "supplier")
@@ -1414,8 +1419,8 @@ def q_tpch_q7(spark, sf_dir):
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.inner_join(orders, by={"l_orderkey": "o_orderkey"}, na_matches="never")
-        .inner_join(supp.broadcast(), by={"l_suppkey": "s_suppkey"}, na_matches="never")
-        .inner_join(cust.broadcast(), by={"o_custkey": "c_custkey"}, na_matches="never")
+        .inner_join(supp, by={"l_suppkey": "s_suppkey"}, na_matches="never")
+        .inner_join(cust, by={"o_custkey": "c_custkey"}, na_matches="never")
         .filter(pair)
         .mutate(l_year=F.year("l_shipdate"))
         .group_by("supp_nation", "cust_nation", "l_year")
@@ -2281,6 +2286,28 @@ def q_ivf_cosine_topk(spark, sf_dir):
     ).df
 
 
+def q_ivf_staged_centroids(spark, sf_dir):
+    """Stage-once IVF: train centroids ONCE (ivf_centroids), round-trip
+    them through parquet — the 100 TB deployment shape where k-means
+    cells are reused across every query batch — then search with
+    ``centroids=``. Must be bit-identical to the inline ivf_cosine_topk
+    path (same oracle SQL serves both). Mirrors the ``sigs=`` (MinHash)
+    and ``pre_quantized=`` (int8) stage-once contracts."""
+    import tempfile
+
+    from cuplyr_spark.pipeline.similarity import ivf_centroids, ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    staged_dir = tempfile.mkdtemp(prefix="ivf_cent_")
+    ivf_centroids(emb, n_cells=16, refine_iters=0).df.write.mode(
+        "overwrite"
+    ).parquet(staged_dir)
+    staged = Frame(spark.read.parquet(staged_dir), ())
+    return ivf_cosine_topk(
+        emb, k=5, n_probe=4, query_filter="vec_id < 10", centroids=staged
+    ).df
+
+
 def q_complete_fill(spark, sf_dir):
     """tidyr complete(): restore missing (status, priority) combos
     after a selective filter, count surviving orders per cell (0 for
@@ -2383,8 +2410,16 @@ def q_c4_line_clean(spark, sf_dir):
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + exact dedup: normalize (fragment/case/
     www/tracking-param rules as portable regex chains), then one
-    hash-agg on the normalized key."""
+    hash-agg on the normalized key. The query string alternates
+    tracking-param-FIRST and tracking-param-LAST (plus a no-real-param
+    shape) so '/p?utm=t&x=1' and '/p?x=1&utm=t' must normalize to the
+    SAME key — the r6 '?'-preserving strip order (ADVICE r5)."""
     docs = _t(spark, sf_dir, "documents")
+    qs = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=s&x=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?x=1&utm_source=s"))
+        .otherwise(F.lit("?utm_source=s"))
+    )
     urls = docs.df.select(
         F.col("doc_id"),
         F.concat(
@@ -2392,7 +2427,7 @@ def q_url_dedup(spark, sf_dir):
             F.upper(F.col("source")),
             F.lit(".COM/page/"),
             (F.col("doc_id") % 50).cast("string"),
-            F.lit("?utm_source=s"),
+            qs,
             F.lit("#sec"),
         ).alias("url"),
     )
@@ -2718,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": q_string_functions,
         "vector_centroid": q_vector_centroid,
         "ivf_cosine_topk": q_ivf_cosine_topk,
+        "ivf_staged_centroids": q_ivf_staged_centroids,
         "complete_fill": q_complete_fill,
         "doc_chunks": q_doc_chunks,
         "doc_classifier": q_doc_classifier,
@@ -2844,7 +2880,7 @@ def _lsh_bucket_oracle(v: str, n_planes: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "filter_select": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
             FROM lineitem
@@ -2880,7 +2916,7 @@ def oracle_sql() -> dict[str, str]:
         "arrange_topk": """
             SELECT l_orderkey, l_linenumber, l_extendedprice
             FROM lineitem
-            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            ORDER BY l_extendedprice DESC NULLS FIRST, l_orderkey, l_linenumber
             LIMIT 100
         """,
         "group_summarise": """
@@ -3867,7 +3903,7 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1995-03-15'
               AND l_shipdate > TIMESTAMP '1995-03-15'
             GROUP BY l_orderkey
-            ORDER BY revenue DESC, l_orderkey
+            ORDER BY revenue DESC NULLS FIRST, l_orderkey
             LIMIT 10
         """,
         "tpch_q1": f"""
@@ -3919,7 +3955,7 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate <  TIMESTAMP '1996-04-01'
               AND l_returnflag = 'R'
             GROUP BY c_custkey, c_name, c_acctbal, n_name
-            ORDER BY revenue DESC, c_custkey
+            ORDER BY revenue DESC NULLS FIRST, c_custkey
             LIMIT 20
         """,
         "tpch_q14": """
@@ -3963,7 +3999,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM offers
             )
             WHERE cost_cents = mc
-            ORDER BY s_acctbal DESC, n_name, s_name, l_partkey
+            ORDER BY s_acctbal DESC NULLS FIRST, n_name, s_name, l_partkey
             LIMIT 100
         """,
         "tpch_q9": """
@@ -4114,7 +4150,7 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
-            ORDER BY o_totalprice DESC, l_orderkey
+            ORDER BY o_totalprice DESC NULLS FIRST, l_orderkey
             LIMIT 100
         """,
         "fill_down": """
@@ -4297,20 +4333,25 @@ def oracle_sql() -> dict[str, str]:
             WITH urls AS (
               SELECT doc_id,
                      concat('HTTPS://WWW.', upper(source), '.COM/page/',
-                            CAST(doc_id % 50 AS VARCHAR), '?utm_source=s', '#sec') AS url
+                            CAST(doc_id % 50 AS VARCHAR),
+                            CASE WHEN doc_id % 3 = 0 THEN '?utm_source=s&x=1'
+                                 WHEN doc_id % 3 = 1 THEN '?x=1&utm_source=s'
+                                 ELSE '?utm_source=s' END,
+                            '#sec') AS url
               FROM documents
             ), stripped AS (
               SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u0 FROM urls
             ), norm AS (
               SELECT doc_id,
-                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                      concat(
                        regexp_replace(lower(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0)),
                                       '://www\\.', '://', 'g'),
                        substr(u0, length(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0)) + 1)
                      ),
-                     '[?&](utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*', '', 'g'),
-                     '\\?&', '?', 'g'),
+                     '&(utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*', '', 'g'),
+                     '\\?(utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*&', '?', 'g'),
+                     '\\?(utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*$', '', 'g'),
                      '[?&]$', '', 'g'),
                      '/$', '', 'g') AS url_norm
               FROM stripped
@@ -4532,6 +4573,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
     }
+    # The staged-centroids path must return EXACTLY what the inline
+    # path returns (same cells, same probes, same scores) — one oracle
+    # serves both, which is itself the assertion.
+    out["ivf_staged_centroids"] = out["ivf_cosine_topk"]
+    return out
 
 
 def _lang_id_oracle() -> str:

@@ -53,6 +53,11 @@ HEADLINE = [
     "minhash_lsh_pairs",     # LSH band-join candidate pairs + skew guard
     "paragraph_dedup",       # corpus-wide paragraph scrub (one para shuffle)
     "decontaminate_hashed",  # hashed-prefilter benchmark decontamination
+    # r6: heavy multi-fact join class (VERDICT r5 item 7) — q9 joins
+    # lineitem against part/supplier/orders/nation at once, so any
+    # join-path regression (lost broadcast, extra exchange, AQE
+    # misplan) surfaces here round-over-round.
+    "tpch_q9",
 ]
 
 

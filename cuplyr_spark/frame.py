@@ -513,7 +513,12 @@ class Frame:
     def ungroup(self) -> Frame:
         return Frame(self._df, ())
 
-    def group_modify(self, fn, schema) -> Frame:
+    # A group whose estimated bytes exceed this materializes as ONE
+    # pandas DataFrame in one Python worker — the applyInPandas memory
+    # contract. Same estimate-and-warn pattern as broadcast().
+    GROUP_MODIFY_MAX_BYTES = 1024 * 1024 * 1024
+
+    def group_modify(self, fn, schema, max_group_bytes: int | None = None) -> Frame:
         """dplyr ``group_modify``: apply an arbitrary
         pandas-DataFrame -> pandas-DataFrame function to each group.
 
@@ -526,9 +531,43 @@ class Frame:
         keys; a group must fit in executor memory, which is the same
         contract dplyr's list-of-frames model has on the driver.
         Prefer built-in verbs when they can express the computation —
-        this path forfeits codegen and columnar execution."""
+        this path forfeits codegen and columnar execution.
+
+        Per-group memory guard (the broadcast() pattern applied to the
+        one Arrow escape hatch): if the frame's Catalyst size estimate
+        exceeds ``max_group_bytes`` (default
+        :data:`GROUP_MODIFY_MAX_BYTES`), one cheap count-per-key probe
+        estimates the LARGEST group's bytes as
+        ``total_bytes * max_group_rows / total_rows`` and warns when it
+        exceeds the threshold — a skewed key at 100× data scale then
+        surfaces as an advisory instead of a Python-worker OOM. Frames
+        estimated under the threshold skip the probe entirely (no group
+        can exceed what the whole frame holds); ``max_group_bytes=0``
+        disables the check."""
         if not self._groups:
             raise ValueError("group_modify requires group_by()")
+        limit = self.GROUP_MODIFY_MAX_BYTES if max_group_bytes is None else max_group_bytes
+        if limit and limit > 0:
+            est = self._estimated_bytes()
+            if est is not None and est > limit:
+                probe = (
+                    self._df.groupBy(*[_qcol(g) for g in self._groups])
+                    .count()
+                    .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+                    .collect()[0]
+                )
+                if probe["tot"]:
+                    biggest = est * probe["mx"] / probe["tot"]
+                    if biggest > limit:
+                        warnings.warn(
+                            f"group_modify(): largest group is estimated at "
+                            f"~{biggest / 1e6:,.0f} MB (> {limit / 1e6:,.0f} MB) "
+                            f"({probe['mx']:,} of {probe['tot']:,} rows on one "
+                            "key). Each group materializes as ONE pandas "
+                            "DataFrame in one Python worker; re-key, pre-filter, "
+                            "or pass max_group_bytes=0 to silence.",
+                            stacklevel=2,
+                        )
         out = self._df.groupBy(*[_qcol(g) for g in self._groups]).applyInPandas(
             fn, schema
         )
@@ -726,8 +765,18 @@ class Frame:
 
     # -- keyed row modification (dplyr rows_* family) --------------------
 
+    def _rows_keys(self, y: Frame, by) -> list[str]:
+        """Key resolution for the rows_* family. dplyr's documented
+        default is the FIRST column of y — not a natural join on all
+        common columns, which for the typical same-schema x/y would
+        make every column a key, leave an empty payload, and turn
+        rows_update/rows_patch into silent no-ops."""
+        if by is None:
+            return [y._df.columns[0]]
+        return list(self._resolve_by(y, by))
+
     def _rows_prep(self, y: Frame, by):
-        keys = list(self._resolve_by(y, by))
+        keys = self._rows_keys(y, by)
         if sorted(self._df.columns) != sorted(y._df.columns) and not set(
             y._df.columns
         ) <= set(self._df.columns):
@@ -763,6 +812,12 @@ class Frame:
         """Shared matched-row merge: left join on keys, per-column
         choice between x's and y's value via ``take_y(xcol, ycol)``."""
         keys, payload = self._rows_prep(y, by)
+        if not payload:
+            raise ValueError(
+                "rows_update/rows_patch/rows_upsert: y has no non-key "
+                f"columns (keys={keys}) — nothing to merge. Pass by= "
+                "naming the key column(s) explicitly."
+            )
         ydf = y._df.select(
             *[_qcol(k) for k in keys],
             F.lit(True).alias("__m"),
@@ -799,7 +854,7 @@ class Frame:
     def rows_delete(self, y: Frame, by=None) -> Frame:
         """dplyr ``rows_delete`` (unmatched="ignore"): drop x rows
         whose key appears in y. One anti-join; y's payload ignored."""
-        keys = list(self._resolve_by(y, by))
+        keys = self._rows_keys(y, by)
         return Frame(
             self._df.join(y._df.select(*keys), on=keys, how="left_anti"),
             self._groups,
@@ -822,6 +877,13 @@ class Frame:
         payload_cols = [c for c in other._df.columns if c not in rkeys]
         if not payload_cols:
             raise ValueError("nest_join: right side has only key columns")
+        if name in self._df.columns:
+            raise ValueError(
+                f"nest_join: name={name!r} collides with an existing left "
+                "column — the packed column must be new (dplyr would "
+                "suffix; here an explicit name= avoids two same-named "
+                "columns with ambiguous resolution)"
+            )
         packed = (
             other._df.groupBy(*[_qcol(k) for k in rkeys])
             .agg(
@@ -1246,7 +1308,7 @@ class Frame:
         row = self._df.agg(*aggs)
         parts = []
         for i, c in enumerate(names):
-            lit = c.replace("'", "\'")
+            lit = c.replace("\\", "\\\\").replace("'", "\\'")
             parts.append(
                 f"'{lit}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}"
             )

@@ -687,12 +687,19 @@ def normalize_url(url: Column | str) -> Column:
     rest = F.substring(u0, F.length(pre) + 1, F.lit(1 << 30))
     pre2 = F.regexp_replace(F.lower(pre), "://www\\.", "://")
     u1 = F.concat(pre2, rest)
-    u2 = F.regexp_replace(
-        u1, "[?&](utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*", ""
-    )
-    u3 = F.regexp_replace(u2, "\\?&", "?")
-    u4 = F.regexp_replace(u3, "[?&]$", "")
-    return F.regexp_replace(u4, "/$", "")
+    # Tracking-param removal in three '?'-preserving steps (one
+    # combined [?&]-strip eats the '?' when a tracked param LEADS the
+    # query string, splitting '/p?utm=t&x=1' from '/p?x=1&utm=t'):
+    # (1) every '&param=...' goes; (2) a leading '?param=...&' yields
+    # its '?' to the next real param; (3) a now-lone '?param=...$'
+    # goes with its '?'. The fragment is already stripped, so '$' is
+    # the only terminator step 3 needs.
+    trk = "(utm_[a-zA-Z0-9_]*|gclid|fbclid)"
+    u2 = F.regexp_replace(u1, f"&{trk}=[^&#]*", "")
+    u3 = F.regexp_replace(u2, f"\\?{trk}=[^&#]*&", "?")
+    u4 = F.regexp_replace(u3, f"\\?{trk}=[^&#]*$", "")
+    u5 = F.regexp_replace(u4, "[?&]$", "")
+    return F.regexp_replace(u5, "/$", "")
 
 
 def dedup_by_url(

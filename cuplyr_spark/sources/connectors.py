@@ -16,21 +16,23 @@ Two tiers:
   guarantees (atomic publish, versioned reads) without transactions,
   schema evolution, or compaction.
 
-  Scope (enforced, not just documented): **local filesystem,
-  single-writer**. The manifest IO uses driver-local ``os.*`` calls
-  while the parquet write goes through Spark's Hadoop FS layer, so a
-  remote ``table_dir`` (hdfs://, s3a://, ...) would land the data
-  remotely but the ``_LATEST`` pointer on the driver's local disk —
-  every snapshot function therefore REJECTS URI-scheme paths up front.
-  Concurrent writers are also out of scope (last manifest swap wins; a
-  slow writer of v2 can regress the pointer after v3 published) —
-  coordinate writers externally, or use the real lakehouse formats,
-  which exist precisely to solve these two problems.
+  Storage: manifest IO goes through the SAME Hadoop FileSystem layer
+  as the parquet write (``Path.getFileSystem`` via the JVM gateway),
+  so a ``table_dir`` on ``hdfs://``, ``s3a://``, ``file://`` or a bare
+  local path keeps data and ``_LATEST`` pointer on ONE filesystem.
+  The pointer swap is ``FileContext.rename(OVERWRITE)`` — atomic on
+  HDFS and local disk; object stores without atomic rename (S3A)
+  degrade to copy+delete, which is why the contract stays
+  **single-writer** (also: last manifest swap wins — a slow writer of
+  v2 can regress the pointer after v3 published). Coordinate writers
+  externally, or use the real lakehouse formats, which exist precisely
+  to solve multi-writer commit.
 """
 
 from __future__ import annotations
 
 import os
+import posixpath
 import re
 
 from pyspark.sql import SparkSession
@@ -80,35 +82,117 @@ _MANIFEST = "_LATEST"
 _URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 
-def _check_local(table_dir: str) -> str:
-    """Reject URI-scheme table dirs: manifest IO is driver-local os.*
-    while frame.df.write goes through Hadoop FS — a remote scheme
-    would silently split data (remote) from pointer (driver disk).
-    ``file://`` is accepted and stripped (both layers agree on it)."""
-    if _URI_SCHEME.match(table_dir):
-        if table_dir.startswith("file://"):
-            return table_dir[len("file://"):]
-        raise ValueError(
-            f"snapshot tables are local-filesystem only, got {table_dir!r}; "
-            "the manifest pointer is written with driver-local file IO, so a "
-            "remote scheme would publish data remotely but the _LATEST "
-            "pointer on the driver's disk. Use Delta/Iceberg/Hudi for "
-            "remote/multi-writer tables (read_lakehouse)."
+class _TableFS:
+    """Manifest/listing IO for one table_dir, routed through the SAME
+    filesystem Spark writes the parquet to.
+
+    Bare local paths use plain ``os.*`` (no JVM round-trip, and no
+    SparkSession needed for read-only metadata calls); any URI-scheme
+    path (``file://``, ``hdfs://``, ``s3a://``, ...) resolves a Hadoop
+    ``FileSystem`` from the active session's Hadoop conf, so data and
+    pointer always land together. Cites the reference's single-pointer
+    commit design (snapshot docs above) — this class is only plumbing.
+    """
+
+    def __init__(self, table_dir: str, spark: SparkSession | None = None):
+        self.dir = table_dir.rstrip("/") or "/"
+        self.remote = bool(_URI_SCHEME.match(table_dir))
+        if self.remote:
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    f"URI-scheme table_dir {table_dir!r} needs an active "
+                    "SparkSession (its Hadoop conf resolves the filesystem)"
+                )
+            self._jvm = spark._jvm
+            self._conf = spark._jsc.hadoopConfiguration()
+            self._path = self._jvm.org.apache.hadoop.fs.Path(self.dir)
+            self._fs = self._path.getFileSystem(self._conf)
+            self._gw = spark.sparkContext._gateway
+
+    def join(self, name: str) -> str:
+        return posixpath.join(self.dir, name)
+
+    def _jpath(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def isdir(self) -> bool:
+        if not self.remote:
+            return os.path.isdir(self.dir)
+        return self._fs.exists(self._path) and self._fs.getFileStatus(
+            self._path
+        ).isDirectory()
+
+    def listdir(self) -> list[str]:
+        if not self.remote:
+            return os.listdir(self.dir)
+        return [
+            st.getPath().getName() for st in self._fs.listStatus(self._path)
+        ]
+
+    def mkdirs(self) -> None:
+        if not self.remote:
+            os.makedirs(self.dir, exist_ok=True)
+        else:
+            self._fs.mkdirs(self._path)
+
+    def read_text(self, name: str) -> str | None:
+        """File contents, or None when absent."""
+        if not self.remote:
+            try:
+                with open(self.join(name)) as f:
+                    return f.read()
+            except FileNotFoundError:
+                return None
+        p = self._jpath(self.join(name))
+        if not self._fs.exists(p):
+            return None
+        stream = self._fs.open(p)
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines)
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, name: str, text: str, tmp_suffix: str) -> None:
+        """Write-temp + rename-over — the atomic pointer swap. Local:
+        ``os.replace``. Hadoop: ``FileContext.rename(OVERWRITE)``
+        (atomic on HDFS/local; copy+delete on S3A — single-writer)."""
+        if not self.remote:
+            tmp = self.join(name) + tmp_suffix
+            with open(tmp, "w") as f:
+                f.write(text)
+            os.replace(tmp, self.join(name))
+            return
+        tmp_p = self._jpath(self.join(name) + tmp_suffix)
+        out = self._fs.create(tmp_p, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._path.toUri(), self._conf
         )
-    return table_dir
-
-
-def _manifest_path(table_dir: str) -> str:
-    return os.path.join(table_dir, _MANIFEST)
+        ren = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gw.new_array(ren, 1)
+        opts[0] = ren.OVERWRITE
+        fc.rename(tmp_p, self._jpath(self.join(name)), opts)
 
 
 def snapshot_versions(table_dir: str) -> list[int]:
     """All version directories present (published or not), ascending."""
-    table_dir = _check_local(table_dir)
-    if not os.path.isdir(table_dir):
+    fs = _TableFS(table_dir)
+    if not fs.isdir():
         return []
     out = []
-    for name in os.listdir(table_dir):
+    for name in fs.listdir():
         if name.startswith("v=") and name[2:].isdigit():
             out.append(int(name[2:]))
     return sorted(out)
@@ -116,11 +200,10 @@ def snapshot_versions(table_dir: str) -> list[int]:
 
 def latest_snapshot_version(table_dir: str) -> int | None:
     """The PUBLISHED version (manifest pointer), or None."""
-    table_dir = _check_local(table_dir)
+    text = _TableFS(table_dir).read_text(_MANIFEST)
     try:
-        with open(_manifest_path(table_dir)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
+        return int(text.strip()) if text is not None else None
+    except ValueError:
         return None
 
 
@@ -132,16 +215,15 @@ def write_snapshot(frame: Frame, table_dir: str) -> int:
     rename), so a concurrent reader either sees the previous complete
     version or the new complete version — never a partial directory.
     A writer crash leaves an orphan ``v=`` dir that readers ignore.
-    Returns the published version number."""
-    table_dir = _check_local(table_dir)
-    os.makedirs(table_dir, exist_ok=True)
+    Works on any Hadoop-resolvable filesystem (bare local, file://,
+    hdfs://, s3a://) — pointer and data share one FS. Returns the
+    published version number."""
+    fs = _TableFS(table_dir, frame.df.sparkSession)
+    fs.mkdirs()
     version = max(snapshot_versions(table_dir), default=0) + 1
-    data_dir = os.path.join(table_dir, f"v={version}")
+    data_dir = fs.join(f"v={version}")
     frame.df.write.mode("errorifexists").parquet(data_dir)
-    tmp = _manifest_path(table_dir) + f".tmp.{version}"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, _manifest_path(table_dir))
+    fs.write_text_atomic(_MANIFEST, str(version), f".tmp.{version}")
     return version
 
 
@@ -150,19 +232,18 @@ def read_snapshot(
 ) -> Frame:
     """Read the published version (default) or a pinned earlier one
     (time travel). Unpublished/orphaned version dirs are never read."""
-    table_dir = _check_local(table_dir)
+    fs = _TableFS(table_dir, spark)
     if version is None:
         version = latest_snapshot_version(table_dir)
         if version is None:
             raise FileNotFoundError(
                 f"no published snapshot at {table_dir!r} (missing {_MANIFEST})"
             )
-    data_dir = os.path.join(table_dir, f"v={version}")
-    if not os.path.isdir(data_dir):
+    if version not in snapshot_versions(table_dir):
         raise FileNotFoundError(f"snapshot version {version} not found in {table_dir!r}")
     from cuplyr_spark.sources.readers import read_parquet
 
-    return read_parquet(spark, data_dir)
+    return read_parquet(spark, fs.join(f"v={version}"))
 
 
 def upsert_snapshot(
@@ -182,7 +263,7 @@ def upsert_snapshot(
     (current ▷ anti-join on key ∪ new), then published with the same
     atomic manifest swap as ``write_snapshot`` — readers never see a
     half-merged table, and time travel to pre-merge versions keeps
-    working. Single-writer, local-filesystem (``_check_local``), like
+    working. Single-writer, any Hadoop-resolvable filesystem, like
     the rest of the snapshot layer.
 
     Scale shape: the anti-join shuffles on the merge key exactly once;
@@ -196,8 +277,7 @@ def upsert_snapshot(
     publishes ``frame`` as v1.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    table_dir_local = _check_local(table_dir)
-    if latest_snapshot_version(table_dir_local) is None:
+    if latest_snapshot_version(table_dir) is None:
         return write_snapshot(frame, table_dir)
     current = read_snapshot(spark, table_dir)
     missing = [k for k in keys if k not in current.df.columns]

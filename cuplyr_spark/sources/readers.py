@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -256,21 +256,55 @@ def write_parquet_zorder(
 
     Null handling: NULLs scale to bucket 0 and therefore cluster
     together in the lowest files.
+
+    Clustered columns must be numeric (or date/timestamp, which order
+    numerically): a string column would cast to all-NULL doubles, its
+    dimension would silently scale to constant 0, and the caller would
+    believe the data is clustered on it — so non-orderable types are
+    refused up front, and a column whose min/max still come back NULL
+    (all-NULL data) raises instead of degrading.
     """
     if not 1 <= bits * len(cols) <= 63:
         raise ValueError("need 1 <= bits*len(cols) <= 63")
+    ok = ("byte", "short", "integer", "long", "float", "double", "decimal",
+          "date", "timestamp", "timestamp_ntz", "boolean")
+    types = {f.name: f.dataType.typeName() for f in frame.df.schema.fields}
+    bad = [c for c in cols if types.get(c) not in ok]
+    if bad:
+        raise TypeError(
+            f"write_parquet_zorder: non-numeric column(s) {bad} "
+            f"({ {c: types.get(c) for c in bad} }) cannot be min-max "
+            "scaled into the Morton code — cluster on numeric/date/"
+            "timestamp columns, or pre-encode strings to a numeric key "
+            "(e.g. xxhash64) yourself."
+        )
+
+    def znum(c: str) -> Column:
+        # date has no direct double cast; route it through timestamp
+        # (epoch seconds) — only ORDER matters for the Morton scaling.
+        col = F.col(c)
+        if types[c] == "date":
+            col = col.cast("timestamp")
+        return col.cast("double")
+
     stats = frame.df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+        *[F.min(znum(c)).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(znum(c)).alias(f"mx_{i}") for i, c in enumerate(cols)],
     ).collect()[0]
     top = (1 << bits) - 1
     scaled = []
     for i, c in enumerate(cols):
         mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
-        if mn is None or mx is None or mx == mn:
+        if mn is None or mx is None:
+            raise ValueError(
+                f"write_parquet_zorder: column {c!r} has NULL min/max "
+                "(all rows NULL) — it cannot contribute to the layout; "
+                "drop it from cols."
+            )
+        if mx == mn:
             scaled.append(F.lit(0).cast("long"))
             continue
-        frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+        frac = (znum(c) - F.lit(mn)) / F.lit(mx - mn)
         scaled.append(
             F.coalesce(
                 F.least(

@@ -56,40 +56,51 @@ def test_snapshot_unpublished_version_invisible(spark, tmp_path):
         read_snapshot(spark, str(tmp_path / "missing"))
 
 
-def test_snapshot_rejects_remote_uri(spark, tmp_path):
-    """The snapshot connector is local-filesystem only (enforced, r5):
-    manifest IO is driver-local os.* while the parquet write goes
-    through Hadoop FS, so a remote table_dir would split data from
-    pointer. URI schemes must be rejected up front; file:// is
-    equivalent to a local path and accepted."""
+def test_snapshot_uri_scheme_routes_through_hadoop_fs(spark, tmp_path):
+    """Since r6 the manifest IO goes through the SAME Hadoop
+    ``FileSystem`` as the parquet write (r5 refused URI schemes because
+    the pointer was driver-local os.*). Exercised here via ``file://``
+    — the one Hadoop scheme the container can host — end to end:
+    publish, pointer read, versioned read, upsert, all under the
+    scheme, with data+pointer landing in ONE directory (verified by a
+    bare-path read of the same location)."""
     import pandas as pd
-    import pytest
 
     from cuplyr_spark import from_pandas
     from cuplyr_spark.sources.connectors import (
+        _TableFS,
         latest_snapshot_version,
         read_snapshot,
         snapshot_versions,
+        upsert_snapshot,
         write_snapshot,
     )
 
-    f = from_pandas(spark, pd.DataFrame({"x": [1, 2]}))
-    for bad in ("hdfs://nn:8020/tbl", "s3a://bucket/tbl", "abfss://c@a.dfs/x"):
-        with pytest.raises(ValueError, match="local-filesystem only"):
-            write_snapshot(f, bad)
-        with pytest.raises(ValueError, match="local-filesystem only"):
-            read_snapshot(spark, bad)
-        with pytest.raises(ValueError, match="local-filesystem only"):
-            snapshot_versions(bad)
-        with pytest.raises(ValueError, match="local-filesystem only"):
-            latest_snapshot_version(bad)
-
-    # file:// is local — write under the scheme, read without it
+    f = from_pandas(spark, pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
     d = str(tmp_path / "snap_file_scheme")
-    v = write_snapshot(f, "file://" + d)
+    uri = "file://" + d
+
+    assert _TableFS(uri, spark).remote  # Hadoop path, not the os.* one
+    v = write_snapshot(f, uri)
     assert v == 1
+    # pointer and data landed on the same filesystem location: the
+    # bare local path sees the published manifest AND the version dir
     assert latest_snapshot_version(d) == 1
-    assert len(read_snapshot(spark, "file://" + d).collect()) == 2
+    assert snapshot_versions(d) == [1]
+    assert os.path.isfile(os.path.join(d, "_LATEST"))
+    assert len(read_snapshot(spark, uri).collect()) == 2
+
+    # keyed MERGE under the scheme: update k=2, insert k=3
+    delta = from_pandas(spark, pd.DataFrame({"k": [2, 3], "v": ["B", "c"]}))
+    assert upsert_snapshot(spark, delta, uri, key="k") == 2
+    got = read_snapshot(spark, uri).collect().sort_values("k")
+    assert got["v"].tolist() == ["a", "B", "c"]
+    # time travel across the scheme boundary
+    assert len(read_snapshot(spark, d, version=1).collect()) == 2
+
+    # pointer swap is rename-over: re-publish overwrites the manifest
+    write_snapshot(f, uri)
+    assert latest_snapshot_version(uri) == 3
 
 
 def test_snapshot_upsert_merge(spark, tmp_path):

@@ -405,14 +405,15 @@ def test_normalize_url_differential_vs_duckdb(spark, duck):
         for r in f.df.withColumn("n", normalize_url(F.col("url"))).collect()
     }
     chain = """
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         concat(
           regexp_replace(lower(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0)),
                          '://www\\.', '://', 'g'),
           substr(u0, length(regexp_extract(u0, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0)) + 1)
         ),
-        '[?&](utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*', '', 'g'),
-        '\\?&', '?', 'g'),
+        '&(utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*', '', 'g'),
+        '\\?(utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*&', '?', 'g'),
+        '\\?(utm_[a-zA-Z0-9_]*|gclid|fbclid)=[^&#]*$', '', 'g'),
         '[?&]$', '', 'g'),
         '/$', '', 'g')
     """

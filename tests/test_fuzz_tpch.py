@@ -1,0 +1,114 @@
+"""Randomized differential fuzz for the 22 TPC-H contract queries
+(VERDICT r5 item 6: 70/135 queries were never driver-sampled; the
+TPC-H family rested on the fixed-fixture ledgers alone).
+
+Strategy: DATA fuzz rather than predicate fuzz — each trial derives a
+perturbed TPC-H dataset from the sf0.001 fixtures (deterministic
+per-seed, via DuckDB):
+
+- orders/customer/supplier/part are hash-sampled at a seed-dependent
+  rate, so every join hits DANGLING keys (lineitem rows whose order
+  vanished, orders whose customer vanished, ...) — the exact class a
+  fixed fixture can never exercise because the generator keeps FKs
+  intact;
+- a seed-dependent slice of lineitem is DUPLICATED, so aggregates see
+  genuine multiplicity (sum/count drift would surface instantly);
+- a seed-dependent slice of lineitem gets NULL l_discount /
+  l_extendedprice, exercising each query's NULL-exclusion arithmetic.
+
+The perturbed tables are written to tmp parquet with the fixture
+filenames; the SAME entry query and the SAME oracle SQL then run over
+them and must agree (check_contract.compare: row count + dtype-kind +
+exact values, 1e-6 float gate). Every trial runs all 22 queries.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from check_contract import compare  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+TPCH = [f"tpch_q{i}" for i in range(1, 23)]
+
+# (table, sample expression) — hash-sampled tables thin out per seed;
+# region/nation stay whole (fixed-size dims every query needs intact).
+_SAMPLED = {
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+}
+
+
+def _build_trial_dir(tmp_path, seed: int) -> str:
+    out = str(tmp_path / f"tpch_fuzz_{seed}")
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for path in glob.glob(os.path.join(SRC, "*.parquet")):
+        t = os.path.basename(path).replace(".parquet", "")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+    keep_mod = 3 + seed % 4  # keep 1/3 .. 1/6 per table
+    for t, key in _SAMPLED.items():
+        con.execute(
+            f"COPY (SELECT * FROM {t} WHERE hash({key} + {seed}) % {keep_mod} != 0) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    # lineitem: duplicate one slice, null out numerics on another
+    con.execute(
+        f"""
+        COPY (
+          SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                 CASE WHEN hash(l_orderkey * 7 + l_linenumber + {seed}) % 19 = 0
+                      THEN NULL ELSE l_extendedprice END AS l_extendedprice,
+                 CASE WHEN hash(l_orderkey * 11 + l_linenumber + {seed}) % 17 = 0
+                      THEN NULL ELSE l_discount END AS l_discount,
+                 l_tax, l_returnflag, l_linestatus, l_shipdate
+          FROM (
+            SELECT * FROM lineitem
+            UNION ALL
+            SELECT * FROM lineitem
+            WHERE hash(l_orderkey + {seed * 31}) % 13 = 0
+          )
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in ("region", "nation", "events", "documents", "embeddings"):
+        src = os.path.join(SRC, f"{t}.parquet")
+        con.execute(f"COPY (SELECT * FROM read_parquet('{src}')) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_tpch_fuzz_vs_duckdb(spark, tmp_path, seed):
+    sf_dir = _build_trial_dir(tmp_path, seed)
+    con = duckdb.connect()
+    for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        t = os.path.basename(path).replace(".parquet", "")
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name in TPCH:
+        got = qs[name](spark, sf_dir).toPandas()
+        want = con.execute(oracles[name]).fetchdf()
+        ok, note = compare(name, got, want)
+        if not ok:
+            failures.append(f"{name}: {note}")
+    con.close()
+    assert not failures, f"seed={seed} divergences:\n" + "\n".join(failures)

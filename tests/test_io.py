@@ -263,3 +263,55 @@ def test_write_parquet_zorder_prunes_on_both_columns(spark, tmp_path):
             f"{col}: point {point} overlaps {hit}/{len(ranges)} files — no clustering"
         )
     assert read_parquet(spark, out).df.count() == li.df.count()
+
+
+def test_write_parquet_zorder_refuses_non_numeric(spark, tmp_path):
+    """ADVICE r5: a string column would min-max scale to all-NULL and
+    silently contribute nothing to the Morton code — refuse instead."""
+    import pandas as pd
+    import pytest
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.readers import write_parquet_zorder
+
+    f = from_pandas(
+        spark, pd.DataFrame({"k": [1, 2], "s": ["a", "b"]})
+    )
+    with pytest.raises(TypeError, match="non-numeric"):
+        write_parquet_zorder(f, str(tmp_path / "z"), cols=["k", "s"])
+
+
+def test_write_parquet_zorder_date_column(spark, tmp_path):
+    """date columns order numerically via the timestamp route."""
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.readers import write_parquet_zorder
+
+    pdf = pd.DataFrame(
+        {
+            "k": range(100),
+            "d": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(100), unit="D"),
+        }
+    )
+    pdf["d"] = pdf["d"].dt.date
+    f = from_pandas(spark, pdf)
+    out = str(tmp_path / "zd")
+    write_parquet_zorder(f, out, cols=["k", "d"], num_files=4)
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+
+
+def test_write_parquet_zorder_all_null_column_raises(spark, tmp_path):
+    import pandas as pd
+    import pytest
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.readers import write_parquet_zorder
+
+    from cuplyr_spark.frame import Frame
+
+    df = spark.createDataFrame([(1, None), (2, None)], "k long, n double")
+    with pytest.raises(ValueError, match="NULL min/max"):
+        write_parquet_zorder(Frame(df, ()), str(tmp_path / "zn"), cols=["k", "n"])

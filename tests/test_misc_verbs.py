@@ -312,3 +312,84 @@ def test_rows_family_semantics(spark):
     y2 = from_pandas(spark, pd.DataFrame({"k": [3], "v": ["filled"]}))
     pat2 = x.rows_patch(y2, by="k").collect().set_index("k").sort_index()
     assert pat2["v"].tolist() == ["a", "b", "filled"]
+
+
+def test_rows_family_default_key_is_first_y_column(spark):
+    """ADVICE r5 (medium): with by=None the rows_* key defaults to y's
+    FIRST column (dplyr's documented default) — NOT a natural join on
+    all common columns, which for same-schema frames made the payload
+    empty and rows_update a silent no-op."""
+    x = from_pandas(
+        spark, pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    )
+    y = from_pandas(spark, pd.DataFrame({"k": [2, 9], "v": ["B", "z"]}))
+
+    upd = x.rows_update(y).collect().set_index("k").sort_index()
+    assert upd["v"].tolist() == ["a", "B", "c"]  # k=2 actually updated
+
+    ups = x.rows_upsert(y).collect().set_index("k").sort_index()
+    assert ups["v"].tolist() == ["a", "B", "c", "z"]
+
+    dele = x.rows_delete(y).collect()
+    assert sorted(dele["k"].tolist()) == [1, 3]
+
+    ins = x.rows_insert(y).collect()
+    assert sorted(ins["k"].tolist()) == [1, 2, 3, 9]
+
+
+def test_rows_update_empty_payload_raises(spark):
+    """Explicit by= covering every column leaves nothing to merge —
+    raise instead of silently returning x unchanged."""
+    x = from_pandas(spark, pd.DataFrame({"k": [1], "v": ["a"]}))
+    y = from_pandas(spark, pd.DataFrame({"k": [1], "v": ["B"]}))
+    with pytest.raises(ValueError, match="no non-key"):
+        x.rows_update(y, by=["k", "v"])
+
+
+def test_profile_quoted_column_name(spark):
+    """ADVICE r5: a column name containing a single quote must survive
+    the stack() literal interpolation (the old escape was a no-op)."""
+    pdf = pd.DataFrame({"it's": [1, 2, None], "b": ["x", "y", "z"]})
+    f = from_pandas(spark, pdf)
+    prof = f.profile().collect().set_index("column")
+    assert set(prof.index) == {"it's", "b"}
+    assert int(prof.loc["it's", "n_nulls"]) == 1
+    assert int(prof.loc["it's", "n_distinct"]) == 2
+
+
+def test_nest_join_name_collision_raises(spark):
+    """ADVICE r5: nest_join(name=) colliding with a left column would
+    produce two same-named columns with ambiguous resolution."""
+    left = from_pandas(spark, pd.DataFrame({"k": [1], "y": ["taken"]}))
+    right = from_pandas(spark, pd.DataFrame({"k": [1, 1], "val": [10, 20]}))
+    with pytest.raises(ValueError, match="collides"):
+        left.nest_join(right, by="k", name="y")
+    out = left.nest_join(right, by="k", name="packed").collect()
+    assert len(out.loc[0, "packed"]) == 2
+
+
+def test_group_modify_largest_group_advisory(spark):
+    """VERDICT r5 item 8: the one Arrow escape hatch gets the same
+    estimate-and-warn guard as broadcast() — a degenerate single-group
+    frame over a tiny threshold must warn (and still compute)."""
+    import warnings as w
+
+    import pyspark.sql.functions as F
+
+    pdf = pd.DataFrame({"g": [1] * 500, "v": list(range(500))})
+    f = from_pandas(spark, pdf).group_by("g")
+
+    def head1(d):
+        return d.head(1)
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        out = f.group_modify(head1, "g long, v long", max_group_bytes=64).collect()
+    assert len(out) == 1
+    assert any("largest group" in str(r.message) for r in rec)
+
+    # under the threshold -> no probe, no warning
+    with w.catch_warnings(record=True) as rec2:
+        w.simplefilter("always")
+        f.group_modify(head1, "g long, v long").collect()
+    assert not [r for r in rec2 if "largest group" in str(r.message)]

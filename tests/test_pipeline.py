@@ -238,6 +238,35 @@ def test_ivf_recall_vs_bruteforce(spark):
             assert abs(es[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
 
 
+def test_ivf_staged_centroids_identical_to_inline(spark, tmp_path):
+    """VERDICT r5 item 3: the centroids= stage-once path (train once,
+    parquet round-trip, reuse) must return exactly the inline path's
+    results — same contract as sigs= and pre_quantized=."""
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.pipeline.similarity import ivf_centroids, ivf_cosine_topk
+    from cuplyr_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    inline = ivf_cosine_topk(
+        emb, k=5, n_cells=8, n_probe=3, refine_iters=1, query_filter="vec_id < 5"
+    ).collect()
+
+    cdir = str(tmp_path / "centroids")
+    ivf_centroids(emb, n_cells=8, refine_iters=1).df.write.parquet(cdir)
+    staged = ivf_cosine_topk(
+        emb,
+        k=5,
+        n_probe=3,
+        query_filter="vec_id < 5",
+        centroids=Frame(spark.read.parquet(cdir), ()),
+    ).collect()
+
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "neighbor_id", "score", "rank"]].values)
+    )
+    assert key(inline) == key(staged)
+
+
 def test_gopher_flags_semantics(spark):
     long_good = " ".join(["lorem", "ipsum", "dolor", "sitam"] * 15)  # 60 words, mwl 5
     symbol_heavy = " ".join(["###"] * 60)
@@ -680,6 +709,16 @@ def test_normalize_url_rules(spark):
         "http://other.org/a?id=3&utm_campaign=z": "http://other.org/a?id=3",
         # utm first, real param second: leading ? re-attaches
         "http://a.io/p?utm_x=1": "http://a.io/p",
+        # ADVICE r5: tracked param LEADS the query string — the '?'
+        # must survive for the real param, so both orders converge
+        "http://a.io/p?utm_source=t&x=1": "http://a.io/p?x=1",
+        "http://a.io/p?x=1&utm_source=t": "http://a.io/p?x=1",
+        # two leading tracked params then a real one
+        "http://a.io/p?utm_a=1&utm_b=2&x=1": "http://a.io/p?x=1",
+        # tracked params only
+        "http://a.io/p?utm_a=1&utm_b=2": "http://a.io/p",
+        # tracked leading, gclid trailing, real in the middle
+        "http://a.io/p?utm_a=1&x=1&gclid=g": "http://a.io/p?x=1",
     }
     f = from_pandas(
         spark, pd.DataFrame({"url": list(cases)})
