@@ -55,6 +55,48 @@ from cuplyr_spark.operators.skew import salted_join, salted_summarise
 from cuplyr_spark.session import get_session
 from scale_rehearsal_dedup import _worst, stage_straggler_report
 
+
+def shuffle_row_imbalance(spark) -> list[dict]:
+    """Per-stage max/median SHUFFLE READ ROWS per task — the
+    scale-invariant skew signal. local[32] runs all tasks on shared
+    cores, so wall-clock ratios understate skew (the median inflates
+    under CPU contention); row placement is what survives a 1000-
+    executor scale-up, where an idle cluster waits on the one fat
+    task."""
+    import urllib.request
+
+    app_id = spark.sparkContext.applicationId
+    base = f"http://localhost:4040/api/v1/applications/{app_id}"
+    try:
+        with urllib.request.urlopen(f"{base}/stages?status=complete", timeout=10) as r:
+            stages = json.load(r)
+    except Exception as e:  # pragma: no cover
+        return [{"error": f"UI REST unavailable: {e}"}]
+    out = []
+    for st in stages:
+        if st.get("numCompleteTasks", 0) < 8:
+            continue
+        try:
+            url = (f"{base}/stages/{st['stageId']}/{st['attemptId']}/taskSummary"
+                   "?quantiles=0.5,1.0")
+            with urllib.request.urlopen(url, timeout=10) as r:
+                q = json.load(r)
+            med, mx = q["shuffleReadMetrics"]["readRecords"]
+            if mx > 0:
+                out.append({
+                    "stage": st["stageId"], "tasks": st["numCompleteTasks"],
+                    "median_rows": int(med), "max_rows": int(mx),
+                    "row_ratio": round(mx / med, 1) if med > 0 else None,
+                })
+        except Exception:
+            continue
+    return out
+
+
+def _worst_rows(imb: list[dict]) -> float | None:
+    return max((s.get("row_ratio") or 0 for s in imb if isinstance(s, dict)),
+               default=None)
+
 HOT_FRAC_MOD = 10          # id % 10 < 3  -> 30% of rows on the hot key
 KEY_SPACE = 1_000_000      # cold keys
 RIGHT_ROWS = 2_000_000     # dim side: too big to broadcast (forced)
@@ -112,7 +154,8 @@ def phase_agg_plain(n: int) -> dict:
     chk = _agg_checksum(out)
     sec = time.perf_counter() - t0
     return {"phase": "agg_plain", "sec": round(sec, 1), "checksum": chk,
-            "stragglers": stage_straggler_report(spark)}
+            "stragglers": stage_straggler_report(spark),
+            "row_imbalance": shuffle_row_imbalance(spark)}
 
 
 def phase_agg_salted(n: int) -> dict:
@@ -126,7 +169,8 @@ def phase_agg_salted(n: int) -> dict:
     chk = _agg_checksum(out.df)
     sec = time.perf_counter() - t0
     return {"phase": "agg_salted", "sec": round(sec, 1), "checksum": chk,
-            "stragglers": stage_straggler_report(spark)}
+            "stragglers": stage_straggler_report(spark),
+            "row_imbalance": shuffle_row_imbalance(spark)}
 
 
 def _join_checksum(joined) -> dict:
@@ -144,7 +188,8 @@ def phase_join_plain_noaqe(n: int) -> dict:
     chk = _join_checksum(joined)
     sec = time.perf_counter() - t0
     return {"phase": "join_plain_noaqe", "sec": round(sec, 1), "checksum": chk,
-            "stragglers": stage_straggler_report(spark)}
+            "stragglers": stage_straggler_report(spark),
+            "row_imbalance": shuffle_row_imbalance(spark)}
 
 
 def phase_join_salted(n: int) -> dict:
@@ -156,7 +201,8 @@ def phase_join_salted(n: int) -> dict:
     chk = _join_checksum(joined.df)
     sec = time.perf_counter() - t0
     return {"phase": "join_salted", "sec": round(sec, 1), "checksum": chk,
-            "stragglers": stage_straggler_report(spark)}
+            "stragglers": stage_straggler_report(spark),
+            "row_imbalance": shuffle_row_imbalance(spark)}
 
 
 def phase_join_plain_aqe(n: int) -> dict:
@@ -166,7 +212,8 @@ def phase_join_plain_aqe(n: int) -> dict:
     chk = _join_checksum(joined)
     sec = time.perf_counter() - t0
     return {"phase": "join_plain_aqe", "sec": round(sec, 1), "checksum": chk,
-            "stragglers": stage_straggler_report(spark)}
+            "stragglers": stage_straggler_report(spark),
+            "row_imbalance": shuffle_row_imbalance(spark)}
 
 
 PHASES = {
@@ -209,6 +256,7 @@ def main() -> None:
                   for p in ("join_plain_noaqe", "join_salted", "join_plain_aqe"))
     join_match = jp == js == ja
     straggler = {p: _worst(results[p]["stragglers"]) for p in PHASES}
+    row_ratio = {p: _worst_rows(results[p]["row_imbalance"]) for p in PHASES}
 
     summary = {
         "n_rows": n,
@@ -216,13 +264,14 @@ def main() -> None:
         "n_salts": N_SALTS,
         **{f"{p}_sec": results[p]["sec"] for p in PHASES},
         "straggler_ratio": straggler,
+        "shuffle_row_ratio": row_ratio,
         "agg_checksum_match": agg_match,
         "join_checksum_match": join_match,
     }
     print(json.dumps(summary))
     print()
-    print("| phase | wall s | worst max/median | note |")
-    print("|---|---|---|---|")
+    print("| phase | wall s | worst task-time max/median | shuffle-rows max/median | note |")
+    print("|---|---|---|---|---|")
     notes = {
         "agg_plain": "partial agg combines the hot key map-side",
         "agg_salted": "two-level salted agg (16 salts)",
@@ -231,15 +280,16 @@ def main() -> None:
         "join_plain_aqe": "Spark 4 defaults (AQE skew split ON)",
     }
     for p in PHASES:
-        print(f"| {p} | {results[p]['sec']} | {straggler[p]} | {notes[p]} |")
+        print(f"| {p} | {results[p]['sec']} | {straggler[p]} | {row_ratio[p]} | {notes[p]} |")
     print(f"| checksums | agg {'MATCH' if agg_match else 'MISMATCH'} | "
-          f"join {'MATCH' if join_match else 'MISMATCH'} | "
+          f"join {'MATCH' if join_match else 'MISMATCH'} | — | "
           "salting must never change results |")
 
     ok = (
         agg_match and join_match
         and (straggler["join_salted"] or 0) < 10
-        and results["join_salted"]["sec"] > 0
+        and (row_ratio["join_salted"] or 99) < 3      # salt bounds placement
+        and (row_ratio["join_plain_noaqe"] or 0) > 5  # the hazard is real
     )
     print(f"REHEARSAL {'PASS' if ok else 'FAIL'}")
     sys.exit(0 if ok else 1)
