@@ -2932,9 +2932,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "expr_in_aggregate": """
+            -- CAST(bool AS INT), not CASE..ELSE 0: a NULL operand must
+            -- stay NULL so avg/sum EXCLUDE it (the engine's NA rule,
+            -- reference §2.6) instead of counting it as false.
             SELECT l_returnflag,
-                   CAST(sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
-                   round(avg(CASE WHEN l_discount < 0.03 THEN 1 ELSE 0 END), 6) AS frac_low_disc
+                   CAST(sum(CAST(l_quantity > 40 AS INT)) AS BIGINT) AS n_big,
+                   round(avg(CAST(l_discount < 0.03 AS INT)), 6) AS frac_low_disc
             FROM lineitem GROUP BY l_returnflag
         """,
         "ungrouped_summarise": """

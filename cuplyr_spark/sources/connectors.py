@@ -295,3 +295,39 @@ def upsert_snapshot(
         frame.df.select(*current.df.columns)
     )
     return write_snapshot(Frame(merged, ()), table_dir)
+
+
+def vacuum_snapshots(
+    table_dir: str, keep_last: int = 2, spark: SparkSession | None = None
+) -> list[int]:
+    """Garbage-collect old snapshot versions, completing the table
+    lifecycle (publish → read → time travel → merge → **vacuum**; the
+    analog of Delta VACUUM / Iceberg expire_snapshots, reduced to the
+    one-pointer design).
+
+    Keeps the newest ``keep_last`` version directories; the PUBLISHED
+    version is always kept regardless (a regressed pointer must never
+    dangle). Orphan ``v=`` dirs from crashed writers age out like any
+    other version. Deletion goes through the same filesystem as the
+    data (``_TableFS``), so vacuuming works wherever snapshots do.
+    Single-writer contract as everywhere in this layer: vacuum while a
+    concurrent writer publishes is out of scope. Returns the versions
+    removed (ascending)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs = _TableFS(table_dir, spark)
+    versions = snapshot_versions(table_dir)
+    published = latest_snapshot_version(table_dir)
+    keep = set(versions[-keep_last:])
+    if published is not None:
+        keep.add(published)
+    doomed = [v for v in versions if v not in keep]
+    for v in doomed:
+        target = fs.join(f"v={v}")
+        if fs.remote:
+            fs._fs.delete(fs._jpath(target), True)
+        else:
+            import shutil
+
+            shutil.rmtree(target)
+    return doomed

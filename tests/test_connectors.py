@@ -153,3 +153,57 @@ def test_snapshot_upsert_schema_guard(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="schema mismatch"):
         upsert_snapshot(spark, bad, d, key="k")
+
+
+def test_vacuum_snapshots(spark, tmp_path):
+    """vacuum keeps the newest keep_last versions plus (always) the
+    published one; time travel to vacuumed versions dies, the rest
+    live on. Exercised on both the local and the Hadoop (file://)
+    path."""
+    import pandas as pd
+    import pytest
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "vac")
+    for i in range(4):
+        write_snapshot(
+            from_pandas(spark, pd.DataFrame({"k": list(range(i + 1))})), d
+        )
+    assert snapshot_versions(d) == [1, 2, 3, 4]
+
+    removed = vacuum_snapshots(d, keep_last=2)
+    assert removed == [1, 2]
+    assert snapshot_versions(d) == [3, 4]
+    assert len(read_snapshot(spark, d).collect()) == 4  # published intact
+    assert len(read_snapshot(spark, d, version=3).collect()) == 3
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, d, version=1)
+
+    # published version survives even when keep_last would drop it:
+    # regress the pointer to v3, then vacuum keep_last=1
+    import os
+
+    with open(os.path.join(d, "_LATEST"), "w") as f:
+        f.write("3")
+    assert vacuum_snapshots(d, keep_last=1) == []  # 4 is newest, 3 published
+    assert snapshot_versions(d) == [3, 4]
+
+    with pytest.raises(ValueError):
+        vacuum_snapshots(d, keep_last=0)
+
+    # Hadoop route: same semantics under file://
+    d2 = str(tmp_path / "vac2")
+    for i in range(3):
+        write_snapshot(
+            from_pandas(spark, pd.DataFrame({"k": [i]})), "file://" + d2
+        )
+    assert vacuum_snapshots("file://" + d2, keep_last=1, spark=spark) == [1, 2]
+    assert snapshot_versions(d2) == [3]
+    assert len(read_snapshot(spark, "file://" + d2).collect()) == 1

@@ -93,6 +93,53 @@ def _build_trial_dir(tmp_path, seed: int) -> str:
     return out
 
 
+# Verb-family queries that read the perturbed TPC-H tables: the
+# NULL-injected / duplicated lineitem exercises NULL semantics in
+# aggregates, windows, quantiles, and the arrange NA rule; the sampled
+# dims exercise join fanout under dangling keys. bind_cols is excluded
+# (documented order-fragile divergence, SURVEY §7).
+VERB_QUERIES = [
+    "filter_select", "select_where_numeric", "filter_col_op_col",
+    "mutate_arithmetic", "mutate_if_else", "arrange_topk",
+    "group_summarise", "expr_in_aggregate", "ungrouped_summarise",
+    "inner_join", "left_join", "right_join", "full_join",
+    "semi_join", "anti_join", "multikey_self_join",
+    "bind_rows", "distinct", "count", "intersect_setdiff",
+    "date_parts", "date_functions", "workflow_complete",
+    "join_agg_pipeline", "pivot_wider", "pivot_longer", "cast_types",
+    "median", "quantile_agg", "grouped_mutate", "salted_agg",
+    "salted_join", "standardize", "histogram",
+    "window_topn_per_group", "rollup_agg", "cube_agg", "nest_unnest",
+    "slice_head_grouped", "complete_fill", "profile_lineitem",
+    "rows_upsert", "rows_patch", "rows_delete", "fill_down",
+    "unite_separate", "train_test_split", "stratified_sample",
+    "arrange_collated", "nest_join",
+]
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_verb_fuzz_vs_duckdb(spark, tmp_path, seed):
+    """Verb family over a perturbed dataset — one seed (the TPC-H
+    family carries two; CI time bounds the product)."""
+    sf_dir = _build_trial_dir(tmp_path, seed)
+    con = duckdb.connect()
+    for path in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        t = os.path.basename(path).replace(".parquet", "")
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name in VERB_QUERIES:
+        got = qs[name](spark, sf_dir).toPandas()
+        want = con.execute(oracles[name]).fetchdf()
+        ok, note = compare(name, got, want)
+        if not ok:
+            failures.append(f"{name}: {note}")
+    con.close()
+    assert not failures, f"seed={seed} divergences:\n" + "\n".join(failures)
+
+
 @pytest.mark.parametrize("seed", [11, 42])
 def test_tpch_fuzz_vs_duckdb(spark, tmp_path, seed):
     sf_dir = _build_trial_dir(tmp_path, seed)
