@@ -2308,6 +2308,19 @@ def q_ivf_staged_centroids(spark, sf_dir):
     ).df
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """K-means cluster assignments over the embedding column — the
+    topic-balancing primitive (cluster-balanced sampling, per-cluster
+    quotas). refine_iters=0 keeps centroids exact data vectors so the
+    DuckDB oracle replays assignment bit-for-bit; Lloyd-refined
+    clustering is covered by test_pipeline (same FP-summation caveat
+    as ivf_cosine_topk)."""
+    from cuplyr_spark.pipeline.similarity import cluster_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_embeddings(emb, n_cells=16, refine_iters=0).df
+
+
 def q_complete_fill(spark, sf_dir):
     """tidyr complete(): restore missing (status, priority) combos
     after a selective filter, count surviving orders per cell (0 for
@@ -2754,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_centroid": q_vector_centroid,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "ivf_staged_centroids": q_ivf_staged_centroids,
+        "embedding_clusters": q_embedding_clusters,
         "complete_fill": q_complete_fill,
         "doc_chunks": q_doc_chunks,
         "doc_classifier": q_doc_classifier,
@@ -3645,6 +3659,21 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY score DESC, neighbor_id) AS INT) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "embedding_clusters": f"""
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (
+              SELECT CAST(row_number() OVER (ORDER BY h) AS INT) AS cell, v AS c
+              FROM (SELECT v, {_H64.format(x="CAST(vec_id AS VARCHAR)")} AS h
+                    FROM base ORDER BY h LIMIT 16)
+            )
+            SELECT vec_id, cell, round(rawsim, 6) AS sim FROM (
+              SELECT b.vec_id, c.cell,
+                     {_COS_RAW.format(a="b.v", b="c.c")} AS rawsim,
+                     row_number() OVER (PARTITION BY b.vec_id
+                                        ORDER BY {_COS_RAW.format(a="b.v", b="c.c")} DESC, c.cell) AS rn
+              FROM base b CROSS JOIN cent c)
+            WHERE rn = 1
         """,
         "embedding_label_centroid_sim": """
             SELECT label,

@@ -211,3 +211,45 @@ def streaming_dedup_within_watermark(
     space is small enough to hold)."""
     ks = [keys] if isinstance(keys, str) else list(keys)
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(ks)
+
+
+def stream_upsert_snapshot(
+    stream: DataFrame,
+    table_dir: str,
+    key: str | list[str],
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Continuous ingest into a snapshot table: each microbatch is
+    MERGEd (``connectors.upsert_snapshot`` — update matched keys,
+    insert new ones) and published atomically, so a reader of the
+    table always sees a complete version and time travel covers every
+    batch boundary.
+
+    This is the streaming→lakehouse bridge (Delta's streaming MERGE
+    sink, on the jar-free snapshot layer): `foreachBatch` gives the
+    batch-side engine full verb access per microbatch, and the source
+    checkpoint makes delivery effectively exactly-once *per key* — a
+    replayed batch re-upserts the same keys, which is idempotent, the
+    standard recipe for exactly-once MERGE sinks. Single-writer like
+    the rest of the snapshot layer: one streaming query per table.
+
+    Returns the started StreamingQuery; with ``trigger_once`` it
+    drains available input and stops (incremental-batch scheduling).
+    """
+    from cuplyr_spark.sources.connectors import upsert_snapshot
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            upsert_snapshot(
+                batch_df.sparkSession, Frame(batch_df, ()), table_dir, key
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -73,6 +73,8 @@ QUERIES = [
     "embedding_quantize",
     "quantized_cosine_topk",
     "ivf_cosine_topk",
+    "ivf_staged_centroids",
+    "embedding_clusters",
     "lsh_cosine_topk",
 ]
 

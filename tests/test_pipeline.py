@@ -894,3 +894,29 @@ def test_quantized_topk_staged_equals_on_the_fly(spark):
         S.quantized_cosine_topk(
             _F(staged_codes, ()), k=3, query_filter="vec_id < 3", pre_quantized=True
         )
+
+
+def test_cluster_embeddings_partitions_corpus(spark, tmp_path):
+    """Every vector gets exactly one cell; staged centroids reproduce
+    the inline assignment; cluster sizes sum to the corpus."""
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.pipeline.similarity import (
+        cluster_embeddings,
+        ivf_centroids,
+    )
+    from cuplyr_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.df.count()
+    inline = cluster_embeddings(emb, n_cells=8, refine_iters=1).collect()
+    assert len(inline) == n
+    assert inline["vec_id"].is_unique
+    assert inline["cell"].nunique() <= 8
+
+    cdir = str(tmp_path / "cc")
+    ivf_centroids(emb, n_cells=8, refine_iters=1).df.write.parquet(cdir)
+    staged = cluster_embeddings(
+        emb, centroids=Frame(spark.read.parquet(cdir), ())
+    ).collect()
+    key = lambda df: sorted(map(tuple, df[["vec_id", "cell", "sim"]].values))
+    assert key(inline) == key(staged)

@@ -158,6 +158,7 @@ EXCHANGE_BUDGETS = {
     "vector_centroid": 2,       # per-(group,dim) partial agg + reassembly
     "ivf_cosine_topk": 3,       # was 11 in r1; seed/assign/probe after checkpoint fix
     "ivf_staged_centroids": 3,  # r6: staged parquet centroids broadcast; assign/probe/rank windows
+    "embedding_clusters": 2,    # r6: centroid broadcast; one id-keyed assignment window
     "complete_fill": 2,         # per-key distinct grids + grid join
     "date_functions": 0,
     "quantile_agg": 1,

@@ -300,3 +300,59 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     run_to_memory(out, "t_ddww")
     got = spark.sql("SELECT k FROM t_ddww").collect()
     assert sorted(r.k for r in got) == [1, 2, 3]  # one survivor per key
+
+
+def test_stream_upsert_snapshot_merge_sink(spark, tmp_path):
+    """Streaming -> snapshot-table MERGE sink: per-microbatch keyed
+    upsert with atomic versioned publish. Batch 2 updates a batch-1
+    key and inserts a new one; the table's published version reflects
+    the merge and time travel still reaches the pre-merge state.
+    Replayed keys are idempotent (exactly-once per key)."""
+    import os
+
+    import pandas as pd
+
+    from cuplyr_spark.sources.connectors import (
+        read_snapshot,
+        snapshot_versions,
+    )
+    from cuplyr_spark.streaming.stream import stream_upsert_snapshot
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}).to_parquet(
+        f"{src}/b0.parquet", index=False
+    )
+    q = stream_upsert_snapshot(
+        spark.readStream.schema("k long, v string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src),
+        table, key="k", checkpoint=ckpt,
+    )
+    q.awaitTermination()
+
+    got = read_snapshot(spark, table).collect().sort_values("k")
+    assert got["v"].tolist() == ["a", "b"]
+
+    # second batch: update k=2, insert k=3 — restart drains only NEW files
+    pd.DataFrame({"k": [2, 3], "v": ["B", "c"]}).to_parquet(
+        f"{src}/b1.parquet", index=False
+    )
+    q = stream_upsert_snapshot(
+        spark.readStream.schema("k long, v string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src),
+        table, key="k", checkpoint=ckpt,
+    )
+    q.awaitTermination()
+
+    got = read_snapshot(spark, table).collect().sort_values("k")
+    assert got["v"].tolist() == ["a", "B", "c"]
+    # one version per non-empty microbatch, all time-travelable
+    vers = snapshot_versions(table)
+    assert len(vers) >= 2
+    first = read_snapshot(spark, table, version=vers[0]).collect()
+    assert sorted(first["k"].tolist()) == [1, 2]
