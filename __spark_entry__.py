@@ -2308,6 +2308,34 @@ def q_ivf_staged_centroids(spark, sf_dir):
     ).df
 
 
+def q_ivf_index_search(spark, sf_dir):
+    """Full stage-once IVF deployment shape: centroids trained once,
+    the INDEX (corpus + cell) written as cell-PARTITIONED parquet,
+    search reads it back with the probe cells as a partition-pruning
+    isin filter — a query batch reads ~n_probe/n_cells of the corpus
+    bytes. Must return exactly the inline path's results (same oracle
+    as ivf_cosine_topk)."""
+    import tempfile
+
+    from cuplyr_spark.pipeline.similarity import (
+        ivf_centroids,
+        ivf_cosine_topk,
+        ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_cells=16, refine_iters=0)
+    d = tempfile.mkdtemp(prefix="ivf_index_")
+    ivf_index(emb, centroids=cents).df.write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(d)
+    idx = Frame(spark.read.parquet(d), ())
+    return ivf_cosine_topk(
+        emb, k=5, n_probe=4, query_filter="vec_id < 10",
+        centroids=cents, index=idx,
+    ).df
+
+
 def q_embedding_clusters(spark, sf_dir):
     """K-means cluster assignments over the embedding column — the
     topic-balancing primitive (cluster-balanced sampling, per-cluster
@@ -2767,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_centroid": q_vector_centroid,
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "ivf_staged_centroids": q_ivf_staged_centroids,
+        "ivf_index_search": q_ivf_index_search,
         "embedding_clusters": q_embedding_clusters,
         "complete_fill": q_complete_fill,
         "doc_chunks": q_doc_chunks,
@@ -4609,6 +4638,7 @@ def oracle_sql() -> dict[str, str]:
     # path returns (same cells, same probes, same scores) — one oracle
     # serves both, which is itself the assertion.
     out["ivf_staged_centroids"] = out["ivf_cosine_topk"]
+    out["ivf_index_search"] = out["ivf_cosine_topk"]
     return out
 
 

@@ -156,9 +156,9 @@ EXCHANGE_BUDGETS = {
     "slice_head_grouped": 1,
     "string_functions": 0,
     "vector_centroid": 2,       # per-(group,dim) partial agg + reassembly
-    "ivf_cosine_topk": 3,       # was 11 in r1; seed/assign/probe after checkpoint fix
-    "ivf_staged_centroids": 3,  # r6: staged parquet centroids broadcast; assign/probe/rank windows
-    "embedding_clusters": 2,    # r6: centroid broadcast; one id-keyed assignment window
+    "ivf_cosine_topk": 1,       # r6: literal-centroid map-side assign/probe — only the rank window exchanges
+    "ivf_staged_centroids": 1,  # r6: literal staged centroids; only the rank window exchanges
+    "embedding_clusters": 0,    # r6: literal-centroid greatest() argmax — pure map
     "complete_fill": 2,         # per-key distinct grids + grid join
     "date_functions": 0,
     "quantile_agg": 1,
