@@ -36,6 +36,26 @@ from cuplyr_spark.pipeline import text as TX
 
 _TABLE_CACHE: dict[tuple[str, str], Frame] = {}
 
+_SCRATCH: list[str] = []
+
+
+def _scratch_dir(name: str) -> str:
+    """Per-process scratch dir for stage-once queries (IVF centroids /
+    index parquet round-trips). One ``mkdtemp`` per process, fixed
+    subdirs per query written with ``mode("overwrite")`` — repeated
+    contract/fuzz sweeps reuse the same paths instead of leaking a new
+    directory per call, and ``atexit`` removes the whole tree. Keeps
+    the verification queries from writing anywhere near ``sf_dir``."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH:
+        root = tempfile.mkdtemp(prefix="cuplyr_stage_")
+        _SCRATCH.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(_SCRATCH[0], name)
+
 
 def _par(spark: SparkSession, frame: Frame) -> Frame:
     """Spread a small single-row-group scan across cores before
@@ -2293,12 +2313,10 @@ def q_ivf_staged_centroids(spark, sf_dir):
     ``centroids=``. Must be bit-identical to the inline ivf_cosine_topk
     path (same oracle SQL serves both). Mirrors the ``sigs=`` (MinHash)
     and ``pre_quantized=`` (int8) stage-once contracts."""
-    import tempfile
-
     from cuplyr_spark.pipeline.similarity import ivf_centroids, ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    staged_dir = tempfile.mkdtemp(prefix="ivf_cent_")
+    staged_dir = _scratch_dir("ivf_cent")
     ivf_centroids(emb, n_cells=16, refine_iters=0).df.write.mode(
         "overwrite"
     ).parquet(staged_dir)
@@ -2315,8 +2333,6 @@ def q_ivf_index_search(spark, sf_dir):
     isin filter — a query batch reads ~n_probe/n_cells of the corpus
     bytes. Must return exactly the inline path's results (same oracle
     as ivf_cosine_topk)."""
-    import tempfile
-
     from cuplyr_spark.pipeline.similarity import (
         ivf_centroids,
         ivf_cosine_topk,
@@ -2325,7 +2341,7 @@ def q_ivf_index_search(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = ivf_centroids(emb, n_cells=16, refine_iters=0)
-    d = tempfile.mkdtemp(prefix="ivf_index_")
+    d = _scratch_dir("ivf_index")
     ivf_index(emb, centroids=cents).df.write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(d)
@@ -2333,6 +2349,34 @@ def q_ivf_index_search(spark, sf_dir):
     return ivf_cosine_topk(
         emb, k=5, n_probe=4, query_filter="vec_id < 10",
         centroids=cents, index=idx,
+    ).df
+
+
+def q_ivf_index_append(spark, sf_dir):
+    """Incremental IVF maintenance: the index is built from the FIRST
+    HALF of the corpus only (vec_id % 2 = 0), the second half arrives
+    later and is appended with ``ivf_index_append`` (map-side cell
+    assignment, cost proportional to the delta — the existing index
+    rows never recompute). Searching the appended index must equal the
+    inline full-corpus path exactly, so it shares ivf_cosine_topk's
+    oracle. Centroids are trained on the full corpus (the staged
+    stage-once artifact both halves share)."""
+    from cuplyr_spark.pipeline.similarity import (
+        ivf_centroids,
+        ivf_cosine_topk,
+        ivf_index,
+        ivf_index_append,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_cells=16, refine_iters=0)
+    first = emb.filter("vec_id % 2 = 0")
+    late = emb.filter("vec_id % 2 = 1")
+    idx = ivf_index(first, centroids=cents)
+    full = ivf_index_append(idx, late, centroids=cents)
+    return ivf_cosine_topk(
+        emb, k=5, n_probe=4, query_filter="vec_id < 10",
+        centroids=cents, index=full,
     ).df
 
 
@@ -2389,6 +2433,16 @@ def q_dup_ngram_frac(spark, sf_dir):
         .select("doc_id", "n_ngrams", "n_dup_ngrams", "dup_ngram_frac")
         .df
     )
+
+
+def q_substring_dedup_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al.): per-document
+    token ranges whose every 5-token rolling window also occurs in
+    another document — the trimmable regions. One gram-keyed shuffle
+    (both occurrence windows share it) + one doc-keyed islands
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.substring_dup_spans(docs, k=5).df
 
 
 def q_embedding_quantize(spark, sf_dir):
@@ -2796,11 +2850,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": q_ivf_cosine_topk,
         "ivf_staged_centroids": q_ivf_staged_centroids,
         "ivf_index_search": q_ivf_index_search,
+        "ivf_index_append": q_ivf_index_append,
         "embedding_clusters": q_embedding_clusters,
         "complete_fill": q_complete_fill,
         "doc_chunks": q_doc_chunks,
         "doc_classifier": q_doc_classifier,
         "dup_ngram_frac": q_dup_ngram_frac,
+        "substring_dedup_spans": q_substring_dedup_spans,
         "embedding_quantize": q_embedding_quantize,
         "quantized_cosine_topk": q_quantized_cosine_topk,
         "arrange_collated": q_arrange_collated,
@@ -4331,6 +4387,37 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS dup_ngram_frac
             FROM cnt GROUP BY doc_id
         """,
+        "substring_dedup_spans": """
+            WITH g AS (
+              SELECT doc_id, pos,
+                     CAST(concat('0x', substr(md5(concat_ws(' ', t[pos+0], t[pos+1], t[pos+2], t[pos+3], t[pos+4])), 1, 15)) AS BIGINT) AS gh
+              FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                           unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1))) AS pos
+                    FROM documents)
+            ), dup AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY gh) AS cnt_all,
+                       count(*) OVER (PARTITION BY gh, doc_id) AS cnt_doc
+                FROM g)
+              WHERE cnt_all > cnt_doc
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS brk
+              FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), lab AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS span_id
+              FROM isl
+            )
+            SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+                   CAST(min(pos) AS INT) AS start_tok,
+                   CAST(max(pos) + 4 AS INT) AS end_tok,
+                   count(*) AS n_grams
+            FROM lab GROUP BY doc_id, span_id
+        """,
         "embedding_quantize": """
             SELECT vec_id,
                    round(CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END, 6) AS qscale,
@@ -4639,6 +4726,7 @@ def oracle_sql() -> dict[str, str]:
     # serves both, which is itself the assertion.
     out["ivf_staged_centroids"] = out["ivf_cosine_topk"]
     out["ivf_index_search"] = out["ivf_cosine_topk"]
+    out["ivf_index_append"] = out["ivf_cosine_topk"]
     return out
 
 

@@ -58,6 +58,11 @@ HEADLINE = [
     # join-path regression (lost broadcast, extra exchange, AQE
     # misplan) surfaces here round-over-round.
     "tpch_q9",
+    # r7: staged cell-partitioned IVF index read path (the 100 TB ANN
+    # deployment shape — centroid train + index write happen ONCE at
+    # plan build; each timed execution is the partition-pruned probe
+    # read + rescore, the per-query-batch cost a deployment pays).
+    "ivf_index_search",
 ]
 
 

@@ -78,6 +78,56 @@ def desc(col: str | Column) -> Desc:
     return Desc(col)
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst bottom-up size estimate from the ANALYZED plan.
+
+    Analyzed (not optimized) stats so no optimizer pass is forced just
+    for a guard; the estimate is conservative — filters don't shrink
+    it — which is the right bias for an OOM guard."""
+    try:
+        return int(df._jdf.queryExecution().analyzed().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def broadcast_guarded(
+    df: DataFrame, max_bytes: int | None = None, what: str = "broadcast"
+) -> DataFrame:
+    """Size-guarded ``F.broadcast`` — THE broadcast path for every
+    internal pipeline join (query sets, probe tables, decontamination
+    gram sets) as well as :meth:`Frame.broadcast`.
+
+    An explicit hint overrides Spark's size-based strategy choice and
+    every executor (plus the driver) materializes the whole relation,
+    with a hard 8 GB ceiling — so a hint on a side whose Catalyst
+    estimate exceeds ``max_bytes`` (default
+    :data:`Frame.BROADCAST_MAX_BYTES`) is DROPPED with a warning
+    rather than shipped: the plain join degrades gracefully and AQE
+    still broadcasts at runtime when the actual size turns out small.
+    The estimate is conservative (analyzed-plan stats ignore filters),
+    which matches the tpch_q5/q8/q10 precedent: a hint that Catalyst
+    can't PROVE small at the source should not ship.
+
+    ``max_bytes=0`` disables the check (the ``force=True`` of the
+    DataFrame-level path)."""
+    limit = Frame.BROADCAST_MAX_BYTES if max_bytes is None else max_bytes
+    if limit and limit > 0:
+        est = plan_size_bytes(df)
+        if est is not None and est > limit:
+            warnings.warn(
+                f"{what}: hint dropped — this side is estimated at "
+                f"~{est / 1e6:,.0f} MB (> {limit / 1e6:,.0f} MB). Every "
+                "executor materializes a broadcast relation in memory and "
+                "Spark rejects broadcasts over 8 GB; AQE will still "
+                "broadcast at runtime if the actual size is small. "
+                "Filter/project the small side first, or disable the guard "
+                "with max_bytes=0 if you know better than the estimate.",
+                stacklevel=3,
+            )
+            return df
+    return F.broadcast(df)
+
+
 def _as_column(x: Any) -> Column:
     """Interpret a verb argument as a Column expression.
 
@@ -536,26 +586,38 @@ class Frame:
         Per-group memory guard (the broadcast() pattern applied to the
         one Arrow escape hatch): if the frame's Catalyst size estimate
         exceeds ``max_group_bytes`` (default
-        :data:`GROUP_MODIFY_MAX_BYTES`), one cheap count-per-key probe
+        :data:`GROUP_MODIFY_MAX_BYTES`), one count-per-key probe
         estimates the LARGEST group's bytes as
         ``total_bytes * max_group_rows / total_rows`` and warns when it
         exceeds the threshold — a skewed key at 100× data scale then
         surfaces as an advisory instead of a Python-worker OOM. Frames
         estimated under the threshold skip the probe entirely (no group
         can exceed what the whole frame holds); ``max_group_bytes=0``
-        disables the check."""
+        disables the check.
+
+        The probe is NOT free on the frames it fires for: it is a full
+        scan + one groupBy shuffle + a scalar collect — roughly the
+        cost of the group_modify's own shuffle. It runs at most once
+        per (plan, groups): the result is memoized on this Frame (and
+        Frames are immutable), so chained/retried group_modify calls on
+        the same handle pay it once. Callers who already know the
+        keying is safe should pass ``max_group_bytes=0`` to skip both
+        the probe and the estimate."""
         if not self._groups:
             raise ValueError("group_modify requires group_by()")
         limit = self.GROUP_MODIFY_MAX_BYTES if max_group_bytes is None else max_group_bytes
         if limit and limit > 0:
             est = self._estimated_bytes()
             if est is not None and est > limit:
-                probe = (
-                    self._df.groupBy(*[_qcol(g) for g in self._groups])
-                    .count()
-                    .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
-                    .collect()[0]
-                )
+                probe = getattr(self, "_gm_probe", None)
+                if probe is None:
+                    probe = (
+                        self._df.groupBy(*[_qcol(g) for g in self._groups])
+                        .count()
+                        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+                        .collect()[0]
+                    )
+                    self._gm_probe = probe
                 if probe["tot"]:
                     biggest = est * probe["mx"] / probe["tot"]
                     if biggest > limit:
@@ -1435,38 +1497,18 @@ class Frame:
         propagation (cheap — no optimizer pass is forced just for the
         guard). Pass ``force=True`` if you genuinely know better than
         the estimate (e.g. highly selective filters Catalyst can't see
-        through); ``max_bytes=0`` disables the check entirely."""
-        limit = self.BROADCAST_MAX_BYTES if max_bytes is None else max_bytes
-        if limit and limit > 0 and not force:
-            est = self._estimated_bytes()
-            if est is not None and est > limit:
-                warnings.warn(
-                    f"broadcast(): hint dropped — this side is estimated at "
-                    f"~{est / 1e6:,.0f} MB (> {limit / 1e6:,.0f} MB). Every "
-                    "executor materializes a broadcast relation in memory and "
-                    "Spark rejects broadcasts over 8 GB; AQE will still "
-                    "broadcast at runtime if the actual size is small. Pass "
-                    "force=True to override, or filter/project the dimension "
-                    "first.",
-                    stacklevel=2,
-                )
-                return self
-        return Frame(F.broadcast(self._df), self._groups)
+        through); ``max_bytes=0`` disables the check entirely.
+
+        Shares its implementation with :func:`broadcast_guarded`, the
+        DataFrame-level path the pipeline modules (similarity, dedup)
+        use internally — one guard, every broadcast."""
+        eff = 0 if force else (self.BROADCAST_MAX_BYTES if max_bytes is None else max_bytes)
+        return Frame(
+            broadcast_guarded(self._df, eff, what="broadcast()"), self._groups
+        )
 
     def _estimated_bytes(self) -> int | None:
-        """Catalyst bottom-up size estimate from the analyzed plan.
-
-        Uses ``queryExecution().analyzed()`` stats rather than
-        ``optimizedPlan()`` so the guard does not force a full
-        optimizer run per call; the analyzed estimate is conservative
-        (filters don't shrink it), which is the right bias for an
-        OOM guard."""
-        try:
-            return int(
-                self._df._jdf.queryExecution().analyzed().stats().sizeInBytes()
-            )
-        except Exception:
-            return None
+        return plan_size_bytes(self._df)
 
     def repartition(self, n: int, *cols: str) -> Frame:
         if cols:

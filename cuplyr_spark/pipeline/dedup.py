@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
-from cuplyr_spark.frame import Frame
+from cuplyr_spark.frame import Frame, broadcast_guarded
 
 # Fixed affine-permutation constants for MinHash: h_i(x) = (a_i*x + b_i) % P.
 # P is a large prime below 2^31 so all arithmetic stays in exact int64.
@@ -483,7 +483,14 @@ def flag_contaminated(
             F.col(id_col),
             F.explode(_word_shingles(F.col(text_col), ngram)).alias(gram),
         )
-        .join(F.broadcast(bench_grams), on=gram, how="leftsemi")
+        .join(
+            # Guarded hint: an eval set too big to broadcast degrades
+            # to a shuffled semi-join + AQE instead of an executor OOM
+            # (the hashed variant below is the sanctioned big-eval path).
+            broadcast_guarded(bench_grams, what="decontamination gram set"),
+            on=gram,
+            how="leftsemi",
+        )
         .select(id_col)
         .distinct()
         .withColumn("contaminated", F.lit(True))
@@ -531,7 +538,11 @@ def flag_contaminated_hashed(
             F.explode(_word_shingles(F.col(text_col), ngram)).alias(gram),
         )
         .withColumn(gh, F.xxhash64(F.col(gram)))
-        .join(F.broadcast(bench_hashes), on=gh, how="leftsemi")
+        .join(
+            broadcast_guarded(bench_hashes, what="decontamination hash set"),
+            on=gh,
+            how="leftsemi",
+        )
     )
     hit_ids = (
         candidates.join(bench_grams, on=gram, how="leftsemi")
@@ -592,6 +603,132 @@ def with_dup_ngram_frac(
     return Frame(
         frame.df.join(per_doc, on=id_col, how="left"), frame.group_vars()
     )
+
+
+def substring_dup_spans(
+    frame: Frame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_grams: int = 1,
+) -> Frame:
+    """Exact-substring duplicate SPANS (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for each document,
+    the token-position ranges whose every ``k``-token rolling window
+    also occurs in at least one OTHER document — the regions a pipeline
+    can TRIM (see :func:`trim_dup_spans`) instead of dropping the whole
+    document, the one dedup modality ``with_dup_ngram_frac`` (a scalar
+    per-doc fraction) cannot express.
+
+    The reference paper builds a suffix array; the distributed
+    re-expression is a hashed rolling-window inverted index:
+
+    1. positional k-gram hashes ``(doc, pos, gh)`` — map-side explode,
+       16-byte rows (never the text);
+    2. cross-doc test per position with ONE gram-keyed shuffle: a
+       window over ``gh`` counts total occurrences and a second window
+       over ``(gh, doc)`` counts within-doc occurrences — partitioning
+       by ``gh`` already co-locates ``(gh, doc)``, so the second window
+       adds a sort but NO exchange. A position is duplicated iff the
+       gram occurs outside its own document (``cnt_all > cnt_doc`` —
+       within-doc repeats alone never flag);
+    3. gaps-and-islands over ``(doc, pos)`` (one doc-keyed shuffle of
+       the slim duplicated positions only) merges overlapping/adjacent
+       windows: a new span starts when ``pos - prev_pos > k``; the
+       island aggregate reuses the doc partitioning (no third
+       exchange).
+
+    Documents shorter than ``k`` tokens contribute their full text as
+    the position-1 window (the ``_word_shingles`` rule), so two short
+    identical documents still produce spans. Output: one row per span —
+    ``(id_col, span_id, start_tok, end_tok, n_grams)`` with token
+    positions 1-based inclusive (``end_tok = max_pos + k - 1``), spans
+    with fewer than ``min_grams`` windows dropped."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    gram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+    )
+    pos_grams = frame.df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"), _hash64(gram_at(i)).alias("gh")
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+    wg = Window.partitionBy("gh")
+    wgd = Window.partitionBy("gh", id_col)
+    dup = (
+        pos_grams.withColumn("cnt_all", F.count(F.lit(1)).over(wg))
+        .withColumn("cnt_doc", F.count(F.lit(1)).over(wgd))
+        .filter(F.col("cnt_all") > F.col("cnt_doc"))
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(wd)
+    islands = dup.withColumn(
+        "brk",
+        F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("brk").over(wd))
+    spans = (
+        islands.groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + (k - 1)).cast("int").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= min_grams)
+    )
+    return Frame(spans, ())
+
+
+def trim_dup_spans(
+    frame: Frame,
+    spans: Frame | None = None,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Frame:
+    """Remove the duplicated spans from each document's text — the
+    TRIM half of exact-substring dedup (the paper's remediation: cut
+    the duplicated bytes, keep the unique remainder).
+
+    ``spans`` defaults to :func:`substring_dup_spans` of the frame with
+    the same ``k``. Spans collapse to one slim array per doc (a
+    doc-keyed agg of (s, e) ints — co-partitioned with the span agg
+    that produced them), join back onto the corpus (AQE broadcasts the
+    span table when small), and the kept text is rebuilt with pure
+    array ops: token i survives iff no span covers it. Documents with
+    no spans pass through unchanged."""
+    if spans is None:
+        spans = substring_dup_spans(frame, k, text_col, id_col)
+    per_doc = spans.df.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s["start_tok"]) & (i <= s["end_tok"]),
+    )
+    kept = F.filter(toks, lambda t, i: ~covered(i + 1))
+    out = (
+        frame.df.join(per_doc, on=id_col, how="left")
+        .withColumn(
+            text_col,
+            F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(" ", kept)
+            ),
+        )
+        .drop("__spans")
+    )
+    return Frame(out, frame.group_vars())
 
 
 def near_dedup(

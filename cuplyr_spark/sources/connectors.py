@@ -123,6 +123,11 @@ class _TableFS:
             self._path
         ).isDirectory()
 
+    def exists(self, name: str) -> bool:
+        if not self.remote:
+            return os.path.exists(self.join(name))
+        return self._fs.exists(self._jpath(self.join(name)))
+
     def listdir(self) -> list[str]:
         if not self.remote:
             return os.listdir(self.dir)
@@ -305,11 +310,16 @@ def vacuum_snapshots(
     analog of Delta VACUUM / Iceberg expire_snapshots, reduced to the
     one-pointer design).
 
-    Keeps the newest ``keep_last`` version directories; the PUBLISHED
-    version is always kept regardless (a regressed pointer must never
-    dangle). Orphan ``v=`` dirs from crashed writers age out like any
-    other version. Deletion goes through the same filesystem as the
-    data (``_TableFS``), so vacuuming works wherever snapshots do.
+    Keeps the newest ``keep_last`` COMPLETE versions (dirs whose
+    parquet commit finished — ``_SUCCESS`` present, so they are
+    readable/time-travelable); the PUBLISHED version is always kept
+    regardless (a regressed pointer must never dangle). Crash-orphan
+    ``v=`` dirs whose write never committed (no ``_SUCCESS``) are
+    EXCLUDED from the ``keep_last`` ranking and deleted outright:
+    counting them would let a high-numbered unreadable orphan displace
+    a real historical version from retention while the orphan itself
+    survived. Deletion goes through the same filesystem as the data
+    (``_TableFS``), so vacuuming works wherever snapshots do.
     Single-writer contract as everywhere in this layer: vacuum while a
     concurrent writer publishes is out of scope. Returns the versions
     removed (ascending)."""
@@ -318,7 +328,8 @@ def vacuum_snapshots(
     fs = _TableFS(table_dir, spark)
     versions = snapshot_versions(table_dir)
     published = latest_snapshot_version(table_dir)
-    keep = set(versions[-keep_last:])
+    complete = [v for v in versions if fs.exists(f"v={v}/_SUCCESS")]
+    keep = set(complete[-keep_last:])
     if published is not None:
         keep.add(published)
     doomed = [v for v in versions if v not in keep]

@@ -207,3 +207,40 @@ def test_vacuum_snapshots(spark, tmp_path):
     assert vacuum_snapshots("file://" + d2, keep_last=1, spark=spark) == [1, 2]
     assert snapshot_versions(d2) == [3]
     assert len(read_snapshot(spark, "file://" + d2).collect()) == 1
+
+
+def test_vacuum_excludes_uncommitted_orphans_from_retention(spark, tmp_path):
+    """A high-numbered crash-orphan (v= dir with no parquet _SUCCESS)
+    must not occupy a keep_last slot — it is deleted outright and the
+    real historical versions fill the retention window."""
+    import os
+
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "vac_orphan")
+    for i in range(3):
+        write_snapshot(
+            from_pandas(spark, pd.DataFrame({"k": list(range(i + 1))})), d
+        )
+    # simulate a writer that crashed mid-parquet-write: data files but
+    # no _SUCCESS, numbered ABOVE the published version
+    orphan = os.path.join(d, "v=9")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial")
+    assert snapshot_versions(d) == [1, 2, 3, 9]
+
+    # keep_last=2 must keep the two newest COMPLETE versions (2, 3) —
+    # the orphan neither displaces v2 nor survives itself
+    assert vacuum_snapshots(d, keep_last=2) == [1, 9]
+    assert snapshot_versions(d) == [2, 3]
+    assert len(read_snapshot(spark, d, version=2).collect()) == 2
+    assert len(read_snapshot(spark, d).collect()) == 3

@@ -63,6 +63,7 @@ QUERIES = [
     "minhash_lsh_pairs",
     "cross_corpus_dedup",
     "dup_ngram_frac",
+    "substring_dedup_spans",
     "doc_chunks",
     "doc_classifier",
     "text_token_stats",
@@ -74,6 +75,8 @@ QUERIES = [
     "quantized_cosine_topk",
     "ivf_cosine_topk",
     "ivf_staged_centroids",
+    "ivf_index_search",
+    "ivf_index_append",
     "embedding_clusters",
     "lsh_cosine_topk",
 ]

@@ -920,3 +920,162 @@ def test_cluster_embeddings_partitions_corpus(spark, tmp_path):
     ).collect()
     key = lambda df: sorted(map(tuple, df[["vec_id", "cell", "sim"]].values))
     assert key(inline) == key(staged)
+
+
+def test_substring_dup_spans_planted_overlap(spark):
+    """Two documents share an exact 5-token passage at different
+    offsets: each gets exactly one span covering exactly that passage;
+    the unique document gets none (k=3, so windows straddling the
+    passage boundary are unique and must not widen the span)."""
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, "u1 u2 u3 " + shared + " v1 v2"),   # passage at tokens 4-8
+        (1, "w1 w2 " + shared + " x1 x2 x3"),   # passage at tokens 3-7
+        (2, "totally unique content nothing matches here at all"),
+    ]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = D.substring_dup_spans(f, k=3).collect()
+    assert sorted(out["doc_id"].tolist()) == [0, 1]
+    s0 = out[out.doc_id == 0].iloc[0]
+    assert (s0["start_tok"], s0["end_tok"], s0["n_grams"]) == (4, 8, 3)
+    s1 = out[out.doc_id == 1].iloc[0]
+    assert (s1["start_tok"], s1["end_tok"], s1["n_grams"]) == (3, 7, 3)
+
+
+def test_substring_dup_spans_merges_nearby_islands(spark):
+    """Two duplicated regions closer than k tokens merge into one span
+    (the windows' token ranges overlap); farther apart they stay two."""
+    a = "s1 s2 s3 s4"
+    b = "t1 t2 t3 t4"
+    rows = [
+        (0, a + " " + b),                      # regions touch -> one span
+        (1, a + " q1 q2 q3 q4 q5 " + b),       # 5 unique tokens apart -> two
+        (2, a + " zzz " + b),                  # second carrier of both
+    ]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = D.substring_dup_spans(f, k=3).collect()
+    d0 = out[out.doc_id == 0]
+    assert len(d0) == 1
+    assert (d0.iloc[0]["start_tok"], d0.iloc[0]["end_tok"]) == (1, 8)
+    assert len(out[out.doc_id == 1]) == 2
+
+
+def test_trim_dup_spans_cuts_only_the_duplicated_region(spark):
+    """Trimming removes exactly the spanned tokens; documents with no
+    spans pass through byte-identical."""
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, "u1 u2 u3 " + shared + " v1 v2"),
+        (1, "w1 w2 " + shared + " x1 x2 x3"),
+        (2, "totally unique content nothing matches here at all"),
+    ]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = D.trim_dup_spans(f, k=3).collect().set_index("doc_id")["text"]
+    assert out[0] == "u1 u2 u3 v1 v2"
+    assert out[1] == "w1 w2 x1 x2 x3"
+    assert out[2] == rows[2][1]
+
+
+def test_ivf_index_append_equals_full_rebuild(spark):
+    """Appending the second half onto a first-half index must produce
+    the same (id, cell) table as building the index over the full
+    corpus with the same centroids — append cost is the delta, the
+    result is not approximate."""
+    from cuplyr_spark.pipeline.similarity import (
+        ivf_centroids,
+        ivf_index,
+        ivf_index_append,
+    )
+    from cuplyr_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, n_cells=8, refine_iters=0)
+    first = emb.filter("vec_id % 2 = 0")
+    late = emb.filter("vec_id % 2 = 1")
+    appended = ivf_index_append(
+        ivf_index(first, centroids=cents), late, centroids=cents
+    ).collect()
+    full = ivf_index(emb, centroids=cents).collect()
+    key = lambda df: sorted(map(tuple, df[["vec_id", "cell"]].values))
+    assert key(appended) == key(full)
+
+
+def test_ivf_index_append_centroid_drift_warning(spark):
+    """A delta whose vectors no longer fit the trained centroids must
+    trip the retrain advisory; a well-fitting delta must not."""
+    import warnings
+
+    import numpy as np
+
+    from cuplyr_spark.pipeline.similarity import ivf_centroids, ivf_index, ivf_index_append
+
+    rng = np.random.RandomState(7)
+    base = [(i, (np.array([1.0, 0.0, 0.0, 0.0]) + 0.01 * rng.randn(4)).tolist()) for i in range(20)]
+    f = from_pandas(spark, pd.DataFrame(base, columns=["vec_id", "embedding"]))
+    cents = ivf_centroids(f, n_cells=4, refine_iters=0)
+    idx = ivf_index(f, centroids=cents)
+
+    good = [(100 + i, (np.array([1.0, 0.0, 0.0, 0.0]) + 0.01 * rng.randn(4)).tolist()) for i in range(5)]
+    gf = from_pandas(spark, pd.DataFrame(good, columns=["vec_id", "embedding"]))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ivf_index_append(idx, gf, centroids=cents, min_mean_sim=0.5)
+
+    drifted = [(200 + i, (np.array([-1.0, 0.0, 0.0, 0.0]) + 0.01 * rng.randn(4)).tolist()) for i in range(5)]
+    df_ = from_pandas(spark, pd.DataFrame(drifted, columns=["vec_id", "embedding"]))
+    with pytest.warns(UserWarning, match="retrain"):
+        ivf_index_append(idx, df_, centroids=cents, min_mean_sim=0.5)
+
+
+def test_ivf_index_search_with_drifted_centroids(spark):
+    """Staged-vs-fresh drift (the rehearsal case CI lacked): centroids
+    trained on a DIFFERENT sample than the index was built from must
+    still give index-path results identical to the inline path under
+    the SAME centroids — cells are defined by the centroids, not by
+    the sample they were trained on."""
+    from cuplyr_spark.pipeline.similarity import (
+        ivf_centroids,
+        ivf_cosine_topk,
+        ivf_index,
+    )
+    from cuplyr_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    # train on a third of the corpus, index the whole corpus
+    sample = emb.filter("vec_id % 3 = 0")
+    cents = ivf_centroids(sample, n_cells=8, refine_iters=1)
+    idx = ivf_index(emb, centroids=cents)
+    via_index = ivf_cosine_topk(
+        emb, k=3, n_probe=3, query_filter="vec_id < 6",
+        centroids=cents, index=idx,
+    ).collect()
+    inline = ivf_cosine_topk(
+        emb, k=3, n_probe=3, query_filter="vec_id < 6", centroids=cents
+    ).collect()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "neighbor_id", "score", "rank"]].values)
+    )
+    assert key(via_index) == key(inline)
+
+
+def test_oversized_pipeline_broadcast_degrades(spark, monkeypatch):
+    """The guarded broadcast path (frame.broadcast_guarded): when the
+    query side's Catalyst estimate exceeds the cap, the hint is
+    DROPPED with a warning and the query still returns correct results
+    through a plain join — never an executor OOM / hard error."""
+    import numpy as np
+
+    from cuplyr_spark.frame import Frame
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, rng.randn(8).tolist()) for i in range(30)]
+    f = from_pandas(spark, pd.DataFrame(vecs, columns=["vec_id", "embedding"]))
+    expected = S.cosine_topk(f, k=3, query_filter="vec_id < 4").collect()
+
+    monkeypatch.setattr(Frame, "BROADCAST_MAX_BYTES", 1)
+    with pytest.warns(UserWarning, match="hint dropped"):
+        got = S.cosine_topk(f, k=3, query_filter="vec_id < 4").collect()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "neighbor_id", "score", "rank"]].values)
+    )
+    assert key(got) == key(expected)

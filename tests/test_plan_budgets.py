@@ -158,6 +158,9 @@ EXCHANGE_BUDGETS = {
     "vector_centroid": 2,       # per-(group,dim) partial agg + reassembly
     "ivf_cosine_topk": 1,       # r6: literal-centroid map-side assign/probe — only the rank window exchanges
     "ivf_staged_centroids": 1,  # r6: literal staged centroids; only the rank window exchanges
+    "ivf_index_search": 1,      # r7: probe-pruned index scan; only the rank window exchanges (probes broadcast)
+    "ivf_index_append": 1,      # r7: map-side delta assign + union; only the rank window exchanges
+    "substring_dedup_spans": 2, # r7: gram-keyed window (both counts share it) + doc-keyed islands; span agg reuses doc partitioning
     "embedding_clusters": 0,    # r6: literal-centroid greatest() argmax — pure map
     "complete_fill": 2,         # per-key distinct grids + grid join
     "date_functions": 0,
