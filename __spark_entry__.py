@@ -2393,6 +2393,55 @@ def q_embedding_clusters(spark, sf_dir):
     return cluster_embeddings(emb, n_cells=16, refine_iters=0).df
 
 
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced sampling: at most 10 vectors per k-means cell,
+    selected by deterministic salted-md5 rank (uniform within cell,
+    bit-reproducible in the oracle). refine_iters=0 keeps the centroid
+    replay oracle-exact, as in embedding_clusters."""
+    from cuplyr_spark.pipeline.similarity import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, n_per_cluster=10, n_cells=16, refine_iters=0
+    ).df
+
+
+def q_streaming_decontaminate(spark, sf_dir):
+    """Streaming ingest hygiene: documents arrive as a bounded stream,
+    each microbatch's 4-grams are flagged against a STATIC benchmark
+    gram set (every 101st doc) with a stateless stream-static join,
+    and contaminated-gram hits roll up per source — the crawl-ingest
+    decontamination dashboard. Gram grain (each distinct doc-gram hit
+    counts once) keeps the streaming agg stateless-exact: no
+    distinct-doc state, same result as the batch SQL."""
+    from pyspark.sql import functions as SF
+
+    from cuplyr_spark.pipeline.dedup import word_shingles
+    from cuplyr_spark.streaming.stream import run_to_memory, stream_static_join
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    bench = Frame(
+        _t(spark, sf_dir, "documents")
+        .filter("doc_id % 101 = 0")
+        .df.select(SF.explode(word_shingles(SF.col("text"), 4)).alias("g"))
+        .distinct(),
+        (),
+    )
+    grams = src.select(
+        "source", SF.explode(word_shingles(SF.col("text"), 4)).alias("g")
+    )
+    hits = stream_static_join(grams, bench, on="g", how="inner")
+    agg = hits.groupBy("source").agg(SF.count(SF.lit(1)).alias("n_hits"))
+    run_to_memory(agg, "q_stream_decon", output_mode="complete")
+    return spark.sql("SELECT source, n_hits FROM q_stream_decon")
+
+
 def q_complete_fill(spark, sf_dir):
     """tidyr complete(): restore missing (status, priority) combos
     after a selective filter, count surviving orders per cell (0 for
@@ -2852,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_search": q_ivf_index_search,
         "ivf_index_append": q_ivf_index_append,
         "embedding_clusters": q_embedding_clusters,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "complete_fill": q_complete_fill,
         "doc_chunks": q_doc_chunks,
         "doc_classifier": q_doc_classifier,
@@ -2868,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "group_modify_trimmed": q_group_modify_trimmed,
         "streaming_stream_join": q_streaming_stream_join,
+        "streaming_decontaminate": q_streaming_decontaminate,
         "profile_lineitem": q_profile_lineitem,
         "rows_upsert": q_rows_upsert,
         "rows_patch": q_rows_patch,
@@ -3760,6 +3811,30 @@ def oracle_sql() -> dict[str, str]:
               FROM base b CROSS JOIN cent c)
             WHERE rn = 1
         """,
+        "cluster_balanced_sample": f"""
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (
+              SELECT CAST(row_number() OVER (ORDER BY h) AS INT) AS cell, v AS c
+              FROM (SELECT v, {_H64.format(x="CAST(vec_id AS VARCHAR)")} AS h
+                    FROM base ORDER BY h LIMIT 16)
+            ),
+            assigned AS (
+              SELECT vec_id, cell FROM (
+                SELECT b.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY b.vec_id
+                                          ORDER BY {_COS_RAW.format(a="b.v", b="c.c")} DESC, c.cell) AS rn
+                FROM base b CROSS JOIN cent c)
+              WHERE rn = 1
+            )
+            SELECT vec_id, cell, samp_rank FROM (
+              SELECT vec_id, cell,
+                     CAST(row_number() OVER (
+                       PARTITION BY cell
+                       ORDER BY {_H64.format(x="concat_ws('_', 'cbs', CAST(vec_id AS VARCHAR))")},
+                                vec_id) AS INT) AS samp_rank
+              FROM assigned)
+            WHERE samp_rank <= 10
+        """,
         "embedding_label_centroid_sim": """
             SELECT label,
                    round(sum(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -4616,6 +4691,18 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id
              AND l.event_type = 'click' AND r.event_type = 'purchase'
              AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+        """,
+        "streaming_decontaminate": f"""
+            WITH bench AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest({_shingles_sql(4)}) AS g
+                FROM documents WHERE doc_id % 101 = 0
+              )
+            )
+            SELECT source, count(*) AS n_hits
+            FROM (SELECT source, unnest({_shingles_sql(4)}) AS g FROM documents)
+            WHERE g IN (SELECT g FROM bench)
+            GROUP BY source
         """,
         "profile_lineitem": """
             SELECT 'l_orderkey' AS column,

@@ -44,8 +44,13 @@ def _hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _word_shingles(text: Column, k: int) -> Column:
-    """Distinct k-word shingles of a single-space-tokenized text."""
+def word_shingles(text: Column, k: int) -> Column:
+    """Distinct k-word shingles of a single-space-tokenized text.
+
+    Public expression helper (MinHash, decontamination, and the
+    streaming ingest-hygiene pipeline all shingle with this exact
+    rule): documents shorter than ``k`` words contribute their full
+    text as one shingle, so every document shingles to >= 1 gram."""
     toks = F.split(text, " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
@@ -56,6 +61,9 @@ def _word_shingles(text: Column, k: int) -> Column:
         ),
     )
     return F.array_distinct(shingle)
+
+
+_word_shingles = word_shingles  # internal alias (pre-r7 name)
 
 
 def exact_dedup(frame: Frame, *cols: str, id_col: str) -> Frame:

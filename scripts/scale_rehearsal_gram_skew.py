@@ -1,0 +1,167 @@
+"""Gram-key skew rehearsal (round 7) — boilerplate grams vs the
+cross-doc duplicate test.
+
+``with_dup_ngram_frac`` and ``substring_dup_spans`` must decide, per
+gram occurrence, whether the gram occurs in MORE THAN ONE document.
+Two plan shapes can answer that:
+
+- WINDOW (the pre-r7 shape): ``count(*) over (partition by gh)`` —
+  ONE exchange that downstream reuses, but WindowExec has no map-side
+  combine: every occurrence row of a hot gram lands on one task and is
+  buffered+sorted there. A boilerplate sentence in 10% of a 10B-doc
+  corpus puts ~1e9 rows on one task — the straggler grows LINEARLY
+  with corpus size.
+- AGG+SEMI: distinct ``(gh, doc)`` then ``groupBy(gh).count()`` —
+  both partial-aggregate map-side, so no reducer ever sees more than
+  ~n_tasks rows per gram — then a semi-join of the position rows
+  against the ``n_docs >= 2`` gram set. The probe side of a shuffled
+  semi-join streams (no buffering) and AQE's skew-join can split it.
+  Costs 2 extra slim-row exchanges; immune to gram skew.
+
+This script plants a fixed boilerplate sentence in ``HOT_FRAC`` of
+``N`` synthetic docs, runs BOTH shapes, verifies they flag the exact
+same number of duplicated positions, and compares wall time and the
+max/median task-time straggler ratio. Pass = identical results AND the
+agg shape's straggler ratio stays bounded (<4x) while the window
+shape's exceeds it (demonstrating the hazard) or the agg shape is not
+slower than 1.5x the window shape (on hosts where the skew does not
+manifest at this N).
+
+Usage: python scripts/scale_rehearsal_gram_skew.py [n_docs] [hot_frac]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cuplyr_spark.pipeline.dedup import _hash64
+from cuplyr_spark.session import get_session
+from scale_rehearsal_ann import stage_straggler_report
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+HOT_FRAC = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
+TOKENS = 20
+K = 5
+BOILER = "please subscribe to our newsletter for the latest updates today"
+
+
+def make_docs(spark, n: int):
+    """n synthetic docs, TOKENS random words from a 50k vocabulary;
+    HOT_FRAC of them carry the identical boilerplate sentence."""
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(TOKENS)),
+        lambda t: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("id") * 131 + t), 50000)
+        ),
+    )
+    body = F.concat_ws(" ", words)
+    hot = F.pmod(F.xxhash64(F.col("id") + 7), 1000) < int(HOT_FRAC * 1000)
+    text = F.when(hot, F.concat_ws(" ", body, F.lit(BOILER))).otherwise(body)
+    return (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), text.alias("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def positional_grams(docs):
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (K - 1), F.lit(1)))
+    gram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(K)]
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"), _hash64(gram_at(i)).alias("gh")
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+
+
+def window_shape(grams):
+    wg = Window.partitionBy("gh")
+    wgd = Window.partitionBy("gh", "doc_id")
+    return (
+        grams.withColumn("cnt_all", F.count(F.lit(1)).over(wg))
+        .withColumn("cnt_doc", F.count(F.lit(1)).over(wgd))
+        .filter(F.col("cnt_all") > F.col("cnt_doc"))
+        .select("doc_id", "pos")
+    )
+
+
+def agg_semi_shape(grams):
+    multi = (
+        grams.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("gh")
+    )
+    return grams.join(multi, on="gh", how="leftsemi").select("doc_id", "pos")
+
+
+def main() -> None:
+    spark = get_session(
+        "scale-rehearsal-gram-skew",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.shuffle.partitions": "200",
+        },
+    )
+    docs = make_docs(spark, N).persist()
+    docs.count()
+    grams = positional_grams(docs)
+
+    results = {}
+    for name, shape in (("window", window_shape), ("agg_semi", agg_semi_shape)):
+        t0 = time.perf_counter()
+        n_dup = shape(grams).count()
+        wall = time.perf_counter() - t0
+        stragglers = stage_straggler_report(spark)
+        worst = max(
+            (s.get("ratio") or 0 for s in stragglers if isinstance(s, dict)),
+            default=None,
+        )
+        results[name] = {"n_dup_positions": n_dup, "wall_sec": round(wall, 1),
+                         "worst_straggler_ratio": worst}
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+
+    same = results["window"]["n_dup_positions"] == results["agg_semi"]["n_dup_positions"]
+    out = {
+        "n_docs": N, "hot_frac": HOT_FRAC, "k": K,
+        "results_identical": same, **{f"{k}_{k2}": v2 for k, v in results.items() for k2, v2 in v.items()},
+    }
+    print(json.dumps(out))
+    print()
+    print("| shape | wall s | dup positions | worst straggler max/median |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['wall_sec']} | {r['n_dup_positions']:,} | {r['worst_straggler_ratio']} |")
+    wr = results["window"]["worst_straggler_ratio"] or 0
+    ar = results["agg_semi"]["worst_straggler_ratio"] or 0
+    hazard_shown = wr > 4 and ar <= 4
+    not_slower = results["agg_semi"]["wall_sec"] <= 1.5 * results["window"]["wall_sec"]
+    ok = same and (hazard_shown or not_slower)
+    print(f"REHEARSAL {'PASS' if ok else 'FAIL'} (hazard_shown={hazard_shown}, agg_not_slower={not_slower})")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,7 @@ QUERIES = [
     "ivf_index_search",
     "ivf_index_append",
     "embedding_clusters",
+    "cluster_balanced_sample",
     "lsh_cosine_topk",
 ]
 

@@ -1079,3 +1079,57 @@ def test_oversized_pipeline_broadcast_degrades(spark, monkeypatch):
         map(tuple, df[["query_id", "neighbor_id", "score", "rank"]].values)
     )
     assert key(got) == key(expected)
+
+
+def test_ivf_index_append_parquet_roundtrip(spark, tmp_path):
+    """Physical parquet append: appending the second half into a
+    first-half cell-partitioned index on disk must read back identical
+    to the full inline index (same ids, same cells), with the delta
+    repartitioned on the cell so the write opens ~n_cells files."""
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.pipeline.similarity import (
+        ivf_centroids,
+        ivf_index,
+        ivf_index_append_parquet,
+    )
+    from cuplyr_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, n_cells=8, refine_iters=0)
+    d = str(tmp_path / "idx")
+    ivf_index(emb.filter("vec_id % 2 = 0"), centroids=cents).df.write.partitionBy(
+        "cell"
+    ).parquet(d)
+    ivf_index_append_parquet(d, emb.filter("vec_id % 2 = 1"), cents)
+
+    back = Frame(spark.read.parquet(d), ()).collect()
+    full = ivf_index(emb, centroids=cents).collect()
+    key = lambda df: sorted(map(tuple, df[["vec_id", "cell"]].values))
+    assert key(back) == key(full)
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """Per-cell quota respected, ids unique, selection deterministic
+    across calls; keep_vectors=True returns the corpus rows of exactly
+    the sampled ids."""
+    from cuplyr_spark.pipeline.similarity import cluster_balanced_sample
+    from cuplyr_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    a = cluster_balanced_sample(emb, 7, n_cells=8, refine_iters=0).collect()
+    assert a["vec_id"].is_unique
+    assert a.groupby("cell").size().max() <= 7
+    assert (a["samp_rank"] >= 1).all() and (a["samp_rank"] <= 7).all()
+
+    b = cluster_balanced_sample(emb, 7, n_cells=8, refine_iters=0).collect()
+    key = lambda df: sorted(map(tuple, df[["vec_id", "cell", "samp_rank"]].values))
+    assert key(a) == key(b)
+
+    rich = cluster_balanced_sample(
+        emb, 7, n_cells=8, refine_iters=0, keep_vectors=True
+    ).collect()
+    assert sorted(rich["vec_id"]) == sorted(a["vec_id"])
+    assert "embedding" in rich.columns and "samp_rank" in rich.columns
+
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(emb, 0)
