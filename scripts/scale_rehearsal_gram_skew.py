@@ -22,10 +22,25 @@ This script plants a fixed boilerplate sentence in ``HOT_FRAC`` of
 ``N`` synthetic docs, runs BOTH shapes, verifies they flag the exact
 same number of duplicated positions, and compares wall time and the
 max/median task-time straggler ratio. Pass = identical results AND the
-agg shape's straggler ratio stays bounded (<4x) while the window
-shape's exceeds it (demonstrating the hazard) or the agg shape is not
-slower than 1.5x the window shape (on hosts where the skew does not
-manifest at this N).
+shape the library ships (window) keeps its straggler bounded (<= 4x).
+
+MEASURED VERDICT (2026-08-14, the reason the library KEEPS the window
+shape): the predicted window hazard does not manifest —
+
+| run | shape | wall s | worst straggler |
+|---|---|---|---|
+| 4M docs, 50% hot | window | 52.9 | 1.35 |
+| 4M docs, 50% hot | agg_semi | 94.4 | 1.35 |
+| 8M docs, 80% hot | window | 125.2 | 2.75 |
+| 8M docs, 80% hot | agg_semi | 280.4 | **6.96** |
+
+WindowExec's count-only buffering over slim integer rows spills
+gracefully and its hot partition is CHEAP per row, while the agg+semi
+shape inherits a WORSE skew: the semi-join's probe side concentrates
+the same hot-gram rows on one task and AQE's skew split does not fire
+on row-heavy/byte-light partitions (the same planner gap the r6 25M
+join-skew rehearsal measured). The window shape is also ~2x cheaper
+in wall time at both scales. Identical results both shapes, both runs.
 
 Usage: python scripts/scale_rehearsal_gram_skew.py [n_docs] [hot_frac]
 """
@@ -46,10 +61,14 @@ from pyspark.sql import functions as F
 
 from cuplyr_spark.pipeline.dedup import _hash64
 from cuplyr_spark.session import get_session
-from scale_rehearsal_ann import stage_straggler_report
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
 HOT_FRAC = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
+
+# scale_rehearsal_ann parses ITS argv at import (argv[2] would be our
+# hot_frac) — scrub before importing its straggler reporter.
+sys.argv = sys.argv[:1]
+from scale_rehearsal_ann import stage_straggler_report  # noqa: E402
 TOKENS = 20
 K = 5
 BOILER = "please subscribe to our newsletter for the latest updates today"
@@ -130,18 +149,22 @@ def main() -> None:
     grams = positional_grams(docs)
 
     results = {}
+    seen: set = set()
     for name, shape in (("window", window_shape), ("agg_semi", agg_semi_shape)):
         t0 = time.perf_counter()
         n_dup = shape(grams).count()
         wall = time.perf_counter() - t0
-        stragglers = stage_straggler_report(spark)
-        worst = max(
-            (s.get("ratio") or 0 for s in stragglers if isinstance(s, dict)),
-            default=None,
-        )
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        stragglers = [
+            s for s in stage_straggler_report(spark) if isinstance(s, dict)
+        ]
+        # the status API lists ALL completed stages — attribute only the
+        # stages this shape added, or the ratios bleed across shapes
+        new = [s for s in stragglers if s.get("stage") not in seen]
+        seen |= {s.get("stage") for s in stragglers}
+        worst = max((s.get("ratio") or 0 for s in new), default=None)
         results[name] = {"n_dup_positions": n_dup, "wall_sec": round(wall, 1),
                          "worst_straggler_ratio": worst}
-        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
 
     same = results["window"]["n_dup_positions"] == results["agg_semi"]["n_dup_positions"]
     out = {
@@ -155,11 +178,12 @@ def main() -> None:
     for name, r in results.items():
         print(f"| {name} | {r['wall_sec']} | {r['n_dup_positions']:,} | {r['worst_straggler_ratio']} |")
     wr = results["window"]["worst_straggler_ratio"] or 0
-    ar = results["agg_semi"]["worst_straggler_ratio"] or 0
-    hazard_shown = wr > 4 and ar <= 4
-    not_slower = results["agg_semi"]["wall_sec"] <= 1.5 * results["window"]["wall_sec"]
-    ok = same and (hazard_shown or not_slower)
-    print(f"REHEARSAL {'PASS' if ok else 'FAIL'} (hazard_shown={hazard_shown}, agg_not_slower={not_slower})")
+    ok = same and wr <= 4
+    print(
+        f"REHEARSAL {'PASS' if ok else 'FAIL'} — shipped shape is WINDOW "
+        f"(straggler {wr}, bound 4); if this ever fails, re-evaluate the "
+        "agg_semi shape measured above before switching."
+    )
     sys.exit(0 if ok else 1)
 
 
