@@ -2484,6 +2484,14 @@ def q_dup_ngram_frac(spark, sf_dir):
     )
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram-LM log-likelihood per doc (the CCNet
+    perplexity-filter analog): integer micro-nat components, exact
+    integer doc sums, floats only in the final divisions."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.with_unigram_logprob(docs).df
+
+
 def q_substring_dedup_spans(spark, sf_dir):
     """Exact-substring duplicate spans (Lee et al.): per-document
     token ranges whose every 5-token rolling window also occurs in
@@ -2907,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier": q_doc_classifier,
         "dup_ngram_frac": q_dup_ngram_frac,
         "substring_dedup_spans": q_substring_dedup_spans,
+        "unigram_logprob": q_unigram_logprob,
         "embedding_quantize": q_embedding_quantize,
         "quantized_cosine_topk": q_quantized_cosine_topk,
         "arrange_collated": q_arrange_collated,
@@ -4461,6 +4470,32 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                          / count(*), 6) AS dup_ngram_frac
             FROM cnt GROUP BY doc_id
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ), toks_f AS (
+              SELECT doc_id, tok FROM toks WHERE tok <> ''
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks_f GROUP BY doc_id, tok
+            ), cnt AS (
+              SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY tok
+            ), scal AS (
+              SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM cnt
+            ), comp AS (
+              SELECT tf.doc_id, tf.tf,
+                     CAST(floor(tf.tf * ln(CAST(cnt.c + 1 AS DOUBLE) / scal.denom) * 1e6 + 0.5) AS BIGINT) AS nats
+              FROM tf JOIN cnt USING (tok) CROSS JOIN scal
+            ), per AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                     CAST(sum(nats) AS BIGINT) AS ll
+              FROM comp GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(per.n_tokens, 0) AS n_tokens,
+                   CAST(per.ll AS DOUBLE) / 1e6 AS logprob,
+                   round(CAST(per.ll AS DOUBLE) / 1e6 / per.n_tokens, 6) AS avg_logprob
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
         """,
         "substring_dedup_spans": """
             WITH g AS (

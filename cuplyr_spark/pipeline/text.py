@@ -721,3 +721,78 @@ def dedup_by_url(
         )
     )
     return Frame(per_url.select(id_col, "url_norm", "n_copies"), ())
+
+
+def with_unigram_logprob(
+    frame: Frame, text_col: str = "text", id_col: str = "doc_id"
+) -> Frame:
+    """Corpus-trained unigram-LM log-likelihood per document — the
+    jar-free analog of CCNet's LM-perplexity quality filter (score
+    with a language model trained on the corpus; unusually improbable
+    text — gibberish, encoding junk, wrong-language shards — scores
+    low). Complements :func:`with_token_rarity`, whose signal is
+    document frequency: the LM scores by OCCURRENCE probability with
+    add-one smoothing, so ``perplexity = exp(-avg_logprob)`` is
+    directly comparable across corpora.
+
+    Model: ``p(t) = (c_t + 1) / (T + V)`` with ``c_t`` the corpus
+    occurrence count, ``T`` total tokens, ``V`` vocabulary size.
+    Output per doc: ``n_tokens`` (long), ``logprob``
+    (sum of ``ln p(t)`` over token occurrences) and ``avg_logprob``
+    (mean, rounded to 6).
+
+    Cross-engine determinism: a float sum of logs is
+    summation-order-dependent, so each ``(doc, term)`` contribution is
+    rounded to INTEGER MICRO-NATS (``floor(tf * ln(p) * 1e6 + 0.5)``
+    as int64 — the ``quantize_embeddings`` tie rule, identical in both
+    engines) and the per-doc reduction is an exact integer sum — order
+    independent, bit-identical in the DuckDB oracle; floats reappear
+    only in the final division.
+
+    Scale shape (the with_token_rarity template): occurrences collapse
+    to (doc, term) tf grain in one partial-aggregated shuffle, corpus
+    counts are a second slim aggregate, the (T, V) scalars are one
+    metadata-sized driver row returned to the plan as literals, and
+    the count join runs at tf grain — raw occurrences never ride a
+    shuffle. Stop-word heat on the term-keyed join is probe-side only
+    (AQE-splittable), the shape the round-7 gram-skew rehearsal
+    measured as the safe half of that trade."""
+    toks = frame.df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    row = counts.agg(
+        F.sum("c").alias("t_total"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    t_total, v = int(row["t_total"] or 0), int(row["v"] or 0)
+    denom = float(t_total + v)
+    comp = F.floor(
+        F.col("tf") * F.log((F.col("c") + 1).cast("double") / denom) * 1e6
+        + 0.5
+    ).cast("long")
+    per_doc = (
+        tf.join(counts, "tok")
+        .select(F.col(id_col), F.col("tf"), comp.alias("__nats"))
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("__nats").alias("__ll"))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("__ll").cast("double") / 1e6).alias("logprob"),
+            F.round(
+                F.col("__ll").cast("double") / 1e6 / F.col("n_tokens"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+    out = (
+        frame.df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "logprob",
+            "avg_logprob",
+        )
+    )
+    return Frame(out, ())

@@ -68,6 +68,7 @@ QUERIES = [
     "doc_classifier",
     "text_token_stats",
     "text_quality",
+    "unigram_logprob",
     "c4_line_clean",
     # embeddings family: similarity + quantization
     "embedding_cosine_topk",

@@ -1133,3 +1133,26 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
 
     with pytest.raises(ValueError):
         cluster_balanced_sample(emb, 0)
+
+
+def test_unigram_logprob_ranks_gibberish_low(spark):
+    """The corpus-LM score must rank a gibberish doc below docs made of
+    corpus-common words; empty docs get n_tokens=0 and NULL scores;
+    logprob is always <= 0."""
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [
+        (0, common),
+        (1, "the dog and the cat on the mat"),
+        (2, "zxqv wkjh qpzm vvxk zzzz"),   # gibberish: every token unique
+        (3, ""),
+    ]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = TX.with_unigram_logprob(f).collect().set_index("doc_id")
+    assert out.loc[3, "n_tokens"] == 0 and pd.isna(out.loc[3, "logprob"])
+    assert out.loc[2, "avg_logprob"] < out.loc[1, "avg_logprob"]
+    assert out.loc[2, "avg_logprob"] < out.loc[0, "avg_logprob"]
+    assert (out.loc[[0, 1, 2], "logprob"] <= 0).all()
+    # perplexity proxy: exp(-avg) higher for gibberish
+    import math
+
+    assert math.exp(-out.loc[2, "avg_logprob"]) > math.exp(-out.loc[0, "avg_logprob"])

@@ -78,6 +78,7 @@ EXCHANGE_BUDGETS = {
     "text_lang_id": 0,
     "text_fingerprint": 0,
     "text_token_rarity": 4,     # tf-grain agg + df agg + tok join + doc agg, all slim rows
+    "unigram_logprob": 4,       # r7: tf agg + corpus-count agg + term join + doc agg (rarity template); (T,V) scalars are driver literals
     "text_gopher_quality": 0,
     "text_repetition": 0,
     "pii_scrub": 0,
