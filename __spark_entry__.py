@@ -2502,6 +2502,16 @@ def q_substring_dedup_spans(spark, sf_dir):
     return D.substring_dup_spans(docs, k=5).df
 
 
+def q_substring_dedup_trim(spark, sf_dir):
+    """The TRIM half of exact-substring dedup: duplicated 5-token
+    spans are cut from each document's text, unique text passes
+    through byte-identical. Same span machinery as
+    substring_dedup_spans; the rebuild is pure array ops (indexed
+    filter + concat_ws)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.trim_dup_spans(docs, k=5).df.select("doc_id", "text")
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 quantization summary: per-vector scale + exact
     integer stats over the quantized values."""
@@ -2915,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier": q_doc_classifier,
         "dup_ngram_frac": q_dup_ngram_frac,
         "substring_dedup_spans": q_substring_dedup_spans,
+        "substring_dedup_trim": q_substring_dedup_trim,
         "unigram_logprob": q_unigram_logprob,
         "embedding_quantize": q_embedding_quantize,
         "quantized_cosine_topk": q_quantized_cosine_topk,
@@ -4527,6 +4538,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) + 4 AS INT) AS end_tok,
                    count(*) AS n_grams
             FROM lab GROUP BY doc_id, span_id
+        """,
+        "substring_dedup_trim": """
+            WITH g AS (
+              SELECT doc_id, pos,
+                     CAST(concat('0x', substr(md5(concat_ws(' ', t[pos+0], t[pos+1], t[pos+2], t[pos+3], t[pos+4])), 1, 15)) AS BIGINT) AS gh
+              FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                           unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1))) AS pos
+                    FROM documents)
+            ), dup AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY gh) AS cnt_all,
+                       count(*) OVER (PARTITION BY gh, doc_id) AS cnt_doc
+                FROM g)
+              WHERE cnt_all > cnt_doc
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS brk
+              FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), lab AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS span_id
+              FROM isl
+            ), spans AS (
+              SELECT doc_id, CAST(min(pos) AS INT) AS s,
+                     CAST(max(pos) + 4 AS INT) AS e
+              FROM lab GROUP BY doc_id, span_id
+            ), per AS (
+              SELECT doc_id, list({'s': s, 'e': e}) AS sp
+              FROM spans GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN p.sp IS NULL THEN d.text
+                        -- array_to_string([]) is NULL in DuckDB but
+                        -- concat_ws over an empty array is '' in Spark
+                        ELSE COALESCE(array_to_string(
+                          list_filter(string_split(d.text, ' '),
+                            (x, i) -> len(list_filter(p.sp,
+                              q -> i >= q.s AND i <= q.e)) = 0), ' '), '')
+                   END AS text
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "embedding_quantize": """
             SELECT vec_id,

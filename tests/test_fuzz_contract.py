@@ -64,6 +64,7 @@ QUERIES = [
     "cross_corpus_dedup",
     "dup_ngram_frac",
     "substring_dedup_spans",
+    "substring_dedup_trim",
     "doc_chunks",
     "doc_classifier",
     "text_token_stats",

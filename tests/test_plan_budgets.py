@@ -162,6 +162,7 @@ EXCHANGE_BUDGETS = {
     "ivf_index_search": 1,      # r7: probe-pruned index scan; only the rank window exchanges (probes broadcast)
     "ivf_index_append": 1,      # r7: map-side delta assign + union; only the rank window exchanges
     "substring_dedup_spans": 2, # r7: gram-keyed window (both counts share it) + doc-keyed islands; span agg reuses doc partitioning
+    "substring_dedup_trim": 2,  # r7: same two shuffles; span pack + corpus rejoin broadcast at test sf
     "embedding_clusters": 0,    # r6: literal-centroid greatest() argmax — pure map
     "cluster_balanced_sample": 1,  # r7: map-side assign; one cell-keyed rank window over slim rows
     "complete_fill": 2,         # per-key distinct grids + grid join
