@@ -723,8 +723,27 @@ def dedup_by_url(
     return Frame(per_url.select(id_col, "url_norm", "n_copies"), ())
 
 
+def train_unigram_model(
+    frame: Frame, text_col: str = "text"
+) -> Frame:
+    """Train the :func:`with_unigram_logprob` model once: corpus token
+    occurrence counts as a ``(tok, c)`` Frame — the stage-once
+    artifact (write to parquet, reuse across every scoring batch, the
+    ``sigs=`` / ``centroids=`` / ``pre_quantized=`` contract applied
+    to LM quality scoring). The (T, V) normalizers are re-derived from
+    the staged counts at scoring time, so the parquet table is the
+    WHOLE model."""
+    toks = frame.df.select(
+        F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return Frame(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")), ())
+
+
 def with_unigram_logprob(
-    frame: Frame, text_col: str = "text", id_col: str = "doc_id"
+    frame: Frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: Frame | None = None,
 ) -> Frame:
     """Corpus-trained unigram-LM log-likelihood per document — the
     jar-free analog of CCNet's LM-perplexity quality filter (score
@@ -756,23 +775,41 @@ def with_unigram_logprob(
     the count join runs at tf grain — raw occurrences never ride a
     shuffle. Stop-word heat on the term-keyed join is probe-side only
     (AQE-splittable), the shape the round-7 gram-skew rehearsal
-    measured as the safe half of that trade."""
+    measured as the safe half of that trade.
+
+    ``model=`` accepts a pre-staged :func:`train_unigram_model` Frame
+    (``(tok, c)`` — typically read back from parquet): train on the
+    reference corpus ONCE and score any later batch against it — the
+    stage-once contract. Tokens absent from the staged model (OOV,
+    impossible in the self-trained default) take the add-one floor
+    ``p = 1 / (T + V)``. Scoring the training corpus itself with its
+    staged model is bit-identical to the inline path."""
     toks = frame.df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    counts = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    if model is None:
+        counts = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+        join_how = "inner"  # self-trained: every token is in-vocab
+    else:
+        missing = [c for c in ("tok", "c") if c not in model.df.columns]
+        if missing:
+            raise ValueError(f"unigram model lacks columns {missing}")
+        counts = model.df.select("tok", F.col("c").cast("long").alias("c"))
+        join_how = "left"  # OOV tokens take the add-one floor (c -> 0)
     row = counts.agg(
         F.sum("c").alias("t_total"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
     t_total, v = int(row["t_total"] or 0), int(row["v"] or 0)
     denom = float(t_total + v)
     comp = F.floor(
-        F.col("tf") * F.log((F.col("c") + 1).cast("double") / denom) * 1e6
+        F.col("tf")
+        * F.log((F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / denom)
+        * 1e6
         + 0.5
     ).cast("long")
     per_doc = (
-        tf.join(counts, "tok")
+        tf.join(counts, "tok", join_how)
         .select(F.col(id_col), F.col("tf"), comp.alias("__nats"))
         .groupBy(id_col)
         .agg(F.sum("tf").alias("n_tokens"), F.sum("__nats").alias("__ll"))

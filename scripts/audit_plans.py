@@ -31,7 +31,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_session(app_name="plan_audit")
     for name, fn in entrymod.queries().items():
-        if name == "streaming_sessionize":
+        if name.startswith("streaming_"):
             print(f"{name:28s} (streaming — skipped)")
             continue
         try:

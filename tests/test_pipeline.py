@@ -1156,3 +1156,43 @@ def test_unigram_logprob_ranks_gibberish_low(spark):
     import math
 
     assert math.exp(-out.loc[2, "avg_logprob"]) > math.exp(-out.loc[0, "avg_logprob"])
+
+
+def test_unigram_model_staged_equals_inline_and_oov_floor(spark, tmp_path):
+    """Stage-once contract for the LM: scoring the training corpus
+    against its parquet-staged model is bit-identical to the inline
+    path; a new batch with OOV tokens scores at the add-one floor
+    (OOV logprob component = ln(1/(T+V)) per occurrence)."""
+    import math
+
+    from cuplyr_spark.frame import Frame
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+    ]
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+    inline = TX.with_unigram_logprob(f).collect()
+
+    d = str(tmp_path / "lm")
+    TX.train_unigram_model(f).df.write.parquet(d)
+    staged_model = Frame(spark.read.parquet(d), ())
+    staged = TX.with_unigram_logprob(f, model=staged_model).collect()
+    key = lambda df: sorted(
+        map(tuple, df[["doc_id", "n_tokens", "logprob", "avg_logprob"]].values)
+    )
+    assert key(inline) == key(staged)
+
+    # new batch: all-OOV doc scores exactly n * ln(1/(T+V))
+    new = from_pandas(
+        spark, pd.DataFrame([(9, "zz qq ww")], columns=["doc_id", "text"])
+    )
+    out = TX.with_unigram_logprob(new, model=staged_model).collect().iloc[0]
+    t_total = 12  # 2 docs x 6 tokens
+    v = staged_model.df.count()
+    floor_nats = math.floor(math.log(1.0 / (t_total + v)) * 1e6 + 0.5) / 1e6
+    assert out["n_tokens"] == 3
+    assert abs(out["logprob"] - 3 * floor_nats) < 1e-9
+
+    with pytest.raises(ValueError, match="lacks columns"):
+        TX.with_unigram_logprob(new, model=Frame(new.df, ()))
