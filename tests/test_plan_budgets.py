@@ -275,6 +275,12 @@ BROADCAST_HINTED = [
     "join_agg_pipeline",
     "embedding_cosine_topk",
     "decontaminate",
+    # r7: pipeline broadcasts routed through the shared guard — none
+    # may warn at the driver's check scale
+    "decontaminate_hashed",
+    "quantized_cosine_topk",
+    "ivf_cosine_topk",
+    "ivf_index_search",
 ]
 
 
