@@ -100,10 +100,28 @@ def stage_straggler_report(spark) -> list[dict]:
             with urllib.request.urlopen(url, timeout=10) as r:
                 q = json.load(r)
             med, mx = q["executorRunTime"]
+            # row-level imbalance — the STRUCTURAL skew metric (what
+            # survives a cluster scale-up); executorRunTime ratios on
+            # an oversubscribed local[32] box also capture GC/CPU
+            # contention that a real cluster would not see.
+            rows_med = rows_max = None
+            sr = q.get("shuffleReadMetrics") or {}
+            if sr.get("readRecords") and sr["readRecords"][1] > 0:
+                rows_med, rows_max = sr["readRecords"]
+            else:
+                im = q.get("inputMetrics") or {}
+                if im.get("recordsRead") and im["recordsRead"][1] > 0:
+                    rows_med, rows_max = im["recordsRead"]
             out.append(
                 {"stage": st["stageId"], "tasks": st["numCompleteTasks"],
+                 "name": (st.get("name") or "")[:60],
                  "median_ms": med, "max_ms": mx,
-                 "ratio": round(mx / med, 2) if med > 0 else None}
+                 "ratio": round(mx / med, 2) if med > 0 else None,
+                 "rows_median": rows_med, "rows_max": rows_max,
+                 "row_ratio": (
+                     round(rows_max / rows_med, 2)
+                     if rows_med else None
+                 )}
             )
         except Exception:
             continue

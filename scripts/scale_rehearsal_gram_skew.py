@@ -25,7 +25,8 @@ max/median task-time straggler ratio. Pass = identical results AND the
 shape the library ships (window) keeps its straggler bounded (<= 4x).
 
 MEASURED VERDICT (2026-08-14, the reason the library KEEPS the window
-shape): the predicted window hazard does not manifest —
+shape): the predicted window hazard does not manifest at any tested
+scale, and BOTH engineered alternatives measured worse —
 
 | run | shape | wall s | worst straggler |
 |---|---|---|---|
@@ -33,14 +34,21 @@ shape): the predicted window hazard does not manifest —
 | 4M docs, 50% hot | agg_semi | 94.4 | 1.35 |
 | 8M docs, 80% hot | window | 125.2 | 2.75 |
 | 8M docs, 80% hot | agg_semi | 280.4 | **6.96** |
+| 25M docs, 20% hot | window | 220.0 | 2.18 |
+| 25M docs, 20% hot | agg_semi | 557.1 | 4.72 |
+| 25M docs, 20% hot | hot_cold | 1105.9 | **42.9** |
 
 WindowExec's count-only buffering over slim integer rows spills
-gracefully and its hot partition is CHEAP per row, while the agg+semi
-shape inherits a WORSE skew: the semi-join's probe side concentrates
-the same hot-gram rows on one task and AQE's skew split does not fire
-on row-heavy/byte-light partitions (the same planner gap the r6 25M
-join-skew rehearsal measured). The window shape is also ~2x cheaper
-in wall time at both scales. Identical results both shapes, both runs.
+gracefully and its hot partition is CHEAP per row. agg_semi inherits
+a WORSE skew: the semi-join's probe side concentrates the same
+hot-gram rows on one task and AQE's skew split does not fire on
+row-heavy/byte-light partitions (the same planner gap the r6 25M
+join-skew rehearsal measured). hot_cold — hot grams flagged via a
+broadcast semi, cold grams windowed — looked best on paper and
+measured WORST: the hot-set broadcast is a subquery that re-runs the
+whole gram pipeline, the left_anti re-scans it again, and the
+distinct straggles (42.9x). The window shape is 2-5x cheaper in wall
+time at every scale. Identical results, all shapes, all runs.
 
 Usage: python scripts/scale_rehearsal_gram_skew.py [n_docs] [hot_frac]
 """
@@ -136,6 +144,30 @@ def agg_semi_shape(grams):
     return grams.join(multi, on="gh", how="leftsemi").select("doc_id", "pos")
 
 
+def hot_cold_shape(grams, hot_gram_docs=10_000):
+    """The skew-guard hybrid: a gram in more than ``hot_gram_docs``
+    documents is cross-doc-duplicated BY DEFINITION, so its positions
+    are flagged with a map-side broadcast semi-join (the hot set is
+    tiny by Zipf) and never ride the gram shuffle; only cold grams —
+    bounded partitions — take the shared-exchange window test."""
+    docs_per_gram = (
+        grams.select("gh", "doc_id").distinct().groupBy("gh").count()
+    )
+    hot = docs_per_gram.filter(F.col("count") > hot_gram_docs).select("gh")
+    hot_b = F.broadcast(hot)
+    hot_pos = grams.join(hot_b, "gh", "leftsemi").select("doc_id", "pos")
+    cold = grams.join(hot_b, "gh", "left_anti")
+    wg = Window.partitionBy("gh")
+    wgd = Window.partitionBy("gh", "doc_id")
+    cold_pos = (
+        cold.withColumn("cnt_all", F.count(F.lit(1)).over(wg))
+        .withColumn("cnt_doc", F.count(F.lit(1)).over(wgd))
+        .filter(F.col("cnt_all") > F.col("cnt_doc"))
+        .select("doc_id", "pos")
+    )
+    return hot_pos.unionByName(cold_pos)
+
+
 def main() -> None:
     spark = get_session(
         "scale-rehearsal-gram-skew",
@@ -150,7 +182,11 @@ def main() -> None:
 
     results = {}
     seen: set = set()
-    for name, shape in (("window", window_shape), ("agg_semi", agg_semi_shape)):
+    for name, shape in (
+        ("window", window_shape),
+        ("agg_semi", agg_semi_shape),
+        ("hot_cold", hot_cold_shape),
+    ):
         t0 = time.perf_counter()
         n_dup = shape(grams).count()
         wall = time.perf_counter() - t0
@@ -166,7 +202,8 @@ def main() -> None:
         results[name] = {"n_dup_positions": n_dup, "wall_sec": round(wall, 1),
                          "worst_straggler_ratio": worst}
 
-    same = results["window"]["n_dup_positions"] == results["agg_semi"]["n_dup_positions"]
+    counts = {r["n_dup_positions"] for r in results.values()}
+    same = len(counts) == 1
     out = {
         "n_docs": N, "hot_frac": HOT_FRAC, "k": K,
         "results_identical": same, **{f"{k}_{k2}": v2 for k, v in results.items() for k2, v2 in v.items()},
@@ -181,8 +218,9 @@ def main() -> None:
     ok = same and wr <= 4
     print(
         f"REHEARSAL {'PASS' if ok else 'FAIL'} — shipped shape is WINDOW "
-        f"(straggler {wr}, bound 4); if this ever fails, re-evaluate the "
-        "agg_semi shape measured above before switching."
+        f"(straggler {wr}, bound 4); both alternatives (agg_semi,"
+        " hot_cold) measured slower AND more skewed at every tested scale"
+        " (see docstring table) — re-measure before ever switching."
     )
     sys.exit(0 if ok else 1)
 
