@@ -2794,6 +2794,44 @@ def q_rows_delete(spark, sf_dir):
     return nation.rows_delete(_rows_demo_y(spark, sf_dir), by="n_nationkey").df
 
 
+def q_snapshot_compact(spark, sf_dir):
+    """Snapshot-table small-file compaction (the jar-free Delta
+    OPTIMIZE analog, ``connectors.compact_snapshot``): orders is
+    published as a 32-file v1, compacted into a single-file v2
+    (zero-shuffle ``coalesce``, atomic manifest swap), and the
+    aggregate over the COMPACTED published version must equal the same
+    aggregate over the raw table — compaction changes file layout,
+    never row content. Staged in the per-process scratch dir, wiped
+    first so repeated sweeps see the deterministic v1 -> v2
+    lifecycle."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        compact_snapshot,
+        latest_snapshot_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    d = _scratch_dir("snap_compact")
+    shutil.rmtree(d, ignore_errors=True)
+    write_snapshot(orders.repartition(32), d)
+    new_v = compact_snapshot(spark, d)
+    assert new_v == 2 and latest_snapshot_version(d) == 2, (
+        "compaction must publish v2 over the 32-file v1"
+    )
+    return (
+        read_snapshot(spark, d)
+        .df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2943,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_upsert": q_rows_upsert,
         "rows_patch": q_rows_patch,
         "rows_delete": q_rows_delete,
+        "snapshot_compact": q_snapshot_compact,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -4851,6 +4890,14 @@ def oracle_sql() -> dict[str, str]:
         "rows_delete": """
             SELECT * FROM nation
             WHERE n_nationkey NOT IN (SELECT r_regionkey * 10 FROM region)
+        """,
+        "snapshot_compact": """
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   MIN(o_orderkey) AS min_key,
+                   MAX(o_orderkey) AS max_key
+            FROM orders
+            GROUP BY o_orderstatus
         """,
         "complete_fill": """
             WITH f AS (SELECT * FROM orders WHERE o_totalprice > 350000)

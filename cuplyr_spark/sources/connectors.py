@@ -13,8 +13,9 @@ Two tiers:
   readable (time travel). This is the core mechanism the lakehouse
   formats formalize (Delta's _delta_log, Iceberg's metadata pointer),
   reduced to one pointer file; it provides their two essential
-  guarantees (atomic publish, versioned reads) without transactions,
-  schema evolution, or compaction.
+  guarantees (atomic publish, versioned reads) — plus small-file
+  compaction (``compact_snapshot``) — without transactions or schema
+  evolution.
 
   Storage: manifest IO goes through the SAME Hadoop FileSystem layer
   as the parquet write (``Path.getFileSystem`` via the JVM gateway),
@@ -127,6 +128,24 @@ class _TableFS:
         if not self.remote:
             return os.path.exists(self.join(name))
         return self._fs.exists(self._jpath(self.join(name)))
+
+    def file_sizes(self, name: str) -> list[int]:
+        """Byte sizes of the data files directly under subdir ``name``
+        (metadata like ``_SUCCESS`` and hidden files excluded) — the
+        compaction planner's input. Snapshot versions are flat parquet
+        directories, so no recursion is needed."""
+        if not self.remote:
+            return [
+                e.stat().st_size
+                for e in os.scandir(self.join(name))
+                if e.is_file() and not e.name.startswith(("_", "."))
+            ]
+        out = []
+        for st in self._fs.listStatus(self._jpath(self.join(name))):
+            base = st.getPath().getName()
+            if st.isFile() and not base.startswith(("_", ".")):
+                out.append(st.getLen())
+        return out
 
     def listdir(self) -> list[str]:
         if not self.remote:
@@ -300,6 +319,56 @@ def upsert_snapshot(
         frame.df.select(*current.df.columns)
     )
     return write_snapshot(Frame(merged, ()), table_dir)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
+) -> int | None:
+    """Small-file compaction for snapshot tables — the jar-free analog
+    of Delta ``OPTIMIZE`` / Iceberg ``rewrite_data_files``, completing
+    the lifecycle (publish → read → time travel → merge → vacuum →
+    **compact**).
+
+    Streaming micro-batch sinks and repeated upserts leave version
+    directories of many small files; at 100 TB that sprawl, not the
+    bytes, becomes the cost (every reader pays per-file open/footer
+    overhead, and the scan's task count explodes). Compaction rewrites
+    the PUBLISHED version's rows as a new version with
+    ``ceil(total_bytes / target_file_bytes)`` files and publishes it
+    through the same atomic manifest swap as every other write —
+    readers never see a half-compacted table, pre-compaction versions
+    stay time-travelable, and ``vacuum_snapshots`` reclaims them on the
+    normal schedule.
+
+    Plan shape: ``coalesce`` by default — a NARROW dependency, zero
+    shuffle; each output task concatenates whole input files, so the
+    cost is one read+write pass over the published bytes. Pass
+    ``shuffle=True`` to ``repartition`` instead when the inputs are
+    size-skewed and evenly-sized output files are worth one exchange.
+
+    No-op by design when the published version already has no more
+    files than the target (returns ``None``, no version churn) — safe
+    to run on a schedule. Row content is NEVER changed; only file
+    layout. Returns the new published version, or ``None``.
+    Single-writer contract as everywhere in this layer."""
+    if target_file_bytes < 1:
+        raise ValueError("target_file_bytes must be >= 1")
+    version = latest_snapshot_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(
+            f"no published snapshot at {table_dir!r} (missing {_MANIFEST})"
+        )
+    fs = _TableFS(table_dir, spark)
+    sizes = fs.file_sizes(f"v={version}")
+    n_target = max(1, -(-sum(sizes) // target_file_bytes))
+    if len(sizes) <= n_target:
+        return None
+    df = read_snapshot(spark, table_dir).df
+    out = df.repartition(n_target) if shuffle else df.coalesce(n_target)
+    return write_snapshot(Frame(out, ()), table_dir)
 
 
 def vacuum_snapshots(

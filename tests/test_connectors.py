@@ -244,3 +244,67 @@ def test_vacuum_excludes_uncommitted_orphans_from_retention(spark, tmp_path):
     assert snapshot_versions(d) == [2, 3]
     assert len(read_snapshot(spark, d, version=2).collect()) == 2
     assert len(read_snapshot(spark, d).collect()) == 3
+
+
+def test_compact_snapshot(spark, tmp_path):
+    """compact_snapshot rewrites the published version with fewer
+    files as a NEW version: rows/schema identical, manifest bumped,
+    pre-compaction version still time-travelable, and the no-op path
+    returns None without version churn."""
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        _TableFS,
+        compact_snapshot,
+        latest_snapshot_version,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "cmp")
+    frame = from_pandas(
+        spark, pd.DataFrame({"k": list(range(100)), "v": [i * 2 for i in range(100)]})
+    )
+    write_snapshot(frame.repartition(16), d)
+    files_before = len(_TableFS(d).file_sizes("v=1"))
+    assert files_before == 16
+
+    new_v = compact_snapshot(spark, d)  # 100 tiny rows -> 1 file
+    assert new_v == 2
+    assert latest_snapshot_version(d) == 2
+    assert len(_TableFS(d).file_sizes("v=2")) == 1
+
+    got = read_snapshot(spark, d).collect().sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == list(range(100))
+    assert list(got["v"]) == [i * 2 for i in range(100)]
+    # time travel to the pre-compaction layout still works
+    assert len(read_snapshot(spark, d, version=1).collect()) == 100
+
+    # already compact -> no-op, no new version
+    assert compact_snapshot(spark, d) is None
+    assert snapshot_versions(d) == [1, 2]
+
+    # shuffle=True (repartition for size-balanced output): 16 files
+    # down to ~4 — rows preserved, file count at the target
+    d2 = str(tmp_path / "cmp_shuffled")
+    write_snapshot(frame.repartition(16), d2)
+    total = sum(_TableFS(d2).file_sizes("v=1"))
+    v2 = compact_snapshot(
+        spark, d2, target_file_bytes=-(-total // 4), shuffle=True
+    )
+    assert v2 == 2
+    n_files = len(_TableFS(d2).file_sizes("v=2"))
+    assert 1 <= n_files <= 4
+    got2 = read_snapshot(spark, d2).collect()
+    assert sorted(got2["k"]) == list(range(100))
+
+
+def test_compact_snapshot_requires_published(spark, tmp_path):
+    import pytest
+
+    from cuplyr_spark.sources.connectors import compact_snapshot
+
+    with pytest.raises(FileNotFoundError):
+        compact_snapshot(spark, str(tmp_path / "nope"))

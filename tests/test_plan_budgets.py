@@ -166,6 +166,7 @@ EXCHANGE_BUDGETS = {
     "embedding_clusters": 0,    # r6: literal-centroid greatest() argmax — pure map
     "cluster_balanced_sample": 1,  # r7: map-side assign; one cell-keyed rank window over slim rows
     "complete_fill": 2,         # per-key distinct grids + grid join
+    "snapshot_compact": 1,      # r7: scan of the compacted version + one agg shuffle (staging writes run eagerly inside the callable)
     "date_functions": 0,
     "quantile_agg": 1,
 }
