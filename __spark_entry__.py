@@ -2832,6 +2832,43 @@ def q_snapshot_compact(spark, sf_dir):
     )
 
 
+def q_snapshot_schema_evolution(spark, sf_dir):
+    """Merge-time schema evolution (the Delta mergeSchema analog,
+    ``upsert_snapshot(schema_evolution=True)``): nation is published as
+    v1, then an upsert arrives with a NEW column (``priority``) and
+    WITHOUT ``n_regionkey``. The published v2 carries the unified
+    schema — table columns first, new column appended — with
+    carried-over rows NULL-backfilling ``priority`` and upserted rows
+    NULL-filling ``n_regionkey``, matched rows replaced, unmatched
+    appended. The oracle reconstructs the same union in SQL. Staged in
+    the per-process scratch dir, wiped first for a deterministic
+    v1 -> v2 lifecycle."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        read_snapshot,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    d = _scratch_dir("snap_evolve")
+    shutil.rmtree(d, ignore_errors=True)
+    write_snapshot(nation, d)
+    y = Frame(
+        region.df.select(
+            (F.col("r_regionkey") * 10).alias("n_nationkey"),
+            F.concat(F.lit("evolved_"), F.col("r_name")).alias("n_name"),
+            (F.col("r_regionkey") + 100).alias("priority"),
+        ),
+        (),
+    )
+    v = upsert_snapshot(spark, y, d, key="n_nationkey", schema_evolution=True)
+    assert v == 2, "schema-evolving upsert must publish v2"
+    return read_snapshot(spark, d).df
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2982,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_patch": q_rows_patch,
         "rows_delete": q_rows_delete,
         "snapshot_compact": q_snapshot_compact,
+        "snapshot_schema_evolution": q_snapshot_schema_evolution,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -4898,6 +4936,18 @@ def oracle_sql() -> dict[str, str]:
                    MAX(o_orderkey) AS max_key
             FROM orders
             GROUP BY o_orderstatus
+        """,
+        "snapshot_schema_evolution": """
+            SELECT x.n_nationkey, x.n_name, x.n_regionkey,
+                   CAST(NULL AS INTEGER) AS priority
+            FROM nation x
+            WHERE x.n_nationkey NOT IN (SELECT r_regionkey * 10 FROM region)
+            UNION ALL
+            SELECT r_regionkey * 10 AS n_nationkey,
+                   'evolved_' || r_name AS n_name,
+                   CAST(NULL AS INTEGER) AS n_regionkey,
+                   r_regionkey + 100 AS priority
+            FROM region
         """,
         "complete_fill": """
             WITH f AS (SELECT * FROM orders WHERE o_totalprice > 350000)

@@ -14,8 +14,9 @@ Two tiers:
   formats formalize (Delta's _delta_log, Iceberg's metadata pointer),
   reduced to one pointer file; it provides their two essential
   guarantees (atomic publish, versioned reads) — plus small-file
-  compaction (``compact_snapshot``) — without transactions or schema
-  evolution.
+  compaction (``compact_snapshot``) and merge-time schema evolution
+  (``upsert_snapshot(schema_evolution=True)``) — without multi-writer
+  transactions.
 
   Storage: manifest IO goes through the SAME Hadoop FileSystem layer
   as the parquet write (``Path.getFileSystem`` via the JVM gateway),
@@ -270,12 +271,28 @@ def read_snapshot(
     return read_parquet(spark, fs.join(f"v={version}"))
 
 
+def _conform_schema(df, unified):
+    """Project ``df`` onto the unified (name, type) list: present
+    columns cast to the promoted type, absent ones NULL-filled — the
+    bind_rows fill rule applied at the table boundary."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for name, dtype in unified:
+        if name in df.columns:
+            cols.append(F.col(name).cast(dtype).alias(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+    return df.select(*cols)
+
+
 def upsert_snapshot(
     spark: SparkSession,
     frame: Frame,
     table_dir: str,
     key: str | list[str],
     delete_filter: str | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """Keyed merge (upsert) into a snapshot table: rows in ``frame``
     REPLACE current rows with the same key; all other current rows
@@ -299,6 +316,19 @@ def upsert_snapshot(
 
     Returns the published version. First upsert into an empty table
     publishes ``frame`` as v1.
+
+    ``schema_evolution=True`` is the Delta ``mergeSchema`` analog:
+    instead of rejecting a schema mismatch, the next version is
+    written at the UNIFIED schema — table columns first in table
+    order, new upsert columns appended; a column missing on either
+    side is NULL-filled there, and a column typed differently widens
+    through the same promotion lattice as ``bind_rows``
+    (``cuplyr_spark.schema``: bool < ints < floats, anything+string →
+    string, date < timestamp — one lattice for every schema-merge
+    surface). Incompatible pairs (numeric vs timestamp) still raise.
+    Copy-on-write makes this safe: every published version is
+    self-consistent at its own schema, and time travel to
+    pre-evolution versions returns the OLD schema unchanged.
     """
     keys = [key] if isinstance(key, str) else list(key)
     if latest_snapshot_version(table_dir) is None:
@@ -307,16 +337,24 @@ def upsert_snapshot(
     missing = [k for k in keys if k not in current.df.columns]
     if missing or [k for k in keys if k not in frame.df.columns]:
         raise ValueError(f"merge key {keys} not present in both sides")
-    if sorted(current.df.columns) != sorted(frame.df.columns):
+    cur_df, new_df = current.df, frame.df
+    if schema_evolution:
+        from cuplyr_spark.schema import unify_schemas
+
+        unified = unify_schemas([cur_df.schema, new_df.schema])
+        cur_df = _conform_schema(cur_df, unified)
+        new_df = _conform_schema(new_df, unified)
+    elif sorted(cur_df.columns) != sorted(new_df.columns):
         raise ValueError(
-            f"schema mismatch: table has {sorted(current.df.columns)}, "
-            f"upsert has {sorted(frame.df.columns)}"
+            f"schema mismatch: table has {sorted(cur_df.columns)}, "
+            f"upsert has {sorted(new_df.columns)} "
+            "(pass schema_evolution=True to merge schemas)"
         )
-    kept = current.df.join(frame.df.select(*keys), on=keys, how="left_anti")
+    kept = cur_df.join(new_df.select(*keys), on=keys, how="left_anti")
     if delete_filter is not None:
         kept = kept.filter(f"NOT ({delete_filter})")
-    merged = kept.select(*current.df.columns).unionByName(
-        frame.df.select(*current.df.columns)
+    merged = kept.select(*cur_df.columns).unionByName(
+        new_df.select(*cur_df.columns)
     )
     return write_snapshot(Frame(merged, ()), table_dir)
 

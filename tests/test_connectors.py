@@ -308,3 +308,67 @@ def test_compact_snapshot_requires_published(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         compact_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """schema_evolution=True (Delta mergeSchema analog): new upsert
+    columns append NULL-backfilled, columns absent from the upsert
+    NULL-fill on its rows, shared columns widen through the bind_rows
+    lattice, and time travel returns the OLD schema."""
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        read_snapshot,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "evo")
+    x = from_pandas(
+        spark,
+        pd.DataFrame(
+            {"k": [1, 2, 3], "v": pd.array([10, 20, 30], dtype="int32"),
+             "note": ["a", "b", "c"]}
+        ),
+    )
+    write_snapshot(x, d)
+
+    # y: shared v is WIDER (int64), new column extra, no note column
+    y = from_pandas(
+        spark,
+        pd.DataFrame(
+            {"k": [2, 4], "v": pd.array([200, 400], dtype="int64"),
+             "extra": [2.5, 4.5]}
+        ),
+    )
+    v2 = upsert_snapshot(spark, y, d, key="k", schema_evolution=True)
+    assert v2 == 2
+    got = read_snapshot(spark, d)
+    # table order first, new columns appended
+    assert got.df.columns == ["k", "v", "note", "extra"]
+    assert dict(got.df.dtypes)["v"] == "bigint"  # int32 + int64 -> long
+    rows = got.collect().sort_values("k").reset_index(drop=True)
+    assert list(rows["k"]) == [1, 2, 3, 4]
+    assert list(rows["v"]) == [10, 200, 30, 400]
+    # carried-over rows NULL-fill the new column; upserted rows
+    # NULL-fill the column they lack
+    assert pd.isna(rows["extra"][0]) and rows["extra"][1] == 2.5
+    assert rows["note"][0] == "a" and pd.isna(rows["note"][1])
+    # pre-evolution version keeps the old schema
+    assert read_snapshot(spark, d, version=1).df.columns == ["k", "v", "note"]
+
+    # without the flag the mismatch still refuses, with the hint
+    import pytest
+
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        upsert_snapshot(spark, y, d, key="k")
+
+    # incompatible promotion (numeric vs timestamp) raises even with
+    # evolution on
+    z = from_pandas(
+        spark,
+        pd.DataFrame({"k": [5], "v": pd.to_datetime(["2026-01-01"])}),
+    )
+    with pytest.raises(TypeError):
+        upsert_snapshot(spark, z, d, key="k", schema_evolution=True)

@@ -167,6 +167,7 @@ EXCHANGE_BUDGETS = {
     "cluster_balanced_sample": 1,  # r7: map-side assign; one cell-keyed rank window over slim rows
     "complete_fill": 2,         # per-key distinct grids + grid join
     "snapshot_compact": 1,      # r7: scan of the compacted version + one agg shuffle (staging writes run eagerly inside the callable)
+    "snapshot_schema_evolution": 0,  # r7: pure scan of the evolved published version (merge ran eagerly at staging time)
     "date_functions": 0,
     "quantile_agg": 1,
 }
