@@ -243,11 +243,22 @@ def write_snapshot(frame: Frame, table_dir: str) -> int:
     Works on any Hadoop-resolvable filesystem (bare local, file://,
     hdfs://, s3a://) — pointer and data share one FS. Returns the
     published version number."""
-    fs = _TableFS(table_dir, frame.df.sparkSession)
+    return _publish(
+        table_dir,
+        frame.df.sparkSession,
+        lambda data_dir: frame.df.write.mode("errorifexists").parquet(data_dir),
+    )
+
+
+def _publish(table_dir: str, spark, write_fn) -> int:
+    """The one publish protocol every snapshot writer shares: allocate
+    the next ``v=`` dir, run ``write_fn`` against it, and only then
+    swap the manifest pointer (write-temp + atomic rename). A crash in
+    ``write_fn`` leaves an orphan dir readers ignore."""
+    fs = _TableFS(table_dir, spark)
     fs.mkdirs()
     version = max(snapshot_versions(table_dir), default=0) + 1
-    data_dir = fs.join(f"v={version}")
-    frame.df.write.mode("errorifexists").parquet(data_dir)
+    write_fn(fs.join(f"v={version}"))
     fs.write_text_atomic(_MANIFEST, str(version), f".tmp.{version}")
     return version
 
@@ -364,6 +375,8 @@ def compact_snapshot(
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     shuffle: bool = False,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> int | None:
     """Small-file compaction for snapshot tables — the jar-free analog
     of Delta ``OPTIMIZE`` / Iceberg ``rewrite_data_files``, completing
@@ -387,10 +400,19 @@ def compact_snapshot(
     ``shuffle=True`` to ``repartition`` instead when the inputs are
     size-skewed and evenly-sized output files are worth one exchange.
 
-    No-op by design when the published version already has no more
-    files than the target (returns ``None``, no version churn) — safe
-    to run on a schedule. Row content is NEVER changed; only file
-    layout. Returns the new published version, or ``None``.
+    ``zorder_by`` makes this the full ``OPTIMIZE ZORDER BY`` analog:
+    the rewrite routes through ``write_parquet_zorder`` (Morton-curve
+    range partitioning at the same target file count), so the
+    compacted version's per-file min/max footer stats stay tight on
+    EVERY clustered column and selective scans prune most files. A
+    layout change is then the point, so the no-op shortcut is skipped
+    — a z-ordered compaction always publishes. Costs one extra tiny
+    min/max aggregate plus a range shuffle (``shuffle`` is implied).
+
+    Otherwise no-op by design when the published version already has
+    no more files than the target (returns ``None``, no version
+    churn) — safe to run on a schedule. Row content is NEVER changed;
+    only file layout. Returns the new published version, or ``None``.
     Single-writer contract as everywhere in this layer."""
     if target_file_bytes < 1:
         raise ValueError("target_file_bytes must be >= 1")
@@ -402,6 +424,22 @@ def compact_snapshot(
     fs = _TableFS(table_dir, spark)
     sizes = fs.file_sizes(f"v={version}")
     n_target = max(1, -(-sum(sizes) // target_file_bytes))
+    if zorder_by:
+        from cuplyr_spark.sources.readers import write_parquet_zorder
+
+        frame = read_snapshot(spark, table_dir)
+        return _publish(
+            table_dir,
+            spark,
+            lambda data_dir: write_parquet_zorder(
+                frame,
+                data_dir,
+                cols=list(zorder_by),
+                bits=zorder_bits,
+                mode="errorifexists",
+                num_files=n_target,
+            ),
+        )
     if len(sizes) <= n_target:
         return None
     df = read_snapshot(spark, table_dir).df

@@ -372,3 +372,63 @@ def test_upsert_schema_evolution(spark, tmp_path):
     )
     with pytest.raises(TypeError):
         upsert_snapshot(spark, z, d, key="k", schema_evolution=True)
+
+
+def test_compact_snapshot_zorder(spark, tmp_path):
+    """compact_snapshot(zorder_by=...) — the OPTIMIZE ZORDER BY analog:
+    the compacted version's files keep tight min/max ranges on BOTH
+    clustered columns (a point predicate overlaps a minority of
+    files), rows are preserved, and it always publishes (layout change
+    is the point, so no no-op shortcut)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from cuplyr_spark import read_parquet
+    from cuplyr_spark.sources.connectors import (
+        _TableFS,
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    li = read_parquet(spark, "/root/testdata/sf0.01/lineitem.parquet")
+    n_rows = li.df.count()
+    d = str(tmp_path / "zc")
+    write_snapshot(li.repartition(48), d)  # scattered small files
+
+    total = sum(_TableFS(d).file_sizes("v=1"))
+    v = compact_snapshot(
+        spark, d, target_file_bytes=-(-total // 16),
+        zorder_by=["l_orderkey", "l_partkey"],
+    )
+    assert v == 2
+    files = _glob.glob(os.path.join(d, "v=2", "*.parquet"))
+    assert 2 <= len(files) <= 16
+    assert read_snapshot(spark, d).df.count() == n_rows
+
+    def file_ranges(col):
+        out = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            stats = [md.row_group(rg).column(idx).statistics
+                     for rg in range(md.num_row_groups)]
+            out.append((min(s.min for s in stats), max(s.max for s in stats)))
+        return out
+
+    for col, point in (("l_orderkey", 7500), ("l_partkey", 1000)):
+        ranges = file_ranges(col)
+        hit = sum(1 for lo, hi in ranges if lo <= point <= hi)
+        assert hit <= -(-len(ranges) // 2), (
+            f"{col}: point {point} overlaps {hit}/{len(ranges)} files"
+        )
+
+    # z-ordered compaction republishes even when already compact
+    v3 = compact_snapshot(
+        spark, d, zorder_by=["l_orderkey", "l_partkey"]
+    )
+    assert v3 == 3
