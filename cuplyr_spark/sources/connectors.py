@@ -370,6 +370,38 @@ def upsert_snapshot(
     return write_snapshot(Frame(merged, ()), table_dir)
 
 
+def snapshot_history(
+    table_dir: str, spark: SparkSession | None = None
+) -> list[dict]:
+    """Version-level table metadata — the one-pointer analog of Delta
+    ``DESCRIBE HISTORY`` / Iceberg's snapshots table: one dict per
+    ``v=`` directory, ascending, with ``version``, ``n_files`` and
+    ``bytes`` (data files only), ``complete`` (parquet commit finished
+    — ``_SUCCESS`` present; crash orphans show ``False``) and
+    ``published`` (the manifest pointer). Pure filesystem metadata —
+    no data is read, so it is safe to call on a 100 TB table; feeds
+    compaction/vacuum scheduling decisions (e.g. compact when the
+    published version's ``n_files`` drifts high)."""
+    fs = _TableFS(table_dir, spark)
+    published = latest_snapshot_version(table_dir)
+    out = []
+    for v in snapshot_versions(table_dir):
+        try:
+            sizes = fs.file_sizes(f"v={v}")
+        except OSError:
+            sizes = []
+        out.append(
+            {
+                "version": v,
+                "n_files": len(sizes),
+                "bytes": sum(sizes),
+                "complete": fs.exists(f"v={v}/_SUCCESS"),
+                "published": v == published,
+            }
+        )
+    return out
+
+
 def compact_snapshot(
     spark: SparkSession,
     table_dir: str,

@@ -219,6 +219,9 @@ def stream_upsert_snapshot(
     key: str | list[str],
     checkpoint: str,
     trigger_once: bool = True,
+    compact_every: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    vacuum_keep: int | None = None,
 ):
     """Continuous ingest into a snapshot table: each microbatch is
     MERGEd (``connectors.upsert_snapshot`` — update matched keys,
@@ -236,14 +239,44 @@ def stream_upsert_snapshot(
 
     Returns the started StreamingQuery; with ``trigger_once`` it
     drains available input and stops (incremental-batch scheduling).
+
+    Inline table maintenance (the Delta auto-compaction story —
+    micro-batch sinks are THE small-file generator at 100 TB: one
+    version of a few files per trigger, thousands of versions per
+    day): ``compact_every=N`` runs ``connectors.compact_snapshot``
+    after every Nth merged batch (a no-op below ``target_file_bytes``
+    per file, so replays and quiet streams cost nothing), and
+    ``vacuum_keep=K`` then prunes history to the newest K complete
+    versions so the maintenance itself doesn't accumulate storage.
+    Both run inside the same single-writer foreachBatch slot — no
+    second writer, no coordination.
     """
-    from cuplyr_spark.sources.connectors import upsert_snapshot
+    from cuplyr_spark.sources.connectors import (
+        compact_snapshot,
+        upsert_snapshot,
+        vacuum_snapshots,
+    )
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            upsert_snapshot(
-                batch_df.sparkSession, Frame(batch_df, ()), table_dir, key
+        if batch_df.isEmpty():
+            return
+        upsert_snapshot(
+            batch_df.sparkSession, Frame(batch_df, ()), table_dir, key
+        )
+        if compact_every is not None and batch_id % compact_every == (
+            compact_every - 1
+        ):
+            compact_snapshot(
+                batch_df.sparkSession, table_dir, target_file_bytes
             )
+            if vacuum_keep is not None:
+                vacuum_snapshots(
+                    table_dir, keep_last=vacuum_keep,
+                    spark=batch_df.sparkSession,
+                )
 
     writer = (
         stream.writeStream.foreachBatch(_merge)

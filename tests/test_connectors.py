@@ -432,3 +432,33 @@ def test_compact_snapshot_zorder(spark, tmp_path):
         spark, d, zorder_by=["l_orderkey", "l_partkey"]
     )
     assert v3 == 3
+
+
+def test_snapshot_history(spark, tmp_path):
+    """snapshot_history (DESCRIBE HISTORY analog): one metadata row per
+    version with file counts/bytes, crash orphans marked incomplete,
+    the manifest pointer flagged — without reading any data."""
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        snapshot_history,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "hist")
+    write_snapshot(from_pandas(spark, pd.DataFrame({"k": [1, 2]})), d)
+    write_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [1, 2, 3]})).repartition(3), d
+    )
+    orphan = os.path.join(d, "v=7")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"partial")
+
+    h = snapshot_history(d)
+    assert [r["version"] for r in h] == [1, 2, 7]
+    assert h[0]["complete"] and not h[0]["published"]
+    assert h[1]["complete"] and h[1]["published"] and h[1]["n_files"] == 3
+    assert not h[2]["complete"] and not h[2]["published"]
+    assert all(r["bytes"] > 0 for r in h)

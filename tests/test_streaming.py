@@ -356,3 +356,49 @@ def test_stream_upsert_snapshot_merge_sink(spark, tmp_path):
     assert len(vers) >= 2
     first = read_snapshot(spark, table, version=vers[0]).collect()
     assert sorted(first["k"].tolist()) == [1, 2]
+
+
+def test_stream_upsert_snapshot_auto_compaction(spark, tmp_path):
+    """compact_every/vacuum_keep run table maintenance inside the
+    foreachBatch slot: after draining two single-file triggers with
+    compact_every=1, the published version is compacted to one file
+    and vacuum keeps history bounded — rows identical to the plain
+    sink's."""
+    import os
+
+    import pandas as pd
+
+    from cuplyr_spark.sources.connectors import (
+        read_snapshot,
+        snapshot_history,
+    )
+    from cuplyr_spark.streaming.stream import stream_upsert_snapshot
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}).to_parquet(
+        f"{src}/b0.parquet", index=False
+    )
+    pd.DataFrame({"k": [2, 3], "v": ["B", "c"]}).to_parquet(
+        f"{src}/b1.parquet", index=False
+    )
+
+    q = stream_upsert_snapshot(
+        spark.readStream.schema("k long, v string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src),
+        table, key="k", checkpoint=ckpt,
+        compact_every=1, target_file_bytes=1 << 30, vacuum_keep=2,
+    )
+    q.awaitTermination()
+
+    got = read_snapshot(spark, table).collect().sort_values("k")
+    assert got["v"].tolist() == ["a", "B", "c"]
+    hist = snapshot_history(table)
+    # maintenance bounded the history and the published version is a
+    # single compacted file
+    assert len(hist) <= 3
+    pub = next(r for r in hist if r["published"])
+    assert pub["n_files"] == 1 and pub["complete"]
