@@ -388,8 +388,8 @@ def snapshot_history(
     for v in snapshot_versions(table_dir):
         try:
             sizes = fs.file_sizes(f"v={v}")
-        except OSError:
-            sizes = []
+        except Exception:  # noqa: BLE001 — local OSError or a Py4J
+            sizes = []     # error when a dir vanishes mid-listing
         out.append(
             {
                 "version": v,

@@ -222,6 +222,7 @@ def stream_upsert_snapshot(
     compact_every: int | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     vacuum_keep: int | None = None,
+    zorder_by: list[str] | None = None,
 ):
     """Continuous ingest into a snapshot table: each microbatch is
     MERGEd (``connectors.upsert_snapshot`` — update matched keys,
@@ -240,16 +241,23 @@ def stream_upsert_snapshot(
     Returns the started StreamingQuery; with ``trigger_once`` it
     drains available input and stops (incremental-batch scheduling).
 
-    Inline table maintenance (the Delta auto-compaction story —
-    micro-batch sinks are THE small-file generator at 100 TB: one
-    version of a few files per trigger, thousands of versions per
-    day): ``compact_every=N`` runs ``connectors.compact_snapshot``
-    after every Nth merged batch (a no-op below ``target_file_bytes``
-    per file, so replays and quiet streams cost nothing), and
-    ``vacuum_keep=K`` then prunes history to the newest K complete
-    versions so the maintenance itself doesn't accumulate storage.
-    Both run inside the same single-writer foreachBatch slot — no
-    second writer, no coordination.
+    Inline table maintenance, tuned to what a COPY-ON-WRITE merge sink
+    actually sprawls: every microbatch publishes a FULL table copy, so
+    the dominant growth is VERSION STORAGE (thousands of versions per
+    day x table size) — ``vacuum_keep=K`` prunes history to the newest
+    K complete versions after each maintenance pass and is the
+    parameter that matters most here. ``compact_every=N`` additionally
+    rewrites the published version every Nth merged batch for SCAN
+    layout: ``target_file_bytes`` coalesces above AQE's ~advisory-size
+    write files toward scan-efficient sizes (a no-op when already
+    there, so replays and quiet streams cost nothing), and
+    ``zorder_by=`` makes that rewrite the OPTIMIZE ZORDER BY pass so
+    reader predicates on the clustered columns prune files — layout
+    work that the per-batch merge write itself never does. All of it
+    runs inside the same single-writer foreachBatch slot — no second
+    writer, no coordination. (An APPEND-style sink is where per-batch
+    small FILES sprawl instead; its compaction story is
+    ``compact_snapshot`` on a schedule against the table directory.)
     """
     from cuplyr_spark.sources.connectors import (
         compact_snapshot,
@@ -270,7 +278,8 @@ def stream_upsert_snapshot(
             compact_every - 1
         ):
             compact_snapshot(
-                batch_df.sparkSession, table_dir, target_file_bytes
+                batch_df.sparkSession, table_dir, target_file_bytes,
+                zorder_by=zorder_by,
             )
             if vacuum_keep is not None:
                 vacuum_snapshots(

@@ -391,6 +391,7 @@ def test_stream_upsert_snapshot_auto_compaction(spark, tmp_path):
         ).parquet(src),
         table, key="k", checkpoint=ckpt,
         compact_every=1, target_file_bytes=1 << 30, vacuum_keep=2,
+        zorder_by=["k"],  # forces the real rewrite pass every time
     )
     q.awaitTermination()
 
@@ -398,7 +399,7 @@ def test_stream_upsert_snapshot_auto_compaction(spark, tmp_path):
     assert got["v"].tolist() == ["a", "B", "c"]
     hist = snapshot_history(table)
     # maintenance bounded the history and the published version is a
-    # single compacted file
+    # single compacted (z-ordered) file
     assert len(hist) <= 3
     pub = next(r for r in hist if r["published"])
     assert pub["n_files"] == 1 and pub["complete"]
