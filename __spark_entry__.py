@@ -2869,6 +2869,44 @@ def q_snapshot_schema_evolution(spark, sf_dir):
     return read_snapshot(spark, d).df
 
 
+def q_append_snapshot(spark, sf_dir):
+    """Append/log table (the Delta-log essence,
+    ``connectors.append_snapshot``): orders arrives in two appends
+    (even keys, then odd keys) — each writing ONLY its own segment —
+    a replayed batch is blocked by the ``max_batch_id`` watermark, the
+    accumulated segments are folded by ``compact_append_snapshot``,
+    and the aggregate over the compacted log table must equal the same
+    aggregate over the raw table: appends + replay-guard + compaction
+    never change row content. Staged in the per-process scratch dir,
+    wiped first for a deterministic lifecycle."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    d = _scratch_dir("snap_append")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(orders.filter("o_orderkey % 2 = 0"), d, batch_id=0)
+    append_snapshot(orders.filter("o_orderkey % 2 = 1"), d, batch_id=1)
+    # replayed microbatch: watermark makes it a structural no-op
+    v = append_snapshot(orders.filter("o_orderkey % 2 = 1"), d, batch_id=1)
+    assert v == 2, "replayed batch must not publish a new log"
+    assert compact_append_snapshot(spark, d) == 3
+    return (
+        read_append_snapshot(spark, d)
+        .df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3020,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rows_delete": q_rows_delete,
         "snapshot_compact": q_snapshot_compact,
         "snapshot_schema_evolution": q_snapshot_schema_evolution,
+        "append_snapshot": q_append_snapshot,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -4948,6 +4987,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS INTEGER) AS n_regionkey,
                    r_regionkey + 100 AS priority
             FROM region
+        """,
+        "append_snapshot": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   MIN(o_orderkey) AS min_key,
+                   MAX(o_orderkey) AS max_key
+            FROM orders
+            GROUP BY o_orderpriority
         """,
         "complete_fill": """
             WITH f AS (SELECT * FROM orders WHERE o_totalprice > 350000)

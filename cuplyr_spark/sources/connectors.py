@@ -16,7 +16,17 @@ Two tiers:
   guarantees (atomic publish, versioned reads) — plus small-file
   compaction (``compact_snapshot``) and merge-time schema evolution
   (``upsert_snapshot(schema_evolution=True)``) — without multi-writer
-  transactions.
+  transactions. Two table shapes share the machinery:
+
+  * **copy-on-write** (``write_snapshot``/``upsert_snapshot``): each
+    version is the WHOLE table — right for mutable dimension-style
+    data where merges rewrite anyway;
+  * **append/log tables** (``append_snapshot``/``read_append_snapshot``):
+    each append writes only its own segment directory and the
+    manifest is a JSON list of live segments — the Delta-log essence,
+    right for event/fact ingest where a 100 TB table must grow by
+    the batch's bytes, not be rewritten per batch. An exactly-once
+    batch-id watermark makes streaming replays idempotent.
 
   Storage: manifest IO goes through the SAME Hadoop FileSystem layer
   as the parquet write (``Path.getFileSystem`` via the JVM gateway),
@@ -519,3 +529,208 @@ def vacuum_snapshots(
 
             shutil.rmtree(target)
     return doomed
+
+
+# -- append/log tables (segment-manifest, append cost ∝ batch) -----------
+
+_LOG_PTR = "_LATEST_LOG"
+
+
+def _read_log(fs: _TableFS, version: int | None = None) -> dict | None:
+    """The published log manifest (or a pinned earlier one): ``{
+    "version": n, "segments": [dir, ...], "max_batch_id": m|None }``."""
+    import json as _json
+
+    if version is None:
+        text = fs.read_text(_LOG_PTR)
+        if text is None:
+            return None
+        version = int(text.strip())
+    text = fs.read_text(f"_LOG.{version}")
+    if text is None:
+        raise FileNotFoundError(
+            f"log version {version} not found in {fs.dir!r}"
+        )
+    return _json.loads(text)
+
+
+def append_snapshot(
+    frame: Frame, table_dir: str, batch_id: int | None = None
+) -> int:
+    """Append-only publish: write ONLY this batch's rows as a new
+    segment directory and publish a log manifest listing every live
+    segment — the jar-free Delta-log essence, for the ingest shape
+    where copy-on-write is wrong (a 100 TB events table must grow by
+    the batch's bytes; ``write_snapshot`` would rewrite the table per
+    batch).
+
+    Commit order is crash-safe like every publish here: segment
+    parquet first, then the immutable ``_LOG.<n>`` manifest, then the
+    atomic ``_LATEST_LOG`` pointer swap — a crash at any point leaves
+    readers on the previous complete log and at worst an orphan
+    segment that vacuum removes. Segment names carry a random suffix
+    so a retried crash never collides with its own orphan.
+
+    ``batch_id`` is the exactly-once hook for streaming: the log
+    carries a monotone ``max_batch_id`` watermark and an append whose
+    ``batch_id`` is at or below it is a NO-OP returning the current
+    version — a replayed microbatch (foreachBatch redelivery after a
+    sink crash) cannot double-append. Compaction preserves the
+    watermark for the same reason.
+
+    Appends must match the table's columns (by name) — evolving
+    schemas belong to the copy-on-write path
+    (``upsert_snapshot(schema_evolution=True)``) where every version
+    is rewritten whole. Returns the published log version."""
+    import json as _json
+    import uuid
+
+    fs = _TableFS(table_dir, frame.df.sparkSession)
+    fs.mkdirs()
+    cur = _read_log(fs)
+    if batch_id is not None and cur is not None:
+        wm = cur.get("max_batch_id")
+        if wm is not None and batch_id <= wm:
+            return cur["version"]
+    if cur is not None and cur["segments"]:
+        have = set(
+            frame.df.sparkSession.read.parquet(
+                fs.join(cur["segments"][-1])
+            ).columns
+        )
+        if set(frame.df.columns) != have:
+            raise ValueError(
+                f"append_snapshot: columns {sorted(frame.df.columns)} do "
+                f"not match the table's {sorted(have)} — append tables "
+                "are fixed-schema (use the copy-on-write path for "
+                "schema evolution)"
+            )
+    n = (cur["version"] if cur else 0) + 1
+    seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
+    frame.df.write.mode("errorifexists").parquet(fs.join(seg))
+    wm = cur.get("max_batch_id") if cur else None
+    if batch_id is not None:
+        wm = batch_id if wm is None else max(wm, batch_id)
+    log = {
+        "version": n,
+        "segments": (cur["segments"] if cur else []) + [seg],
+        "max_batch_id": wm,
+    }
+    fs.write_text_atomic(f"_LOG.{n}", _json.dumps(log), f".tmp.{n}")
+    fs.write_text_atomic(_LOG_PTR, str(n), f".ptr.{n}")
+    return n
+
+
+def read_append_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> Frame:
+    """Read the published log version (default) or a pinned earlier one
+    (time travel): one multi-path parquet scan over the live segments —
+    Spark plans it as a single datasource relation, so filter pushdown
+    and column pruning apply across every segment at once. Segments
+    were written by this layer from already-normalized Frames, so no
+    re-normalization pass is needed."""
+    fs = _TableFS(table_dir, spark)
+    log = _read_log(fs, version)
+    if log is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    if not log["segments"]:
+        raise FileNotFoundError(f"log version {log['version']} has no segments")
+    return Frame(
+        spark.read.parquet(*[fs.join(s) for s in log["segments"]]), ()
+    )
+
+
+def compact_append_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int | None:
+    """Fold an append table's accumulated segments into ONE
+    right-sized segment and publish a log that lists only it — the
+    OPTIMIZE pass for the log-table shape, where maintenance debt is
+    SEGMENT COUNT (one directory per microbatch: a day of 5-minute
+    triggers is ~288 dirs whose listing/footer overhead every reader
+    pays). Older log versions keep referencing the original segments,
+    so time travel spans the compaction until vacuum prunes it.
+    No-op (``None``) when the table is already one segment within the
+    file-count target. The ``max_batch_id`` watermark carries over, so
+    streaming exactly-once survives compaction."""
+    import json as _json
+
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    sizes: list[int] = []
+    for s in cur["segments"]:
+        sizes.extend(fs.file_sizes(s))
+    n_target = max(1, -(-sum(sizes) // target_file_bytes))
+    if len(cur["segments"]) == 1 and len(sizes) <= n_target:
+        return None
+    import uuid
+
+    df = read_append_snapshot(spark, table_dir).df.coalesce(n_target)
+    n = cur["version"] + 1
+    seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("errorifexists").parquet(fs.join(seg))
+    log = {
+        "version": n,
+        "segments": [seg],
+        "max_batch_id": cur.get("max_batch_id"),
+    }
+    fs.write_text_atomic(f"_LOG.{n}", _json.dumps(log), f".tmp.{n}")
+    fs.write_text_atomic(_LOG_PTR, str(n), f".ptr.{n}")
+    return n
+
+
+def vacuum_append_snapshot(
+    table_dir: str, keep_last: int = 2, spark: SparkSession | None = None
+) -> list[str]:
+    """Prune append-table history: keep the newest ``keep_last`` log
+    versions plus (always) the published one, delete every other
+    ``_LOG.*`` file and every segment directory no kept log references
+    (crash-orphan segments — written but never logged — go too).
+    Returns the deleted segment dirs, ascending. Single-writer, like
+    the rest of the layer."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs = _TableFS(table_dir, spark)
+    ptr = fs.read_text(_LOG_PTR)
+    published = int(ptr.strip()) if ptr else None
+    versions = sorted(
+        int(name[5:])
+        for name in fs.listdir()
+        if name.startswith("_LOG.") and name[5:].isdigit()
+    )
+    keep = set(versions[-keep_last:])
+    if published is not None:
+        keep.add(published)
+    referenced: set = set()
+    for v in keep:
+        referenced.update(_read_log(fs, v)["segments"])
+    doomed_segs = sorted(
+        name
+        for name in fs.listdir()
+        if name.startswith("seg=") and name not in referenced
+    )
+    for seg in doomed_segs:
+        target = fs.join(seg)
+        if fs.remote:
+            fs._fs.delete(fs._jpath(target), True)
+        else:
+            import shutil
+
+            shutil.rmtree(target)
+    for v in versions:
+        if v not in keep:
+            target = fs.join(f"_LOG.{v}")
+            if fs.remote:
+                fs._fs.delete(fs._jpath(target), False)
+            else:
+                os.remove(target)
+    return doomed_segs

@@ -295,3 +295,64 @@ def stream_upsert_snapshot(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_append_snapshot(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+    compact_every: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    vacuum_keep: int | None = None,
+):
+    """Continuous APPEND ingest into a log table
+    (``connectors.append_snapshot``) — the insert-only twin of
+    :func:`stream_upsert_snapshot`, and the right sink for event/fact
+    streams at scale: each microbatch writes ONLY its own segment (cost
+    ∝ batch bytes) where the merge sink's copy-on-write rewrites the
+    table per batch.
+
+    Exactly-once, not just per key: the log's ``max_batch_id``
+    watermark makes a replayed microbatch (foreachBatch redelivery
+    after a sink crash) a structural no-op, so duplicate rows cannot
+    enter the table even though appends are not idempotent by nature.
+
+    Maintenance matches the shape's actual debt — SEGMENT COUNT:
+    ``compact_every=N`` folds the accumulated segments into one
+    right-sized segment every Nth batch (the watermark carries over),
+    and ``vacuum_keep=K`` prunes log history + unreferenced segments.
+    All inside the single-writer foreachBatch slot."""
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        compact_append_snapshot,
+        vacuum_append_snapshot,
+    )
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_snapshot(Frame(batch_df, ()), table_dir, batch_id=batch_id)
+        if compact_every is not None and batch_id % compact_every == (
+            compact_every - 1
+        ):
+            compact_append_snapshot(
+                batch_df.sparkSession, table_dir, target_file_bytes
+            )
+            if vacuum_keep is not None:
+                vacuum_append_snapshot(
+                    table_dir, keep_last=vacuum_keep,
+                    spark=batch_df.sparkSession,
+                )
+
+    writer = (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

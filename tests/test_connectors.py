@@ -462,3 +462,80 @@ def test_snapshot_history(spark, tmp_path):
     assert h[1]["complete"] and h[1]["published"] and h[1]["n_files"] == 3
     assert not h[2]["complete"] and not h[2]["published"]
     assert all(r["bytes"] > 0 for r in h)
+
+
+def test_append_snapshot_lifecycle(spark, tmp_path):
+    """Append/log tables: each append publishes a new log listing the
+    accumulated segments; reads union them in one scan; time travel
+    pins an earlier log; compaction folds to one segment preserving
+    the batch-id watermark; vacuum prunes old logs + unreferenced and
+    orphan segments."""
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        _TableFS,
+        _read_log,
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_snapshot,
+        vacuum_append_snapshot,
+    )
+
+    d = str(tmp_path / "log_tbl")
+    assert append_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})), d
+    ) == 1
+    assert append_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [3], "v": ["c"]})), d
+    ) == 2
+    got = read_append_snapshot(spark, d).collect().sort_values("k")
+    assert got["v"].tolist() == ["a", "b", "c"]
+    # time travel: log v1 has only the first batch
+    assert len(read_append_snapshot(spark, d, version=1).collect()) == 2
+
+    # fixed schema: mismatched columns refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="fixed-schema"):
+        append_snapshot(
+            from_pandas(spark, pd.DataFrame({"k": [4], "other": [1]})), d
+        )
+
+    # batch-id watermark: replay of batch 5 after batch 6 is a no-op
+    assert append_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [4], "v": ["d"]})), d,
+        batch_id=5,
+    ) == 3
+    assert append_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [4], "v": ["DUP"]})), d,
+        batch_id=5,
+    ) == 3  # same version returned, nothing appended
+    assert len(read_append_snapshot(spark, d).collect()) == 4
+
+    # compaction: one segment, rows identical, watermark carried
+    v = compact_append_snapshot(spark, d)
+    assert v == 4
+    fs = _TableFS(d)
+    log = _read_log(fs)
+    assert len(log["segments"]) == 1 and log["max_batch_id"] == 5
+    assert len(read_append_snapshot(spark, d).collect()) == 4
+    # replay of batch 5 stays a no-op AFTER compaction
+    assert append_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [9], "v": ["DUP"]})), d,
+        batch_id=5,
+    ) == 4
+    # compacting the already-compact table is a no-op
+    assert compact_append_snapshot(spark, d) is None
+
+    # pre-compaction logs still read until vacuumed
+    assert len(read_append_snapshot(spark, d, version=3).collect()) == 4
+
+    # vacuum: orphan + unreferenced segments die, kept logs read
+    os.makedirs(os.path.join(d, "seg=99-orphan"))
+    removed = vacuum_append_snapshot(d, keep_last=1)
+    assert any(s.startswith("seg=1-") for s in removed)
+    assert "seg=99-orphan" in removed
+    assert len(read_append_snapshot(spark, d).collect()) == 4
+    with pytest.raises(FileNotFoundError):
+        read_append_snapshot(spark, d, version=1)

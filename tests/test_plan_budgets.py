@@ -168,6 +168,7 @@ EXCHANGE_BUDGETS = {
     "complete_fill": 2,         # per-key distinct grids + grid join
     "snapshot_compact": 1,      # r7: scan of the compacted version + one agg shuffle (staging writes run eagerly inside the callable)
     "snapshot_schema_evolution": 0,  # r7: pure scan of the evolved published version (merge ran eagerly at staging time)
+    "append_snapshot": 1,       # r7: multi-segment-compacted scan + one agg shuffle (appends/compaction ran eagerly at staging time)
     "date_functions": 0,
     "quantile_agg": 1,
 }

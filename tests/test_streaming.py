@@ -403,3 +403,52 @@ def test_stream_upsert_snapshot_auto_compaction(spark, tmp_path):
     assert len(hist) <= 3
     pub = next(r for r in hist if r["published"])
     assert pub["n_files"] == 1 and pub["complete"]
+
+
+def test_stream_append_snapshot_sink(spark, tmp_path):
+    """Append sink: two single-file triggers land as segments, a
+    restart with no new input appends nothing (checkpoint), and the
+    batch-id watermark blocks double-appends; compact_every folds
+    segments inside the sink."""
+    import os
+
+    import pandas as pd
+
+    from cuplyr_spark.sources.connectors import (
+        _TableFS,
+        _read_log,
+        read_append_snapshot,
+    )
+    from cuplyr_spark.streaming.stream import stream_append_snapshot
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}).to_parquet(
+        f"{src}/b0.parquet", index=False
+    )
+    pd.DataFrame({"k": [3], "v": ["c"]}).to_parquet(
+        f"{src}/b1.parquet", index=False
+    )
+
+    def run():
+        q = stream_append_snapshot(
+            spark.readStream.schema("k long, v string").option(
+                "maxFilesPerTrigger", 1
+            ).parquet(src),
+            table, checkpoint=ckpt,
+            compact_every=2, target_file_bytes=1 << 30, vacuum_keep=2,
+        )
+        q.awaitTermination()
+
+    run()
+    got = read_append_snapshot(spark, table).collect().sort_values("k")
+    assert got["v"].tolist() == ["a", "b", "c"]
+    log = _read_log(_TableFS(table))
+    assert len(log["segments"]) == 1  # compact_every=2 folded batch 0+1
+    assert log["max_batch_id"] == 1
+
+    # restart with no new files: nothing appended, no duplicates
+    run()
+    assert len(read_append_snapshot(spark, table).collect()) == 3
