@@ -2907,6 +2907,51 @@ def q_append_snapshot(spark, sf_dir):
     )
 
 
+def q_append_snapshot_incremental(spark, sf_dir):
+    """Incremental (change-data-feed) read of an append table
+    (``connectors.read_append_changes``): even-key orders land first
+    (v1), then half the odd keys (v2), then a TIERED compaction folds
+    everything (v3 — a ``fold=`` rewrite, the dataChange=false analog),
+    then the remaining odd keys (v4). Reading the changes since v1
+    must return the odd keys EXACTLY ONCE: the log walk replays the
+    raw appends of v2 and v4 and skips the fold — neither losing the
+    pre-compaction v2 segment nor re-delivering the folded copy of
+    v1's rows. Delta read bytes are ∝ the new segments (two slim
+    scans), never the table. Staged in the per-process scratch dir."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_changes,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    d = _scratch_dir("snap_incr")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(
+        orders.filter("o_orderkey % 2 = 0"), d, batch_id=0, app_id="cdf"
+    )
+    append_snapshot(
+        orders.filter("o_orderkey % 4 = 1"), d, batch_id=1, app_id="cdf"
+    )
+    assert (
+        compact_append_snapshot(spark, d, target_file_bytes=1 << 30) == 3
+    ), "staging: compaction must fold the two small segments"
+    append_snapshot(
+        orders.filter("o_orderkey % 4 = 3"), d, batch_id=2, app_id="cdf"
+    )
+    return (
+        read_append_changes(spark, d, since_version=1)
+        .df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_changed"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3059,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_compact": q_snapshot_compact,
         "snapshot_schema_evolution": q_snapshot_schema_evolution,
         "append_snapshot": q_append_snapshot,
+        "append_snapshot_incremental": q_append_snapshot_incremental,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -4994,6 +5040,15 @@ def oracle_sql() -> dict[str, str]:
                    MIN(o_orderkey) AS min_key,
                    MAX(o_orderkey) AS max_key
             FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "append_snapshot_incremental": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_changed,
+                   MIN(o_orderkey) AS min_key,
+                   MAX(o_orderkey) AS max_key
+            FROM orders
+            WHERE o_orderkey % 2 = 1
             GROUP BY o_orderpriority
         """,
         "complete_fill": """

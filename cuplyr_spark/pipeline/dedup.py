@@ -619,6 +619,7 @@ def substring_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_grams: int = 1,
+    max_gram_freq: int | None = None,
 ) -> Frame:
     """Exact-substring duplicate SPANS (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): for each document,
@@ -646,6 +647,29 @@ def substring_dup_spans(
        island aggregate reuses the doc partitioning (no third
        exchange).
 
+    ``max_gram_freq`` is the OPT-IN hot-gram guard. Default off
+    (``None``) by MEASUREMENT, not oversight: the gram-skew rehearsal
+    (BENCH_REFERENCE.md r7/r8) ran the shapes head-to-head at 4M-25M
+    docs — the window's hot partition is count-only integer rows
+    (linear, graceful spill; 6% of wall at 20% planted boilerplate),
+    while any pre-window frequency count needs its OWN pass over the
+    exploded grams, costing far more than the straggler it removes
+    (the agg+semi and hybrid shapes measured 2-5x total wall). Enable
+    the cap when the worst case is real for your corpus — boilerplate
+    grams with occurrence counts far above ``max_gram_freq``, where a
+    single task's O(G) count would dominate the job. With the cap on,
+    frequencies come from a partial-aggregated ``gh`` count (map-side
+    combine — skew-safe) joined back (build side one row per gram;
+    probe-side hot partitions are byte-splittable by AQE at true
+    scale); over-cap grams short-circuit to duplicated — the LSH
+    bucket-cap rule: such a gram is boilerplate whose every position
+    is cross-doc duplicated anyway (documented clamp: that holds even
+    in the pathological all-in-one-doc case, which a cap ≥ the corpus
+    doc count rules out) — and every window partition is bounded by
+    the cap, so the straggler is constant. Under-cap grams keep the
+    exact test; on data with no over-cap gram the results are
+    identical either way.
+
     Documents shorter than ``k`` tokens contribute their full text as
     the position-1 window (the ``_word_shingles`` rule), so two short
     identical documents still produce spans. Output: one row per span —
@@ -654,6 +678,8 @@ def substring_dup_spans(
     with fewer than ``min_grams`` windows dropped."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    if max_gram_freq is not None and max_gram_freq < 2:
+        raise ValueError("max_gram_freq must be >= 2 (or None to disable)")
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
@@ -671,14 +697,32 @@ def substring_dup_spans(
             )
         ).alias("s"),
     ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
-    wg = Window.partitionBy("gh")
-    wgd = Window.partitionBy("gh", id_col)
-    dup = (
-        pos_grams.withColumn("cnt_all", F.count(F.lit(1)).over(wg))
-        .withColumn("cnt_doc", F.count(F.lit(1)).over(wgd))
-        .filter(F.col("cnt_all") > F.col("cnt_doc"))
-        .select(id_col, "pos")
-    )
+    if max_gram_freq is None:
+        # measured-default shape: ONE gh exchange shared by both counts
+        wg = Window.partitionBy("gh")
+        wgd = Window.partitionBy("gh", id_col)
+        dup = (
+            pos_grams.withColumn("cnt_all", F.count(F.lit(1)).over(wg))
+            .withColumn("cnt_doc", F.count(F.lit(1)).over(wgd))
+            .filter(F.col("cnt_all") > F.col("cnt_doc"))
+            .select(id_col, "pos")
+        )
+    else:
+        # guarded shape: skew-safe aggregate count + join-back; hot
+        # grams bypass the window, bounding every partition by the cap
+        freq = pos_grams.groupBy("gh").agg(
+            F.count(F.lit(1)).alias("__n_occ")
+        )
+        pg = pos_grams.join(freq, "gh")
+        hot = pg.filter(F.col("__n_occ") > max_gram_freq).select(id_col, "pos")
+        cold = pg.filter(F.col("__n_occ") <= max_gram_freq)
+        wgd = Window.partitionBy("gh", id_col)
+        dup = (
+            cold.withColumn("cnt_doc", F.count(F.lit(1)).over(wgd))
+            .filter(F.col("__n_occ") > F.col("cnt_doc"))
+            .select(id_col, "pos")
+            .unionByName(hot)
+        )
     wd = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(wd)
     islands = dup.withColumn(

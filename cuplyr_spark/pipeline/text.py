@@ -795,7 +795,13 @@ def with_unigram_logprob(
         missing = [c for c in ("tok", "c") if c not in model.df.columns]
         if missing:
             raise ValueError(f"unigram model lacks columns {missing}")
-        counts = model.df.select("tok", F.col("c").cast("long").alias("c"))
+        # re-aggregate to one row per tok: a model assembled from
+        # several writes (parquet union) may carry duplicate tok rows,
+        # which would multiply through the tf join and inflate V/T —
+        # one slim vocab-sized agg makes the contract unconditional
+        counts = model.df.groupBy("tok").agg(
+            F.sum(F.col("c").cast("long")).alias("c")
+        )
         join_how = "left"  # OOV tokens take the add-one floor (c -> 0)
     row = counts.agg(
         F.sum("c").alias("t_total"), F.count(F.lit(1)).alias("v")

@@ -505,8 +505,14 @@ def vacuum_snapshots(
     EXCLUDED from the ``keep_last`` ranking and deleted outright:
     counting them would let a high-numbered unreadable orphan displace
     a real historical version from retention while the orphan itself
-    survived. Deletion goes through the same filesystem as the data
-    (``_TableFS``), so vacuuming works wherever snapshots do.
+    survived. When NO version has a ``_SUCCESS`` marker, marker support
+    is evidently disabled on the cluster
+    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``) rather
+    than every version being a crash orphan, so all versions rank as
+    complete — otherwise vacuum would ignore ``keep_last`` and delete
+    every non-published version. Deletion goes through the same
+    filesystem as the data (``_TableFS``), so vacuuming works wherever
+    snapshots do.
     Single-writer contract as everywhere in this layer: vacuum while a
     concurrent writer publishes is out of scope. Returns the versions
     removed (ascending)."""
@@ -516,6 +522,8 @@ def vacuum_snapshots(
     versions = snapshot_versions(table_dir)
     published = latest_snapshot_version(table_dir)
     complete = [v for v in versions if fs.exists(f"v={v}/_SUCCESS")]
+    if not complete:  # success markers disabled, not a table of orphans
+        complete = versions
     keep = set(complete[-keep_last:])
     if published is not None:
         keep.add(published)
@@ -535,10 +543,18 @@ def vacuum_snapshots(
 
 _LOG_PTR = "_LATEST_LOG"
 
+# Watermark key for appends that pass batch_id without an app_id.
+_DEFAULT_APP = "__default__"
+
 
 def _read_log(fs: _TableFS, version: int | None = None) -> dict | None:
     """The published log manifest (or a pinned earlier one): ``{
-    "version": n, "segments": [dir, ...], "max_batch_id": m|None }``."""
+    "version": n, "segments": [dir, ...], "max_batch_id": m|None,
+    "watermarks": {app_id: max_batch_id, ...}, "schema":
+    [[name, type], ...] }``. ``watermarks``/``schema`` are stamped
+    since the app-keyed exactly-once rework; older manifests lack
+    them and are normalized by :func:`_log_watermarks` /
+    the footer fallback in :func:`append_snapshot`."""
     import json as _json
 
     if version is None:
@@ -554,8 +570,40 @@ def _read_log(fs: _TableFS, version: int | None = None) -> dict | None:
     return _json.loads(text)
 
 
+def _log_watermarks(log: dict | None) -> dict[str, int]:
+    """Per-app exactly-once watermarks, with the legacy single
+    ``max_batch_id`` field folded in as the default app's entry."""
+    if log is None:
+        return {}
+    wms = dict(log.get("watermarks") or {})
+    legacy = log.get("max_batch_id")
+    if legacy is not None and _DEFAULT_APP not in wms:
+        wms[_DEFAULT_APP] = legacy
+    return wms
+
+
+def _write_log(fs: _TableFS, log: dict) -> int:
+    """Publish a log manifest: immutable ``_LOG.<n>`` first, then the
+    atomic ``_LATEST_LOG`` pointer swap. ``max_batch_id`` mirrors the
+    default app's watermark for pre-rework readers."""
+    import json as _json
+
+    n = log["version"]
+    log["max_batch_id"] = (log.get("watermarks") or {}).get(_DEFAULT_APP)
+    fs.write_text_atomic(f"_LOG.{n}", _json.dumps(log), f".tmp.{n}")
+    fs.write_text_atomic(_LOG_PTR, str(n), f".ptr.{n}")
+    return n
+
+
+def _frame_schema_pairs(df) -> list[list[str]]:
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
 def append_snapshot(
-    frame: Frame, table_dir: str, batch_id: int | None = None
+    frame: Frame,
+    table_dir: str,
+    batch_id: int | None = None,
+    app_id: str | None = None,
 ) -> int:
     """Append-only publish: write ONLY this batch's rows as a new
     segment directory and publish a log manifest listing every live
@@ -572,53 +620,115 @@ def append_snapshot(
     so a retried crash never collides with its own orphan.
 
     ``batch_id`` is the exactly-once hook for streaming: the log
-    carries a monotone ``max_batch_id`` watermark and an append whose
+    carries a monotone per-writer watermark and an append whose
     ``batch_id`` is at or below it is a NO-OP returning the current
     version — a replayed microbatch (foreachBatch redelivery after a
     sink crash) cannot double-append. Compaction preserves the
-    watermark for the same reason.
+    watermarks for the same reason. ``app_id`` scopes the watermark to
+    one writer (Delta keys idempotent writes by txnAppId+txnVersion
+    the same way): two distinct streaming queries appending to one
+    table each track their own high-water mark instead of corrupting a
+    shared one. Omitting ``app_id`` uses a single default slot —
+    fine for the one-writer common case, but note the CHECKPOINT-RESET
+    hazard: recreating a query's checkpoint restarts its batch ids at
+    0, so every new batch is silently dropped as a replay until ids
+    pass the old watermark. Pair a fresh checkpoint with a fresh
+    ``app_id``, or clear the slot with
+    :func:`reset_append_watermark`.
 
-    Appends must match the table's columns (by name) — evolving
-    schemas belong to the copy-on-write path
+    Appends are fixed-schema, validated by (name, type) against the
+    schema recorded in the log manifest — a batch with matching names
+    but drifted types is rejected HERE rather than surfacing later as
+    a corrupted multi-segment scan (Delta's write-time check). The
+    manifest carries the schema, so validation costs no filesystem
+    round-trip (legacy manifests without it fall back to one footer
+    read and are stamped on the next publish). Evolving schemas belong
+    to the copy-on-write path
     (``upsert_snapshot(schema_evolution=True)``) where every version
     is rewritten whole. Returns the published log version."""
-    import json as _json
     import uuid
 
     fs = _TableFS(table_dir, frame.df.sparkSession)
     fs.mkdirs()
     cur = _read_log(fs)
-    if batch_id is not None and cur is not None:
-        wm = cur.get("max_batch_id")
-        if wm is not None and batch_id <= wm:
-            return cur["version"]
+    wms = _log_watermarks(cur)
+    key = app_id or _DEFAULT_APP
+    if batch_id is not None and wms.get(key) is not None and batch_id <= wms[key]:
+        return cur["version"]
+    incoming = _frame_schema_pairs(frame.df)
     if cur is not None and cur["segments"]:
-        have = set(
-            frame.df.sparkSession.read.parquet(
-                fs.join(cur["segments"][-1])
-            ).columns
-        )
-        if set(frame.df.columns) != have:
+        table = cur.get("schema")
+        if table is None:  # legacy manifest: one footer read, then stamped
+            table = _frame_schema_pairs(
+                frame.df.sparkSession.read.parquet(
+                    fs.join(cur["segments"][-1])
+                )
+            )
+        have, got = dict(map(tuple, table)), dict(map(tuple, incoming))
+        if set(got) != set(have):
             raise ValueError(
-                f"append_snapshot: columns {sorted(frame.df.columns)} do "
-                f"not match the table's {sorted(have)} — append tables "
-                "are fixed-schema (use the copy-on-write path for "
+                f"append_snapshot: columns {sorted(got)} do not match "
+                f"the table's {sorted(have)} — append tables are "
+                "fixed-schema (use the copy-on-write path for "
                 "schema evolution)"
             )
+        drift = {c: (have[c], got[c]) for c in have if have[c] != got[c]}
+        if drift:
+            raise ValueError(
+                "append_snapshot: column type mismatch "
+                + ", ".join(
+                    f"{c}: table={t!r} vs append={g!r}"
+                    for c, (t, g) in sorted(drift.items())
+                )
+                + " — append tables are fixed-schema; cast the batch "
+                "or use the copy-on-write path for schema evolution"
+            )
+        schema = table
+    else:
+        schema = incoming
     n = (cur["version"] if cur else 0) + 1
     seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
     frame.df.write.mode("errorifexists").parquet(fs.join(seg))
-    wm = cur.get("max_batch_id") if cur else None
     if batch_id is not None:
-        wm = batch_id if wm is None else max(wm, batch_id)
-    log = {
-        "version": n,
-        "segments": (cur["segments"] if cur else []) + [seg],
-        "max_batch_id": wm,
-    }
-    fs.write_text_atomic(f"_LOG.{n}", _json.dumps(log), f".tmp.{n}")
-    fs.write_text_atomic(_LOG_PTR, str(n), f".ptr.{n}")
-    return n
+        old = wms.get(key)
+        wms[key] = batch_id if old is None else max(old, batch_id)
+    return _write_log(
+        fs,
+        {
+            "version": n,
+            "segments": (cur["segments"] if cur else []) + [seg],
+            "watermarks": wms,
+            "schema": schema,
+        },
+    )
+
+
+def reset_append_watermark(
+    table_dir: str, app_id: str | None = None, spark: SparkSession | None = None
+) -> int:
+    """Clear one writer's exactly-once watermark by publishing a new
+    log version without it — the recovery hook for the checkpoint-reset
+    hazard (a recreated streaming checkpoint restarts batch ids at 0,
+    which the old watermark would silently swallow as replays). Same
+    segments, same schema, same other apps' watermarks. Returns the
+    new log version."""
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    wms = _log_watermarks(cur)
+    wms.pop(app_id or _DEFAULT_APP, None)
+    return _write_log(
+        fs,
+        {
+            "version": cur["version"] + 1,
+            "segments": cur["segments"],
+            "watermarks": wms,
+            "schema": cur.get("schema"),
+        },
+    )
 
 
 def read_append_snapshot(
@@ -643,49 +753,185 @@ def read_append_snapshot(
     )
 
 
+def read_append_changes(
+    spark: SparkSession,
+    table_dir: str,
+    since_version: int,
+    version: int | None = None,
+) -> Frame:
+    """Incremental read: ONLY the rows appended after log version
+    ``since_version`` (exclusive) up to ``version`` (inclusive; default
+    the published log) — the jar-free change-data-feed for append
+    tables, and the natural feed for incremental cross-corpus dedup
+    (``flag_cross_duplicates``) and streaming decontamination: the
+    downstream pipeline records the version it processed and each pass
+    reads bytes ∝ NEW segments, never rescanning the corpus.
+
+    Exact across compaction, the Delta CDF way: rather than diffing
+    two snapshots (which would lose a post-``since`` segment folded
+    before the read, and re-surface pre-``since`` rows inside the
+    fold), this walks the retained ``_LOG.<k>`` manifests in
+    ``(since_version, version]`` and unions each version's NEWLY ADDED
+    raw ``seg=`` segments. Compaction rewrites are ``fold=`` segments —
+    the ``dataChange=false`` analog — and are skipped: their rows were
+    all visible in earlier versions. ``reset_append_watermark``'s
+    segment-preserving republish adds nothing and reads as empty.
+
+    Retention contract (same as Delta CDF): the walk needs the log
+    manifests in the window and the raw segments they added — run
+    ``vacuum_append_snapshot`` with ``keep_last`` at least the deepest
+    reader lag, or a lagging reader gets ``FileNotFoundError`` here
+    instead of silently wrong rows. Returns an EMPTY frame (correct
+    table schema) when no rows were appended in the window."""
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs, version)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    end = cur["version"]
+    if since_version > end:
+        raise ValueError(
+            f"since_version {since_version} is past log version {end}"
+        )
+    new_segs: list[str] = []
+    prev = set(_read_log(fs, since_version)["segments"]) if since_version > 0 else set()
+    for k in range(since_version + 1, end + 1):
+        log_k = _read_log(fs, k)  # raises if vacuumed past reader lag
+        new_segs.extend(
+            s
+            for s in log_k["segments"]
+            if s not in prev and s.startswith("seg=")
+        )
+        prev = set(log_k["segments"])
+    if not new_segs:
+        schema = cur.get("schema")
+        if schema is not None:
+            from pyspark.sql import types as _T
+
+            fields = [
+                _T.StructField(name, _T._parse_datatype_string(dt))
+                for name, dt in schema
+            ]
+            return Frame(
+                spark.createDataFrame([], _T.StructType(fields)), ()
+            )
+        return Frame(read_append_snapshot(spark, table_dir, end).df.limit(0), ())
+    return Frame(spark.read.parquet(*[fs.join(s) for s in new_segs]), ())
+
+
 def compact_append_snapshot(
     spark: SparkSession,
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
+    max_live_segments: int | None = None,
 ) -> int | None:
-    """Fold an append table's accumulated segments into ONE
-    right-sized segment and publish a log that lists only it — the
+    """Tiered (bin-packed) compaction for append tables — the
     OPTIMIZE pass for the log-table shape, where maintenance debt is
     SEGMENT COUNT (one directory per microbatch: a day of 5-minute
     triggers is ~288 dirs whose listing/footer overhead every reader
-    pays). Older log versions keep referencing the original segments,
-    so time travel spans the compaction until vacuum prunes it.
-    No-op (``None``) when the table is already one segment within the
-    file-count target. The ``max_batch_id`` watermark carries over, so
-    streaming exactly-once survives compaction."""
-    import json as _json
+    pays).
 
+    The pass folds ONLY segments that are under-sized (total bytes
+    below ``target_file_bytes``) or internally fragmented (more files
+    than ``ceil(bytes / target_file_bytes)``) into one new right-sized
+    ``fold=`` segment; right-sized segments are REFERENCED UNTOUCHED
+    by the new log — their files are never read or rewritten. That is
+    what keeps the append shape's cost contract at 100 TB: maintenance
+    cost is ∝ small-segment bytes, and cumulative write amplification
+    of a long-lived ``stream_append_snapshot(compact_every=N)`` stays
+    linear — each row is rewritten O(log) times as its fold graduates
+    past the target size, never per-pass (Delta's OPTIMIZE bin-packing
+    rule; the previous fold-everything design was a full-table rewrite
+    per pass, quadratic over the stream's life).
+
+    ``max_live_segments`` additionally bounds the live segment COUNT:
+    when the bin-packed result would still exceed it, the smallest
+    right-sized segments are pulled into the fold until it fits —
+    the knob for tables whose steady state is many medium segments.
+
+    ``zorder_by`` routes the folded segment through
+    ``write_parquet_zorder`` (the OPTIMIZE ZORDER BY analog of the
+    copy-on-write path): newly consolidated data gets pruning layout
+    at fold time, at the cost of one range shuffle over the FOLDED
+    bytes only. Untouched right-sized segments keep their layout.
+
+    Older log versions keep referencing the original segments, so time
+    travel spans the compaction until vacuum prunes it; incremental
+    readers (``read_append_changes``) skip ``fold=`` segments, so a
+    fold is invisible to the change feed. All per-app exactly-once
+    watermarks carry over. No-op (``None``) when nothing needs folding
+    (also when the only fold candidate is a lone segment that folding
+    could not improve). Returns the new published log version, or
+    ``None``. Single-writer contract as everywhere in this layer."""
+    if target_file_bytes < 1:
+        raise ValueError("target_file_bytes must be >= 1")
+    if max_live_segments is not None and max_live_segments < 1:
+        raise ValueError("max_live_segments must be >= 1")
     fs = _TableFS(table_dir, spark)
     cur = _read_log(fs)
     if cur is None:
         raise FileNotFoundError(
             f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
         )
-    sizes: list[int] = []
-    for s in cur["segments"]:
-        sizes.extend(fs.file_sizes(s))
-    n_target = max(1, -(-sum(sizes) // target_file_bytes))
-    if len(cur["segments"]) == 1 and len(sizes) <= n_target:
+    stats = {s: fs.file_sizes(s) for s in cur["segments"]}
+
+    def fragmented(sizes: list[int]) -> bool:
+        total = sum(sizes)
+        return total < target_file_bytes or len(sizes) > max(
+            1, -(-total // target_file_bytes)
+        )
+
+    fold = [s for s in cur["segments"] if fragmented(stats[s])]
+    keep = [s for s in cur["segments"] if not fragmented(stats[s])]
+    if max_live_segments is not None:
+        # pull smallest right-sized segments into the fold until the
+        # new log's live count (keep + one fold) fits the knob
+        by_size = sorted(keep, key=lambda s: sum(stats[s]))
+        while keep and len(keep) + (1 if fold else 0) > max_live_segments:
+            victim = by_size.pop(0)
+            keep.remove(victim)
+            fold.append(victim)
+    if not fold:
         return None
+    fold_sizes = [b for s in fold for b in stats[s]]
+    n_target = max(1, -(-sum(fold_sizes) // target_file_bytes))
+    if (
+        len(fold) == 1
+        and len(fold_sizes) <= n_target
+        and not zorder_by
+    ):
+        return None  # folding a lone compact segment rewrites it 1:1
     import uuid
 
-    df = read_append_snapshot(spark, table_dir).df.coalesce(n_target)
+    df = spark.read.parquet(*[fs.join(s) for s in fold])
     n = cur["version"] + 1
-    seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
-    df.write.mode("errorifexists").parquet(fs.join(seg))
-    log = {
-        "version": n,
-        "segments": [seg],
-        "max_batch_id": cur.get("max_batch_id"),
-    }
-    fs.write_text_atomic(f"_LOG.{n}", _json.dumps(log), f".tmp.{n}")
-    fs.write_text_atomic(_LOG_PTR, str(n), f".ptr.{n}")
-    return n
+    seg = f"fold={n}-{uuid.uuid4().hex[:8]}"
+    if zorder_by:
+        from cuplyr_spark.sources.readers import write_parquet_zorder
+
+        write_parquet_zorder(
+            Frame(df, ()),
+            fs.join(seg),
+            cols=list(zorder_by),
+            bits=zorder_bits,
+            mode="errorifexists",
+            num_files=n_target,
+        )
+    else:
+        df.coalesce(n_target).write.mode("errorifexists").parquet(fs.join(seg))
+    ordered = [s for s in cur["segments"] if s in set(keep)] + [seg]
+    return _write_log(
+        fs,
+        {
+            "version": n,
+            "segments": ordered,
+            "watermarks": _log_watermarks(cur),
+            "schema": cur.get("schema"),
+        },
+    )
 
 
 def vacuum_append_snapshot(
@@ -694,9 +940,13 @@ def vacuum_append_snapshot(
     """Prune append-table history: keep the newest ``keep_last`` log
     versions plus (always) the published one, delete every other
     ``_LOG.*`` file and every segment directory no kept log references
-    (crash-orphan segments — written but never logged — go too).
-    Returns the deleted segment dirs, ascending. Single-writer, like
-    the rest of the layer."""
+    (raw ``seg=`` and compaction ``fold=`` alike; crash-orphan
+    segments — written but never logged — go too). Returns the deleted
+    segment dirs, ascending. Single-writer, like the rest of the
+    layer. Retention interacts with incremental readers: keep
+    ``keep_last`` at least the deepest ``read_append_changes`` /
+    ``stream_append_log`` reader lag, or the lagging reader loses the
+    window (it fails loudly, never silently skips)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     fs = _TableFS(table_dir, spark)
@@ -716,7 +966,7 @@ def vacuum_append_snapshot(
     doomed_segs = sorted(
         name
         for name in fs.listdir()
-        if name.startswith("seg=") and name not in referenced
+        if name.startswith(("seg=", "fold=")) and name not in referenced
     )
     for seg in doomed_segs:
         target = fs.join(seg)

@@ -245,8 +245,11 @@ def stream_upsert_snapshot(
     actually sprawls: every microbatch publishes a FULL table copy, so
     the dominant growth is VERSION STORAGE (thousands of versions per
     day x table size) — ``vacuum_keep=K`` prunes history to the newest
-    K complete versions after each maintenance pass and is the
-    parameter that matters most here. ``compact_every=N`` additionally
+    K complete versions and is the parameter that matters most here;
+    it runs after EVERY batch when no ``compact_every`` schedule is
+    set (vacuum is metadata-cheap), else on the compaction cadence.
+    ``zorder_by`` without ``compact_every`` raises — it is applied by
+    the compaction pass. ``compact_every=N`` additionally
     rewrites the published version every Nth merged batch for SCAN
     layout: ``target_file_bytes`` coalesces above AQE's ~advisory-size
     write files toward scan-efficient sizes (a no-op when already
@@ -267,6 +270,12 @@ def stream_upsert_snapshot(
 
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
+    if zorder_by is not None and compact_every is None:
+        raise ValueError(
+            "zorder_by is applied by the compaction pass — pass "
+            "compact_every=N to schedule it (zorder_by alone would be "
+            "silently ignored)"
+        )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -281,11 +290,17 @@ def stream_upsert_snapshot(
                 batch_df.sparkSession, table_dir, target_file_bytes,
                 zorder_by=zorder_by,
             )
-            if vacuum_keep is not None:
-                vacuum_snapshots(
-                    table_dir, keep_last=vacuum_keep,
-                    spark=batch_df.sparkSession,
-                )
+        # version storage is THE cost of a merge-per-batch sink, so
+        # vacuum_keep acts every batch even without a compaction
+        # schedule (vacuum is pure manifest/fs metadata — cheap)
+        if vacuum_keep is not None and (
+            compact_every is None
+            or batch_id % compact_every == compact_every - 1
+        ):
+            vacuum_snapshots(
+                table_dir, keep_last=vacuum_keep,
+                spark=batch_df.sparkSession,
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_merge)
@@ -305,6 +320,8 @@ def stream_append_snapshot(
     compact_every: int | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     vacuum_keep: int | None = None,
+    zorder_by: list[str] | None = None,
+    app_id: str | None = None,
 ):
     """Continuous APPEND ingest into a log table
     (``connectors.append_snapshot``) — the insert-only twin of
@@ -313,16 +330,29 @@ def stream_append_snapshot(
     ∝ batch bytes) where the merge sink's copy-on-write rewrites the
     table per batch.
 
-    Exactly-once, not just per key: the log's ``max_batch_id``
+    Exactly-once, not just per key: the log's per-writer batch-id
     watermark makes a replayed microbatch (foreachBatch redelivery
     after a sink crash) a structural no-op, so duplicate rows cannot
     enter the table even though appends are not idempotent by nature.
+    ``app_id`` names this writer's watermark slot (pass one per
+    streaming query when several append to one table). CHECKPOINT
+    RESET HAZARD: recreating ``checkpoint`` restarts batch ids at 0,
+    and the surviving watermark then swallows every new batch as a
+    replay until ids pass it — silent data loss. Pair a fresh
+    checkpoint with a fresh ``app_id``, or call
+    ``connectors.reset_append_watermark(table_dir, app_id)`` first.
 
     Maintenance matches the shape's actual debt — SEGMENT COUNT:
-    ``compact_every=N`` folds the accumulated segments into one
-    right-sized segment every Nth batch (the watermark carries over),
-    and ``vacuum_keep=K`` prunes log history + unreferenced segments.
-    All inside the single-writer foreachBatch slot."""
+    ``compact_every=N`` runs the TIERED compaction every Nth batch
+    (folds only under-sized/fragmented segments into a ``fold=``
+    segment, cost ∝ small-segment bytes — write amplification over the
+    stream's life stays linear; watermarks carry over), with
+    ``zorder_by=`` giving the folded data pruning layout; and
+    ``vacuum_keep=K`` prunes log history + unreferenced segments —
+    after every batch when no compaction schedule is set, else on the
+    compaction cadence. Keep ``vacuum_keep`` at least the lag of any
+    ``read_append_changes``/``stream_append_log`` reader tailing this
+    table. All inside the single-writer foreachBatch slot."""
     from cuplyr_spark.sources.connectors import (
         append_snapshot,
         compact_append_snapshot,
@@ -331,22 +361,34 @@ def stream_append_snapshot(
 
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
+    if zorder_by is not None and compact_every is None:
+        raise ValueError(
+            "zorder_by is applied by the compaction pass — pass "
+            "compact_every=N to schedule it (zorder_by alone would be "
+            "silently ignored)"
+        )
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_snapshot(Frame(batch_df, ()), table_dir, batch_id=batch_id)
+        append_snapshot(
+            Frame(batch_df, ()), table_dir, batch_id=batch_id, app_id=app_id
+        )
         if compact_every is not None and batch_id % compact_every == (
             compact_every - 1
         ):
             compact_append_snapshot(
-                batch_df.sparkSession, table_dir, target_file_bytes
+                batch_df.sparkSession, table_dir, target_file_bytes,
+                zorder_by=zorder_by,
             )
-            if vacuum_keep is not None:
-                vacuum_append_snapshot(
-                    table_dir, keep_last=vacuum_keep,
-                    spark=batch_df.sparkSession,
-                )
+        if vacuum_keep is not None and (
+            compact_every is None
+            or batch_id % compact_every == compact_every - 1
+        ):
+            vacuum_append_snapshot(
+                table_dir, keep_last=vacuum_keep,
+                spark=batch_df.sparkSession,
+            )
 
     writer = (
         stream.writeStream.foreachBatch(_append)
@@ -356,3 +398,38 @@ def stream_append_snapshot(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_append_log(
+    spark: SparkSession, table_dir: str, schema: T.StructType | str
+) -> DataFrame:
+    """Tail an append table as a STREAM — the source half that closes
+    the ingest→curate loop: one pipeline lands events with
+    :func:`stream_append_snapshot`, a downstream pipeline tails them
+    here (watermark-dedup, windowed agg, decontaminate, ...) without
+    ever rescanning the table.
+
+    Mechanism: a file-source stream over the raw segment glob
+    (``table_dir/seg=*``). The glob deliberately EXCLUDES ``fold=``
+    segments, so tiered compaction rewrites are invisible to the tail
+    (the ``dataChange=false`` rule) — no re-delivery of rows the tail
+    already processed. Vacuumed (already-processed) segments
+    disappearing is fine for the file source; keep vacuum retention
+    above the tail's lag so unprocessed segments are never deleted.
+
+    Delivery caveat, stated honestly: the glob sees segment
+    DIRECTORIES, not the log — a writer crash between segment write
+    and log publish leaves an orphan segment whose rows the retried
+    batch re-appends under a new name, so the tail can see that rare
+    batch twice (the table itself stays exactly-once; vacuum removes
+    the orphan but the tail may have read it first). Downstreams
+    needing exactly-once should dedup on an event key
+    (:func:`streaming_dedup_within_watermark`) or run incremental
+    BATCH reads instead (``connectors.read_append_changes``, which
+    walks the log and is exact). Schema is mandatory, as for any file
+    stream — read it from the table's log manifest or a segment."""
+    import posixpath
+
+    return spark.readStream.schema(schema).parquet(
+        posixpath.join(table_dir.rstrip("/"), "seg=*")
+    )

@@ -539,3 +539,279 @@ def test_append_snapshot_lifecycle(spark, tmp_path):
     assert len(read_append_snapshot(spark, d).collect()) == 4
     with pytest.raises(FileNotFoundError):
         read_append_snapshot(spark, d, version=1)
+
+
+def test_append_tiered_compaction_leaves_right_sized_segments(spark, tmp_path):
+    """Tiered compaction is bin-packing, not a full-table rewrite: a
+    right-sized segment's files must be BYTE-IDENTICAL (same paths,
+    sizes, mtimes — never read or rewritten) across a compaction that
+    folds only the small segments into one ``fold=`` segment."""
+    import glob as _glob
+
+    from cuplyr_spark.sources.connectors import (
+        _TableFS,
+        _read_log,
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_snapshot,
+    )
+
+    d = str(tmp_path / "tiered")
+    # big right-sized segment (one file, > target), then small ones
+    big = from_pandas(
+        spark,
+        pd.DataFrame({"k": range(5000), "v": ["x" * 50] * 5000}),
+    ).repartition(1)
+    append_snapshot(big, d, batch_id=0)
+    for i in range(1, 4):
+        append_snapshot(
+            from_pandas(spark, pd.DataFrame({"k": [100000 + i], "v": ["s"]})),
+            d,
+            batch_id=i,
+        )
+    fs = _TableFS(d)
+    big_seg = _read_log(fs)["segments"][0]
+    target = sum(fs.file_sizes(big_seg)) // 2  # big is over-target
+    before = {
+        f: (os.path.getsize(f), os.path.getmtime(f))
+        for f in _glob.glob(os.path.join(d, big_seg, "*"))
+    }
+
+    v = compact_append_snapshot(spark, d, target_file_bytes=target)
+    assert v == 5
+    log = _read_log(fs)
+    # big segment untouched and still listed; smalls folded into fold=
+    assert log["segments"][0] == big_seg
+    assert len(log["segments"]) == 2 and log["segments"][1].startswith("fold=")
+    after = {
+        f: (os.path.getsize(f), os.path.getmtime(f))
+        for f in _glob.glob(os.path.join(d, big_seg, "*"))
+    }
+    assert before == after, "right-sized segment files were rewritten"
+    assert log["max_batch_id"] == 3  # watermark carried
+    got = read_append_snapshot(spark, d).collect()
+    assert len(got) == 5003
+
+    # second pass: one big + one compact fold -> nothing to do
+    assert compact_append_snapshot(spark, d, target_file_bytes=target) is None
+
+
+def test_append_compaction_max_live_segments(spark, tmp_path):
+    """max_live_segments pulls the smallest right-sized segments into
+    the fold until the live count fits."""
+    from cuplyr_spark.sources.connectors import (
+        _TableFS,
+        _read_log,
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_snapshot,
+    )
+
+    d = str(tmp_path / "maxlive")
+    for i in range(4):
+        append_snapshot(
+            from_pandas(
+                spark, pd.DataFrame({"k": [i] * (10 * (i + 1)), "v": ["z"] * (10 * (i + 1))})
+            ),
+            d,
+        )
+    # tiny target: every segment is "right-sized" (>= target)
+    v = compact_append_snapshot(spark, d, target_file_bytes=1, max_live_segments=2)
+    assert v == 5
+    log = _read_log(_TableFS(d))
+    assert len(log["segments"]) == 2
+    assert log["segments"][-1].startswith("fold=")
+    assert len(read_append_snapshot(spark, d).collect()) == 10 + 20 + 30 + 40
+
+
+def test_append_compaction_zorder_fold(spark, tmp_path):
+    """zorder_by= routes the folded segment through the Morton-curve
+    writer: rows unchanged, fold= segment present."""
+    from cuplyr_spark.sources.connectors import (
+        _TableFS,
+        _read_log,
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_snapshot,
+    )
+
+    d = str(tmp_path / "zfold")
+    for i in range(3):
+        append_snapshot(
+            from_pandas(
+                spark,
+                pd.DataFrame(
+                    {"a": range(i * 100, (i + 1) * 100), "b": range(100)}
+                ),
+            ),
+            d,
+        )
+    v = compact_append_snapshot(spark, d, zorder_by=["a", "b"])
+    assert v == 4
+    log = _read_log(_TableFS(d))
+    assert len(log["segments"]) == 1 and log["segments"][0].startswith("fold=")
+    got = read_append_snapshot(spark, d).collect()
+    assert len(got) == 300 and sorted(got["a"]) == list(range(300))
+
+
+def test_append_schema_recorded_and_type_checked(spark, tmp_path):
+    """The log manifest records the (name, type) schema: appends are
+    validated against it WITHOUT a filesystem round-trip (works with
+    spark=None-style metadata access), and a type-drifted batch is
+    rejected at append time, not discovered at read time."""
+    import json
+
+    from cuplyr_spark.sources.connectors import (
+        _TableFS,
+        _read_log,
+        append_snapshot,
+    )
+
+    d = str(tmp_path / "schema_tbl")
+    append_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [1], "v": ["a"]})), d
+    )
+    fs = _TableFS(d)
+    log = _read_log(fs)
+    assert dict(map(tuple, log["schema"])) == {"k": "bigint", "v": "string"}
+
+    # same names, drifted type -> rejected at append time
+    with pytest.raises(ValueError, match="type mismatch"):
+        append_snapshot(
+            from_pandas(spark, pd.DataFrame({"k": ["not-a-long"], "v": ["b"]})), d
+        )
+
+    # VERDICT r7 #3: with the schema in the manifest, an append makes
+    # NO read-side filesystem round-trip — poison spark.read to prove
+    # the old per-append footer read is gone
+    batch = from_pandas(spark, pd.DataFrame({"k": [7], "v": ["g"]}))
+    cls = type(spark)
+    real_read = cls.read
+
+    def _poisoned(self):
+        raise AssertionError(
+            "append_snapshot read parquet footers despite a "
+            "schema-bearing manifest"
+        )
+
+    try:
+        cls.read = property(_poisoned)
+        append_snapshot(batch, d)
+    finally:
+        cls.read = real_read
+
+    # legacy manifest without schema: footer fallback, then re-stamped
+    cur = _read_log(fs)
+    legacy = {k: v for k, v in cur.items() if k != "schema"}
+    fs.write_text_atomic(
+        f"_LOG.{cur['version']}", json.dumps(legacy), ".tmp.legacy"
+    )
+    assert "schema" not in _read_log(fs)
+    append_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [2], "v": ["b"]})), d
+    )
+    assert dict(map(tuple, _read_log(fs)["schema"])) == {
+        "k": "bigint",
+        "v": "string",
+    }
+
+
+def test_append_watermarks_app_keyed(spark, tmp_path):
+    """Exactly-once watermarks are per writer (Delta's txnAppId
+    analog): two apps appending to one table track independent
+    high-water marks, and reset_append_watermark clears one slot for
+    the checkpoint-reset recovery path."""
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+        reset_append_watermark,
+    )
+
+    d = str(tmp_path / "apps")
+    one = lambda i: from_pandas(spark, pd.DataFrame({"k": [i]}))  # noqa: E731
+    append_snapshot(one(1), d, batch_id=5, app_id="ingest-a")
+    # app B starts at batch 0: NOT swallowed by A's watermark
+    v = append_snapshot(one(2), d, batch_id=0, app_id="ingest-b")
+    assert v == 2
+    # replay within each app is still a no-op
+    assert append_snapshot(one(99), d, batch_id=5, app_id="ingest-a") == 2
+    assert append_snapshot(one(99), d, batch_id=0, app_id="ingest-b") == 2
+    assert sorted(read_append_snapshot(spark, d).collect()["k"]) == [1, 2]
+
+    # checkpoint reset: clear app A's slot, batch ids restart at 0
+    reset_append_watermark(d, app_id="ingest-a")
+    assert append_snapshot(one(3), d, batch_id=0, app_id="ingest-a") == 4
+    # app B's watermark survived the reset
+    assert append_snapshot(one(99), d, batch_id=0, app_id="ingest-b") == 4
+    assert sorted(read_append_snapshot(spark, d).collect()["k"]) == [1, 2, 3]
+
+
+def test_read_append_changes_incremental(spark, tmp_path):
+    """The change-data-feed read: rows appended after since_version
+    only — exact ACROSS a compaction (fold= segments are
+    dataChange=false and skipped; the log walk replays raw appends),
+    empty-window reads return an empty frame at the table schema, and
+    a vacuumed window fails loudly."""
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_changes,
+        vacuum_append_snapshot,
+    )
+
+    d = str(tmp_path / "cdf")
+    mk = lambda ks: from_pandas(  # noqa: E731
+        spark, pd.DataFrame({"k": ks, "v": [f"v{k}" for k in ks]})
+    )
+    append_snapshot(mk([1, 2]), d)          # v1
+    append_snapshot(mk([3]), d)             # v2
+    delta = read_append_changes(spark, d, since_version=1).collect()
+    assert sorted(delta["k"]) == [3]
+
+    # full feed from the beginning
+    assert sorted(
+        read_append_changes(spark, d, since_version=0).collect()["k"]
+    ) == [1, 2, 3]
+
+    # compaction between reads: v3 folds everything; a post-since
+    # append v4 must still come through exactly once
+    assert compact_append_snapshot(spark, d, target_file_bytes=1 << 30) == 3
+    append_snapshot(mk([4]), d)             # v4
+    delta = read_append_changes(spark, d, since_version=2).collect()
+    assert sorted(delta["k"]) == [4], "fold must not re-deliver old rows"
+
+    # empty window -> empty frame, correct schema
+    empty = read_append_changes(spark, d, since_version=4)
+    assert empty.df.columns == ["k", "v"]
+    assert len(empty.collect()) == 0
+
+    with pytest.raises(ValueError, match="past log version"):
+        read_append_changes(spark, d, since_version=99)
+
+    # vacuum past the window: lagging reader fails loudly
+    append_snapshot(mk([5]), d)             # v5
+    vacuum_append_snapshot(d, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        read_append_changes(spark, d, since_version=1)
+
+
+def test_vacuum_success_marker_fallback(spark, tmp_path):
+    """ADVICE r7: when NO version has _SUCCESS (cluster with success
+    markers disabled), vacuum must treat all versions as complete and
+    honor keep_last instead of deleting all history."""
+    from cuplyr_spark.sources.connectors import (
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "nomarkers")
+    for i in range(4):
+        write_snapshot(
+            from_pandas(spark, pd.DataFrame({"k": [i]})), d
+        )
+    for v in snapshot_versions(d):
+        os.remove(os.path.join(d, f"v={v}", "_SUCCESS"))
+    removed = vacuum_snapshots(d, keep_last=2)
+    assert removed == [1, 2]
+    assert snapshot_versions(d) == [3, 4]

@@ -1196,3 +1196,66 @@ def test_unigram_model_staged_equals_inline_and_oov_floor(spark, tmp_path):
 
     with pytest.raises(ValueError, match="lacks columns"):
         TX.with_unigram_logprob(new, model=Frame(new.df, ()))
+
+
+def test_substring_dup_spans_hot_gram_cap(spark):
+    """VERDICT r7: the hot-gram guard. A boilerplate gram planted at
+    ~100x a tiny cap is clamped — all its positions flag as duplicated
+    without entering the per-gram window — while under-cap grams keep
+    the exact cross-doc test (result identical to the uncapped run on
+    the same data)."""
+    boiler = "b1 b2 b3"  # one k=3 window per occurrence
+    rows = [(i, boiler + f" u{i}a u{i}b u{i}c") for i in range(200)]
+    rows.append((999, "totally unique text nothing here"))
+    f = from_pandas(spark, pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    capped = D.substring_dup_spans(f, k=3, max_gram_freq=2).collect()
+    uncapped = D.substring_dup_spans(f, k=3, max_gram_freq=None).collect()
+    key = lambda df: sorted(
+        map(tuple, df[["doc_id", "start_tok", "end_tok", "n_grams"]].values)
+    )
+    # boilerplate occurs in 200 docs: cross-doc duplicated either way,
+    # so clamping is semantics-preserving here — results identical
+    assert key(capped) == key(uncapped)
+    assert sorted(capped["doc_id"].unique()) == list(range(200))
+    assert (capped["start_tok"] == 1).all() and (capped["end_tok"] == 3).all()
+
+    # pathological clamp case, documented rule: an over-cap gram
+    # repeated >cap times inside ONE doc flags even without a second doc
+    solo = from_pandas(
+        spark,
+        pd.DataFrame(
+            [(0, " ".join(["r1 r2 r3"] * 5))], columns=["doc_id", "text"]
+        ),
+    )
+    clamped = D.substring_dup_spans(solo, k=3, max_gram_freq=2).collect()
+    assert len(clamped) == 1  # whole doc one span
+    exact = D.substring_dup_spans(solo, k=3, max_gram_freq=None).collect()
+    assert len(exact) == 0    # within-doc repeats alone never flag
+
+
+def test_unigram_model_duplicate_tok_rows(spark):
+    """ADVICE r7: a staged model assembled from two parquet writes may
+    carry duplicate tok rows; scoring must re-aggregate them so the
+    result equals scoring with the properly summed model."""
+    f = from_pandas(
+        spark,
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["aa bb aa", "bb cc"]}
+        ),
+    )
+    model = TX.train_unigram_model(f)
+    # split each tok row into two half-count rows and union: same
+    # totals, duplicated keys
+    half1 = model.df.selectExpr("tok", "c - CAST(c / 2 AS BIGINT) AS c")
+    half2 = model.df.selectExpr("tok", "CAST(c / 2 AS BIGINT) AS c").filter(
+        "c > 0"
+    )
+    from cuplyr_spark.frame import Frame
+
+    dup_model = Frame(half1.unionByName(half2), ())
+    clean = TX.with_unigram_logprob(f, model=model).collect().set_index("doc_id")
+    dup = TX.with_unigram_logprob(f, model=dup_model).collect().set_index("doc_id")
+    for d in (0, 1):
+        assert clean.loc[d, "n_tokens"] == dup.loc[d, "n_tokens"]
+        assert abs(clean.loc[d, "logprob"] - dup.loc[d, "logprob"]) < 1e-9

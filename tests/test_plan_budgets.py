@@ -161,7 +161,7 @@ EXCHANGE_BUDGETS = {
     "ivf_staged_centroids": 1,  # r6: literal staged centroids; only the rank window exchanges
     "ivf_index_search": 1,      # r7: probe-pruned index scan; only the rank window exchanges (probes broadcast)
     "ivf_index_append": 1,      # r7: map-side delta assign + union; only the rank window exchanges
-    "substring_dedup_spans": 2, # r7: gram-keyed window (both counts share it) + doc-keyed islands; span agg reuses doc partitioning
+    "substring_dedup_spans": 2, # r7: gram-keyed window (both counts share it) + doc-keyed islands; span agg reuses doc partitioning. r8: opt-in max_gram_freq guard adds a freq-agg exchange when enabled — off here per the measured default
     "substring_dedup_trim": 2,  # r7: same two shuffles; span pack + corpus rejoin broadcast at test sf
     "embedding_clusters": 0,    # r6: literal-centroid greatest() argmax — pure map
     "cluster_balanced_sample": 1,  # r7: map-side assign; one cell-keyed rank window over slim rows
@@ -169,6 +169,7 @@ EXCHANGE_BUDGETS = {
     "snapshot_compact": 1,      # r7: scan of the compacted version + one agg shuffle (staging writes run eagerly inside the callable)
     "snapshot_schema_evolution": 0,  # r7: pure scan of the evolved published version (merge ran eagerly at staging time)
     "append_snapshot": 1,       # r7: multi-segment-compacted scan + one agg shuffle (appends/compaction ran eagerly at staging time)
+    "append_snapshot_incremental": 1,  # r8: change-feed scan of the two raw delta segments + one agg shuffle (log walk is manifest metadata)
     "date_functions": 0,
     "quantile_agg": 1,
 }

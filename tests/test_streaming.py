@@ -452,3 +452,107 @@ def test_stream_append_snapshot_sink(spark, tmp_path):
     # restart with no new files: nothing appended, no duplicates
     run()
     assert len(read_append_snapshot(spark, table).collect()) == 3
+
+
+def test_vacuum_keep_without_compact_every(spark, tmp_path):
+    """ADVICE r7: vacuum_keep alone (no compaction schedule) must
+    still bound version storage — it runs after every merged batch —
+    and zorder_by without compact_every raises instead of being
+    silently ignored."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from cuplyr_spark.sources.connectors import snapshot_versions
+    from cuplyr_spark.streaming.stream import stream_upsert_snapshot
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = str(tmp_path / "tbl")
+    for i in range(4):
+        pd.DataFrame({"k": [i], "v": [str(i)]}).to_parquet(
+            f"{src}/b{i}.parquet", index=False
+        )
+    stream = spark.readStream.schema("k long, v string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    with pytest.raises(ValueError, match="zorder_by"):
+        stream_upsert_snapshot(
+            stream, table, key="k", checkpoint=str(tmp_path / "ck0"),
+            zorder_by=["k"],
+        )
+
+    q = stream_upsert_snapshot(
+        stream, table, key="k", checkpoint=str(tmp_path / "ck1"),
+        vacuum_keep=2,
+    )
+    q.awaitTermination()
+    # 4 merged batches published 4 versions; vacuum pruned to <= 2
+    assert len(snapshot_versions(table)) <= 2
+
+
+def test_stream_append_log_tail(spark, tmp_path):
+    """Ingest -> curate loop: events land via stream_append_snapshot,
+    a downstream query tails them via stream_append_log. Counts match,
+    and a tiered compaction between tail runs re-delivers NOTHING
+    (fold= segments are outside the tailed glob)."""
+    import os
+
+    import pandas as pd
+
+    from cuplyr_spark.sources.connectors import (
+        _TableFS,
+        _read_log,
+        compact_append_snapshot,
+    )
+    from cuplyr_spark.streaming.stream import (
+        run_to_memory,
+        stream_append_log,
+        stream_append_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = str(tmp_path / "tbl")
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}).to_parquet(
+        f"{src}/b0.parquet", index=False
+    )
+    pd.DataFrame({"k": [3], "v": ["c"]}).to_parquet(
+        f"{src}/b1.parquet", index=False
+    )
+    q = stream_append_snapshot(
+        spark.readStream.schema("k long, v string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src),
+        table, checkpoint=str(tmp_path / "ck_in"), app_id="ingest",
+    )
+    q.awaitTermination()
+
+    tail = stream_append_log(spark, table, "k long, v string")
+    run_to_memory(tail, "tail1")
+    got = spark.sql("SELECT * FROM tail1").toPandas().sort_values("k")
+    assert got["k"].tolist() == [1, 2, 3]
+
+    # compact (fold= segment), then land one more batch
+    assert compact_append_snapshot(spark, table, target_file_bytes=1 << 30)
+    pd.DataFrame({"k": [4], "v": ["d"]}).to_parquet(
+        f"{src}/b2.parquet", index=False
+    )
+    q = stream_append_snapshot(
+        spark.readStream.schema("k long, v string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src),
+        table, checkpoint=str(tmp_path / "ck_in"), app_id="ingest",
+    )
+    q.awaitTermination()
+    log = _read_log(_TableFS(table))
+    assert any(s.startswith("fold=") for s in log["segments"])
+
+    # fresh tail over the whole table: raw segments only — the folded
+    # copy of rows 1..3 is invisible, so no duplicates
+    tail = stream_append_log(spark, table, "k long, v string")
+    run_to_memory(tail, "tail2")
+    got = spark.sql("SELECT * FROM tail2").toPandas().sort_values("k")
+    assert got["k"].tolist() == [1, 2, 3, 4]
