@@ -2952,6 +2952,128 @@ def q_append_snapshot_incremental(spark, sf_dir):
     )
 
 
+def q_approx_distinct_users(spark, sf_dir):
+    """Distinct users per event type through the sketch layer's exact
+    mode (``operators.sketch.approx_distinct(exact=True)``) — the
+    verification mode of the 100 TB approx path, planned as Spark's
+    two-phase distinct aggregate (spill-safe, fully distributed). The
+    approx/HLL paths are bound-checked in ``q_sketch_shard_distinct``
+    and the unit suite."""
+    from cuplyr_spark.operators.sketch import approx_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        approx_distinct(
+            ev, "user_id", by="event_type", exact=True, out="n_users"
+        )
+        .df.orderBy("event_type")
+    )
+
+
+def q_sketch_shard_distinct(spark, sf_dir):
+    """The sketch-per-shard distinct-count pattern end-to-end: events
+    sharded 8 ways (the ingest-shard stand-in), one DataSketches HLL
+    sketch per (event_type, shard) via ``distinct_sketch``, folded
+    with ``merge_distinct_sketches`` — fixed-size sketch bytes are all
+    that crosses the merge, never user ids. The returned
+    ``est_within_2pct`` flag asserts the lgk=14 accuracy contract
+    (rse ≈ 0.8%, flag margin 2.5σ) against the exact count computed
+    alongside; the oracle pins the flag TRUE, so a sketch-path
+    regression (wrong merge, double-counted shard, lgk drift) fails
+    the hash compare. Estimates themselves stay out of the compared
+    columns — DuckDB's HLL is a different algorithm and its estimate
+    would differ legitimately."""
+    from cuplyr_spark.operators.sketch import (
+        distinct_sketch,
+        merge_distinct_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sharded = ev.mutate(shard="user_id % 8")
+    per_shard = distinct_sketch(
+        sharded, "user_id", by=["event_type", "shard"], lgk=14
+    )
+    est = merge_distinct_sketches(per_shard, "sketch", by="event_type").df
+    exact = ev.df.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_users"))
+                <= F.col("n_users") * 0.02
+            ).alias("est_within_2pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """Exact corpus heavy hitters: the 20 most frequent lowercased
+    whitespace tokens over ``documents`` (``operators.sketch.
+    heavy_hitters`` — hash aggregate with map-side combine +
+    TakeOrderedAndProject, deterministic count-desc/token-asc
+    tiebreak). The measured way to pick ``substring_dup_spans``'
+    ``max_gram_freq`` cap or spot boilerplate for the LSH bucket
+    guard."""
+    from cuplyr_spark.operators.sketch import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = Frame(
+        docs.df.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        ).filter(F.col("tok") != ""),
+        (),
+    )
+    return heavy_hitters(toks, "tok", k=20).df
+
+
+def q_incremental_cross_dedup(spark, sf_dir):
+    """The closed ingest→curate loop: documents land in an append
+    table in two shards (even doc_ids batch 0, odd batch 1, TIERED
+    compaction between them), the change feed
+    (``connectors.read_append_changes``) hands the curation pass ONLY
+    the new shard — read bytes ∝ the delta, the corpus is never
+    rescanned — and ``flag_cross_duplicates`` checks it against the
+    corpus as of the prior version (``read_append_snapshot(version=)``
+    time travel). Same flags as ``cross_corpus_dedup`` (shared
+    oracle), but arriving through the storage layer the way a
+    production crawl would."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_changes,
+        read_append_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _scratch_dir("cdf_dedup")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(
+        docs.filter("doc_id % 4 == 0"), d, batch_id=0, app_id="crawl"
+    )
+    append_snapshot(
+        docs.filter("doc_id % 4 == 2"), d, batch_id=1, app_id="crawl"
+    )
+    v_corpus = compact_append_snapshot(spark, d, target_file_bytes=1 << 30)
+    assert v_corpus == 3, "staging: corpus fold must publish"
+    append_snapshot(
+        docs.filter("doc_id % 2 == 1"), d, batch_id=2, app_id="crawl"
+    )
+    newd = read_append_changes(spark, d, since_version=v_corpus)
+    oldd = read_append_snapshot(spark, d, version=v_corpus)
+    return (
+        D.flag_cross_duplicates(newd, oldd)
+        .select("doc_id", "is_exact_dup", "is_near_dup")
+        .df
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3105,6 +3227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_schema_evolution": q_snapshot_schema_evolution,
         "append_snapshot": q_append_snapshot,
         "append_snapshot_incremental": q_append_snapshot_incremental,
+        "approx_distinct_users": q_approx_distinct_users,
+        "sketch_shard_distinct": q_sketch_shard_distinct,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "incremental_cross_dedup": q_incremental_cross_dedup,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -5095,6 +5221,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag
         """,
+        "approx_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "sketch_shard_distinct": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   TRUE AS est_within_2pct
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "heavy_hitter_tokens": """
+            SELECT tok, COUNT(*) AS n
+            FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY n DESC, tok ASC
+            LIMIT 20
+        """,
     }
     # The staged-centroids path must return EXACTLY what the inline
     # path returns (same cells, same probes, same scores) — one oracle
@@ -5102,6 +5253,11 @@ def oracle_sql() -> dict[str, str]:
     out["ivf_staged_centroids"] = out["ivf_cosine_topk"]
     out["ivf_index_search"] = out["ivf_cosine_topk"]
     out["ivf_index_append"] = out["ivf_cosine_topk"]
+    # The change-feed route must produce EXACTLY the flags the direct
+    # shard-vs-corpus route produces — the shared oracle is the
+    # assertion that the storage loop neither loses nor re-delivers a
+    # document.
+    out["incremental_cross_dedup"] = out["cross_corpus_dedup"]
     return out
 
 

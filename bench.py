@@ -63,6 +63,10 @@ HEADLINE = [
     # plan build; each timed execution is the partition-pruned probe
     # read + rescore, the per-query-batch cost a deployment pays).
     "ivf_index_search",
+    # r8: corpus token-frequency heavy hitters (explode + map-side-
+    # combined hash agg + TakeOrderedAndProject) — tracks the sketch
+    # layer's high-fan-out aggregation path round-over-round.
+    "heavy_hitter_tokens",
 ]
 
 

@@ -820,6 +820,77 @@ def read_append_changes(
     return Frame(spark.read.parquet(*[fs.join(s) for s in new_segs]), ())
 
 
+def tail_append_changes(
+    spark: SparkSession,
+    table_dir: str,
+    cursor_dir: str,
+    process: "Callable[[Frame, int], None]",
+    consumer_id: str = "__default__",
+) -> tuple[int, int]:
+    """EXACTLY-ONCE batch-incremental consumer for an append table —
+    the checkpointed driver around :func:`read_append_changes`, and
+    the exact alternative to :func:`streaming.stream.stream_append_log`
+    (whose file-source tail can re-deliver a crash-orphaned segment).
+
+    Each call reads this consumer's cursor (last processed log
+    version) from ``cursor_dir``, hands ``process(changes_frame,
+    up_to_version)`` ONLY the rows appended since — read bytes ∝ new
+    segments — and advances the cursor AFTER ``process`` returns.
+    At-least-once by construction (a crash between process and cursor
+    write replays the same window — same semantics as Spark's
+    foreachBatch); EXACTLY-once when ``process`` is idempotent per
+    ``up_to_version``, e.g. writing to another append table with
+    ``batch_id=up_to_version`` whose watermark swallows the replay —
+    the two watermarks compose into an end-to-end exactly-once
+    table→table pipeline with no streaming machinery at all
+    (availableNow economics: schedule it; each run costs ∝ the delta).
+
+    ``consumer_id`` names the cursor slot, so several independent
+    pipelines can tail one table at their own pace. Cursor publish
+    reuses the table layer's atomic write (write-then-rename), so a
+    torn cursor is impossible. Returns ``(from_version, up_to)`` —
+    equal when there was nothing new (``process`` is then not called).
+
+    Bootstrap: a consumer with NO cursor yet processes the PUBLISHED
+    SNAPSHOT (``read_append_snapshot``) rather than walking the log
+    from version 0 — exact (nothing has been processed, and the
+    snapshot is by definition everything so far, folds included) and
+    immune to vacuumed early history, so a new pipeline can attach to
+    a years-old table. After bootstrap, keep the table's vacuum
+    retention above every consumer's lag (the
+    :func:`vacuum_append_snapshot` contract) — a lagging consumer
+    whose window was vacuumed fails loudly in the log walk."""
+    if "/" in consumer_id or not consumer_id.strip():
+        raise ValueError(
+            f"consumer_id {consumer_id!r} must be a non-empty name "
+            "without '/' (it becomes the cursor filename)"
+        )
+    fs = _TableFS(cursor_dir, spark)
+    fs.mkdirs()
+    name = f"_CURSOR.{consumer_id}"
+    cursor_text = fs.read_text(name)
+    cur = _read_log(_TableFS(table_dir, spark))
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    up_to = cur["version"]
+    if cursor_text is None:
+        changes = read_append_snapshot(spark, table_dir, version=up_to)
+        process(changes, up_to)
+        fs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")
+        return (0, up_to)
+    start = int(cursor_text)
+    if up_to <= start:
+        return (start, start)
+    changes = read_append_changes(
+        spark, table_dir, since_version=start, version=up_to
+    )
+    process(changes, up_to)
+    fs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")
+    return (start, up_to)
+
+
 def compact_append_snapshot(
     spark: SparkSession,
     table_dir: str,

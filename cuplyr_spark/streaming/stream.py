@@ -424,9 +424,11 @@ def stream_append_log(
     batch twice (the table itself stays exactly-once; vacuum removes
     the orphan but the tail may have read it first). Downstreams
     needing exactly-once should dedup on an event key
-    (:func:`streaming_dedup_within_watermark`) or run incremental
-    BATCH reads instead (``connectors.read_append_changes``, which
-    walks the log and is exact). Schema is mandatory, as for any file
+    (:func:`streaming_dedup_within_watermark`) or use the exact
+    batch-incremental consumer instead
+    (``connectors.tail_append_changes``, which walks the log with a
+    checkpointed cursor and composes with a sink watermark into
+    end-to-end exactly-once). Schema is mandatory, as for any file
     stream — read it from the table's log manifest or a segment."""
     import posixpath
 

@@ -815,3 +815,120 @@ def test_vacuum_success_marker_fallback(spark, tmp_path):
     removed = vacuum_snapshots(d, keep_last=2)
     assert removed == [1, 2]
     assert snapshot_versions(d) == [3, 4]
+
+
+def test_tail_append_changes_exactly_once(spark, tmp_path):
+    """The checkpointed batch-incremental consumer: cursor advances
+    per call, each call sees only the delta, an idle call is a no-op,
+    a replayed call (cursor rolled back, simulating a crash before the
+    cursor write) composes with the sink table's batch-id watermark
+    into end-to-end exactly-once — and compaction between calls
+    delivers nothing."""
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.sources.connectors import (
+        _TableFS,
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_snapshot,
+        tail_append_changes,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    cur = str(tmp_path / "cursors")
+    seen: list[tuple[int, int]] = []
+
+    def process(changes: Frame, up_to: int) -> None:
+        seen.append((changes.df.count(), up_to))
+        out = Frame(
+            changes.df.groupBy("k").count().withColumnRenamed("count", "n"),
+            (),
+        )
+        append_snapshot(out, sink, batch_id=up_to, app_id="curate")
+
+    append_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [1, 1, 2]})), src, batch_id=0
+    )
+    assert tail_append_changes(spark, src, cur, process) == (0, 1)
+    append_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [2, 3]})), src, batch_id=1
+    )
+    assert tail_append_changes(spark, src, cur, process) == (1, 2)
+    # idle: nothing new, process not called
+    assert tail_append_changes(spark, src, cur, process) == (2, 2)
+    assert seen == [(3, 1), (2, 2)]
+
+    # crash replay: roll the cursor back; the rerun re-processes the
+    # window but the sink watermark (batch_id=up_to) swallows it
+    fs = _TableFS(cur, spark)
+    fs.write_text_atomic("_CURSOR.__default__", "1", ".t")
+    assert tail_append_changes(spark, src, cur, process) == (1, 2)
+    got = (
+        read_append_snapshot(spark, sink)
+        .collect()
+        .groupby("k")["n"]
+        .sum()
+        .to_dict()
+    )
+    assert got == {1: 2, 2: 2, 3: 1}  # no double-counted batch
+
+    # compaction is dataChange=false for the tail too
+    append_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [9]})), src, batch_id=2
+    )
+    assert compact_append_snapshot(spark, src, target_file_bytes=1 << 30)
+    append_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [10]})), src, batch_id=3
+    )
+    before = len(seen)
+    frm, to = tail_append_changes(spark, src, cur, process)
+    assert frm < to and seen[before][0] == 2  # k=9 and k=10, nothing folded
+
+    # independent consumer has its own cursor starting at 0
+    n_all = []
+    tail_append_changes(
+        spark, src, cur,
+        lambda ch, v: n_all.append(ch.df.count()),
+        consumer_id="audit",
+    )
+    assert n_all == [read_append_snapshot(spark, src).df.count()]
+
+
+def test_tail_append_changes_bootstrap_after_vacuum(spark, tmp_path):
+    """A consumer with no cursor attaches to a table whose early
+    history (logs + folded-away segments) was vacuumed: bootstrap
+    reads the published SNAPSHOT (exact — nothing processed yet) and
+    sets the cursor, after which tailing is delta-only. Walking the
+    log from version 0 would instead die on the vacuumed manifests."""
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        compact_append_snapshot,
+        tail_append_changes,
+        vacuum_append_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    cur = str(tmp_path / "cursors")
+    for i in range(3):
+        append_snapshot(
+            from_pandas(spark, pd.DataFrame({"k": [i]})), src, batch_id=i
+        )
+    assert compact_append_snapshot(spark, src, target_file_bytes=1 << 30)
+    vacuum_append_snapshot(src, keep_last=1, spark=spark)
+
+    got: list[int] = []
+    frm, to = tail_append_changes(
+        spark, src, cur, lambda ch, v: got.append(ch.df.count())
+    )
+    assert frm == 0 and to == 4 and got == [3]  # full snapshot, once
+    # now delta-only
+    append_snapshot(
+        from_pandas(spark, pd.DataFrame({"k": [99]})), src, batch_id=3
+    )
+    frm, to = tail_append_changes(
+        spark, src, cur, lambda ch, v: got.append(ch.df.count())
+    )
+    assert (frm, to) == (4, 5) and got == [3, 1]
+
+    with pytest.raises(ValueError, match="consumer_id"):
+        tail_append_changes(spark, src, cur, lambda ch, v: None, consumer_id="a/b")
