@@ -2952,6 +2952,39 @@ def q_append_snapshot_incremental(spark, sf_dir):
     )
 
 
+def q_append_snapshot_partitioned(spark, sf_dir):
+    """Hive-partitioned append table, the 100 TB event-ingest shape
+    (``append_snapshot(partition_by=)``): events land in two appends
+    partitioned by ``event_type``, tiered compaction folds them
+    preserving the layout, and the filtered read
+    (``read_append_snapshot(partition_filter=)``) prunes segments at
+    the MANIFEST (recorded partition values — no filesystem listing
+    for non-matching segments) and directories inside matching
+    segments (Catalyst PartitionFilters). Values, schema order, and
+    column types must round-trip exactly through the partition-dir
+    encoding — the oracle compares the full row set of the two kept
+    event types."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_snapshot,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    d = _scratch_dir("snap_part")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(
+        ev.filter("user_id % 2 = 0"), d, batch_id=0, partition_by="event_type"
+    )
+    append_snapshot(ev.filter("user_id % 2 = 1"), d, batch_id=1)
+    assert compact_append_snapshot(spark, d) == 3
+    return read_append_snapshot(
+        spark, d, partition_filter={"event_type": ["click", "purchase"]}
+    ).df
+
+
 def q_approx_distinct_users(spark, sf_dir):
     """Distinct users per event type through the sketch layer's exact
     mode (``operators.sketch.approx_distinct(exact=True)``) — the
@@ -3227,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_schema_evolution": q_snapshot_schema_evolution,
         "append_snapshot": q_append_snapshot,
         "append_snapshot_incremental": q_append_snapshot_incremental,
+        "append_snapshot_partitioned": q_append_snapshot_partitioned,
         "approx_distinct_users": q_approx_distinct_users,
         "sketch_shard_distinct": q_sketch_shard_distinct,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
@@ -5220,6 +5254,11 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "append_snapshot_partitioned": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
         """,
         "approx_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users

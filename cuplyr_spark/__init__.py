@@ -108,6 +108,7 @@ from cuplyr_spark.pipeline.similarity import (
     vector_centroids,
 )
 from cuplyr_spark.sources.connectors import (
+    ConcurrentWriteError,
     read_snapshot,
     snapshot_versions,
     upsert_snapshot,

@@ -33,12 +33,20 @@ Two tiers:
   so a ``table_dir`` on ``hdfs://``, ``s3a://``, ``file://`` or a bare
   local path keeps data and ``_LATEST`` pointer on ONE filesystem.
   The pointer swap is ``FileContext.rename(OVERWRITE)`` — atomic on
-  HDFS and local disk; object stores without atomic rename (S3A)
-  degrade to copy+delete, which is why the contract stays
-  **single-writer** (also: last manifest swap wins — a slow writer of
-  v2 can regress the pointer after v3 published). Coordinate writers
-  externally, or use the real lakehouse formats, which exist precisely
-  to solve multi-writer commit.
+  HDFS and local disk. Concurrent writers use OPTIMISTIC CONCURRENCY
+  (Delta's model): version numbers are allocated by an atomic
+  exclusive-create (``os.link`` locally, non-overwriting rename on
+  Hadoop — both fail, rather than clobber, when the name exists), the
+  pointer swap is monotonic (a slow writer of v2 cannot regress the
+  pointer after v3 published), and read-modify-write publishes
+  (upsert/compact) verify the base they merged against is still
+  current, raising :class:`ConcurrentWriteError` for the caller to
+  retry when it is not. Blind appends (``append_snapshot``) retry the
+  cheap log-publish step internally and never rewrite their data.
+  CAVEAT: the exclusive-create is atomic on HDFS and local/POSIX
+  filesystems; S3A lacks atomic rename, so multi-writer tables on raw
+  S3 need an external coordination layer (the same reason Delta on S3
+  needs a LogStore) — treat S3A tables as single-writer.
 """
 
 from __future__ import annotations
@@ -94,6 +102,18 @@ _MANIFEST = "_LATEST"
 _URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's read of the
+    table and its publish attempt. The table is UNDAMAGED — the loser
+    detected the conflict and published nothing (at worst it left an
+    orphan data directory that vacuum reclaims). Recovery is Delta's:
+    re-read the table and re-run the operation against the new base.
+    Blind appends retry internally; read-modify-write operations
+    (``upsert_snapshot``, ``compact_snapshot``,
+    ``compact_append_snapshot``) surface this because only the caller
+    can recompute the merge."""
+
+
 class _TableFS:
     """Manifest/listing IO for one table_dir, routed through the SAME
     filesystem Spark writes the parquet to.
@@ -140,23 +160,54 @@ class _TableFS:
             return os.path.exists(self.join(name))
         return self._fs.exists(self._jpath(self.join(name)))
 
-    def file_sizes(self, name: str) -> list[int]:
-        """Byte sizes of the data files directly under subdir ``name``
+    def file_sizes(self, name: str, recurse: bool = False) -> list[int]:
+        """Byte sizes of the data files under subdir ``name``
         (metadata like ``_SUCCESS`` and hidden files excluded) — the
-        compaction planner's input. Snapshot versions are flat parquet
-        directories, so no recursion is needed."""
+        compaction planner's input. Snapshot versions and unpartitioned
+        segments are flat parquet directories; ``recurse=True`` walks
+        hive-partitioned segments (data files nested under ``k=v``
+        dirs)."""
         if not self.remote:
+            if recurse:
+                out = []
+                for root, dirs, files in os.walk(self.join(name)):
+                    dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                    for f in files:
+                        if not f.startswith(("_", ".")):
+                            out.append(os.path.getsize(os.path.join(root, f)))
+                return out
             return [
                 e.stat().st_size
                 for e in os.scandir(self.join(name))
                 if e.is_file() and not e.name.startswith(("_", "."))
             ]
+        if recurse:
+            out = []
+            it = self._fs.listFiles(self._jpath(self.join(name)), True)
+            while it.hasNext():
+                st = it.next()
+                base = st.getPath().getName()
+                if not base.startswith(("_", ".")):
+                    out.append(st.getLen())
+            return out
         out = []
         for st in self._fs.listStatus(self._jpath(self.join(name))):
             base = st.getPath().getName()
             if st.isFile() and not base.startswith(("_", ".")):
                 out.append(st.getLen())
         return out
+
+    def subdirs(self, name: str) -> list[str]:
+        """Names of the directories directly under subdir ``name``."""
+        if not self.remote:
+            return [
+                e.name for e in os.scandir(self.join(name)) if e.is_dir()
+            ]
+        return [
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._jpath(self.join(name)))
+            if st.isDirectory()
+        ]
 
     def listdir(self) -> list[str]:
         if not self.remote:
@@ -220,6 +271,49 @@ class _TableFS:
         opts[0] = ren.OVERWRITE
         fc.rename(tmp_p, self._jpath(self.join(name)), opts)
 
+    def write_text_exclusive(
+        self, name: str, text: str, tmp_suffix: str
+    ) -> bool:
+        """Atomically CREATE ``name`` with ``text`` — False when it
+        already exists. This is the optimistic-concurrency CAS
+        primitive: two writers racing to create the same version
+        marker get exactly one winner. Local: ``os.link`` (atomic
+        exclusive on POSIX). Hadoop: ``FileContext.rename`` WITHOUT
+        the OVERWRITE option (atomic exclusive on HDFS; S3A's
+        copy+delete rename is not atomic — multi-writer tables on raw
+        S3 need external coordination, as Delta does)."""
+        if not self.remote:
+            tmp = self.join(name) + tmp_suffix
+            with open(tmp, "w") as f:
+                f.write(text)
+            try:
+                os.link(tmp, self.join(name))
+                return True
+            except FileExistsError:
+                return False
+            finally:
+                os.unlink(tmp)
+        tmp_p = self._jpath(self.join(name) + tmp_suffix)
+        out = self._fs.create(tmp_p, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._path.toUri(), self._conf
+        )
+        ren = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gw.new_array(ren, 1)
+        opts[0] = ren.NONE
+        try:
+            fc.rename(tmp_p, self._jpath(self.join(name)), opts)
+            return True
+        except Exception as e:  # noqa: BLE001 — Py4J wraps the Java IOE
+            if "AlreadyExists" in str(e) or "already exists" in str(e):
+                self._fs.delete(tmp_p, False)
+                return False
+            raise
+
 
 def snapshot_versions(table_dir: str) -> list[int]:
     """All version directories present (published or not), ascending."""
@@ -242,7 +336,9 @@ def latest_snapshot_version(table_dir: str) -> int | None:
         return None
 
 
-def write_snapshot(frame: Frame, table_dir: str) -> int:
+def write_snapshot(
+    frame: Frame, table_dir: str, expected_base: int | None = None
+) -> int:
     """Publish the frame as the table's next version.
 
     The data lands in ``v=<n+1>/`` first; only after the parquet write
@@ -252,24 +348,127 @@ def write_snapshot(frame: Frame, table_dir: str) -> int:
     A writer crash leaves an orphan ``v=`` dir that readers ignore.
     Works on any Hadoop-resolvable filesystem (bare local, file://,
     hdfs://, s3a://) — pointer and data share one FS. Returns the
-    published version number."""
+    published version number.
+
+    ``expected_base`` is the optimistic-concurrency hook for callers
+    whose frame was DERIVED from a version they read (merge, compact):
+    when another writer published past it in the meantime, the publish
+    is abandoned with :class:`ConcurrentWriteError` instead of
+    silently overwriting the concurrent commit (lost update)."""
     return _publish(
         table_dir,
         frame.df.sparkSession,
         lambda data_dir: frame.df.write.mode("errorifexists").parquet(data_dir),
+        expected_base=expected_base,
     )
 
 
-def _publish(table_dir: str, spark, write_fn) -> int:
-    """The one publish protocol every snapshot writer shares: allocate
-    the next ``v=`` dir, run ``write_fn`` against it, and only then
-    swap the manifest pointer (write-temp + atomic rename). A crash in
-    ``write_fn`` leaves an orphan dir readers ignore."""
+_CLAIM = re.compile(r"^_CLAIM\.(\d+)$")
+
+
+def _claimed_versions(fs: _TableFS) -> list[int]:
+    out = []
+    for name in fs.listdir():
+        m = _CLAIM.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return out
+
+
+def _advance_ptr(fs: _TableFS, ptr_name: str, n: int, tag: str) -> None:
+    """Monotonic pointer swap: publish ``n`` unless a HIGHER version is
+    already published — the guard that keeps a slow writer of v2 from
+    regressing the pointer after v3 published. The verify-rewrite loop
+    closes the read-check-write race: whoever holds the highest n
+    rewrites last and wins (each loser gives up on seeing a higher
+    value, so the loop terminates)."""
+    for _ in range(8):
+        cur = fs.read_text(ptr_name)
+        if cur is not None:
+            try:
+                if int(cur.strip()) >= n:
+                    return
+            except ValueError:
+                pass  # torn/corrupt pointer: overwrite it
+        fs.write_text_atomic(ptr_name, str(n), f".{tag}.{n}")
+        cur = fs.read_text(ptr_name)
+        if cur is not None and cur.strip().isdigit() and int(cur.strip()) >= n:
+            return
+
+
+def _publish(
+    table_dir: str, spark, write_fn, expected_base: int | None = None
+) -> int:
+    """The one publish protocol every snapshot writer shares, in three
+    optimistic-concurrency steps:
+
+    1. ALLOCATE a version number by atomic exclusive-create of
+       ``_CLAIM.<n>`` — two racing writers get disjoint numbers
+       instead of writing into one ``v=`` directory.
+    2. Run ``write_fn`` against the claimed dir. A crash here leaves
+       an orphan claim + dir that readers ignore and vacuum reclaims.
+    3. COMMIT. Blind publishes just swap the pointer (monotonic —
+       :func:`_advance_ptr`). Publishes DERIVED from a version the
+       caller read (``expected_base``) are serialized: exactly one
+       writer may supersede a given base, decided by exclusive-create
+       of the ``_NEXT.<base>`` marker AFTER its data is complete;
+       the loser abandons (:class:`ConcurrentWriteError`, pointer
+       untouched, its data an orphan) — never a lost update. A winner
+       that crashes between marker and pointer swap is ROLLED FORWARD
+       by the next loser (marker + complete dir ⇒ safe to publish),
+       so a dead writer cannot wedge the table.
+    """
     fs = _TableFS(table_dir, spark)
     fs.mkdirs()
-    version = max(snapshot_versions(table_dir), default=0) + 1
+
+    def conflict(cur):
+        return ConcurrentWriteError(
+            f"table {table_dir!r} moved from v{expected_base} to "
+            f"v{cur} since this operation read it — re-read and "
+            "re-run the operation"
+        )
+
+    if expected_base is not None:  # cheap pre-check before the write
+        cur = latest_snapshot_version(table_dir) or 0
+        if cur != expected_base:
+            raise conflict(cur)
+    version = None
+    for _ in range(16):
+        n = max(
+            snapshot_versions(table_dir) + _claimed_versions(fs), default=0
+        ) + 1
+        if fs.write_text_exclusive(f"_CLAIM.{n}", "", f".claim.{n}"):
+            version = n
+            break
+    if version is None:  # 16 straight lost races: something is wedged
+        raise ConcurrentWriteError(
+            f"could not allocate a version under {table_dir!r} after 16 "
+            "attempts — a writer storm or a stuck claim file"
+        )
     write_fn(fs.join(f"v={version}"))
-    fs.write_text_atomic(_MANIFEST, str(version), f".tmp.{version}")
+    if expected_base is None:
+        _advance_ptr(fs, _MANIFEST, version, "tmp")
+        return version
+    base = expected_base
+    if not fs.write_text_exclusive(f"_NEXT.{base}", str(version), f".next.{base}"):
+        # lost the commit race — roll the winner forward if it died
+        # between its marker and its pointer swap, then surface
+        txt = fs.read_text(f"_NEXT.{base}")
+        if txt is not None and txt.strip().isdigit():
+            m = int(txt.strip())
+            # the marker is only ever created AFTER v=<m> finished
+            # writing, so marker + dir present ⇒ complete (no
+            # _SUCCESS dependence — markers may be disabled)
+            if (
+                fs.exists(f"v={m}")
+                and (latest_snapshot_version(table_dir) or 0) == base
+            ):
+                _advance_ptr(fs, _MANIFEST, m, "tmp")
+        raise conflict(latest_snapshot_version(table_dir) or 0)
+    cur = latest_snapshot_version(table_dir) or 0
+    if cur != base:  # a blind writer published meanwhile — defer to it
+        raise conflict(cur)
+    _advance_ptr(fs, _MANIFEST, version, "tmp")
     return version
 
 
@@ -352,9 +551,10 @@ def upsert_snapshot(
     pre-evolution versions returns the OLD schema unchanged.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    if latest_snapshot_version(table_dir) is None:
+    base = latest_snapshot_version(table_dir)
+    if base is None:
         return write_snapshot(frame, table_dir)
-    current = read_snapshot(spark, table_dir)
+    current = read_snapshot(spark, table_dir, version=base)
     missing = [k for k in keys if k not in current.df.columns]
     if missing or [k for k in keys if k not in frame.df.columns]:
         raise ValueError(f"merge key {keys} not present in both sides")
@@ -377,7 +577,10 @@ def upsert_snapshot(
     merged = kept.select(*cur_df.columns).unionByName(
         new_df.select(*cur_df.columns)
     )
-    return write_snapshot(Frame(merged, ()), table_dir)
+    # expected_base: the merge was computed against `base` — if another
+    # writer published meanwhile, publishing ours would silently drop
+    # their commit; ConcurrentWriteError tells the caller to re-merge.
+    return write_snapshot(Frame(merged, ()), table_dir, expected_base=base)
 
 
 def snapshot_history(
@@ -455,7 +658,9 @@ def compact_snapshot(
     no more files than the target (returns ``None``, no version
     churn) — safe to run on a schedule. Row content is NEVER changed;
     only file layout. Returns the new published version, or ``None``.
-    Single-writer contract as everywhere in this layer."""
+    A merge landing while the compactor rewrites surfaces as
+    :class:`ConcurrentWriteError` (the rewrite was computed from a
+    superseded base — just re-run); it can never erase the merge."""
     if target_file_bytes < 1:
         raise ValueError("target_file_bytes must be >= 1")
     version = latest_snapshot_version(table_dir)
@@ -469,7 +674,7 @@ def compact_snapshot(
     if zorder_by:
         from cuplyr_spark.sources.readers import write_parquet_zorder
 
-        frame = read_snapshot(spark, table_dir)
+        frame = read_snapshot(spark, table_dir, version=version)
         return _publish(
             table_dir,
             spark,
@@ -481,16 +686,21 @@ def compact_snapshot(
                 mode="errorifexists",
                 num_files=n_target,
             ),
+            expected_base=version,
         )
     if len(sizes) <= n_target:
         return None
-    df = read_snapshot(spark, table_dir).df
+    df = read_snapshot(spark, table_dir, version=version).df
     out = df.repartition(n_target) if shuffle else df.coalesce(n_target)
-    return write_snapshot(Frame(out, ()), table_dir)
+    # expected_base: never clobber rows merged in while we compacted
+    return write_snapshot(Frame(out, ()), table_dir, expected_base=version)
 
 
 def vacuum_snapshots(
-    table_dir: str, keep_last: int = 2, spark: SparkSession | None = None
+    table_dir: str,
+    keep_last: int = 2,
+    spark: SparkSession | None = None,
+    orphan_grace_hours: float = 24.0,
 ) -> list[int]:
     """Garbage-collect old snapshot versions, completing the table
     lifecycle (publish → read → time travel → merge → **vacuum**; the
@@ -502,20 +712,25 @@ def vacuum_snapshots(
     readable/time-travelable); the PUBLISHED version is always kept
     regardless (a regressed pointer must never dangle). Crash-orphan
     ``v=`` dirs whose write never committed (no ``_SUCCESS``) are
-    EXCLUDED from the ``keep_last`` ranking and deleted outright:
-    counting them would let a high-numbered unreadable orphan displace
-    a real historical version from retention while the orphan itself
-    survived. When NO version has a ``_SUCCESS`` marker, marker support
-    is evidently disabled on the cluster
-    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``) rather
-    than every version being a crash orphan, so all versions rank as
-    complete — otherwise vacuum would ignore ``keep_last`` and delete
-    every non-published version. Deletion goes through the same
-    filesystem as the data (``_TableFS``), so vacuuming works wherever
-    snapshots do.
-    Single-writer contract as everywhere in this layer: vacuum while a
-    concurrent writer publishes is out of scope. Returns the versions
-    removed (ascending)."""
+    EXCLUDED from the ``keep_last`` ranking (counting them would let a
+    high-numbered unreadable orphan displace a real historical version
+    from retention while the orphan itself survived) — but, because an
+    incomplete dir is indistinguishable from a CONCURRENT writer's
+    in-progress version, an orphan is only deleted once older than
+    ``orphan_grace_hours`` (pass ``0`` to reap crash debris
+    immediately in a known-quiet table; same rule as
+    :func:`vacuum_append_snapshot`). When NO version has a
+    ``_SUCCESS`` marker, marker support is evidently disabled on the
+    cluster (``mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    false``) rather than every version being a crash orphan, so all
+    versions rank as complete — otherwise vacuum would ignore
+    ``keep_last`` and delete every non-published version. Deletion
+    goes through the same filesystem as the data (``_TableFS``), so
+    vacuuming works wherever snapshots do.
+    Vacuum itself is not serialized against writers (Delta's VACUUM
+    isn't either): run it from one maintenance slot, or keep
+    ``keep_last`` high enough that nothing a live writer references is
+    ever in the doomed set. Returns the versions removed (ascending)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     fs = _TableFS(table_dir, spark)
@@ -527,7 +742,22 @@ def vacuum_snapshots(
     keep = set(complete[-keep_last:])
     if published is not None:
         keep.add(published)
-    doomed = [v for v in versions if v not in keep]
+
+    def ripe(v: int) -> bool:
+        if v in complete or orphan_grace_hours <= 0:
+            return True  # aged history: a deliberate retention choice
+        import time as _time
+
+        if fs.remote:
+            mtime = (
+                fs._fs.getFileStatus(fs._jpath(fs.join(f"v={v}")))
+                .getModificationTime() / 1000.0
+            )
+        else:
+            mtime = os.path.getmtime(fs.join(f"v={v}"))
+        return _time.time() - mtime > orphan_grace_hours * 3600.0
+
+    doomed = [v for v in versions if v not in keep and ripe(v)]
     for v in doomed:
         target = fs.join(f"v={v}")
         if fs.remote:
@@ -536,6 +766,20 @@ def vacuum_snapshots(
             import shutil
 
             shutil.rmtree(target)
+    # sweep concurrency droppings: claims/markers for removed versions,
+    # and claims whose write never materialized below the keep window
+    # (they only cost version-number gaps, but they accumulate)
+    floor = min(keep) if keep else 0
+    for name in fs.listdir():
+        m = _CLAIM.match(name) or re.match(r"^_NEXT\.(\d+)$", name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if v in doomed or (v < floor and not fs.exists(f"v={v}")):
+            if fs.remote:
+                fs._fs.delete(fs._jpath(fs.join(name)), False)
+            else:
+                os.unlink(fs.join(name))
     return doomed
 
 
@@ -583,15 +827,25 @@ def _log_watermarks(log: dict | None) -> dict[str, int]:
 
 
 def _write_log(fs: _TableFS, log: dict) -> int:
-    """Publish a log manifest: immutable ``_LOG.<n>`` first, then the
-    atomic ``_LATEST_LOG`` pointer swap. ``max_batch_id`` mirrors the
-    default app's watermark for pre-rework readers."""
+    """Publish a log manifest: immutable ``_LOG.<n>`` by atomic
+    EXCLUSIVE-create — ``_LOG.<n>`` is the commit record, so two
+    writers racing to publish version n get exactly one winner, the
+    concurrency model of the Delta log itself — then the monotonic
+    ``_LATEST_LOG`` pointer swap. Raises
+    :class:`ConcurrentWriteError` for the loser; ``append_snapshot``
+    retries it internally (re-reading the new log), heavier
+    operations surface it. ``max_batch_id`` mirrors the default app's
+    watermark for pre-rework readers."""
     import json as _json
 
     n = log["version"]
     log["max_batch_id"] = (log.get("watermarks") or {}).get(_DEFAULT_APP)
-    fs.write_text_atomic(f"_LOG.{n}", _json.dumps(log), f".tmp.{n}")
-    fs.write_text_atomic(_LOG_PTR, str(n), f".ptr.{n}")
+    if not fs.write_text_exclusive(f"_LOG.{n}", _json.dumps(log), f".tmp.{n}"):
+        raise ConcurrentWriteError(
+            f"log version {n} at {fs.dir!r} was committed by another "
+            "writer — re-read the log and retry"
+        )
+    _advance_ptr(fs, _LOG_PTR, n, "ptr")
     return n
 
 
@@ -599,11 +853,136 @@ def _frame_schema_pairs(df) -> list[list[str]]:
     return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
 
+def _partition_dirs(fs: _TableFS, seg: str, depth: int) -> list[str]:
+    """Relative ``k=v[/k2=v2...]`` partition directories of a
+    hive-partitioned segment, found by walking exactly ``depth``
+    levels — one listing per directory level, recorded in the log
+    manifest at append time so reads never re-list."""
+    rels = [""]
+    for _ in range(depth):
+        nxt = []
+        for r in rels:
+            base = posixpath.join(seg, r) if r else seg
+            for d in fs.subdirs(base):
+                if "=" in d and not d.startswith(("_", ".")):
+                    nxt.append(posixpath.join(r, d) if r else d)
+        rels = nxt
+    return sorted(rels)
+
+
+def _partition_values(reldir: str) -> dict[str, str | None]:
+    """Parse ``k=v/k2=v2`` into {col: value-string}, unescaping hive's
+    %-encoding; the null sentinel maps to None."""
+    from urllib.parse import unquote
+
+    out = {}
+    for piece in reldir.split("/"):
+        k, _, v = piece.partition("=")
+        v = unquote(v)
+        out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return out
+
+
+def _normalize_pfilter(partition_filter: dict) -> dict[str, set]:
+    """{col: value-or-list} → {col: set of string forms} — partition
+    dir values are strings, so comparison happens in string space."""
+    out = {}
+    for col, vals in partition_filter.items():
+        if not isinstance(vals, (list, tuple, set)):
+            vals = [vals]
+        out[col] = {None if v is None else str(v) for v in vals}
+    return out
+
+
+def _read_segments(spark, fs: _TableFS, log: dict, segs, partition_filter=None):
+    """The one read path every append-table reader shares. For
+    unpartitioned tables: a single multi-path parquet relation (filter
+    pushdown and column pruning span every segment at once). For
+    hive-partitioned tables: one partition-discovered relation per
+    segment, unioned by name and conformed to the manifest schema —
+    discovery is forced to STRING (no type inference) and cast back to
+    the recorded column type, so a value like ``"01"`` round-trips
+    exactly instead of collapsing through an inferred int.
+
+    ``partition_filter`` ({col: value-or-list}) prunes at THREE
+    levels: segments whose manifest-recorded partitions all miss the
+    filter are never opened (no filesystem listing at all), matching
+    segments get a partition-column predicate Catalyst turns into
+    directory pruning, and the residual filter guards exactness.
+    Returns the DataFrame."""
+    from pyspark.sql import functions as F
+
+    pby = log.get("partition_by") or []
+    if not pby:
+        if partition_filter:
+            raise ValueError(
+                "partition_filter on an unpartitioned append table "
+                f"(no partition_by in the log at {fs.dir!r})"
+            )
+        return spark.read.parquet(*[fs.join(s) for s in segs])
+    pmap = log.get("partitions") or {}
+    pf = _normalize_pfilter(partition_filter) if partition_filter else None
+    if pf:
+        unknown = set(pf) - set(pby)
+        if unknown:
+            raise ValueError(
+                f"partition_filter columns {sorted(unknown)} are not "
+                f"partition columns {pby}"
+            )
+
+        def seg_matches(s):
+            rels = pmap.get(s)
+            if rels is None:  # legacy manifest without the map: keep
+                return True
+            for rel in rels:
+                vals = _partition_values(rel)
+                if all(vals.get(c) in want for c, want in pf.items()):
+                    return True
+            return False
+
+        segs = [s for s in segs if seg_matches(s)]
+    schema = log.get("schema")
+    if not segs:
+        # filter pruned everything: an empty frame at the table schema
+        ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+        return spark.createDataFrame([], ddl)
+    conds = None
+    if pf:
+        # predicate on the RAW discovered partition columns (strings,
+        # inference off) — sits directly over each scan, so Catalyst
+        # plans it as directory pruning (PartitionFilters), not a
+        # post-cast residual filter
+        for c, want in pf.items():
+            nn = [v for v in want if v is not None]
+            cond = F.col(c).isin(nn) if nn else F.lit(False)
+            if None in want:
+                cond = cond | F.col(c).isNull()
+            conds = cond if conds is None else conds & cond
+    conf = spark.conf
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = conf.get(key)
+    conf.set(key, "false")
+    try:
+        parts = []
+        for s in segs:
+            df = spark.read.option("basePath", fs.join(s)).parquet(fs.join(s))
+            if conds is not None:
+                df = df.filter(conds)
+            parts.append(_conform_schema(df, schema))
+    finally:
+        conf.set(key, prev)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 def append_snapshot(
     frame: Frame,
     table_dir: str,
     batch_id: int | None = None,
     app_id: str | None = None,
+    partition_by: list[str] | str | None = None,
 ) -> int:
     """Append-only publish: write ONLY this batch's rows as a new
     segment directory and publish a log manifest listing every live
@@ -645,18 +1024,58 @@ def append_snapshot(
     read and are stamped on the next publish). Evolving schemas belong
     to the copy-on-write path
     (``upsert_snapshot(schema_evolution=True)``) where every version
-    is rewritten whole. Returns the published log version."""
+    is rewritten whole.
+
+    ``partition_by`` writes the segment hive-partitioned (the 100 TB
+    event-table shape: ingest partitioned by date/type so readers
+    prune directories instead of scanning the corpus). The first
+    append stamps the table's partitioning in the log; later appends
+    must match it (or omit it to inherit). The log also records each
+    segment's partition VALUES, so a filtered read prunes whole
+    segments without any filesystem listing
+    (``read_append_snapshot(partition_filter=...)``).
+
+    Concurrency: the data segment's name is unique, so racing
+    appenders never collide on data; the log commit is an atomic
+    exclusive-create that the loser RETRIES on top of the winner's log
+    (re-checking the watermark — if the same app's batch landed via
+    the other writer, the retry degrades to the no-op replay path).
+    Appends therefore need no external coordination on HDFS/local
+    filesystems. Returns the published log version."""
     import uuid
 
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
     fs = _TableFS(table_dir, frame.df.sparkSession)
     fs.mkdirs()
-    cur = _read_log(fs)
-    wms = _log_watermarks(cur)
     key = app_id or _DEFAULT_APP
-    if batch_id is not None and wms.get(key) is not None and batch_id <= wms[key]:
-        return cur["version"]
     incoming = _frame_schema_pairs(frame.df)
-    if cur is not None and cur["segments"]:
+
+    def check(cur):
+        """Validate against the current log; returns (schema, pby) or
+        None when the batch is a watermark replay (no-op)."""
+        wms = _log_watermarks(cur)
+        if (
+            batch_id is not None
+            and wms.get(key) is not None
+            and batch_id <= wms[key]
+        ):
+            return None
+        if cur is None or not cur["segments"]:
+            pby = list(partition_by or [])
+            missing = [c for c in pby if c not in frame.df.columns]
+            if missing:
+                raise ValueError(
+                    f"partition_by columns {missing} not in the frame"
+                )
+            return incoming, pby
+        table_pby = list(cur.get("partition_by") or [])
+        if partition_by is not None and list(partition_by) != table_pby:
+            raise ValueError(
+                f"append_snapshot: partition_by {list(partition_by)} does "
+                f"not match the table's {table_pby} — partitioning is "
+                "fixed at table creation"
+            )
         table = cur.get("schema")
         if table is None:  # legacy manifest: one footer read, then stamped
             table = _frame_schema_pairs(
@@ -683,23 +1102,67 @@ def append_snapshot(
                 + " — append tables are fixed-schema; cast the batch "
                 "or use the copy-on-write path for schema evolution"
             )
-        schema = table
-    else:
-        schema = incoming
+        return table, table_pby
+
+    cur = _read_log(fs)
+    checked = check(cur)
+    if checked is None:
+        return cur["version"]
+    schema, pby = checked
+    # write the data ONCE — the unique segment name never collides, so
+    # only the cheap log commit below ever needs to retry
     n = (cur["version"] if cur else 0) + 1
     seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
-    frame.df.write.mode("errorifexists").parquet(fs.join(seg))
-    if batch_id is not None:
-        old = wms.get(key)
-        wms[key] = batch_id if old is None else max(old, batch_id)
-    return _write_log(
-        fs,
-        {
+    writer = frame.df.write.mode("errorifexists")
+    if pby:
+        writer = writer.partitionBy(*pby)
+    writer.parquet(fs.join(seg))
+    pdirs = _partition_dirs(fs, seg, len(pby)) if pby else None
+    for _ in range(6):
+        wms = _log_watermarks(cur)
+        if batch_id is not None:
+            old = wms.get(key)
+            wms[key] = batch_id if old is None else max(old, batch_id)
+        log = {
             "version": n,
             "segments": (cur["segments"] if cur else []) + [seg],
             "watermarks": wms,
             "schema": schema,
-        },
+        }
+        if pby:
+            log["partition_by"] = pby
+            log["partitions"] = {
+                **((cur.get("partitions") if cur else None) or {}),
+                seg: pdirs,
+            }
+        try:
+            return _write_log(fs, log)
+        except ConcurrentWriteError:
+            # rebase on the winner's log. _LOG.<k> files are written
+            # atomically BEFORE the pointer swap, so the newest one
+            # that exists IS a complete commit — roll the pointer
+            # forward to it (heals a winner that died mid-publish,
+            # same rule as the copy-on-write _NEXT roll-forward).
+            m = n
+            while fs.exists(f"_LOG.{m + 1}"):
+                m += 1
+            _advance_ptr(fs, _LOG_PTR, m, "ptr")
+            cur = _read_log(fs, m)
+            checked = check(cur)
+            if checked is None:  # the winner WAS this batch (replay race)
+                return cur["version"]  # our segment is an orphan; vacuum
+            schema, rebased_pby = checked
+            if rebased_pby != pby:  # first-append race decided a
+                raise ValueError(   # different layout than we wrote
+                    f"append_snapshot: a concurrent first append fixed "
+                    f"partition_by={rebased_pby} but this batch was "
+                    f"written with {pby} — re-run the append"
+                )
+            n = cur["version"] + 1
+    raise ConcurrentWriteError(
+        f"append to {table_dir!r} lost 6 straight log-commit races — "
+        "writer storm; the data segment is written and the append can "
+        "be retried cheaply"
     )
 
 
@@ -720,26 +1183,39 @@ def reset_append_watermark(
         )
     wms = _log_watermarks(cur)
     wms.pop(app_id or _DEFAULT_APP, None)
-    return _write_log(
-        fs,
-        {
-            "version": cur["version"] + 1,
-            "segments": cur["segments"],
-            "watermarks": wms,
-            "schema": cur.get("schema"),
-        },
-    )
+    log = {
+        "version": cur["version"] + 1,
+        "segments": cur["segments"],
+        "watermarks": wms,
+        "schema": cur.get("schema"),
+    }
+    if cur.get("partition_by"):  # carry partition metadata through
+        log["partition_by"] = cur["partition_by"]
+        log["partitions"] = cur.get("partitions") or {}
+    return _write_log(fs, log)
 
 
 def read_append_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
 ) -> Frame:
     """Read the published log version (default) or a pinned earlier one
     (time travel): one multi-path parquet scan over the live segments —
     Spark plans it as a single datasource relation, so filter pushdown
-    and column pruning apply across every segment at once. Segments
-    were written by this layer from already-normalized Frames, so no
-    re-normalization pass is needed."""
+    and column pruning apply across every segment at once (partitioned
+    tables read per-segment with partition discovery and union, same
+    pushdown per child). Segments were written by this layer from
+    already-normalized Frames, so no re-normalization pass is needed.
+
+    ``partition_filter`` ({col: value-or-list}, partitioned tables
+    only) prunes whole segments from the MANIFEST's recorded partition
+    values — zero filesystem listing for segments that cannot match —
+    and directory-prunes within the segments that can. Ordinary
+    ``.filter()`` on partition columns also directory-prunes (Catalyst
+    partition pruning); the manifest level is what the filter argument
+    adds."""
     fs = _TableFS(table_dir, spark)
     log = _read_log(fs, version)
     if log is None:
@@ -749,7 +1225,7 @@ def read_append_snapshot(
     if not log["segments"]:
         raise FileNotFoundError(f"log version {log['version']} has no segments")
     return Frame(
-        spark.read.parquet(*[fs.join(s) for s in log["segments"]]), ()
+        _read_segments(spark, fs, log, log["segments"], partition_filter), ()
     )
 
 
@@ -758,6 +1234,7 @@ def read_append_changes(
     table_dir: str,
     since_version: int,
     version: int | None = None,
+    partition_filter: dict | None = None,
 ) -> Frame:
     """Incremental read: ONLY the rows appended after log version
     ``since_version`` (exclusive) up to ``version`` (inclusive; default
@@ -817,7 +1294,7 @@ def read_append_changes(
                 spark.createDataFrame([], _T.StructType(fields)), ()
             )
         return Frame(read_append_snapshot(spark, table_dir, end).df.limit(0), ())
-    return Frame(spark.read.parquet(*[fs.join(s) for s in new_segs]), ())
+    return Frame(_read_segments(spark, fs, cur, new_segs, partition_filter), ())
 
 
 def tail_append_changes(
@@ -826,6 +1303,7 @@ def tail_append_changes(
     cursor_dir: str,
     process: "Callable[[Frame, int], None]",
     consumer_id: str = "__default__",
+    partition_filter: dict | None = None,
 ) -> tuple[int, int]:
     """EXACTLY-ONCE batch-incremental consumer for an append table —
     the checkpointed driver around :func:`read_append_changes`, and
@@ -859,7 +1337,14 @@ def tail_append_changes(
     a years-old table. After bootstrap, keep the table's vacuum
     retention above every consumer's lag (the
     :func:`vacuum_append_snapshot` contract) — a lagging consumer
-    whose window was vacuumed fails loudly in the log walk."""
+    whose window was vacuumed fails loudly in the log walk.
+
+    ``partition_filter`` ({col: value-or-list}, partitioned tables)
+    scopes the consumer to a partition slice — manifest-level segment
+    pruning applies to both the bootstrap and every delta read, so a
+    per-partition pipeline pays only its slice's bytes. The cursor
+    still advances over the FULL log (the filter names what this
+    consumer processes, not where it is)."""
     if "/" in consumer_id or not consumer_id.strip():
         raise ValueError(
             f"consumer_id {consumer_id!r} must be a non-empty name "
@@ -876,7 +1361,9 @@ def tail_append_changes(
         )
     up_to = cur["version"]
     if cursor_text is None:
-        changes = read_append_snapshot(spark, table_dir, version=up_to)
+        changes = read_append_snapshot(
+            spark, table_dir, version=up_to, partition_filter=partition_filter
+        )
         process(changes, up_to)
         fs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")
         return (0, up_to)
@@ -884,7 +1371,8 @@ def tail_append_changes(
     if up_to <= start:
         return (start, start)
     changes = read_append_changes(
-        spark, table_dir, since_version=start, version=up_to
+        spark, table_dir, since_version=start, version=up_to,
+        partition_filter=partition_filter,
     )
     process(changes, up_to)
     fs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")
@@ -936,7 +1424,9 @@ def compact_append_snapshot(
     watermarks carry over. No-op (``None``) when nothing needs folding
     (also when the only fold candidate is a lone segment that folding
     could not improve). Returns the new published log version, or
-    ``None``. Single-writer contract as everywhere in this layer."""
+    ``None``. A concurrent append winning the log-commit race
+    surfaces as :class:`ConcurrentWriteError` (the fold referenced a
+    superseded segment list — just re-run; the append is intact)."""
     if target_file_bytes < 1:
         raise ValueError("target_file_bytes must be >= 1")
     if max_live_segments is not None and max_live_segments < 1:
@@ -947,7 +1437,16 @@ def compact_append_snapshot(
         raise FileNotFoundError(
             f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
         )
-    stats = {s: fs.file_sizes(s) for s in cur["segments"]}
+    pby = list(cur.get("partition_by") or [])
+    if pby and zorder_by:
+        raise ValueError(
+            "zorder_by is not supported on hive-partitioned append "
+            "tables — the partition directories already provide the "
+            "pruning layout; z-order within partitions is future work"
+        )
+    stats = {
+        s: fs.file_sizes(s, recurse=bool(pby)) for s in cur["segments"]
+    }
 
     def fragmented(sizes: list[int]) -> bool:
         total = sum(sizes)
@@ -977,7 +1476,7 @@ def compact_append_snapshot(
         return None  # folding a lone compact segment rewrites it 1:1
     import uuid
 
-    df = spark.read.parquet(*[fs.join(s) for s in fold])
+    df = _read_segments(spark, fs, cur, fold)
     n = cur["version"] + 1
     seg = f"fold={n}-{uuid.uuid4().hex[:8]}"
     if zorder_by:
@@ -991,30 +1490,97 @@ def compact_append_snapshot(
             mode="errorifexists",
             num_files=n_target,
         )
+    elif pby:
+        # partition layout carries through the fold; coalesce bounds
+        # the TASK count, so files per partition stay <= n_target
+        df.coalesce(n_target).write.mode("errorifexists").partitionBy(
+            *pby
+        ).parquet(fs.join(seg))
     else:
         df.coalesce(n_target).write.mode("errorifexists").parquet(fs.join(seg))
     ordered = [s for s in cur["segments"] if s in set(keep)] + [seg]
-    return _write_log(
-        fs,
-        {
-            "version": n,
-            "segments": ordered,
-            "watermarks": _log_watermarks(cur),
-            "schema": cur.get("schema"),
-        },
+    log = {
+        "version": n,
+        "segments": ordered,
+        "watermarks": _log_watermarks(cur),
+        "schema": cur.get("schema"),
+    }
+    if pby:
+        pmap = cur.get("partitions") or {}
+        log["partition_by"] = pby
+        log["partitions"] = {
+            **{s: pmap[s] for s in ordered if s in pmap},
+            seg: _partition_dirs(fs, seg, len(pby)),
+        }
+    return _write_log(fs, log)
+
+
+def append_history(
+    table_dir: str, spark: SparkSession | None = None
+) -> list[dict]:
+    """Log-version-level metadata for an append table — the
+    DESCRIBE HISTORY analog of :func:`snapshot_history` for the log
+    shape: one dict per retained ``_LOG.<v>``, ascending, with
+    ``version``, ``n_segments``, ``n_new_segments`` (segments this
+    version added — 0 for watermark-reset/compaction-only publishes),
+    ``compacted`` (this version folded segments away), ``watermarks``
+    (per-app exactly-once high-water marks), ``partition_by`` and
+    ``published``. Pure manifest metadata — no data files are read or
+    listed, so it is safe on a 100 TB table; feeds compaction/vacuum
+    scheduling (e.g. compact when n_segments drifts high) and
+    consumer-lag dashboards (cursor version vs published version)."""
+    fs = _TableFS(table_dir, spark)
+    ptr = fs.read_text(_LOG_PTR)
+    published = int(ptr.strip()) if ptr else None
+    versions = sorted(
+        int(name[5:])
+        for name in fs.listdir()
+        if name.startswith("_LOG.") and name[5:].isdigit()
     )
+    out = []
+    prev: set | None = None
+    for v in versions:
+        log = _read_log(fs, v)
+        segs = log["segments"]
+        new = [s for s in segs if prev is None or s not in prev]
+        out.append(
+            {
+                "version": v,
+                "n_segments": len(segs),
+                "n_new_segments": len(new),
+                "compacted": prev is not None and bool(prev - set(segs)),
+                "watermarks": _log_watermarks(log),
+                "partition_by": list(log.get("partition_by") or []),
+                "published": v == published,
+            }
+        )
+        prev = set(segs)
+    return out
 
 
 def vacuum_append_snapshot(
-    table_dir: str, keep_last: int = 2, spark: SparkSession | None = None
+    table_dir: str,
+    keep_last: int = 2,
+    spark: SparkSession | None = None,
+    orphan_grace_hours: float = 24.0,
 ) -> list[str]:
     """Prune append-table history: keep the newest ``keep_last`` log
     versions plus (always) the published one, delete every other
     ``_LOG.*`` file and every segment directory no kept log references
-    (raw ``seg=`` and compaction ``fold=`` alike; crash-orphan
-    segments — written but never logged — go too). Returns the deleted
-    segment dirs, ascending. Single-writer, like the rest of the
-    layer. Retention interacts with incremental readers: keep
+    (raw ``seg=`` and compaction ``fold=`` alike). Returns the deleted
+    segment dirs, ascending.
+
+    NEVER-LOGGED segments (referenced by NO log still on disk) are
+    either crash debris or — now that appends are concurrency-safe —
+    a racing appender's data written but not yet committed; the two
+    are indistinguishable from the filesystem, so such orphans are
+    only deleted once older than ``orphan_grace_hours`` (Delta's
+    VACUUM retention answer to the identical hazard; pass ``0`` to
+    reap crash debris immediately in a known-quiet table). Aged
+    HISTORY segments (referenced by a log being pruned) are a
+    deliberate retention choice and go immediately.
+
+    Retention interacts with incremental readers: keep
     ``keep_last`` at least the deepest ``read_append_changes`` /
     ``stream_append_log`` reader lag, or the lagging reader loses the
     window (it fails loudly, never silently skips)."""
@@ -1032,12 +1598,33 @@ def vacuum_append_snapshot(
     if published is not None:
         keep.add(published)
     referenced: set = set()
-    for v in keep:
-        referenced.update(_read_log(fs, v)["segments"])
+    ever_logged: set = set()
+    for v in versions:
+        segs = _read_log(fs, v)["segments"]
+        ever_logged.update(segs)
+        if v in keep:
+            referenced.update(segs)
+
+    def ripe(seg: str) -> bool:
+        if seg in ever_logged or orphan_grace_hours <= 0:
+            return True
+        import time as _time
+
+        if fs.remote:
+            mtime = (
+                fs._fs.getFileStatus(fs._jpath(fs.join(seg)))
+                .getModificationTime() / 1000.0
+            )
+        else:
+            mtime = os.path.getmtime(fs.join(seg))
+        return _time.time() - mtime > orphan_grace_hours * 3600.0
+
     doomed_segs = sorted(
         name
         for name in fs.listdir()
-        if name.startswith(("seg=", "fold=")) and name not in referenced
+        if name.startswith(("seg=", "fold="))
+        and name not in referenced
+        and ripe(name)
     )
     for seg in doomed_segs:
         target = fs.join(seg)

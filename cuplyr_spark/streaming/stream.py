@@ -322,6 +322,7 @@ def stream_append_snapshot(
     vacuum_keep: int | None = None,
     zorder_by: list[str] | None = None,
     app_id: str | None = None,
+    partition_by: list[str] | str | None = None,
 ):
     """Continuous APPEND ingest into a log table
     (``connectors.append_snapshot``) — the insert-only twin of
@@ -352,7 +353,13 @@ def stream_append_snapshot(
     after every batch when no compaction schedule is set, else on the
     compaction cadence. Keep ``vacuum_keep`` at least the lag of any
     ``read_append_changes``/``stream_append_log`` reader tailing this
-    table. All inside the single-writer foreachBatch slot."""
+    table. All inside the single-writer foreachBatch slot.
+
+    ``partition_by`` lands each segment hive-partitioned (date/type
+    ingest layout): batch readers then prune directories — see
+    ``append_snapshot(partition_by=)``. Note ``stream_append_log``
+    cannot tail a partitioned table (file-source rows lack the
+    partition columns); tail with ``connectors.tail_append_changes``."""
     from cuplyr_spark.sources.connectors import (
         append_snapshot,
         compact_append_snapshot,
@@ -372,7 +379,8 @@ def stream_append_snapshot(
         if batch_df.isEmpty():
             return
         append_snapshot(
-            Frame(batch_df, ()), table_dir, batch_id=batch_id, app_id=app_id
+            Frame(batch_df, ()), table_dir, batch_id=batch_id,
+            app_id=app_id, partition_by=partition_by,
         )
         if compact_every is not None and batch_id % compact_every == (
             compact_every - 1
@@ -429,9 +437,24 @@ def stream_append_log(
     (``connectors.tail_append_changes``, which walks the log with a
     checkpointed cursor and composes with a sink watermark into
     end-to-end exactly-once). Schema is mandatory, as for any file
-    stream — read it from the table's log manifest or a segment."""
+    stream — read it from the table's log manifest or a segment.
+
+    Hive-partitioned append tables cannot be tailed this way — the
+    partition columns live in directory names the file source does not
+    parse, so rows would silently lack them; this raises instead.
+    Tail partitioned tables with ``connectors.tail_append_changes``."""
     import posixpath
 
+    from cuplyr_spark.sources.connectors import _read_log, _TableFS
+
+    log = _read_log(_TableFS(table_dir, spark))
+    if log is not None and log.get("partition_by"):
+        raise ValueError(
+            f"stream_append_log cannot tail the hive-partitioned append "
+            f"table at {table_dir!r} (partition columns "
+            f"{log['partition_by']} live in directory names the file "
+            "source does not parse) — use connectors.tail_append_changes"
+        )
     return spark.readStream.schema(schema).parquet(
         posixpath.join(table_dir.rstrip("/"), "seg=*")
     )

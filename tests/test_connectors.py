@@ -239,8 +239,12 @@ def test_vacuum_excludes_uncommitted_orphans_from_retention(spark, tmp_path):
     assert snapshot_versions(d) == [1, 2, 3, 9]
 
     # keep_last=2 must keep the two newest COMPLETE versions (2, 3) —
-    # the orphan neither displaces v2 nor survives itself
-    assert vacuum_snapshots(d, keep_last=2) == [1, 9]
+    # the orphan never displaces v2. Inside the grace window the fresh
+    # orphan is spared (it could be a concurrent writer's in-progress
+    # version); with the grace waived it is reaped.
+    assert vacuum_snapshots(d, keep_last=2) == [1]
+    assert snapshot_versions(d) == [2, 3, 9]
+    assert vacuum_snapshots(d, keep_last=2, orphan_grace_hours=0) == [9]
     assert snapshot_versions(d) == [2, 3]
     assert len(read_snapshot(spark, d, version=2).collect()) == 2
     assert len(read_snapshot(spark, d).collect()) == 3
@@ -531,10 +535,15 @@ def test_append_snapshot_lifecycle(spark, tmp_path):
     # pre-compaction logs still read until vacuumed
     assert len(read_append_snapshot(spark, d, version=3).collect()) == 4
 
-    # vacuum: orphan + unreferenced segments die, kept logs read
+    # vacuum: unreferenced HISTORY segments die immediately; a
+    # never-logged orphan is spared inside the grace window (it is
+    # indistinguishable from a concurrent appender's in-flight
+    # segment) and reaped once the grace is waived
     os.makedirs(os.path.join(d, "seg=99-orphan"))
     removed = vacuum_append_snapshot(d, keep_last=1)
     assert any(s.startswith("seg=1-") for s in removed)
+    assert "seg=99-orphan" not in removed
+    removed = vacuum_append_snapshot(d, keep_last=1, orphan_grace_hours=0)
     assert "seg=99-orphan" in removed
     assert len(read_append_snapshot(spark, d).collect()) == 4
     with pytest.raises(FileNotFoundError):
@@ -932,3 +941,244 @@ def test_tail_append_changes_bootstrap_after_vacuum(spark, tmp_path):
 
     with pytest.raises(ValueError, match="consumer_id"):
         tail_append_changes(spark, src, cur, lambda ch, v: None, consumer_id="a/b")
+
+
+# -- hive-partitioned append tables ---------------------------------------
+
+
+def _events_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "event_id": range(8),
+            "user_id": [1, 2, 3, 4, 5, 6, 7, 8],
+            "event_type": ["click", "view", "click", "purchase",
+                           "view", "click", "purchase", "view"],
+            "value": [0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0],
+        }
+    )
+
+
+def test_append_partitioned_roundtrip(spark, tmp_path):
+    """Partitioned append: hive layout on disk, exact rows and schema
+    (order AND types) back on read, no leaked `seg` discovery column."""
+    import os
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+    )
+
+    pdf = _events_pdf()
+    d = str(tmp_path / "t")
+    append_snapshot(
+        from_pandas(spark, pdf.iloc[:4]), d, partition_by="event_type"
+    )
+    append_snapshot(from_pandas(spark, pdf.iloc[4:]), d)  # inherits
+    out = read_append_snapshot(spark, d)
+    assert out.df.columns == ["event_id", "user_id", "event_type", "value"]
+    got = {r["event_id"]: (r["event_type"], r["value"])
+           for r in out.df.collect()}
+    assert got == {i: (pdf.event_type[i], pdf.value[i]) for i in range(8)}
+    assert dict(out.df.dtypes)["event_id"] == "bigint"  # not a string
+    seg = next(n for n in os.listdir(d) if n.startswith("seg="))
+    assert sorted(os.listdir(os.path.join(d, seg)))[-1].startswith(
+        "event_type="
+    )
+
+
+def test_append_partitioned_filter_prunes(spark, tmp_path):
+    """partition_filter: manifest-level segment pruning (a segment with
+    no matching partition contributes NO input files) + Catalyst
+    PartitionFilters inside matching segments."""
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+    )
+
+    pdf = _events_pdf()
+    d = str(tmp_path / "t")
+    append_snapshot(
+        from_pandas(spark, pdf[pdf.event_type != "purchase"]),
+        d,
+        partition_by=["event_type"],
+    )
+    append_snapshot(from_pandas(spark, pdf[pdf.event_type == "purchase"]), d)
+    out = read_append_snapshot(
+        spark, d, partition_filter={"event_type": "purchase"}
+    )
+    assert sorted(r["event_id"] for r in out.df.collect()) == [3, 6]
+    # manifest pruning: only the purchase-only segment's files are read
+    files = out.df.inputFiles()
+    assert files and all("event_type=purchase" in f for f in files)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_append_partitioned_values_roundtrip_exactly(spark, tmp_path):
+    """Inference is disabled on read: a string partition value like
+    '01' must NOT collapse through an inferred int; NULL partition
+    values round-trip; an int partition column keeps its type."""
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+    )
+
+    pdf = pd.DataFrame(
+        {"k": ["01", "2", None], "shard": [3, 14, 3], "v": [1.0, 2.0, 3.0]}
+    )
+    d = str(tmp_path / "t")
+    append_snapshot(
+        from_pandas(spark, pdf), d, partition_by=["k", "shard"]
+    )
+    out = read_append_snapshot(spark, d)
+    assert dict(out.df.dtypes) == {"k": "string", "shard": "bigint",
+                                   "v": "double"}
+    got = sorted(out.df.collect(), key=lambda r: r["v"])
+    assert [r["k"] for r in got] == ["01", "2", None]
+    assert [r["shard"] for r in got] == [3, 14, 3]
+    only3 = read_append_snapshot(spark, d, partition_filter={"shard": 3})
+    assert sorted(r["v"] for r in only3.df.collect()) == [1.0, 3.0]
+
+
+def test_append_partitioned_compaction_preserves_layout(spark, tmp_path):
+    """Tiered compaction on a partitioned table: fold keeps the hive
+    layout, rows unchanged, change feed still skips the fold, and the
+    manifest's partition map tracks the fold."""
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        _read_log,
+        _TableFS,
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_changes,
+        read_append_snapshot,
+    )
+
+    pdf = _events_pdf()
+    d = str(tmp_path / "t")
+    append_snapshot(
+        from_pandas(spark, pdf.iloc[:4]), d, partition_by="event_type"
+    )
+    append_snapshot(from_pandas(spark, pdf.iloc[4:]), d)
+    v = compact_append_snapshot(spark, d, target_file_bytes=1 << 30)
+    assert v == 3
+    log = _read_log(_TableFS(d))
+    assert len(log["segments"]) == 1
+    fold = log["segments"][0]
+    assert fold.startswith("fold=")
+    assert set(log["partitions"]) == {fold}
+    assert log["partitions"][fold] == [
+        "event_type=click", "event_type=purchase", "event_type=view"
+    ]
+    assert read_append_snapshot(spark, d).df.count() == 8
+    assert read_append_snapshot(
+        spark, d, partition_filter={"event_type": ["click"]}
+    ).df.count() == 3
+    # the fold added no data: the change feed past v2 is empty
+    assert read_append_changes(spark, d, since_version=2).df.count() == 0
+
+
+def test_append_partitioned_guards(spark, tmp_path):
+    """partition_by mismatch, unknown filter column, filter on an
+    unpartitioned table, zorder on partitioned fold, and the streaming
+    tail all fail loudly."""
+    import pytest as _pytest
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_snapshot,
+    )
+    from cuplyr_spark.streaming.stream import stream_append_log
+
+    pdf = _events_pdf()
+    d = str(tmp_path / "t")
+    append_snapshot(from_pandas(spark, pdf), d, partition_by="event_type")
+    with _pytest.raises(ValueError, match="does not match the table's"):
+        append_snapshot(from_pandas(spark, pdf), d, partition_by="user_id")
+    with _pytest.raises(ValueError, match="not partition columns"):
+        read_append_snapshot(spark, d, partition_filter={"user_id": 1})
+    with _pytest.raises(ValueError, match="zorder_by is not supported"):
+        compact_append_snapshot(spark, d, zorder_by=["value"])
+    with _pytest.raises(ValueError, match="tail_append_changes"):
+        stream_append_log(spark, d, "event_id long")
+    d2 = str(tmp_path / "flat")
+    append_snapshot(from_pandas(spark, pdf), d2)
+    with _pytest.raises(ValueError, match="unpartitioned"):
+        read_append_snapshot(
+            spark, d2, partition_filter={"event_type": "click"}
+        )
+    with _pytest.raises(ValueError, match="not in the frame"):
+        append_snapshot(
+            from_pandas(spark, pdf), str(tmp_path / "t3"),
+            partition_by="nope",
+        )
+
+
+def test_append_history_metadata(spark, tmp_path):
+    """append_history: pure-manifest lineage — appends, a replay
+    no-op, a compaction fold, and per-app watermarks all legible
+    without touching a data file."""
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        append_history,
+        append_snapshot,
+        compact_append_snapshot,
+    )
+
+    d = str(tmp_path / "t")
+    for b in range(2):
+        append_snapshot(
+            from_pandas(spark, pd.DataFrame({"k": [b]})), d,
+            batch_id=b, app_id="ing",
+        )
+    compact_append_snapshot(spark, d, target_file_bytes=1 << 30)
+    h = append_history(d)
+    assert [e["version"] for e in h] == [1, 2, 3]
+    assert [e["n_new_segments"] for e in h] == [1, 1, 1]
+    assert [e["compacted"] for e in h] == [False, False, True]
+    assert h[-1]["n_segments"] == 1 and h[-1]["published"]
+    assert h[-1]["watermarks"] == {"ing": 1}
+    assert h[-1]["partition_by"] == []
+
+
+def test_tail_append_changes_partition_scoped(spark, tmp_path):
+    """A partition-scoped consumer: bootstrap and delta reads both see
+    only their slice; the cursor still tracks the full log."""
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        tail_append_changes,
+    )
+
+    pdf = _events_pdf()
+    d = str(tmp_path / "t")
+    cur = str(tmp_path / "cur")
+    append_snapshot(
+        from_pandas(spark, pdf.iloc[:4]), d, partition_by="event_type"
+    )
+    seen: list[list[int]] = []
+
+    def probe(fr, up_to):
+        seen.append(sorted(r["event_id"] for r in fr.df.collect()))
+
+    pf = {"event_type": "click"}
+    frm, to = tail_append_changes(
+        spark, d, cur, probe, consumer_id="c", partition_filter=pf
+    )
+    assert (frm, to) == (0, 1) and seen[-1] == [0, 2]  # bootstrap slice
+    append_snapshot(from_pandas(spark, pdf.iloc[4:]), d)
+    frm, to = tail_append_changes(
+        spark, d, cur, probe, consumer_id="c", partition_filter=pf
+    )
+    assert (frm, to) == (1, 2) and seen[-1] == [5]     # delta slice only

@@ -170,6 +170,7 @@ EXCHANGE_BUDGETS = {
     "snapshot_schema_evolution": 0,  # r7: pure scan of the evolved published version (merge ran eagerly at staging time)
     "append_snapshot": 1,       # r7: multi-segment-compacted scan + one agg shuffle (appends/compaction ran eagerly at staging time)
     "append_snapshot_incremental": 1,  # r8: change-feed scan of the two raw delta segments + one agg shuffle (log walk is manifest metadata)
+    "append_snapshot_partitioned": 0,  # r8: partition-pruned scan of the folded segment, map-only (appends/compaction ran eagerly at staging time)
     "approx_distinct_users": 3,  # r8: two-phase distinct agg (keys+group partial, group final) + output sort
     "sketch_shard_distinct": 5,  # r8: shard-sketch agg + sketch-union agg + two-phase exact distinct (the verification side) + output sort; 5-row join broadcasts
     "heavy_hitter_tokens": 1,    # r8: one hash agg on (tok) with map-side combine; top-k is TakeOrderedAndProject
