@@ -14,8 +14,13 @@ coordination beyond the filesystem protocol under test:
   PASS = the final table equals the union of the last write per key —
   here keys are disjoint per worker, so exactly N*K rows, each with
   its writer's final value.
+- mixed mode: append workers PLUS a maintenance worker running tiered
+  compaction + vacuum in a loop, skipping on ConcurrentWriteError (a
+  scheduled OPTIMIZE pass racing live ingest — the production shape).
+  PASS = every appended row present exactly once despite folds
+  landing mid-ingest.
 
-Usage: python scripts/stress_concurrent_append.py [append|upsert] [N] [K]
+Usage: python scripts/stress_concurrent_append.py [append|upsert|mixed] [N] [K]
 
 Measured result (recorded in BENCH_REFERENCE.md): see the
 "Concurrent writers" section.
@@ -85,6 +90,42 @@ def upsert_worker(table, wid, k, out):
     out.put(("ok", wid, time.time() - t0, retries))
 
 
+def maintenance_worker(table, wid, n, k, out):
+    from cuplyr_spark import ConcurrentWriteError
+    from cuplyr_spark.sources.connectors import (
+        _log_watermarks,
+        _read_log,
+        _TableFS,
+        compact_append_snapshot,
+        vacuum_append_snapshot,
+    )
+
+    spark = _session(f"m{wid}")
+    t0 = time.time()
+    folds = lost = 0
+    # keep compacting until every appender's watermark shows its last
+    # batch landed (so folds really interleave with live appends),
+    # then one final pass
+    while time.time() - t0 < 300:
+        done = False
+        try:
+            if compact_append_snapshot(spark, table) is not None:
+                folds += 1
+            # grace window keeps racing appenders' in-flight segments
+            vacuum_append_snapshot(table, keep_last=4, spark=spark)
+            log = _read_log(_TableFS(table, spark))
+            wms = _log_watermarks(log)
+            done = all(wms.get(f"w{w}") == k - 1 for w in range(n))
+        except ConcurrentWriteError:
+            lost += 1  # an append won the log race mid-fold: skip round
+        except FileNotFoundError:
+            pass  # table not created yet
+        if done:
+            break
+        time.sleep(0.3)
+    out.put(("ok", wid, time.time() - t0, folds, lost))
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "append"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -92,10 +133,16 @@ def main():
     table = tempfile.mkdtemp(prefix=f"stress_{mode}_") + "/t"
     ctx = mp.get_context("spawn")
     out = ctx.Queue()
-    target = append_worker if mode == "append" else upsert_worker
+    target = append_worker if mode in ("append", "mixed") else upsert_worker
     procs = [
         ctx.Process(target=target, args=(table, w, k, out)) for w in range(n)
     ]
+    if mode == "mixed":
+        procs.append(
+            ctx.Process(
+                target=maintenance_worker, args=(table, 99, n, k, out)
+            )
+        )
     t0 = time.time()
     for p in procs:
         p.start()
@@ -103,10 +150,12 @@ def main():
         p.join(900)
     results = [out.get_nowait() for _ in range(out.qsize())]
     wall = time.time() - t0
-    assert len(results) == n and all(r[0] == "ok" for r in results), results
+    assert len(results) == len(procs) and all(
+        r[0] == "ok" for r in results
+    ), results
 
     spark = _session("check")
-    if mode == "append":
+    if mode in ("append", "mixed"):
         from cuplyr_spark.sources.connectors import (
             _read_log,
             _TableFS,
@@ -132,10 +181,14 @@ def main():
             and log["version"] >= n * k  # every batch committed a log
             and all(wms.get(f"w{w}") == k - 1 for w in range(n))
         )
+        maint = next((r for r in results if r[1] == 99), None)
         print(json.dumps({
             "mode": mode, "workers": n, "batches": k, "rows": total,
             "expected": expect, "log_version": log["version"],
             "watermarks": wms, "bad_cells": len(dup_or_lost),
+            "live_segments": len(log["segments"]),
+            "folds": maint[3] if maint else None,
+            "fold_conflicts_skipped": maint[4] if maint else None,
             "wall_s": round(wall, 1), "pass": ok,
         }))
     else:

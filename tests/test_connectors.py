@@ -1182,3 +1182,39 @@ def test_tail_append_changes_partition_scoped(spark, tmp_path):
         spark, d, cur, probe, consumer_id="c", partition_filter=pf
     )
     assert (frm, to) == (1, 2) and seen[-1] == [5]     # delta slice only
+
+
+def test_append_partitioned_value_fuzz(spark, tmp_path):
+    """Property: ANY partition value (spaces, hive-reserved chars that
+    get %-escaped in dir names, unicode, leading zeros, empty string,
+    NULL) must round-trip exactly through the directory encoding, and
+    a partition_filter on the value must select exactly the rows a
+    plain .filter() would."""
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+    )
+
+    values = [
+        "plain", "01", "with space", "a/b", "a=b", "a:b", "%41",
+        "naïve-héllo", "trailing.", "__HIVE_DEFAULT_PARTITION__x",
+        None,
+    ]
+    pdf = pd.DataFrame(
+        {"k": values, "i": range(len(values)), "v": [1.5] * len(values)}
+    )
+    d = str(tmp_path / "t")
+    append_snapshot(from_pandas(spark, pdf.iloc[:6]), d, partition_by="k")
+    append_snapshot(from_pandas(spark, pdf.iloc[6:]), d)
+    out = read_append_snapshot(spark, d).df
+    got = {r["i"]: r["k"] for r in out.collect()}
+    assert got == {i: values[i] for i in range(len(values))}
+    for val in values:
+        sel = read_append_snapshot(
+            spark, d, partition_filter={"k": [val]}
+        ).df
+        want = {i for i, x in enumerate(values) if x == val}
+        assert {r["i"] for r in sel.collect()} == want, f"value {val!r}"
