@@ -3044,6 +3044,64 @@ def q_sketch_shard_distinct(spark, sf_dir):
     )
 
 
+def q_histogram_shard_quantiles(spark, sf_dir):
+    """Running quantiles via mergeable fixed-bin histograms
+    (``operators.sketch.histogram_sketch`` family): lineitem prices are
+    sketched per (returnflag, shard) — the ingest-shard stand-in, 8
+    ways — merged per returnflag (EXACT element-wise sum), and
+    p50/p90/p99 estimated from the merged histogram. Each
+    ``*_within_bin`` flag pins the deterministic error contract:
+    estimate within ONE BIN WIDTH (~407) of the exact interpolated
+    quantile computed alongside; the oracle pins the flags TRUE, so a
+    broken merge/binning/interpolation fails the hash compare.
+    Estimates stay out of the compared columns — only the exact count
+    and the bound flags are hashed (same pattern as
+    ``sketch_shard_distinct``)."""
+    from cuplyr_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+        merge_histogram_sketches,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi, bins = 900.0, 105000.0, 256
+    width = (hi - lo) / bins
+    per = histogram_sketch(
+        li.mutate(shard="l_orderkey % 8"),
+        "l_extendedprice",
+        lo=lo, hi=hi, bins=bins,
+        by=["l_returnflag", "shard"],
+    )
+    est = histogram_quantiles(
+        merge_histogram_sketches(per, by="l_returnflag"),
+        [0.5, 0.9, 0.99],
+        by="l_returnflag",
+    ).df
+    exact = li.df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("__p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("__p90"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("__p99"),
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_items",
+            (F.abs(F.col("q")[0] - F.col("__p50")) <= width).alias(
+                "p50_within_bin"
+            ),
+            (F.abs(F.col("q")[1] - F.col("__p90")) <= width).alias(
+                "p90_within_bin"
+            ),
+            (F.abs(F.col("q")[2] - F.col("__p99")) <= width).alias(
+                "p99_within_bin"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_heavy_hitter_tokens(spark, sf_dir):
     """Exact corpus heavy hitters: the 20 most frequent lowercased
     whitespace tokens over ``documents`` (``operators.sketch.
@@ -3264,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": q_approx_distinct_users,
         "sketch_shard_distinct": q_sketch_shard_distinct,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "histogram_shard_quantiles": q_histogram_shard_quantiles,
         "incremental_cross_dedup": q_incremental_cross_dedup,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
@@ -5273,6 +5332,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "histogram_shard_quantiles": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n_items,
+                   TRUE AS p50_within_bin,
+                   TRUE AS p90_within_bin,
+                   TRUE AS p99_within_bin
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "heavy_hitter_tokens": """
             SELECT tok, COUNT(*) AS n

@@ -141,6 +141,163 @@ def approx_distinct(
     return Frame(df, ())
 
 
+def histogram_sketch(
+    frame: Frame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    by: list[str] | str | None = None,
+    out: str = "hist",
+) -> Frame:
+    """Fixed-bin equi-width histogram of ``col`` over ``[lo, hi)`` —
+    the quantile/distribution companion to :func:`distinct_sketch`,
+    with an even stronger property: two histograms built with the SAME
+    (lo, hi, bins) merge EXACTLY (element-wise sum), not just
+    approximately. One row per ``by`` group (or one row total) with
+    ``out`` = array<long> of ``bins`` counts.
+
+    The shard pattern is identical to the HLL one: histogram each
+    ingest shard / append-table segment once (a map-side array
+    aggregate — ``bins`` longs per group per partition ride the
+    shuffle, never rows), store the array rows, and fold with
+    :func:`merge_histogram_sketches`; running quantiles of a growing
+    100 TB corpus then cost one pass per NEW segment plus an
+    array sum. Quantile estimates from the merged histogram
+    (:func:`histogram_quantiles`) are off by at most one bin width —
+    a bound chosen at build time via ``bins``, not data-dependent.
+
+    Out-of-range values clamp into the edge bins (documented rule —
+    the estimate's bound holds for in-range data; pick ``lo``/``hi``
+    from a first-pass min/max or domain knowledge). NULLs are
+    excluded, matching every aggregate in this engine.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    width = (hi - lo) / bins
+    idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    counts = (
+        frame.df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, idx.alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # densify the sparse (group, bin, n) grain into one array row per
+    # group: aggregate to a bin→count map, then one lookup per slot —
+    # all column ops; the two-phase hash agg partial-combines map-side
+    grouped = counts.groupBy(*keys) if keys else counts.groupBy()
+    df = grouped.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__bin"), F.col("__n")))
+        ).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(F.col("__m"), i), F.lit(0).cast("long")
+        ),
+    ).alias(out)
+    # stamp the binning so merges can refuse mismatched sketches
+    spec = F.struct(
+        F.lit(float(lo)).cast("double").alias("lo"),
+        F.lit(float(hi)).cast("double").alias("hi"),
+        F.lit(int(bins)).cast("int").alias("bins"),
+    ).alias(f"{out}_spec")
+    return Frame(df.select(*keys, dense, spec), ())
+
+
+def merge_histogram_sketches(
+    frame: Frame,
+    hist_col: str = "hist",
+    by: list[str] | str | None = None,
+) -> Frame:
+    """Fold stored histogram rows per ``by`` group by element-wise
+    sum — EXACT (union of shard histograms IS the whole-data
+    histogram, asserted in tests), associative, so yesterday's merged
+    row folds with today's shard rows. Cost ∝ sketch rows × bins;
+    refuses mismatched binning specs rather than summing
+    incompatible arrays."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    spec = f"{hist_col}_spec"
+    df = frame.df
+    agg = [
+        F.aggregate(
+            F.collect_list(F.col(hist_col)),
+            F.expr("cast(array() as array<bigint>)"),
+            lambda acc, x: F.when(
+                F.size(acc) == 0, x
+            ).otherwise(F.zip_with(acc, x, lambda a, b: a + b)),
+        ).alias("__h"),
+        F.count_distinct(F.col(spec)).alias("__nspec"),
+        F.first(F.col(spec)).alias(spec),
+    ]
+    out = (df.groupBy(*keys) if keys else df.groupBy()).agg(*agg)
+    # the guard rides the OUTPUT column, so column pruning can never
+    # optimize the mixed-spec check away
+    merged = F.expr(
+        "CASE WHEN __nspec > 1 THEN raise_error("
+        "'merge_histogram_sketches: mixed binning specs in one group "
+        "— histograms only merge exactly when built with the same "
+        "(lo, hi, bins)') ELSE __h END"
+    ).alias(hist_col)
+    return Frame(out.select(*keys, merged, F.col(spec)), ())
+
+
+def histogram_quantiles(
+    frame: Frame,
+    ps: list[float],
+    hist_col: str = "hist",
+    by: list[str] | str | None = None,
+    out: str = "q",
+) -> Frame:
+    """Quantile estimates from (merged) histogram rows: linear
+    interpolation within the containing bin, so each estimate is
+    within ONE BIN WIDTH of the true quantile for in-range data — the
+    deterministic error contract the fixed binning buys. Returns the
+    input grouping columns plus ``out`` = array<double> aligned with
+    ``ps``. Pure column ops over the ``bins``-length array (no
+    shuffle: the rows are already one per group)."""
+    if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+        raise ValueError("ps must be fractions in [0, 1]")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    spec = f"{hist_col}_spec"
+    df = frame.df
+    h, s = F.col(hist_col), F.col(spec)
+    total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+    width = (s.hi - s.lo) / s.bins
+    # cumulative counts once, then each quantile walks the small array
+    cum = F.transform(
+        F.sequence(F.lit(1), F.size(h)),
+        lambda i: F.aggregate(
+            F.slice(h, 1, i), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+    df = df.withColumn("__cum", cum).withColumn("__total", total)
+
+    def one(p):
+        target = F.lit(p) * F.col("__total")
+        # first bin index (0-based) whose cumulative count reaches target
+        pos = F.array_position(
+            F.transform(F.col("__cum"), lambda c: c >= target), F.lit(True)
+        )  # 1-based; 0 if never (empty histogram)
+        prev = F.when(pos > 1, F.element_at(F.col("__cum"), (pos - 1).cast("int"))).otherwise(F.lit(0))
+        inbin = F.element_at(F.col(hist_col), pos.cast("int"))
+        frac = F.when(inbin > 0, (target - prev) / inbin).otherwise(F.lit(0.0))
+        est = s.lo + ((pos - 1).cast("double") + frac) * width
+        return F.when(F.col("__total") > 0, est)
+
+    df = df.withColumn(out, F.array(*[one(p) for p in ps]))
+    return Frame(df.select(*keys, hist_col, spec, out) if keys else df.select(hist_col, spec, out), ())
+
+
 def heavy_hitters(
     frame: Frame,
     col: str,

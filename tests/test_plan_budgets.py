@@ -171,6 +171,7 @@ EXCHANGE_BUDGETS = {
     "append_snapshot": 1,       # r7: multi-segment-compacted scan + one agg shuffle (appends/compaction ran eagerly at staging time)
     "append_snapshot_incremental": 1,  # r8: change-feed scan of the two raw delta segments + one agg shuffle (log walk is manifest metadata)
     "append_snapshot_partitioned": 0,  # r8: partition-pruned scan of the folded segment, map-only (appends/compaction ran eagerly at staging time)
+    "histogram_shard_quantiles": 5,    # r8: (flag,shard)-sketch agg + per-flag merge agg + exact-percentile agg + the 3-row-vs-3-row verification join (2). The exact-percentile side exists only to pin the bound flags; a production pipeline runs sketch+merge alone (2 exchanges, sketch rows on the wire)
     "approx_distinct_users": 3,  # r8: two-phase distinct agg (keys+group partial, group final) + output sort
     "sketch_shard_distinct": 5,  # r8: shard-sketch agg + sketch-union agg + two-phase exact distinct (the verification side) + output sort; 5-row join broadcasts
     "heavy_hitter_tokens": 1,    # r8: one hash agg on (tok) with map-side combine; top-k is TakeOrderedAndProject

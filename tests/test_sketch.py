@@ -240,3 +240,130 @@ def test_sketch_validates_lgk_and_count_col(spark):
         distinct_sketch(fr, "id", lgk=3)
     with pytest.raises(ValueError, match="count_col"):
         heavy_hitters(fr, "id", k=1, count_col="id")
+
+
+# -- mergeable histogram sketches -----------------------------------------
+
+
+def _hist_pdf(seed=7, n=6000):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, n),
+            "shard": rng.integers(0, 4, n),
+            "x": rng.normal(50, 15, n).clip(0, 100),
+        }
+    )
+
+
+def test_histogram_merge_is_exact(spark):
+    """Union of per-shard histograms == whole-data histogram, bin for
+    bin — the property that lets running distributions be maintained
+    per append-table segment without rescans."""
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.operators.sketch import (
+        histogram_sketch,
+        merge_histogram_sketches,
+    )
+
+    fr = from_pandas(spark, _hist_pdf())
+    per = histogram_sketch(fr, "x", lo=0.0, hi=100.0, bins=128,
+                           by=["g", "shard"])
+    merged = merge_histogram_sketches(per, by="g")
+    whole = histogram_sketch(fr, "x", lo=0.0, hi=100.0, bins=128, by="g")
+    mm = {r["g"]: r["hist"] for r in merged.df.collect()}
+    wm = {r["g"]: r["hist"] for r in whole.df.collect()}
+    assert mm == wm
+    assert all(len(h) == 128 for h in mm.values())
+
+
+def test_histogram_quantile_error_bound(spark):
+    """Every estimate is within one bin width of the true quantile —
+    the deterministic contract the fixed binning buys (no sampling, no
+    probabilistic bound)."""
+    import numpy as np
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+        merge_histogram_sketches,
+    )
+
+    pdf = _hist_pdf(seed=11)
+    fr = from_pandas(spark, pdf)
+    per = histogram_sketch(fr, "x", lo=0.0, hi=100.0, bins=200,
+                           by=["g", "shard"])
+    q = histogram_quantiles(
+        merge_histogram_sketches(per, by="g"), [0.1, 0.5, 0.9, 0.99],
+        by="g",
+    )
+    width = 100.0 / 200
+    for r in q.df.collect():
+        sub = pdf[pdf.g == r["g"]]["x"]
+        for p, est in zip([0.1, 0.5, 0.9, 0.99], r["q"]):
+            true = float(np.quantile(sub, p))
+            assert abs(est - true) <= width + 1e-9, (r["g"], p, est, true)
+
+
+def test_histogram_ungrouped_and_edges(spark):
+    """Ungrouped path; out-of-range values clamp to edge bins; NULLs
+    excluded; empty-group quantiles are NULL not an error."""
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    pdf = pd.DataFrame({"x": [-5.0, 0.0, 5.0, 9.99, 50.0, None]})
+    fr = from_pandas(spark, pdf)
+    h = histogram_sketch(fr, "x", lo=0.0, hi=10.0, bins=10)
+    row = h.df.collect()[0]
+    assert sum(row["hist"]) == 5  # NULL excluded
+    assert row["hist"][0] == 2    # -5 clamps into bin 0 with 0.0
+    assert row["hist"][9] == 2    # 9.99 in-range + 50 clamps into last
+    q = histogram_quantiles(h, [0.5]).df.collect()[0]["q"]
+    assert q[0] is not None
+
+    empty = histogram_sketch(
+        from_pandas(spark, pd.DataFrame({"x": [None]})).mutate(
+            x="x * 1.0"
+        ),
+        "x", lo=0.0, hi=1.0, bins=4,
+    )
+    # no rows survive the null filter: the ungrouped (global) sketch is
+    # one all-zeros row, and its quantiles are NULL rather than an error
+    row = empty.df.collect()[0]
+    assert row["hist"] == [0, 0, 0, 0]
+    assert histogram_quantiles(empty, [0.5]).df.collect()[0]["q"][0] is None
+
+
+def test_histogram_guards(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+        merge_histogram_sketches,
+    )
+
+    fr = from_pandas(spark, pd.DataFrame({"x": [1.0, 2.0]}))
+    with _pytest.raises(ValueError, match="bins"):
+        histogram_sketch(fr, "x", lo=0.0, hi=1.0, bins=0)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        histogram_sketch(fr, "x", lo=1.0, hi=1.0)
+    with _pytest.raises(ValueError, match="fractions"):
+        histogram_quantiles(fr, [1.5], hist_col="x")
+    a = histogram_sketch(fr, "x", lo=0.0, hi=1.0, bins=8)
+    b = histogram_sketch(fr, "x", lo=0.0, hi=2.0, bins=8)
+    mixed = Frame(a.df.unionByName(b.df), ())
+    with _pytest.raises(Exception, match="mixed binning"):
+        merge_histogram_sketches(mixed).df.collect()
