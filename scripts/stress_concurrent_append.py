@@ -148,7 +148,10 @@ def main():
         p.start()
     for p in procs:
         p.join(900)
-    results = [out.get_nowait() for _ in range(out.qsize())]
+    # one get per process WITH a timeout: a child's queue item can
+    # still be draining through the feeder pipe right after join()
+    # returns, so qsize()/get_nowait() under-reads transiently
+    results = [out.get(timeout=60) for _ in procs]
     wall = time.time() - t0
     assert len(results) == len(procs) and all(
         r[0] == "ok" for r in results
