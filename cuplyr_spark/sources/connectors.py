@@ -327,13 +327,45 @@ def snapshot_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+_PUB = re.compile(r"^_PUB\.(\d+)$")
+
+
+def _snapshot_committed_floor(fs: _TableFS) -> int:
+    """Highest version with an immutable ``_PUB.<n>`` commit record —
+    independent evidence of a completed publish that no pointer race
+    can regress (the record is exclusive-created BEFORE the pointer
+    swap, so any stale-writer pointer regression is visible against
+    it). 0 when none exist (pre-record tables)."""
+    best = 0
+    if not fs.isdir():
+        return 0
+    for name in fs.listdir():
+        m = _PUB.match(name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
 def latest_snapshot_version(table_dir: str) -> int | None:
-    """The PUBLISHED version (manifest pointer), or None."""
-    text = _TableFS(table_dir).read_text(_MANIFEST)
-    try:
-        return int(text.strip()) if text is not None else None
-    except ValueError:
-        return None
+    """The PUBLISHED version, or None. Reads the manifest pointer but
+    treats it as ``max(pointer, highest _PUB commit record)`` — a
+    stale writer that lost the pointer-swap race can transiently
+    regress the pointer file (the TOCTOU window between its read and
+    its rename); the immutable commit records make that regression
+    invisible to readers, and the next :func:`_advance_ptr` heals the
+    pointer file itself."""
+    fs = _TableFS(table_dir)
+    text = fs.read_text(_MANIFEST)
+    ptr = None
+    if text is not None:
+        try:
+            ptr = int(text.strip())
+        except ValueError:
+            ptr = None
+    floor = _snapshot_committed_floor(fs)
+    if ptr is None:
+        return floor or None
+    return max(ptr, floor)
 
 
 def write_snapshot(
@@ -375,25 +407,56 @@ def _claimed_versions(fs: _TableFS) -> list[int]:
     return out
 
 
-def _advance_ptr(fs: _TableFS, ptr_name: str, n: int, tag: str) -> None:
+def _advance_ptr(
+    fs: _TableFS, ptr_name: str, n: int, tag: str, committed=None
+) -> None:
     """Monotonic pointer swap: publish ``n`` unless a HIGHER version is
     already published — the guard that keeps a slow writer of v2 from
-    regressing the pointer after v3 published. The verify-rewrite loop
-    closes the read-check-write race: whoever holds the highest n
-    rewrites last and wins (each loser gives up on seeing a higher
-    value, so the loop terminates)."""
+    regressing the pointer after v3 published.
+
+    ``committed`` (optional zero-arg callable) returns the highest
+    version proven committed by INDEPENDENT immutable evidence —
+    ``_PUB.<k>`` records for copy-on-write tables, ``_LOG.<k>``
+    manifests for append tables. It closes the pointer-only TOCTOU
+    race: a stale writer that read the pointer before a newer publish
+    and overwrite-renamed after it would see its own value on the
+    pointer-only verify and return, leaving the newer commit invisible.
+    Because the evidence file is always durable BEFORE the winner's
+    pointer swap, re-checking it after our own rename catches any
+    regression we caused, and the loop re-advances to the true floor.
+
+    Raises :class:`ConcurrentWriteError` after exhausting the
+    verify-rewrite loop (possible only under persistently torn/corrupt
+    pointer reads) — a publish must never report success while the
+    pointer may not reference it."""
+    target = n
     for _ in range(8):
+        if committed is not None:
+            target = max(target, committed())
         cur = fs.read_text(ptr_name)
         if cur is not None:
             try:
-                if int(cur.strip()) >= n:
+                if int(cur.strip()) >= target:
                     return
             except ValueError:
                 pass  # torn/corrupt pointer: overwrite it
-        fs.write_text_atomic(ptr_name, str(n), f".{tag}.{n}")
+        fs.write_text_atomic(ptr_name, str(target), f".{tag}.{target}")
         cur = fs.read_text(ptr_name)
-        if cur is not None and cur.strip().isdigit() and int(cur.strip()) >= n:
-            return
+        if (
+            cur is not None
+            and cur.strip().isdigit()
+            and int(cur.strip()) >= target
+        ):
+            # our rename may itself have regressed the pointer past a
+            # concurrent publish — trust it only if the independent
+            # commit evidence agrees nothing higher landed
+            if committed is None or committed() <= int(cur.strip()):
+                return
+    raise ConcurrentWriteError(
+        f"pointer {ptr_name!r} under {fs.dir!r} could not be advanced to "
+        f"v{n} after 8 verify-rewrite attempts — persistent torn/corrupt "
+        "pointer reads; the data is written but NOT published"
+    )
 
 
 def _publish(
@@ -446,8 +509,13 @@ def _publish(
             "attempts — a writer storm or a stuck claim file"
         )
     write_fn(fs.join(f"v={version}"))
+    floor = lambda: _snapshot_committed_floor(fs)  # noqa: E731
     if expected_base is None:
-        _advance_ptr(fs, _MANIFEST, version, "tmp")
+        # point of no return: durable commit record BEFORE the pointer
+        # swap, so a racing writer's pointer regression can never hide
+        # this publish (see _advance_ptr)
+        fs.write_text_exclusive(f"_PUB.{version}", "", f".pub.{version}")
+        _advance_ptr(fs, _MANIFEST, version, "tmp", committed=floor)
         return version
     base = expected_base
     if not fs.write_text_exclusive(f"_NEXT.{base}", str(version), f".next.{base}"):
@@ -463,12 +531,14 @@ def _publish(
                 fs.exists(f"v={m}")
                 and (latest_snapshot_version(table_dir) or 0) == base
             ):
-                _advance_ptr(fs, _MANIFEST, m, "tmp")
+                fs.write_text_exclusive(f"_PUB.{m}", "", f".pub.{m}")
+                _advance_ptr(fs, _MANIFEST, m, "tmp", committed=floor)
         raise conflict(latest_snapshot_version(table_dir) or 0)
     cur = latest_snapshot_version(table_dir) or 0
     if cur != base:  # a blind writer published meanwhile — defer to it
         raise conflict(cur)
-    _advance_ptr(fs, _MANIFEST, version, "tmp")
+    fs.write_text_exclusive(f"_PUB.{version}", "", f".pub.{version}")
+    _advance_ptr(fs, _MANIFEST, version, "tmp", committed=floor)
     return version
 
 
@@ -737,14 +807,24 @@ def vacuum_snapshots(
     versions = snapshot_versions(table_dir)
     published = latest_snapshot_version(table_dir)
     complete = [v for v in versions if fs.exists(f"v={v}/_SUCCESS")]
-    if not complete:  # success markers disabled, not a table of orphans
+    markers_disabled = not complete
+    if markers_disabled:  # success markers disabled, not a table of orphans
         complete = versions
     keep = set(complete[-keep_last:])
     if published is not None:
         keep.add(published)
 
     def ripe(v: int) -> bool:
-        if v in complete or orphan_grace_hours <= 0:
+        if orphan_grace_hours <= 0:
+            return True
+        if markers_disabled:
+            # without markers a doomed dir is indistinguishable from a
+            # CONCURRENT writer's in-progress version — the grace
+            # window applies to EVERY non-kept dir, so vacuum cannot
+            # delete a half-written version out from under its writer
+            # (aged history is past the window anyway)
+            pass
+        elif v in complete:
             return True  # aged history: a deliberate retention choice
         import time as _time
 
@@ -771,7 +851,11 @@ def vacuum_snapshots(
     # (they only cost version-number gaps, but they accumulate)
     floor = min(keep) if keep else 0
     for name in fs.listdir():
-        m = _CLAIM.match(name) or re.match(r"^_NEXT\.(\d+)$", name)
+        m = (
+            _CLAIM.match(name)
+            or _PUB.match(name)
+            or re.match(r"^_NEXT\.(\d+)$", name)
+        )
         if not m:
             continue
         v = int(m.group(1))
@@ -791,6 +875,20 @@ _LOG_PTR = "_LATEST_LOG"
 _DEFAULT_APP = "__default__"
 
 
+def _log_committed_floor(fs: _TableFS) -> int:
+    """Highest ``_LOG.<k>`` manifest on disk — each is exclusive-created
+    only after its data is complete, so the newest IS a complete commit
+    regardless of where the (mutable) pointer file points. The append
+    analog of :func:`_snapshot_committed_floor`."""
+    best = 0
+    if not fs.isdir():
+        return 0
+    for name in fs.listdir():
+        if name.startswith("_LOG.") and name[5:].isdigit():
+            best = max(best, int(name[5:]))
+    return best
+
+
 def _read_log(fs: _TableFS, version: int | None = None) -> dict | None:
     """The published log manifest (or a pinned earlier one): ``{
     "version": n, "segments": [dir, ...], "max_batch_id": m|None,
@@ -798,14 +896,21 @@ def _read_log(fs: _TableFS, version: int | None = None) -> dict | None:
     [[name, type], ...] }``. ``watermarks``/``schema`` are stamped
     since the app-keyed exactly-once rework; older manifests lack
     them and are normalized by :func:`_log_watermarks` /
-    the footer fallback in :func:`append_snapshot`."""
+    the footer fallback in :func:`append_snapshot`.
+
+    The published version is ``max(pointer, highest _LOG.* on disk)``
+    — the immutable manifests are the commit records, so a transient
+    pointer regression (stale-writer TOCTOU) never hides a commit
+    from readers; the next writer's :func:`_advance_ptr` heals the
+    pointer file itself."""
     import json as _json
 
     if version is None:
         text = fs.read_text(_LOG_PTR)
-        if text is None:
+        ptr = int(text.strip()) if text is not None else 0
+        version = max(ptr, _log_committed_floor(fs))
+        if version == 0:
             return None
-        version = int(text.strip())
     text = fs.read_text(f"_LOG.{version}")
     if text is None:
         raise FileNotFoundError(
@@ -845,7 +950,9 @@ def _write_log(fs: _TableFS, log: dict) -> int:
             f"log version {n} at {fs.dir!r} was committed by another "
             "writer — re-read the log and retry"
         )
-    _advance_ptr(fs, _LOG_PTR, n, "ptr")
+    _advance_ptr(
+        fs, _LOG_PTR, n, "ptr", committed=lambda: _log_committed_floor(fs)
+    )
     return n
 
 
@@ -1146,7 +1253,10 @@ def append_snapshot(
             m = n
             while fs.exists(f"_LOG.{m + 1}"):
                 m += 1
-            _advance_ptr(fs, _LOG_PTR, m, "ptr")
+            _advance_ptr(
+                fs, _LOG_PTR, m, "ptr",
+                committed=lambda: _log_committed_floor(fs),
+            )
             cur = _read_log(fs, m)
             checked = check(cur)
             if checked is None:  # the winner WAS this batch (replay race)
