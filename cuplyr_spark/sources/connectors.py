@@ -353,7 +353,14 @@ def latest_snapshot_version(table_dir: str) -> int | None:
     regress the pointer file (the TOCTOU window between its read and
     its rename); the immutable commit records make that regression
     invisible to readers, and the next :func:`_advance_ptr` heals the
-    pointer file itself."""
+    pointer file itself. A DELIBERATE rollback therefore goes through
+    :func:`rollback_snapshot`, which retires the superseded commit
+    records; hand-editing the pointer alone is read as a race, not a
+    rollback (:func:`vacuum_snapshots` still protects the hand-set
+    version from deletion). Cost: one directory listing per call —
+    the same list-the-log RPC every Delta-style read pays; the entry
+    count is bounded because vacuum sweeps records below the
+    retention floor."""
     fs = _TableFS(table_dir)
     text = fs.read_text(_MANIFEST)
     ptr = None
@@ -366,6 +373,35 @@ def latest_snapshot_version(table_dir: str) -> int | None:
     if ptr is None:
         return floor or None
     return max(ptr, floor)
+
+
+def rollback_snapshot(
+    table_dir: str, version: int, spark: SparkSession | None = None
+) -> int:
+    """Deliberately re-publish an EARLIER version (operational
+    rollback after a bad publish). Readers treat the pointer as
+    ``max(pointer, _PUB floor)`` so merely regressing the pointer
+    file is read as a stale-writer race and healed; a real rollback
+    must also retire the superseded ``_PUB.<k>`` commit records —
+    this does both, in the safe order (records first, so no reader
+    window observes a floor above the new pointer target with the
+    records already doomed). The superseded ``v=`` dirs stay on disk
+    (re-roll-forward and time travel still work) until
+    :func:`vacuum_snapshots` reclaims them. Returns ``version``."""
+    fs = _TableFS(table_dir, spark)
+    if version not in snapshot_versions(table_dir):
+        raise FileNotFoundError(
+            f"snapshot version {version} not found in {table_dir!r}"
+        )
+    for name in fs.listdir():
+        m = _PUB.match(name)
+        if m and int(m.group(1)) > version:
+            if fs.remote:
+                fs._fs.delete(fs._jpath(fs.join(name)), False)
+            else:
+                os.unlink(fs.join(name))
+    fs.write_text_atomic(_MANIFEST, str(version), f".rollback.{version}")
+    return version
 
 
 def write_snapshot(
@@ -425,10 +461,16 @@ def _advance_ptr(
     pointer swap, re-checking it after our own rename catches any
     regression we caused, and the loop re-advances to the true floor.
 
-    Raises :class:`ConcurrentWriteError` after exhausting the
-    verify-rewrite loop (possible only under persistently torn/corrupt
-    pointer reads) — a publish must never report success while the
-    pointer may not reference it."""
+    After exhausting the verify-rewrite loop (possible only under
+    persistently torn/corrupt pointer reads): if the independent
+    commit evidence already proves ``n`` visible to readers
+    (``committed() >= n`` — readers take ``max(pointer, floor)``, so
+    a lagging pointer cannot hide the commit), the publish IS durable
+    and we return; raising here would make ``append_snapshot``'s
+    rebase loop re-append a segment that already committed (duplicate
+    rows). Only without such evidence does the failure surface as
+    :class:`ConcurrentWriteError` — a publish must never report
+    success while readers may not see it."""
     target = n
     for _ in range(8):
         if committed is not None:
@@ -452,6 +494,9 @@ def _advance_ptr(
             # commit evidence agrees nothing higher landed
             if committed is None or committed() <= int(cur.strip()):
                 return
+    if committed is not None and committed() >= n:
+        return  # pointer lags, but the commit-record floor already
+        # makes v<n> visible to every reader — durable success
     raise ConcurrentWriteError(
         f"pointer {ptr_name!r} under {fs.dir!r} could not be advanced to "
         f"v{n} after 8 verify-rewrite attempts — persistent torn/corrupt "
@@ -778,23 +823,32 @@ def vacuum_snapshots(
     one-pointer design).
 
     Keeps the newest ``keep_last`` COMPLETE versions (dirs whose
-    parquet commit finished — ``_SUCCESS`` present, so they are
-    readable/time-travelable); the PUBLISHED version is always kept
-    regardless (a regressed pointer must never dangle). Crash-orphan
-    ``v=`` dirs whose write never committed (no ``_SUCCESS``) are
-    EXCLUDED from the ``keep_last`` ranking (counting them would let a
-    high-numbered unreadable orphan displace a real historical version
-    from retention while the orphan itself survived) — but, because an
+    parquet commit finished, so they are readable/time-travelable);
+    the PUBLISHED version is always kept regardless, and so is the
+    version the raw ``_LATEST`` pointer names when it differs (reads
+    report ``max(pointer, _PUB floor)``, so a deliberately pinned /
+    rolled-back pointer is below the floor — its target must never
+    dangle either). Completeness evidence is the ``_SUCCESS`` marker
+    OR the ``_PUB.<n>`` commit record (exclusive-created only after
+    the version's data write finished), so clusters with markers
+    disabled (``mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    false``) still rank real history correctly. Crash-orphan ``v=``
+    dirs with NEITHER piece of evidence are EXCLUDED from the
+    ``keep_last`` ranking (counting them would let a high-numbered
+    unreadable orphan displace a real historical version from
+    retention while the orphan itself survived) — but, because an
     incomplete dir is indistinguishable from a CONCURRENT writer's
-    in-progress version, an orphan is only deleted once older than
+    in-progress version, such a dir is only deleted once older than
     ``orphan_grace_hours`` (pass ``0`` to reap crash debris
     immediately in a known-quiet table; same rule as
-    :func:`vacuum_append_snapshot`). When NO version has a
-    ``_SUCCESS`` marker, marker support is evidently disabled on the
-    cluster (``mapreduce.fileoutputcommitter.marksuccessfuljobs=
-    false``) rather than every version being a crash orphan, so all
-    versions rank as complete — otherwise vacuum would ignore
-    ``keep_last`` and delete every non-published version. Deletion
+    :func:`vacuum_append_snapshot`). Corner: a pre-commit-record
+    table with markers disabled has NO evidence for any version; all
+    versions then rank as complete, versions strictly OLDER than the
+    published one are reclaimed immediately (they are never the
+    published state, and ``keep_last`` retention must keep working),
+    and only versions NEWER than the published one — the only ones a
+    live writer could still be producing — get the grace window.
+    Deletion
     goes through the same filesystem as the data (``_TableFS``), so
     vacuuming works wherever snapshots do.
     Vacuum itself is not serialized against writers (Delta's VACUUM
@@ -806,26 +860,45 @@ def vacuum_snapshots(
     fs = _TableFS(table_dir, spark)
     versions = snapshot_versions(table_dir)
     published = latest_snapshot_version(table_dir)
-    complete = [v for v in versions if fs.exists(f"v={v}/_SUCCESS")]
-    markers_disabled = not complete
-    if markers_disabled:  # success markers disabled, not a table of orphans
-        complete = versions
+    # completeness evidence: the _SUCCESS marker, or the _PUB.<n>
+    # commit record (created only after the data write finished) —
+    # the latter keeps ranking correct when markers are disabled
+    evidenced = {
+        v
+        for v in versions
+        if fs.exists(f"v={v}/_SUCCESS") or fs.exists(f"_PUB.{v}")
+    }
+    no_evidence = not evidenced  # pre-record table with markers off
+    if no_evidence:
+        # rank versions up to the published one as complete (history);
+        # anything newer could be a live writer's in-progress dir —
+        # excluded from ranking (it must not displace real history
+        # from retention) and grace-protected below
+        complete = [v for v in versions if v <= (published or 0)]
+    else:
+        complete = [v for v in versions if v in evidenced]
     keep = set(complete[-keep_last:])
     if published is not None:
         keep.add(published)
+    raw = fs.read_text(_MANIFEST)
+    if raw is not None and raw.strip().isdigit():
+        # a deliberately pinned/rolled-back pointer must never dangle:
+        # keep its target too, even though reads report max(ptr, floor)
+        keep.add(int(raw.strip()))
 
     def ripe(v: int) -> bool:
         if orphan_grace_hours <= 0:
             return True
-        if markers_disabled:
-            # without markers a doomed dir is indistinguishable from a
-            # CONCURRENT writer's in-progress version — the grace
-            # window applies to EVERY non-kept dir, so vacuum cannot
-            # delete a half-written version out from under its writer
-            # (aged history is past the window anyway)
-            pass
-        elif v in complete:
+        if v in evidenced:
             return True  # aged history: a deliberate retention choice
+        if no_evidence and published is not None and v < published:
+            # no evidence exists for ANY version (pre-record table,
+            # markers disabled): a version strictly older than the
+            # published one is never the published state — reclaim it
+            # immediately so keep_last retention keeps working; only
+            # versions NEWER than published could be a live writer's
+            # in-progress dir and get the grace window below
+            return True
         import time as _time
 
         if fs.remote:
@@ -907,7 +980,13 @@ def _read_log(fs: _TableFS, version: int | None = None) -> dict | None:
 
     if version is None:
         text = fs.read_text(_LOG_PTR)
-        ptr = int(text.strip()) if text is not None else 0
+        try:
+            ptr = int(text.strip()) if text is not None else 0
+        except ValueError:
+            # torn/corrupt pointer: the immutable _LOG.<k> records are
+            # the real commit log — heal the read from the floor, same
+            # rule as latest_snapshot_version
+            ptr = 0
         version = max(ptr, _log_committed_floor(fs))
         if version == 0:
             return None

@@ -211,3 +211,100 @@ def test_write_text_exclusive_hadoop_route(spark, tmp_path):
     assert fs.read_text("_LOG.7") == "winner"
     # the loser's tmp file is cleaned up
     assert not os.path.exists(os.path.join(d, "_LOG.7.t2"))
+
+
+# -- r9/r10 commit-record machinery --------------------------------------
+
+
+def test_stale_writer_pointer_regression_healed(spark, tmp_path):
+    """The pointer-only TOCTOU race: a stale writer of v1 re-renames
+    the pointer back to 1 AFTER v2 published. Readers must still see
+    v2 (its immutable _PUB.2 record is independent evidence), and the
+    next publish heals the pointer file itself."""
+    d = str(tmp_path / "t")
+    write_snapshot(_df(spark, [(1, "a")]), d)
+    write_snapshot(_df(spark, [(2, "b")]), d)
+    assert latest_snapshot_version(d) == 2
+    # the stale writer's late rename lands
+    with open(os.path.join(d, "_LATEST"), "w") as f:
+        f.write("1")
+    assert latest_snapshot_version(d) == 2  # healed by the _PUB floor
+    assert len(read_snapshot(spark, d).collect()) == 1
+    assert dict(read_snapshot(spark, d).df.collect()) == {2: "b"}
+    v = write_snapshot(_df(spark, [(3, "c")]), d)
+    assert v == 3
+    with open(os.path.join(d, "_LATEST")) as f:
+        assert int(f.read().strip()) == 3  # pointer file healed too
+
+
+def test_advance_ptr_returns_once_commit_record_durable(tmp_path):
+    """Once the commit evidence (_PUB.n) is durable, a pointer that
+    can never be advanced (persistently corrupt reads) must NOT raise
+    — readers already see the version via the floor, and raising
+    would make append_snapshot's rebase loop double-append."""
+    from cuplyr_spark.sources.connectors import _advance_ptr
+
+    fs = _TableFS(str(tmp_path))
+    fs.mkdirs()
+    fs.write_text_exclusive("_PUB.5", "", ".p")
+
+    class _CorruptPtrFS(_TableFS):
+        def read_text(self, name):
+            if name == "_LATEST":
+                return "garbage"  # every read is torn
+            return super().read_text(name)
+
+    cfs = _CorruptPtrFS(str(tmp_path))
+    # evidence says v5 committed -> durable success, no raise
+    _advance_ptr(
+        cfs, "_LATEST", 5, "tmp",
+        committed=lambda: 5,
+    )
+
+
+def test_advance_ptr_raises_without_commit_evidence(tmp_path):
+    """Same persistently-corrupt pointer, but NO independent commit
+    evidence: the publish must not report success (r8 verdict ask)."""
+    from cuplyr_spark.sources.connectors import _advance_ptr
+
+    class _CorruptPtrFS(_TableFS):
+        def read_text(self, name):
+            if name == "_LATEST":
+                return "garbage"
+            return super().read_text(name)
+
+    fs = _CorruptPtrFS(str(tmp_path))
+    fs.mkdirs()
+    with pytest.raises(ConcurrentWriteError, match="could not be advanced"):
+        _advance_ptr(fs, "_LATEST", 5, "tmp", committed=lambda: 0)
+
+
+def test_log_pointer_torn_read_heals(spark, tmp_path):
+    """A torn/corrupt _LATEST_LOG pointer must not crash readers: the
+    newest immutable _LOG.<k> manifest is the real commit record and
+    the read falls back to it (mirrors latest_snapshot_version)."""
+    d = str(tmp_path / "t")
+    append_snapshot(_df(spark, [(1, "a")]), d, batch_id=0)
+    append_snapshot(_df(spark, [(2, "b")]), d, batch_id=1)
+    with open(os.path.join(d, "_LATEST_LOG"), "w") as f:
+        f.write("not-a-number")
+    rows = dict(read_append_snapshot(spark, d).df.collect())
+    assert rows == {1: "a", 2: "b"}
+    # and a regressed (stale-writer) log pointer is healed by the floor
+    with open(os.path.join(d, "_LATEST_LOG"), "w") as f:
+        f.write("1")
+    rows = dict(read_append_snapshot(spark, d).df.collect())
+    assert rows == {1: "a", 2: "b"}
+
+
+def test_vacuum_sweeps_pub_records(spark, tmp_path):
+    """_PUB.<n> records for vacuumed versions are swept with them, so
+    the directory listing every read pays stays bounded by retention."""
+    d = str(tmp_path / "t")
+    for i in range(4):
+        write_snapshot(_df(spark, [(i, "x")]), d)
+    assert vacuum_snapshots(d, keep_last=2) == [1, 2]
+    names = set(os.listdir(d))
+    assert "_PUB.3" in names and "_PUB.4" in names
+    assert "_PUB.1" not in names and "_PUB.2" not in names
+    assert latest_snapshot_version(d) == 4

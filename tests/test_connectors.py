@@ -806,8 +806,11 @@ def test_read_append_changes_incremental(spark, tmp_path):
 
 def test_vacuum_success_marker_fallback(spark, tmp_path):
     """ADVICE r7: when NO version has _SUCCESS (cluster with success
-    markers disabled), vacuum must treat all versions as complete and
-    honor keep_last instead of deleting all history."""
+    markers disabled), vacuum must still honor keep_last instead of
+    deleting all history. Since the _PUB commit records exist, they
+    are the completeness evidence (created only after the data write
+    finished), so ranking — and immediate reclamation of aged
+    history — works exactly as with markers."""
     from cuplyr_spark.sources.connectors import (
         snapshot_versions,
         vacuum_snapshots,
@@ -824,6 +827,79 @@ def test_vacuum_success_marker_fallback(spark, tmp_path):
     removed = vacuum_snapshots(d, keep_last=2)
     assert removed == [1, 2]
     assert snapshot_versions(d) == [3, 4]
+
+
+def test_vacuum_no_evidence_at_all(spark, tmp_path):
+    """Pre-commit-record table with markers disabled (neither
+    _SUCCESS nor _PUB.<n> anywhere): versions strictly OLDER than the
+    published one are reclaimed immediately (they can never be the
+    published state, and keep_last retention must keep working);
+    versions NEWER than the published one — the only dirs a live
+    concurrent writer could still be producing — wait out the orphan
+    grace window."""
+    from cuplyr_spark.sources.connectors import (
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "noevidence")
+    for i in range(4):
+        write_snapshot(from_pandas(spark, pd.DataFrame({"k": [i]})), d)
+    for v in snapshot_versions(d):
+        os.remove(os.path.join(d, f"v={v}", "_SUCCESS"))
+    for name in list(os.listdir(d)):
+        if name.startswith("_PUB."):
+            os.remove(os.path.join(d, name))
+    # a fresh higher-numbered dir: could be a live writer mid-publish
+    os.makedirs(os.path.join(d, "v=5"))
+    removed = vacuum_snapshots(d, keep_last=2)
+    assert removed == [1, 2]  # aged history goes despite no markers
+    assert snapshot_versions(d) == [3, 4, 5]  # v5 inside grace window
+    removed = vacuum_snapshots(d, keep_last=2, orphan_grace_hours=0)
+    assert removed == [5]
+
+
+def test_rollback_snapshot(spark, tmp_path):
+    """Deliberate rollback: retires the superseded _PUB records and
+    regresses the pointer, so readers — who treat the pointer as
+    max(pointer, _PUB floor) — actually see the earlier version, and
+    the next publish allocates past the retired ones."""
+    import pytest
+
+    from cuplyr_spark.sources.connectors import (
+        latest_snapshot_version,
+        read_snapshot,
+        rollback_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "rb")
+    for i in range(3):
+        write_snapshot(
+            from_pandas(spark, pd.DataFrame({"k": list(range(i + 1))})), d
+        )
+    assert latest_snapshot_version(d) == 3
+    # pointer-only regression is healed, NOT honored (stale-writer race)
+    with open(os.path.join(d, "_LATEST"), "w") as f:
+        f.write("2")
+    assert latest_snapshot_version(d) == 3
+    # the real rollback API is honored
+    assert rollback_snapshot(d, 2) == 2
+    assert latest_snapshot_version(d) == 2
+    assert len(read_snapshot(spark, d).collect()) == 2
+    with pytest.raises(FileNotFoundError):
+        rollback_snapshot(d, 99)
+    # vacuum after rollback keeps the published v2; v3's dir remains
+    # until retention drops it (keep_last=2 keeps {2,3} here)
+    assert vacuum_snapshots(d, keep_last=1) == [1]
+    assert 2 in snapshot_versions(d)
+    # next publish supersedes the rollback normally
+    write_snapshot(from_pandas(spark, pd.DataFrame({"k": [9]})), d)
+    assert latest_snapshot_version(d) == 4
+    assert len(read_snapshot(spark, d).collect()) == 1
 
 
 def test_tail_append_changes_exactly_once(spark, tmp_path):

@@ -1,0 +1,272 @@
+"""Manifest-level column statistics (zone maps) for append tables.
+
+The 100 TB read-path lever: per-segment min/max/null-count recorded in
+the log manifest at append/compact time lets a filtered read prune
+whole segments BEFORE any filesystem listing — the jar-free analog of
+Delta's per-file stats, lifted to the segment grain where the manifest
+lives. Exactness is guarded by applying the same predicate as a real
+Spark filter over the segments that survive pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from cuplyr_spark import from_pandas
+from cuplyr_spark.sources.connectors import (
+    _read_log,
+    _TableFS,
+    append_snapshot,
+    compact_append_snapshot,
+    read_append_changes,
+    read_append_snapshot,
+)
+
+
+def _batch(spark, lo, hi, tag="x"):
+    n = hi - lo
+    return from_pandas(
+        spark,
+        pd.DataFrame(
+            {
+                "k": range(lo, hi),
+                "v": [float(i) for i in range(lo, hi)],
+                "s": [f"{tag}{i:04d}" for i in range(lo, hi)],
+            }
+        ),
+    )
+
+
+def test_stats_recorded_in_log(spark, tmp_path):
+    d = str(tmp_path / "t")
+    append_snapshot(_batch(spark, 0, 100), d, batch_id=0)
+    append_snapshot(_batch(spark, 100, 200), d, batch_id=1)
+    log = _read_log(_TableFS(d))
+    stats = log.get("stats")
+    assert stats and len(stats) == 2
+    seg0, seg1 = log["segments"]
+    assert stats[seg0]["rows"] == 100
+    assert stats[seg0]["cols"]["k"] == [0, 99, 0]
+    assert stats[seg1]["cols"]["k"] == [100, 199, 0]
+    assert stats[seg0]["cols"]["v"] == [0.0, 99.0, 0]
+    assert stats[seg0]["cols"]["s"][:2] == ["x0000", "x0099"]
+
+
+def test_stats_prune_segments_before_listing(spark, tmp_path):
+    """A segment whose recorded range cannot match is never LISTED,
+    let alone read — proven by deleting its directory outright and
+    still reading successfully."""
+    d = str(tmp_path / "t")
+    append_snapshot(_batch(spark, 0, 100), d, batch_id=0)
+    append_snapshot(_batch(spark, 100, 200), d, batch_id=1)
+    log = _read_log(_TableFS(d))
+    seg0, seg1 = log["segments"]
+    shutil.rmtree(os.path.join(d, seg0))  # k in [0, 99] gone from disk
+    out = read_append_snapshot(spark, d, stats_filter={"k": (">=", 150)})
+    got = sorted(r["k"] for r in out.df.collect())
+    assert got == list(range(150, 200))  # exact: residual filter applied
+    # the equality form and the list form
+    out = read_append_snapshot(spark, d, stats_filter={"k": 150})
+    assert [r["k"] for r in out.df.collect()] == [150]
+    out = read_append_snapshot(
+        spark, d, stats_filter={"k": [(">=", 150), ("<", 155)]}
+    )
+    assert sorted(r["k"] for r in out.df.collect()) == [150, 151, 152, 153, 154]
+
+
+def test_stats_filter_exact_on_overlap(spark, tmp_path):
+    """Overlapping ranges: nothing is pruned, the residual filter
+    keeps the result exact."""
+    d = str(tmp_path / "t")
+    append_snapshot(_batch(spark, 0, 100), d, batch_id=0)
+    append_snapshot(_batch(spark, 50, 150), d, batch_id=1)
+    out = read_append_snapshot(spark, d, stats_filter={"k": ("<", 60)})
+    got = sorted(r["k"] for r in out.df.collect())
+    assert got == sorted(list(range(0, 60)) + list(range(50, 60)))
+
+
+def test_stats_string_and_null_bounds(spark, tmp_path):
+    """String bounds prune too (truncation keeps min a valid lower
+    bound and bumps max to a valid upper bound); all-NULL segments
+    prune under any value predicate."""
+    d = str(tmp_path / "t")
+    append_snapshot(
+        from_pandas(
+            spark, pd.DataFrame({"k": [1, 2], "s": ["aa", "bb"]})
+        ),
+        d,
+        batch_id=0,
+    )
+    append_snapshot(
+        from_pandas(
+            spark,
+            pd.DataFrame({"k": [3, 4], "s": pd.array([None, None], dtype="string[python]")}),
+        ),
+        d,
+        batch_id=1,
+    )
+    log = _read_log(_TableFS(d))
+    seg0, seg1 = log["segments"]
+    assert log["stats"][seg1]["cols"]["s"] == [None, None, 2]
+    # the all-NULL segment is pruned for any s predicate
+    shutil.rmtree(os.path.join(d, seg1))
+    out = read_append_snapshot(spark, d, stats_filter={"s": ("<=", "az")})
+    assert [r["s"] for r in out.df.collect()] == ["aa"]
+
+
+def test_stats_long_string_truncation_bounds(spark, tmp_path):
+    """Strings beyond the 64-char cap: the stored min is a prefix
+    (valid lower bound) and the stored max is the prefix with its last
+    char bumped (valid upper bound) — pruning stays sound."""
+    d = str(tmp_path / "t")
+    long_lo = "b" * 100
+    long_hi = "m" * 100
+    append_snapshot(
+        from_pandas(spark, pd.DataFrame({"s": [long_lo, long_hi]})),
+        d,
+        batch_id=0,
+    )
+    log = _read_log(_TableFS(d))
+    (seg,) = log["segments"]
+    mn, mx, nulls = log["stats"][seg]["cols"]["s"]
+    assert mn == "b" * 64  # prefix: <= true min
+    assert mx == "m" * 63 + "n"  # bumped prefix: >= true max
+    # sound under both predicates
+    out = read_append_snapshot(spark, d, stats_filter={"s": (">=", "m")})
+    assert [r["s"] for r in out.df.collect()] == [long_hi]
+    out = read_append_snapshot(spark, d, stats_filter={"s": ("<", "a")})
+    assert out.df.count() == 0
+
+
+def test_stats_fold_merges_without_rescan(spark, tmp_path):
+    """Compaction merges folded segments' stats arithmetically (min of
+    mins, max of maxes, summed null counts) — exact, no extra pass."""
+    d = str(tmp_path / "t")
+    append_snapshot(_batch(spark, 0, 100), d, batch_id=0)
+    append_snapshot(_batch(spark, 100, 200), d, batch_id=1)
+    v = compact_append_snapshot(spark, d, target_file_bytes=1 << 30)
+    assert v is not None
+    log = _read_log(_TableFS(d))
+    (fold,) = log["segments"]
+    assert fold.startswith("fold=")
+    assert log["stats"][fold]["rows"] == 200
+    assert log["stats"][fold]["cols"]["k"] == [0, 199, 0]
+    assert log["stats"][fold]["cols"]["s"][:2] == ["x0000", "x0199"]
+    # and pruning works through the fold
+    out = read_append_snapshot(spark, d, stats_filter={"k": ("<", 5)})
+    assert sorted(r["k"] for r in out.df.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_stats_filter_validation(spark, tmp_path):
+    d = str(tmp_path / "t")
+    append_snapshot(_batch(spark, 0, 10), d, batch_id=0)
+    with pytest.raises(ValueError, match="not a column"):
+        read_append_snapshot(spark, d, stats_filter={"nope": 1})
+    with pytest.raises(ValueError, match="operator"):
+        read_append_snapshot(spark, d, stats_filter={"k": ("~", 1)})
+
+
+def test_cdf_stats_and_partition_maps_survive_fold(spark, tmp_path):
+    """read_append_changes takes each new segment's stats/partition
+    metadata from the log version that ADDED it, so manifest-level
+    pruning keeps working even when a LATER fold dropped the segment
+    from the current log's maps (r8 verdict carry: the change feed
+    previously lost pruning across a fold)."""
+    d = str(tmp_path / "t")
+    append_snapshot(_batch(spark, 0, 100), d, batch_id=0)  # v1
+    append_snapshot(_batch(spark, 100, 200), d, batch_id=1)  # v2
+    log2 = _read_log(_TableFS(d))
+    seg1, seg2 = log2["segments"]
+    v = compact_append_snapshot(spark, d, target_file_bytes=1 << 30)  # v3
+    assert v == 3
+    # the fold dropped seg1/seg2 from the CURRENT log's stats map;
+    # the change feed must recover them from v1/v2. Delete seg1's dir:
+    # if pruning is manifest-level, the read never notices.
+    shutil.rmtree(os.path.join(d, seg1))
+    out = read_append_changes(
+        spark, d, since_version=0, version=2, stats_filter={"k": (">=", 150)}
+    )
+    assert sorted(r["k"] for r in out.df.collect()) == list(range(150, 200))
+
+
+def test_cdf_partition_map_survives_fold(spark, tmp_path):
+    """Same recovery for hive-partition maps: a partition_filter on a
+    CDF window whose segments were later folded still prunes whole
+    segments from the manifest."""
+    pdf = pd.DataFrame(
+        {"k": range(8), "part": ["a"] * 4 + ["b"] * 4}
+    )
+    d = str(tmp_path / "t")
+    append_snapshot(
+        from_pandas(spark, pdf[pdf.part == "a"]), d,
+        batch_id=0, partition_by=["part"],
+    )  # v1
+    append_snapshot(
+        from_pandas(spark, pdf[pdf.part == "b"]), d, batch_id=1
+    )  # v2
+    log2 = _read_log(_TableFS(d))
+    seg_a, seg_b = log2["segments"]
+    v = compact_append_snapshot(spark, d, target_file_bytes=1 << 30)  # v3
+    assert v == 3
+    shutil.rmtree(os.path.join(d, seg_a))
+    out = read_append_changes(
+        spark, d, since_version=0, version=2, partition_filter={"part": "b"}
+    )
+    assert sorted(r["k"] for r in out.df.collect()) == [4, 5, 6, 7]
+
+
+def test_zorder_within_partitions_compact(spark, tmp_path):
+    """OPTIMIZE ZORDER on a hive-partitioned append table: the fold
+    keeps the partition layout AND range-clusters files on the z-key
+    within each partition directory, so per-file footer min/max stay
+    tight (disjoint up to boundary ties) — rows unchanged."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 40_000
+    pdf = pd.DataFrame(
+        {
+            "part": np.where(rng.random(n) < 0.5, "a", "b"),
+            "x": rng.integers(0, 1_000_000, n),
+            "pad": ["p" * 40] * n,
+        }
+    )
+    d = str(tmp_path / "t")
+    half = n // 2
+    append_snapshot(
+        from_pandas(spark, pdf.iloc[:half]), d, batch_id=0,
+        partition_by=["part"],
+    )
+    append_snapshot(from_pandas(spark, pdf.iloc[half:]), d, batch_id=1)
+    v = compact_append_snapshot(
+        spark, d, target_file_bytes=120_000, zorder_by=["x"]
+    )
+    assert v is not None
+    out = read_append_snapshot(spark, d)
+    assert out.df.count() == n
+    assert int(out.df.selectExpr("sum(x) s").first()["s"]) == int(pdf.x.sum())
+    log = _read_log(_TableFS(d))
+    (fold,) = [s for s in log["segments"] if s.startswith("fold=")]
+    # per-partition-dir footer disjointness on the z column
+    import pyarrow.parquet as pq
+
+    for part in ("a", "b"):
+        pdir = os.path.join(d, fold, f"part={part}")
+        files = [
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        ]
+        assert len(files) >= 2, "need multiple files to prove clustering"
+        ranges = []
+        for f in files:
+            t = pq.read_table(f, columns=["x"])["x"]
+            ranges.append((t[0].as_py() if False else min(t.to_pylist()),
+                           max(t.to_pylist())))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"files overlap on x within part={part}"
