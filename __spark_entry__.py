@@ -3165,6 +3165,124 @@ def q_incremental_cross_dedup(spark, sf_dir):
     )
 
 
+def q_zone_map_prune(spark, sf_dir):
+    """Manifest zone maps end-to-end (the Delta/Iceberg per-file-stats
+    idea at the segment grain, ``connectors.py`` ``_segment_stats`` /
+    ``stats_filter``): orders land in an append table as two disjoint
+    ``o_orderkey`` ranges — the time-ordered-ingest shape where zone
+    maps shine — then a ``stats_filter`` read prunes the non-matching
+    segment from the MANIFEST alone (no listing, no footer reads) and
+    stays exact across a compaction whose fold MERGED the stats
+    arithmetically (min/min, max/max, nulls summed — zero extra IO).
+    At 100 TB this is the difference between opening one segment and
+    opening thousands."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        compact_append_snapshot,
+        read_append_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    d = _scratch_dir("zone_map")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(orders.filter("o_orderkey < 3000"), d, batch_id=0)
+    append_snapshot(orders.filter("o_orderkey >= 3000"), d, batch_id=1)
+    # fold the two segments: stats must merge, pruning must still hold
+    compact_append_snapshot(spark, d, target_file_bytes=1 << 30)
+    append_snapshot(
+        orders.filter("o_orderkey >= 3000").mutate(
+            o_orderkey="o_orderkey + 1000000"
+        ),
+        d,
+        batch_id=2,
+    )
+    out = read_append_snapshot(
+        spark, d, stats_filter={"o_orderkey": [(">", 100), ("<", 3000)]}
+    )
+    return out.df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
+def q_sidecar_table_stats(spark, sf_dir):
+    """Sketch-sidecar table statistics (``connectors.table_stats``):
+    events ingest as two appends with a sketch spec — each segment
+    gets ONE sidecar row (exact count + DataSketches HLL of user_id +
+    fixed-bin histogram of value) — then a compaction MERGES the
+    sidecars arithmetically, and whole-table statistics are read from
+    sidecar rows alone (cost ∝ live segments, never a corpus rescan).
+    Hashed columns follow the sketch-oracle pattern: the exact count
+    is compared directly, the estimates ride as bound flags pinned
+    TRUE (HLL 2.5% at lgk=14; quantiles within one bin width)."""
+    import shutil
+
+    from cuplyr_spark.operators.sketch import histogram_quantiles
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        compact_append_snapshot,
+        table_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    d = _scratch_dir("sidecar_stats")
+    shutil.rmtree(d, ignore_errors=True)
+    lo, hi, bins = 0.0, 1000.0, 250
+    width = (hi - lo) / bins
+    spec = {
+        "distinct": ["user_id"],
+        "histogram": {"value": [lo, hi, bins]},
+        "lgk": 14,
+    }
+    append_snapshot(
+        ev.filter("event_id % 2 == 0"), d, batch_id=0, sketch_spec=spec
+    )
+    append_snapshot(ev.filter("event_id % 2 == 1"), d, batch_id=1)
+    compact_append_snapshot(spark, d, target_file_bytes=1 << 30)
+    st = table_stats(spark, d)
+    meta = st.df.select(
+        F.lit(1).alias("__j"),
+        F.col("rows").alias("n_events"),
+        F.col("user_id_distinct_est"),
+    )
+    qs = histogram_quantiles(
+        st, [0.5, 0.9], hist_col="value_hist", out="q"
+    ).df.select(F.lit(1).alias("__j"), "q")
+    exact = ev.df.agg(
+        F.count_distinct("user_id").alias("__nd"),
+        F.percentile("value", F.lit(0.5)).alias("__p50"),
+        F.percentile("value", F.lit(0.9)).alias("__p90"),
+    ).select(F.lit(1).alias("__j"), "__nd", "__p50", "__p90")
+    return (
+        meta.join(qs, "__j")
+        .join(exact, "__j")
+        .select(
+            "n_events",
+            (
+                F.abs(F.col("user_id_distinct_est") - F.col("__nd"))
+                <= F.col("__nd") * 0.025
+            ).alias("distinct_within_2p5pct"),
+            (F.abs(F.col("q")[0] - F.col("__p50")) <= width).alias(
+                "p50_within_bin"
+            ),
+            (F.abs(F.col("q")[1] - F.col("__p90")) <= width).alias(
+                "p90_within_bin"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3324,6 +3442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "histogram_shard_quantiles": q_histogram_shard_quantiles,
         "incremental_cross_dedup": q_incremental_cross_dedup,
+        "zone_map_prune": q_zone_map_prune,
+        "sidecar_table_stats": q_sidecar_table_stats,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -5366,6 +5486,27 @@ def oracle_sql() -> dict[str, str]:
     # assertion that the storage loop neither loses nor re-delivers a
     # document.
     out["incremental_cross_dedup"] = out["cross_corpus_dedup"]
+    # Zone-map pruning must be exactly "read + filter": the oracle is
+    # the plain filtered aggregate over the same rows the append table
+    # was staged from (the third, shifted-key append proves the filter
+    # range excludes whole segments, not just rows).
+    # Sidecar statistics: the exact count is hashed, the sketch
+    # estimates ride as bound flags pinned TRUE (HLL/bin-width
+    # contracts) — same pattern as sketch_shard_distinct.
+    out["sidecar_table_stats"] = """
+        SELECT count(*) AS n_events,
+               TRUE AS distinct_within_2p5pct,
+               TRUE AS p50_within_bin,
+               TRUE AS p90_within_bin
+        FROM events
+    """
+    out["zone_map_prune"] = """
+        SELECT count(*) AS n,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM orders WHERE o_orderkey > 100 AND o_orderkey < 3000
+    """
     return out
 
 

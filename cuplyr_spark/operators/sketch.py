@@ -273,12 +273,20 @@ def histogram_quantiles(
     h, s = F.col(hist_col), F.col(spec)
     total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
     width = (s.hi - s.lo) / s.bins
-    # cumulative counts once, then each quantile walks the small array
-    cum = F.transform(
-        F.sequence(F.lit(1), F.size(h)),
-        lambda i: F.aggregate(
-            F.slice(h, 1, i), F.lit(0).cast("long"), lambda a, x: a + x
+    # cumulative counts once (a single O(bins) left-fold that appends
+    # the running total per element — not the former O(bins²) re-sum
+    # of a growing slice), then each quantile walks the small array
+    cum = F.aggregate(
+        h,
+        F.struct(
+            F.lit(0).cast("long").alias("t"),
+            F.expr("array()").cast("array<long>").alias("a"),
         ),
+        lambda acc, x: F.struct(
+            (acc["t"] + x).alias("t"),
+            F.concat(acc["a"], F.array(acc["t"] + x)).alias("a"),
+        ),
+        lambda acc: acc["a"],
     )
     df = df.withColumn("__cum", cum).withColumn("__total", total)
 

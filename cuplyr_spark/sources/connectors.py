@@ -1069,6 +1069,418 @@ def _partition_values(reldir: str) -> dict[str, str | None]:
     return out
 
 
+# -- manifest-level column statistics (zone maps) ------------------------
+
+# Stat-eligible column types: totally ordered, JSON-serializable with
+# exact round-trip. Decimals are excluded (JSON floats would make the
+# recorded bounds inexact and pruning unsound); complex types have no
+# useful min/max.
+_STAT_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "boolean", "string", "date", "timestamp", "timestamp_ntz",
+}
+_STAT_STR_CAP = 64
+_STAT_OPS = {"==", "=", "<", "<=", ">", ">=", "in"}
+
+
+def _stat_trunc_min(s: str) -> str:
+    # a prefix of a string is <= the string: valid lower bound
+    return s if len(s) <= _STAT_STR_CAP else s[:_STAT_STR_CAP]
+
+
+def _stat_trunc_max(s: str) -> str | None:
+    # Delta's trick: truncate and bump the last non-maximal char so
+    # the stored value is >= every string sharing the prefix — a valid
+    # upper bound. None (unbounded) in the degenerate all-U+10FFFF case.
+    if len(s) <= _STAT_STR_CAP:
+        return s
+    p = s[:_STAT_STR_CAP]
+    for i in range(len(p) - 1, -1, -1):
+        if ord(p[i]) < 0x10FFFF:
+            return p[:i] + chr(ord(p[i]) + 1)
+    return None
+
+
+def _stat_json(v, typ: str):
+    """One JSON-comparable form per stat type. Dates/timestamps as
+    zero-padded ISO strings, which compare lexicographically in value
+    order; numbers and bools native."""
+    if v is None:
+        return None
+    if typ in ("date", "timestamp", "timestamp_ntz"):
+        return v.isoformat()
+    if typ in ("float", "double"):
+        return float(v)
+    if typ == "boolean":
+        return bool(v)
+    if typ == "string":
+        return v
+    return int(v)
+
+
+def _stat_norm_value(v):
+    """Normalize a user-supplied filter value into the same domain the
+    stats were recorded in."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def _segment_stats(spark, fs: _TableFS, seg: str, schema, pby) -> dict:
+    """min/max/null-count per stat-eligible column of a just-written
+    segment, via ONE column-pruned aggregate over the segment's
+    parquet (cost ∝ the batch's bytes, never the table's). Partition
+    columns are covered by the manifest partition map and skipped.
+    Shape: ``{"rows": n, "cols": {col: [min, max, nulls]}}``."""
+    from pyspark.sql import functions as F
+
+    types = dict(map(tuple, schema))
+    cols = [
+        n for n, t in schema
+        if t in _STAT_TYPES and n not in set(pby or [])
+    ]
+    sdf = spark.read.parquet(fs.join(seg))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.min(F.col(c)).alias(f"mn{i}"),
+            F.max(F.col(c)).alias(f"mx{i}"),
+            F.sum(F.isnull(F.col(c)).cast("long")).alias(f"nu{i}"),
+        ]
+    row = sdf.agg(*aggs).first()
+    out = {}
+    for i, c in enumerate(cols):
+        t = types[c]
+        mn = _stat_json(row[f"mn{i}"], t)
+        mx = _stat_json(row[f"mx{i}"], t)
+        if t == "string":
+            mn = None if mn is None else _stat_trunc_min(mn)
+            mx = None if mx is None else _stat_trunc_max(mx)
+        out[c] = [mn, mx, int(row[f"nu{i}"] or 0)]
+    return {"rows": int(row["__n"]), "cols": out}
+
+
+def _merge_segment_stats(sts: list) -> dict | None:
+    """Fold-time merge: min of mins, max of maxes, summed null counts
+    — EXACT, no data read. None when any input lacks stats (legacy
+    segment) or the list is empty; the caller then recomputes."""
+    if not sts or any(st is None for st in sts):
+        return None
+    rows = sum(st["rows"] for st in sts)
+    common = set.intersection(*[set(st["cols"]) for st in sts])
+    cols = {}
+    for c in common:
+        mns, mxs, nulls = [], [], 0
+        for st in sts:
+            mn, mx, nu = st["cols"][c]
+            nulls += nu
+            if st["rows"] - nu > 0:  # contributes non-null values
+                mns.append(mn)
+                mxs.append(mx)
+        merged_mn = (
+            None if not mns or any(m is None for m in mns) else min(mns)
+        )
+        merged_mx = (
+            None if not mxs or any(m is None for m in mxs) else max(mxs)
+        )
+        cols[c] = [merged_mn, merged_mx, nulls]
+    return {"rows": rows, "cols": cols}
+
+
+def _normalize_stats_filter(stats_filter: dict, schema) -> dict:
+    """{col: value | (op, value) | [(op, value), ...]} → {col: [(op,
+    value), ...]}, validated against the table schema. ``in`` takes a
+    list/tuple/set of values."""
+    types = dict(map(tuple, schema or []))
+    out = {}
+    for c, conds in stats_filter.items():
+        if schema is not None:
+            if c not in types:
+                raise ValueError(
+                    f"stats_filter: {c!r} is not a column of the table "
+                    f"({sorted(types)})"
+                )
+            if types[c] not in _STAT_TYPES:
+                raise ValueError(
+                    f"stats_filter: column {c!r} has type {types[c]!r} — "
+                    f"only {sorted(_STAT_TYPES)} columns carry zone-map "
+                    "stats and support stats_filter"
+                )
+        if isinstance(conds, tuple) and len(conds) == 2:
+            conds = [conds]  # a bare (op, value); op validated below
+        elif not isinstance(conds, list):
+            conds = [("==", conds)]
+        norm = []
+        for item in conds:
+            if not (isinstance(item, tuple) and len(item) == 2):
+                raise ValueError(
+                    f"stats_filter: condition {item!r} for {c!r} must be "
+                    "(op, value)"
+                )
+            op, v = item
+            if op not in _STAT_OPS:
+                raise ValueError(
+                    f"stats_filter: unknown operator {op!r} (use one of "
+                    f"{sorted(_STAT_OPS)})"
+                )
+            if op == "in":
+                if not isinstance(v, (list, tuple, set)):
+                    raise ValueError(
+                        "stats_filter: 'in' takes a list/tuple/set of "
+                        "values"
+                    )
+                norm.append((op, [_stat_norm_value(x) for x in v]))
+            else:
+                norm.append((op, _stat_norm_value(v)))
+        out[c] = norm
+    return out
+
+
+def _range_excludes(mn, mx, op: str, v) -> bool:
+    """Can NO value in [mn, mx] satisfy ``x op v``? None bounds are
+    unbounded on that side (never prune)."""
+    try:
+        if op in ("==", "="):
+            return (mx is not None and v > mx) or (
+                mn is not None and v < mn
+            )
+        if op == ">":
+            return mx is not None and mx <= v
+        if op == ">=":
+            return mx is not None and mx < v
+        if op == "<":
+            return mn is not None and mn >= v
+        if op == "<=":
+            return mn is not None and mn > v
+    except TypeError:
+        raise ValueError(
+            f"stats_filter: value {v!r} is not comparable with the "
+            f"recorded bounds ({mn!r}, {mx!r}) — pass a value of the "
+            "column's type"
+        ) from None
+    return False
+
+
+def _seg_stats_match(st, filt: dict) -> bool:
+    """Could the segment contain a matching row? True when stats are
+    missing (legacy segment — never prune blindly)."""
+    if st is None:
+        return True
+    rows, cols = st.get("rows"), st.get("cols") or {}
+    for c, conds in filt.items():
+        cs = cols.get(c)
+        if cs is None:
+            continue
+        mn, mx, nulls = cs
+        nonnull = None if rows is None else rows - nulls
+        for op, v in conds:
+            if nonnull == 0:
+                return False  # comparisons never match an all-NULL col
+            if op == "in":
+                if all(_range_excludes(mn, mx, "==", x) for x in v):
+                    return False
+            elif _range_excludes(mn, mx, op, v):
+                return False
+    return True
+
+
+def _stats_filter_cond(filt: dict):
+    """The SAME predicate as a Spark Column over the surviving scan —
+    the residual that keeps results exact (and reaches the parquet
+    row-group stats via ordinary pushdown)."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for c, pairs in filt.items():
+        for op, v in pairs:
+            col = F.col(c)
+            if op == "in":
+                e = col.isin(list(v))
+            elif op in ("==", "="):
+                e = col == F.lit(v)
+            elif op == "<":
+                e = col < F.lit(v)
+            elif op == "<=":
+                e = col <= F.lit(v)
+            elif op == ">":
+                e = col > F.lit(v)
+            else:
+                e = col >= F.lit(v)
+            cond = e if cond is None else cond & e
+    return cond
+
+
+# -- sketch sidecar (per-segment HLL + histogram table statistics) -------
+
+_SKETCH_DIR = "_sketch"
+
+
+def _validate_sketch_spec(spec: dict, schema) -> dict:
+    """Normalize/validate ``{"distinct": [col, ...], "histogram":
+    {col: [lo, hi, bins]}, "lgk": 12}`` against the table schema.
+    JSON-shaped on purpose — it is stamped into the log manifest."""
+    if not isinstance(spec, dict):
+        raise ValueError("sketch_spec must be a dict")
+    unknown = set(spec) - {"distinct", "histogram", "lgk"}
+    if unknown:
+        raise ValueError(
+            f"sketch_spec: unknown keys {sorted(unknown)} (use "
+            "'distinct', 'histogram', 'lgk')"
+        )
+    cols = {n for n, _ in schema} if schema else None
+    out: dict = {"lgk": int(spec.get("lgk", 12))}
+    if not 4 <= out["lgk"] <= 21:
+        raise ValueError("sketch_spec: lgk must be in [4, 21]")
+    dist = list(spec.get("distinct") or [])
+    hist = dict(spec.get("histogram") or {})
+    for c in dist + list(hist):
+        if cols is not None and c not in cols:
+            raise ValueError(
+                f"sketch_spec: {c!r} is not a column of the table"
+            )
+    for c, hspec in hist.items():
+        lo, hi, bins = hspec
+        if not (hi > lo and int(bins) >= 1):
+            raise ValueError(
+                f"sketch_spec: histogram for {c!r} needs hi > lo and "
+                f"bins >= 1, got {hspec!r}"
+            )
+        hist[c] = [float(lo), float(hi), int(bins)]
+    out["distinct"] = dist
+    out["histogram"] = hist
+    if not dist and not hist:
+        raise ValueError("sketch_spec: no sketch columns given")
+    return out
+
+
+def _segment_sketch_df(spark, fs: _TableFS, seg: str, spec: dict):
+    """ONE sidecar row for a segment: exact row count, one mergeable
+    DataSketches HLL binary per 'distinct' column, one fixed-bin
+    histogram array per 'histogram' column. One aggregate job for
+    rows+HLLs plus one per histogram column, each a column-pruned
+    scan of the segment only (cost ∝ the batch). The row is tiny
+    (KBs), so it is assembled driver-side and returned as a 1-row
+    DataFrame the caller writes or unions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    sdf = spark.read.parquet(fs.join(seg))
+    lgk = spec["lgk"]
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in spec["distinct"]:
+        aggs.append(F.hll_sketch_agg(F.col(c), lgk).alias(f"hll_{c}"))
+    row = sdf.agg(*aggs).first()
+    data = {"rows": row["rows"]}
+    fields = [T.StructField("rows", T.LongType())]
+    for c in spec["distinct"]:
+        data[f"hll_{c}"] = row[f"hll_{c}"]
+        fields.append(T.StructField(f"hll_{c}", T.BinaryType()))
+    for c, (lo, hi, bins) in spec["histogram"].items():
+        from cuplyr_spark.operators.sketch import histogram_sketch
+
+        h = histogram_sketch(
+            Frame(sdf, ()), c, lo=lo, hi=hi, bins=bins, out="h"
+        ).df.first()
+        data[f"hist_{c}"] = list(h["h"]) if h is not None else [0] * bins
+        fields.append(
+            T.StructField(f"hist_{c}", T.ArrayType(T.LongType()))
+        )
+    return spark.createDataFrame([data], T.StructType(fields))
+
+
+def _write_segment_sketch(spark, fs: _TableFS, seg: str, spec: dict):
+    _segment_sketch_df(spark, fs, seg, spec).coalesce(1).write.mode(
+        "errorifexists"
+    ).parquet(fs.join(f"{_SKETCH_DIR}/{seg}"))
+
+
+def _merged_sketch_df(spark, fs: _TableFS, segs, spec: dict):
+    """Union the live segments' sidecar rows and fold them: summed
+    exact row count, HLL union per distinct column, element-wise
+    histogram sum per histogram column. Sidecar rows missing (segment
+    predates the spec / collect disabled) are computed on the fly —
+    correctness never degrades, only that segment's scan is paid."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for s in segs:
+        side = f"{_SKETCH_DIR}/{s}"
+        if fs.exists(side):
+            parts.append(spark.read.parquet(fs.join(side)))
+        else:
+            parts.append(_segment_sketch_df(spark, fs, s, spec))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    aggs = [F.sum("rows").alias("rows")]
+    for c in spec["distinct"]:
+        aggs.append(F.hll_union_agg(F.col(f"hll_{c}")).alias(f"hll_{c}"))
+    for c in spec["histogram"]:
+        aggs.append(
+            F.aggregate(
+                F.collect_list(F.col(f"hist_{c}")),
+                F.expr("cast(array() as array<bigint>)"),
+                lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+                    F.zip_with(acc, x, lambda a, b: a + b)
+                ),
+            ).alias(f"hist_{c}")
+        )
+    return df.agg(*aggs)
+
+
+def table_stats(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> Frame:
+    """Table-level statistics from the sketch sidecar — one tiny read
+    per live segment, NEVER a data scan (segments missing a sidecar
+    row are the one exception and are sketched on the fly): one row
+    with ``rows`` (EXACT — per-segment counts are exact and sum
+    exactly), ``{col}_distinct_est`` (DataSketches HLL union — rse ≈
+    1.04/sqrt(2^lgk)) per 'distinct' column, and ``{col}_hist`` +
+    ``{col}_hist_spec`` per 'histogram' column (element-wise-summed
+    fixed-bin histogram — EXACT bin counts, quantiles within one bin
+    width via :func:`operators.sketch.histogram_quantiles`).
+
+    This is the incremental-statistics contract at 100 TB: each
+    segment is sketched once at ingest (``append_snapshot(...,
+    sketch_spec=...)``), folds merge sidecars arithmetically, and the
+    whole-corpus statistics cost ∝ live segments, not bytes."""
+    from pyspark.sql import functions as F
+
+    fs = _TableFS(table_dir, spark)
+    log = _read_log(fs, version)
+    if log is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    spec = log.get("sketch_spec")
+    if spec is None:
+        raise ValueError(
+            f"table at {table_dir!r} has no sketch_spec — create it "
+            "with append_snapshot(..., sketch_spec={...})"
+        )
+    df = _merged_sketch_df(spark, fs, log["segments"], spec)
+    sel = [F.col("rows")]
+    for c in spec["distinct"]:
+        sel.append(
+            F.hll_sketch_estimate(F.col(f"hll_{c}"))
+            .cast("long")
+            .alias(f"{c}_distinct_est")
+        )
+    for c, (lo, hi, bins) in spec["histogram"].items():
+        sel.append(F.col(f"hist_{c}").alias(f"{c}_hist"))
+        sel.append(
+            F.struct(
+                F.lit(lo).cast("double").alias("lo"),
+                F.lit(hi).cast("double").alias("hi"),
+                F.lit(bins).cast("int").alias("bins"),
+            ).alias(f"{c}_hist_spec")
+        )
+    return Frame(df.select(*sel), ())
+
+
 def _normalize_pfilter(partition_filter: dict) -> dict[str, set]:
     """{col: value-or-list} → {col: set of string forms} — partition
     dir values are strings, so comparison happens in string space."""
@@ -1080,7 +1492,10 @@ def _normalize_pfilter(partition_filter: dict) -> dict[str, set]:
     return out
 
 
-def _read_segments(spark, fs: _TableFS, log: dict, segs, partition_filter=None):
+def _read_segments(
+    spark, fs: _TableFS, log: dict, segs, partition_filter=None,
+    stats_filter=None,
+):
     """The one read path every append-table reader shares. For
     unpartitioned tables: a single multi-path parquet relation (filter
     pushdown and column pruning span every segment at once). For
@@ -1095,8 +1510,26 @@ def _read_segments(spark, fs: _TableFS, log: dict, segs, partition_filter=None):
     filter are never opened (no filesystem listing at all), matching
     segments get a partition-column predicate Catalyst turns into
     directory pruning, and the residual filter guards exactness.
+
+    ``stats_filter`` ({col: value | (op, value) | [(op, value), ...]})
+    prunes on the manifest's ZONE MAPS the same way: segments whose
+    recorded min/max/null-count prove no row can match are never
+    opened, and the identical predicate is applied as a real filter
+    over the survivors (exactness + parquet row-group pushdown).
     Returns the DataFrame."""
     from pyspark.sql import functions as F
+
+    stats_cond = None
+    if stats_filter:
+        sfilt = _normalize_stats_filter(stats_filter, log.get("schema"))
+        smap = log.get("stats") or {}
+        segs = [s for s in segs if _seg_stats_match(smap.get(s), sfilt)]
+        stats_cond = _stats_filter_cond(sfilt)
+
+    def _empty():
+        schema = log.get("schema")
+        ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+        return spark.createDataFrame([], ddl)
 
     pby = log.get("partition_by") or []
     if not pby:
@@ -1105,7 +1538,10 @@ def _read_segments(spark, fs: _TableFS, log: dict, segs, partition_filter=None):
                 "partition_filter on an unpartitioned append table "
                 f"(no partition_by in the log at {fs.dir!r})"
             )
-        return spark.read.parquet(*[fs.join(s) for s in segs])
+        if not segs:
+            return _empty()
+        df = spark.read.parquet(*[fs.join(s) for s in segs])
+        return df.filter(stats_cond) if stats_cond is not None else df
     pmap = log.get("partitions") or {}
     pf = _normalize_pfilter(partition_filter) if partition_filter else None
     if pf:
@@ -1129,9 +1565,8 @@ def _read_segments(spark, fs: _TableFS, log: dict, segs, partition_filter=None):
         segs = [s for s in segs if seg_matches(s)]
     schema = log.get("schema")
     if not segs:
-        # filter pruned everything: an empty frame at the table schema
-        ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
-        return spark.createDataFrame([], ddl)
+        # filters pruned everything: an empty frame at the table schema
+        return _empty()
     conds = None
     if pf:
         # predicate on the RAW discovered partition columns (strings,
@@ -1160,7 +1595,9 @@ def _read_segments(spark, fs: _TableFS, log: dict, segs, partition_filter=None):
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
-    return df
+    # the stats residual goes ABOVE the schema-conform cast (stats were
+    # recorded at the table's column types)
+    return df.filter(stats_cond) if stats_cond is not None else df
 
 
 def append_snapshot(
@@ -1169,6 +1606,8 @@ def append_snapshot(
     batch_id: int | None = None,
     app_id: str | None = None,
     partition_by: list[str] | str | None = None,
+    collect_stats: bool = True,
+    sketch_spec: dict | None = None,
 ) -> int:
     """Append-only publish: write ONLY this batch's rows as a new
     segment directory and publish a log manifest listing every live
@@ -1221,6 +1660,30 @@ def append_snapshot(
     segments without any filesystem listing
     (``read_append_snapshot(partition_filter=...)``).
 
+    ``collect_stats`` (default on) additionally records per-segment
+    ZONE MAPS — min/max/null-count for every stat-eligible column —
+    in the log manifest, via one column-pruned aggregate over the
+    just-written segment (cost ∝ the batch's bytes, never the
+    table's). ``read_append_snapshot(stats_filter=...)`` /
+    ``read_append_changes(stats_filter=...)`` then prune whole
+    segments before any filesystem listing — the per-file stats idea
+    of Delta/Iceberg, lifted to the segment grain where this
+    manifest lives, which is the grain that matters when one 100 TB
+    table is thousands of microbatch segments. Compaction merges the
+    folded segments' stats arithmetically (no re-scan).
+
+    ``sketch_spec`` (``{"distinct": [col, ...], "histogram": {col:
+    [lo, hi, bins]}, "lgk": 12}``) turns on the SKETCH SIDECAR: each
+    segment additionally gets one row of mergeable statistics — exact
+    row count, a DataSketches HLL per 'distinct' column, a fixed-bin
+    histogram per 'histogram' column — written under ``_sketch/`` at
+    ingest (cost ∝ the batch; one aggregate job plus one per
+    histogram column). :func:`table_stats` folds the sidecar rows
+    into whole-table statistics at cost ∝ live segments, never a
+    corpus rescan; compaction merges sidecars arithmetically. Like
+    ``partition_by``, the spec is stamped at table creation and
+    inherited afterwards (pass it again only identically).
+
     Concurrency: the data segment's name is unique, so racing
     appenders never collide on data; the log commit is an atomic
     exclusive-create that the loser RETRIES on top of the winner's log
@@ -1238,8 +1701,9 @@ def append_snapshot(
     incoming = _frame_schema_pairs(frame.df)
 
     def check(cur):
-        """Validate against the current log; returns (schema, pby) or
-        None when the batch is a watermark replay (no-op)."""
+        """Validate against the current log; returns (schema, pby,
+        sketch spec) or None when the batch is a watermark replay
+        (no-op)."""
         wms = _log_watermarks(cur)
         if (
             batch_id is not None
@@ -1254,7 +1718,12 @@ def append_snapshot(
                 raise ValueError(
                     f"partition_by columns {missing} not in the frame"
                 )
-            return incoming, pby
+            spec = (
+                _validate_sketch_spec(sketch_spec, incoming)
+                if sketch_spec is not None
+                else None
+            )
+            return incoming, pby, spec
         table_pby = list(cur.get("partition_by") or [])
         if partition_by is not None and list(partition_by) != table_pby:
             raise ValueError(
@@ -1288,13 +1757,21 @@ def append_snapshot(
                 + " — append tables are fixed-schema; cast the batch "
                 "or use the copy-on-write path for schema evolution"
             )
-        return table, table_pby
+        table_spec = cur.get("sketch_spec")
+        if sketch_spec is not None:
+            if _validate_sketch_spec(sketch_spec, table) != table_spec:
+                raise ValueError(
+                    "append_snapshot: sketch_spec does not match the "
+                    f"table's {table_spec!r} — the spec is fixed at "
+                    "table creation (sidecars must merge)"
+                )
+        return table, table_pby, table_spec
 
     cur = _read_log(fs)
     checked = check(cur)
     if checked is None:
         return cur["version"]
-    schema, pby = checked
+    schema, pby, spec = checked
     # write the data ONCE — the unique segment name never collides, so
     # only the cheap log commit below ever needs to retry
     n = (cur["version"] if cur else 0) + 1
@@ -1304,6 +1781,13 @@ def append_snapshot(
         writer = writer.partitionBy(*pby)
     writer.parquet(fs.join(seg))
     pdirs = _partition_dirs(fs, seg, len(pby)) if pby else None
+    seg_stats = (
+        _segment_stats(frame.df.sparkSession, fs, seg, schema, pby)
+        if collect_stats
+        else None
+    )
+    if spec is not None:
+        _write_segment_sketch(frame.df.sparkSession, fs, seg, spec)
     for _ in range(6):
         wms = _log_watermarks(cur)
         if batch_id is not None:
@@ -1321,6 +1805,14 @@ def append_snapshot(
                 **((cur.get("partitions") if cur else None) or {}),
                 seg: pdirs,
             }
+        cur_stats = (cur.get("stats") if cur else None) or {}
+        if seg_stats is not None or cur_stats:
+            log["stats"] = {
+                **cur_stats,
+                **({seg: seg_stats} if seg_stats is not None else {}),
+            }
+        if spec is not None:
+            log["sketch_spec"] = spec
         try:
             return _write_log(fs, log)
         except ConcurrentWriteError:
@@ -1340,12 +1832,18 @@ def append_snapshot(
             checked = check(cur)
             if checked is None:  # the winner WAS this batch (replay race)
                 return cur["version"]  # our segment is an orphan; vacuum
-            schema, rebased_pby = checked
+            schema, rebased_pby, rebased_spec = checked
             if rebased_pby != pby:  # first-append race decided a
                 raise ValueError(   # different layout than we wrote
                     f"append_snapshot: a concurrent first append fixed "
                     f"partition_by={rebased_pby} but this batch was "
                     f"written with {pby} — re-run the append"
+                )
+            if rebased_spec != spec:  # same rule for the sketch spec
+                raise ValueError(
+                    f"append_snapshot: a concurrent first append fixed "
+                    f"sketch_spec={rebased_spec!r} but this batch was "
+                    f"sketched with {spec!r} — re-run the append"
                 )
             n = cur["version"] + 1
     raise ConcurrentWriteError(
@@ -1381,6 +1879,10 @@ def reset_append_watermark(
     if cur.get("partition_by"):  # carry partition metadata through
         log["partition_by"] = cur["partition_by"]
         log["partitions"] = cur.get("partitions") or {}
+    if cur.get("stats"):  # carry zone maps through
+        log["stats"] = cur["stats"]
+    if cur.get("sketch_spec"):
+        log["sketch_spec"] = cur["sketch_spec"]
     return _write_log(fs, log)
 
 
@@ -1389,6 +1891,7 @@ def read_append_snapshot(
     table_dir: str,
     version: int | None = None,
     partition_filter: dict | None = None,
+    stats_filter: dict | None = None,
 ) -> Frame:
     """Read the published log version (default) or a pinned earlier one
     (time travel): one multi-path parquet scan over the live segments —
@@ -1404,7 +1907,16 @@ def read_append_snapshot(
     and directory-prunes within the segments that can. Ordinary
     ``.filter()`` on partition columns also directory-prunes (Catalyst
     partition pruning); the manifest level is what the filter argument
-    adds."""
+    adds.
+
+    ``stats_filter`` ({col: value | (op, value) | [(op, value), ...]},
+    ops ``== < <= > >= in``) prunes on the manifest's ZONE MAPS the
+    same way: segments whose recorded min/max/null-count prove no row
+    can match contribute no listing, no footer read, no bytes; the
+    identical predicate is applied as a real filter over the
+    survivors, so the result is exactly ``read + filter`` at a
+    fraction of the IO when appends are range-clustered (time-ordered
+    ingest, monotone ids)."""
     fs = _TableFS(table_dir, spark)
     log = _read_log(fs, version)
     if log is None:
@@ -1414,7 +1926,10 @@ def read_append_snapshot(
     if not log["segments"]:
         raise FileNotFoundError(f"log version {log['version']} has no segments")
     return Frame(
-        _read_segments(spark, fs, log, log["segments"], partition_filter), ()
+        _read_segments(
+            spark, fs, log, log["segments"], partition_filter, stats_filter
+        ),
+        (),
     )
 
 
@@ -1424,6 +1939,7 @@ def read_append_changes(
     since_version: int,
     version: int | None = None,
     partition_filter: dict | None = None,
+    stats_filter: dict | None = None,
 ) -> Frame:
     """Incremental read: ONLY the rows appended after log version
     ``since_version`` (exclusive) up to ``version`` (inclusive; default
@@ -1461,14 +1977,29 @@ def read_append_changes(
             f"since_version {since_version} is past log version {end}"
         )
     new_segs: list[str] = []
+    # partition maps / zone maps come from the log version that ADDED
+    # each segment: a LATER fold drops folded segments from the current
+    # log's maps, and losing them here would silently degrade a
+    # CDF window spanning the fold from manifest-level pruning to a
+    # full listing of every segment in the window
+    added_pmap: dict = {}
+    added_stats: dict = {}
     prev = set(_read_log(fs, since_version)["segments"]) if since_version > 0 else set()
     for k in range(since_version + 1, end + 1):
         log_k = _read_log(fs, k)  # raises if vacuumed past reader lag
-        new_segs.extend(
+        added = [
             s
             for s in log_k["segments"]
             if s not in prev and s.startswith("seg=")
-        )
+        ]
+        for s in added:
+            rel = (log_k.get("partitions") or {}).get(s)
+            if rel is not None:
+                added_pmap[s] = rel
+            st = (log_k.get("stats") or {}).get(s)
+            if st is not None:
+                added_stats[s] = st
+        new_segs.extend(added)
         prev = set(log_k["segments"])
     if not new_segs:
         schema = cur.get("schema")
@@ -1483,7 +2014,15 @@ def read_append_changes(
                 spark.createDataFrame([], _T.StructType(fields)), ()
             )
         return Frame(read_append_snapshot(spark, table_dir, end).df.limit(0), ())
-    return Frame(_read_segments(spark, fs, cur, new_segs, partition_filter), ())
+    synth = dict(cur)
+    synth["partitions"] = {**(cur.get("partitions") or {}), **added_pmap}
+    synth["stats"] = {**(cur.get("stats") or {}), **added_stats}
+    return Frame(
+        _read_segments(
+            spark, fs, synth, new_segs, partition_filter, stats_filter
+        ),
+        (),
+    )
 
 
 def tail_append_changes(
@@ -1604,7 +2143,12 @@ def compact_append_snapshot(
     ``write_parquet_zorder`` (the OPTIMIZE ZORDER BY analog of the
     copy-on-write path): newly consolidated data gets pruning layout
     at fold time, at the cost of one range shuffle over the FOLDED
-    bytes only. Untouched right-sized segments keep their layout.
+    bytes only. Untouched right-sized segments keep their layout. On a
+    hive-partitioned table the fold keeps the partition directories
+    and z-orders WITHIN them (range partitioning on ``(partition
+    cols…, z-key)``), so per-file footer min/max stay tight inside
+    every partition — Delta's OPTIMIZE ZORDER semantics. Z-ordering a
+    partition column itself is refused (constant per directory).
 
     Older log versions keep referencing the original segments, so time
     travel spans the compaction until vacuum prunes it; incremental
@@ -1627,11 +2171,11 @@ def compact_append_snapshot(
             f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
         )
     pby = list(cur.get("partition_by") or [])
-    if pby and zorder_by:
+    if pby and zorder_by and set(zorder_by) & set(pby):
         raise ValueError(
-            "zorder_by is not supported on hive-partitioned append "
-            "tables — the partition directories already provide the "
-            "pruning layout; z-order within partitions is future work"
+            f"zorder_by {sorted(set(zorder_by) & set(pby))} are partition "
+            "columns — constant within every partition directory, so "
+            "z-ordering them is a no-op; cluster on non-partition columns"
         )
     stats = {
         s: fs.file_sizes(s, recurse=bool(pby)) for s in cur["segments"]
@@ -1678,6 +2222,7 @@ def compact_append_snapshot(
             bits=zorder_bits,
             mode="errorifexists",
             num_files=n_target,
+            partition_by=pby or None,
         )
     elif pby:
         # partition layout carries through the fold; coalesce bounds
@@ -1701,6 +2246,30 @@ def compact_append_snapshot(
             **{s: pmap[s] for s in ordered if s in pmap},
             seg: _partition_dirs(fs, seg, len(pby)),
         }
+    # zone maps: merge the folded segments' stats arithmetically (min
+    # of mins / max of maxes / summed nulls — exact, zero extra IO);
+    # only a fold containing a legacy no-stats segment pays one
+    # column-pruned aggregate over the new fold segment
+    cur_smap = cur.get("stats") or {}
+    fold_stats = _merge_segment_stats([cur_smap.get(s) for s in fold])
+    if fold_stats is None and cur_smap:
+        fold_stats = _segment_stats(
+            spark, fs, seg, cur.get("schema"), pby
+        ) if cur.get("schema") else None
+    new_smap = {s: cur_smap[s] for s in ordered if s in cur_smap}
+    if fold_stats is not None:
+        new_smap[seg] = fold_stats
+    if new_smap:
+        log["stats"] = new_smap
+    spec = cur.get("sketch_spec")
+    if spec is not None:
+        log["sketch_spec"] = spec
+        # fold the folded segments' sidecar rows arithmetically (HLL
+        # union + histogram sum + exact row-count sum); any segment
+        # missing its sidecar is sketched from its data on the fly
+        _merged_sketch_df(spark, fs, fold, spec).coalesce(1).write.mode(
+            "errorifexists"
+        ).parquet(fs.join(f"{_SKETCH_DIR}/{seg}"))
     return _write_log(fs, log)
 
 
@@ -1720,7 +2289,11 @@ def append_history(
     consumer-lag dashboards (cursor version vs published version)."""
     fs = _TableFS(table_dir, spark)
     ptr = fs.read_text(_LOG_PTR)
-    published = int(ptr.strip()) if ptr else None
+    try:
+        parsed = int(ptr.strip()) if ptr else 0
+    except ValueError:  # torn pointer: heal from the commit records
+        parsed = 0
+    published = max(parsed, _log_committed_floor(fs)) or None
     versions = sorted(
         int(name[5:])
         for name in fs.listdir()
@@ -1777,7 +2350,11 @@ def vacuum_append_snapshot(
         raise ValueError("keep_last must be >= 1")
     fs = _TableFS(table_dir, spark)
     ptr = fs.read_text(_LOG_PTR)
-    published = int(ptr.strip()) if ptr else None
+    try:
+        parsed = int(ptr.strip()) if ptr else 0
+    except ValueError:  # torn pointer: heal from the commit records
+        parsed = 0
+    published = max(parsed, _log_committed_floor(fs)) or None
     versions = sorted(
         int(name[5:])
         for name in fs.listdir()
@@ -1816,13 +2393,13 @@ def vacuum_append_snapshot(
         and ripe(name)
     )
     for seg in doomed_segs:
-        target = fs.join(seg)
-        if fs.remote:
-            fs._fs.delete(fs._jpath(target), True)
-        else:
-            import shutil
+        for target in (fs.join(seg), fs.join(f"{_SKETCH_DIR}/{seg}")):
+            if fs.remote:
+                fs._fs.delete(fs._jpath(target), True)
+            else:
+                import shutil
 
-            shutil.rmtree(target)
+                shutil.rmtree(target, ignore_errors=True)
     for v in versions:
         if v not in keep:
             target = fs.join(f"_LOG.{v}")

@@ -238,6 +238,7 @@ def write_parquet_zorder(
     bits: int = 16,
     mode: str = "overwrite",
     num_files: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Multi-column layout clustering: order files along a Z-ORDER
     (Morton) curve over ``cols`` so selective predicates on ANY of the
@@ -256,6 +257,16 @@ def write_parquet_zorder(
 
     Null handling: NULLs scale to bucket 0 and therefore cluster
     together in the lowest files.
+
+    ``partition_by`` writes hive partition directories AND z-orders
+    within each of them: the range partitioning runs on ``(partition
+    cols…, z-key)``, so each task holds a contiguous slice of one (or
+    a few) partition values and the files it emits into a given
+    directory are z-key-disjoint from its neighbors' — Delta's
+    OPTIMIZE ZORDER BY on a partitioned table. The Morton scaling
+    stats stay global (one tiny aggregate): only ORDER matters for
+    clustering, and per-partition rescaling would buy nothing while
+    costing a groupBy.
 
     Clustered columns must be numeric (or date/timestamp, which order
     numerically): a string column would cast to all-NULL doubles, its
@@ -325,8 +336,14 @@ def write_parquet_zorder(
             )
     zc = "__cuplyr_zorder__"
     df = frame.df.withColumn(zc, morton)
+    pby = list(partition_by or [])
+    range_cols = [F.col(c) for c in pby] + [F.col(zc)]
     if num_files is not None:
-        df = df.repartitionByRange(num_files, F.col(zc))
+        df = df.repartitionByRange(num_files, *range_cols)
     else:
-        df = df.repartitionByRange(F.col(zc))
-    df.sortWithinPartitions(zc).drop(zc).write.mode(mode).parquet(path)
+        df = df.repartitionByRange(*range_cols)
+    df = df.sortWithinPartitions(*pby, zc).drop(zc)
+    writer = df.write.mode(mode)
+    if pby:
+        writer = writer.partitionBy(*pby)
+    writer.parquet(path)

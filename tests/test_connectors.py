@@ -691,8 +691,10 @@ def test_append_schema_recorded_and_type_checked(spark, tmp_path):
         )
 
     # VERDICT r7 #3: with the schema in the manifest, an append makes
-    # NO read-side filesystem round-trip — poison spark.read to prove
-    # the old per-append footer read is gone
+    # NO read-side filesystem round-trip for VALIDATION — poison
+    # spark.read to prove the old per-append footer read is gone.
+    # (collect_stats=False: the zone-map aggregate is a deliberate,
+    # separately-tested read of the batch, not a validation read.)
     batch = from_pandas(spark, pd.DataFrame({"k": [7], "v": ["g"]}))
     cls = type(spark)
     real_read = cls.read
@@ -705,7 +707,7 @@ def test_append_schema_recorded_and_type_checked(spark, tmp_path):
 
     try:
         cls.read = property(_poisoned)
-        append_snapshot(batch, d)
+        append_snapshot(batch, d, collect_stats=False)
     finally:
         cls.read = real_read
 
@@ -1182,8 +1184,10 @@ def test_append_partitioned_guards(spark, tmp_path):
         append_snapshot(from_pandas(spark, pdf), d, partition_by="user_id")
     with _pytest.raises(ValueError, match="not partition columns"):
         read_append_snapshot(spark, d, partition_filter={"user_id": 1})
-    with _pytest.raises(ValueError, match="zorder_by is not supported"):
-        compact_append_snapshot(spark, d, zorder_by=["value"])
+    # z-order WITHIN partitions is supported (test_zone_maps), but
+    # z-ordering a partition column itself is a refused no-op
+    with _pytest.raises(ValueError, match="are partition columns"):
+        compact_append_snapshot(spark, d, zorder_by=["event_type"])
     with _pytest.raises(ValueError, match="tail_append_changes"):
         stream_append_log(spark, d, "event_id long")
     d2 = str(tmp_path / "flat")

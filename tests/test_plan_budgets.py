@@ -176,6 +176,8 @@ EXCHANGE_BUDGETS = {
     "sketch_shard_distinct": 5,  # r8: shard-sketch agg + sketch-union agg + two-phase exact distinct (the verification side) + output sort; 5-row join broadcasts
     "heavy_hitter_tokens": 1,    # r8: one hash agg on (tok) with map-side combine; top-k is TakeOrderedAndProject
     "incremental_cross_dedup": 3,  # r8: same three as cross_corpus_dedup (existing-bucket agg + two semi-join flags); append/compaction staging ran eagerly
+    "zone_map_prune": 1,  # r10: one global agg over the stats-pruned scan; staging (appends + fold) runs eagerly before the plan
+    "sidecar_table_stats": 12,  # r10: all exchanges ride 1-row sidecar frames (collect_list folds + two 1-row verification joins); the only data-scale pass is the exact-percentile agg over events
     "date_functions": 0,
     "quantile_agg": 1,
 }

@@ -232,7 +232,11 @@ def test_zorder_within_partitions_compact(spark, tmp_path):
         {
             "part": np.where(rng.random(n) < 0.5, "a", "b"),
             "x": rng.integers(0, 1_000_000, n),
-            "pad": ["p" * 40] * n,
+            # incompressible pad so the fold spans several files
+            "pad": [
+                "".join(chr(97 + c) for c in row)
+                for row in rng.integers(0, 26, (n, 40))
+            ],
         }
     )
     d = str(tmp_path / "t")
@@ -243,7 +247,7 @@ def test_zorder_within_partitions_compact(spark, tmp_path):
     )
     append_snapshot(from_pandas(spark, pdf.iloc[half:]), d, batch_id=1)
     v = compact_append_snapshot(
-        spark, d, target_file_bytes=120_000, zorder_by=["x"]
+        spark, d, target_file_bytes=150_000, zorder_by=["x"]
     )
     assert v is not None
     out = read_append_snapshot(spark, d)
@@ -270,3 +274,106 @@ def test_zorder_within_partitions_compact(spark, tmp_path):
         ranges.sort()
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 <= lo2, f"files overlap on x within part={part}"
+
+
+# -- sketch sidecar -------------------------------------------------------
+
+
+def _sketch_table(spark, tmp_path):
+    d = str(tmp_path / "sk")
+    spec = {"distinct": ["u"], "histogram": {"v": [0.0, 100.0, 20]}}
+    append_snapshot(
+        from_pandas(
+            spark,
+            pd.DataFrame({"u": [1, 2, 3, 3], "v": [5.0, 15.0, 25.0, 95.0]}),
+        ),
+        d,
+        batch_id=0,
+        sketch_spec=spec,
+    )
+    append_snapshot(
+        from_pandas(
+            spark,
+            pd.DataFrame({"u": [3, 4, 5, 6], "v": [5.0, 45.0, 55.0, 65.0]}),
+        ),
+        d,
+        batch_id=1,
+    )
+    return d
+
+
+def test_sketch_sidecar_rows_and_merge(spark, tmp_path):
+    """One sidecar row per segment at ingest; table_stats folds them:
+    exact summed row count, HLL-union distinct estimate (exact at this
+    cardinality), exact element-wise histogram sum — and the fold
+    merges sidecars arithmetically, so stats are IDENTICAL across a
+    compaction."""
+    from cuplyr_spark.sources.connectors import table_stats
+
+    d = _sketch_table(spark, tmp_path)
+    log = _read_log(_TableFS(d))
+    for s in log["segments"]:
+        assert os.path.isdir(os.path.join(d, "_sketch", s))
+    before = table_stats(spark, d).df.first().asDict()
+    assert before["rows"] == 8
+    assert before["u_distinct_est"] == 6
+    assert sum(before["v_hist"]) == 8
+    v = compact_append_snapshot(spark, d, target_file_bytes=1 << 30)
+    assert v is not None
+    after = table_stats(spark, d).df.first().asDict()
+    assert after["rows"] == before["rows"]
+    assert after["u_distinct_est"] == before["u_distinct_est"]
+    assert list(after["v_hist"]) == list(before["v_hist"])
+    # the fold's own sidecar exists; quantiles run off the stats row
+    log = _read_log(_TableFS(d))
+    (fold,) = log["segments"]
+    assert os.path.isdir(os.path.join(d, "_sketch", fold))
+    from cuplyr_spark.operators.sketch import histogram_quantiles
+
+    q = histogram_quantiles(
+        table_stats(spark, d), [0.5], hist_col="v_hist", out="q"
+    ).df.first()["q"][0]
+    assert abs(q - 35.0) <= 5.0  # within one bin width of the true p50
+
+
+def test_sketch_sidecar_missing_row_recomputed(spark, tmp_path):
+    """A segment whose sidecar row is missing (pre-spec history,
+    manual deletion) is sketched on the fly — table_stats never
+    returns wrong numbers, it just pays that one segment's scan."""
+    from cuplyr_spark.sources.connectors import table_stats
+
+    d = _sketch_table(spark, tmp_path)
+    log = _read_log(_TableFS(d))
+    shutil.rmtree(os.path.join(d, "_sketch", log["segments"][0]))
+    out = table_stats(spark, d).df.first().asDict()
+    assert out["rows"] == 8
+    assert out["u_distinct_est"] == 6
+
+
+def test_sketch_spec_fixed_at_creation(spark, tmp_path):
+    d = _sketch_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="sketch_spec does not match"):
+        append_snapshot(
+            from_pandas(spark, pd.DataFrame({"u": [9], "v": [1.0]})),
+            d,
+            batch_id=2,
+            sketch_spec={"distinct": ["v"]},
+        )
+    with pytest.raises(ValueError, match="no sketch columns"):
+        append_snapshot(
+            from_pandas(spark, pd.DataFrame({"u": [9], "v": [1.0]})),
+            str(tmp_path / "sk2"),
+            sketch_spec={},
+        )
+
+
+def test_sketch_sidecar_vacuumed_with_segment(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import vacuum_append_snapshot
+
+    d = _sketch_table(spark, tmp_path)
+    log = _read_log(_TableFS(d))
+    seg0 = log["segments"][0]
+    compact_append_snapshot(spark, d, target_file_bytes=1 << 30)
+    removed = vacuum_append_snapshot(d, keep_last=1, orphan_grace_hours=0)
+    assert seg0 in removed
+    assert not os.path.exists(os.path.join(d, "_sketch", seg0))
