@@ -109,8 +109,13 @@ from cuplyr_spark.pipeline.similarity import (
 )
 from cuplyr_spark.sources.connectors import (
     ConcurrentWriteError,
+    append_snapshot,
+    read_append_changes,
+    read_append_snapshot,
     read_snapshot,
+    rollback_snapshot,
     snapshot_versions,
+    table_stats,
     upsert_snapshot,
     write_snapshot,
 )
