@@ -2032,6 +2032,7 @@ def tail_append_changes(
     process: "Callable[[Frame, int], None]",
     consumer_id: str = "__default__",
     partition_filter: dict | None = None,
+    stats_filter: dict | None = None,
 ) -> tuple[int, int]:
     """EXACTLY-ONCE batch-incremental consumer for an append table —
     the checkpointed driver around :func:`read_append_changes`, and
@@ -2072,7 +2073,9 @@ def tail_append_changes(
     pruning applies to both the bootstrap and every delta read, so a
     per-partition pipeline pays only its slice's bytes. The cursor
     still advances over the FULL log (the filter names what this
-    consumer processes, not where it is)."""
+    consumer processes, not where it is). ``stats_filter`` scopes it
+    by the zone maps the same way (e.g. a consumer tailing only a key
+    range of a time-ordered table)."""
     if "/" in consumer_id or not consumer_id.strip():
         raise ValueError(
             f"consumer_id {consumer_id!r} must be a non-empty name "
@@ -2090,7 +2093,8 @@ def tail_append_changes(
     up_to = cur["version"]
     if cursor_text is None:
         changes = read_append_snapshot(
-            spark, table_dir, version=up_to, partition_filter=partition_filter
+            spark, table_dir, version=up_to,
+            partition_filter=partition_filter, stats_filter=stats_filter,
         )
         process(changes, up_to)
         fs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")
@@ -2100,7 +2104,7 @@ def tail_append_changes(
         return (start, start)
     changes = read_append_changes(
         spark, table_dir, since_version=start, version=up_to,
-        partition_filter=partition_filter,
+        partition_filter=partition_filter, stats_filter=stats_filter,
     )
     process(changes, up_to)
     fs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")

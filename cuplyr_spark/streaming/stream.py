@@ -323,6 +323,8 @@ def stream_append_snapshot(
     zorder_by: list[str] | None = None,
     app_id: str | None = None,
     partition_by: list[str] | str | None = None,
+    collect_stats: bool = True,
+    sketch_spec: dict | None = None,
 ):
     """Continuous APPEND ingest into a log table
     (``connectors.append_snapshot``) — the insert-only twin of
@@ -359,7 +361,15 @@ def stream_append_snapshot(
     ingest layout): batch readers then prune directories — see
     ``append_snapshot(partition_by=)``. Note ``stream_append_log``
     cannot tail a partitioned table (file-source rows lack the
-    partition columns); tail with ``connectors.tail_append_changes``."""
+    partition columns); tail with ``connectors.tail_append_changes``.
+
+    ``collect_stats`` / ``sketch_spec`` pass through to
+    ``append_snapshot``: every microbatch segment gets manifest zone
+    maps (default on; one column-pruned aggregate ∝ the batch) and,
+    with a spec, a sketch-sidecar row — so a long-running stream's
+    table supports ``stats_filter`` pruning and
+    ``connectors.table_stats`` with no extra maintenance pass; the
+    compaction schedule merges both arithmetically."""
     from cuplyr_spark.sources.connectors import (
         append_snapshot,
         compact_append_snapshot,
@@ -381,6 +391,7 @@ def stream_append_snapshot(
         append_snapshot(
             Frame(batch_df, ()), table_dir, batch_id=batch_id,
             app_id=app_id, partition_by=partition_by,
+            collect_stats=collect_stats, sketch_spec=sketch_spec,
         )
         if compact_every is not None and batch_id % compact_every == (
             compact_every - 1

@@ -377,3 +377,195 @@ def test_sketch_sidecar_vacuumed_with_segment(spark, tmp_path):
     removed = vacuum_append_snapshot(d, keep_last=1, orphan_grace_hours=0)
     assert seg0 in removed
     assert not os.path.exists(os.path.join(d, "_sketch", seg0))
+
+
+# -- temporal bounds, combined filters, soundness fuzz, streaming ---------
+
+
+def test_stats_date_timestamp_bounds(spark, tmp_path):
+    """Date/timestamp zone maps: bounds are stored as zero-padded ISO
+    strings (lexicographic == value order) and user-supplied
+    date/datetime filter values normalize into the same domain, so a
+    date-range read prunes whole segments — the time-ordered ingest
+    case the feature exists for."""
+    import datetime as dt
+
+    d = str(tmp_path / "t")
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(10)]
+
+    def seg(ds):
+        return from_pandas(
+            spark,
+            pd.DataFrame(
+                {
+                    "day": pd.array(ds, dtype="object"),
+                    "ts": [
+                        dt.datetime.combine(x, dt.time(12, 30, 0)) for x in ds
+                    ],
+                    "n": range(len(ds)),
+                }
+            ),
+        )
+
+    append_snapshot(seg(days[:5]), d, batch_id=0)
+    append_snapshot(seg(days[5:]), d, batch_id=1)
+    log = _read_log(_TableFS(d))
+    seg0, seg1 = log["segments"]
+    assert log["stats"][seg0]["cols"]["day"] == [
+        "2024-01-01", "2024-01-05", 0,
+    ]
+    assert log["stats"][seg0]["cols"]["ts"][0].startswith("2024-01-01T12:30")
+    # a date-typed filter value prunes the first segment entirely
+    shutil.rmtree(os.path.join(d, seg0))
+    out = read_append_snapshot(
+        spark, d, stats_filter={"day": (">=", dt.date(2024, 1, 7))}
+    )
+    assert sorted(str(r["day"]) for r in out.df.collect()) == [
+        "2024-01-07", "2024-01-08", "2024-01-09", "2024-01-10",
+    ]
+    out = read_append_snapshot(
+        spark, d,
+        stats_filter={"ts": (">", dt.datetime(2024, 1, 8, 0, 0, 0))},
+    )
+    assert out.df.count() == 3
+
+
+def test_partition_and_stats_filters_combine(spark, tmp_path):
+    """Both manifest filters at once: partition_filter drops segments
+    by recorded partition values, stats_filter drops them by recorded
+    ranges, and the survivors get both residuals — exact."""
+    d = str(tmp_path / "t")
+    pdf = pd.DataFrame(
+        {
+            "part": ["a"] * 50 + ["b"] * 50,
+            "k": list(range(50)) + list(range(50)),
+        }
+    )
+    append_snapshot(
+        from_pandas(spark, pdf[pdf.k < 25]), d,
+        batch_id=0, partition_by=["part"],
+    )
+    append_snapshot(from_pandas(spark, pdf[pdf.k >= 25]), d, batch_id=1)
+    log = _read_log(_TableFS(d))
+    seg_lo, seg_hi = log["segments"]
+    shutil.rmtree(os.path.join(d, seg_lo))  # prune must skip it
+    out = read_append_snapshot(
+        spark, d,
+        partition_filter={"part": "a"},
+        stats_filter={"k": (">=", 30)},
+    )
+    assert sorted(r["k"] for r in out.df.collect()) == list(range(30, 50))
+    # manifest level dropped seg_lo (dir deleted above, read succeeded);
+    # directory level shows as a non-empty PartitionFilters entry in
+    # the executed plan (inputFiles() reports the pre-pruning listing,
+    # so it cannot witness directory pruning)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "PartitionFilters: []" not in plan
+
+
+def test_prune_soundness_brute_force():
+    """Pure-logic fuzz: for random integer segments and random
+    predicates, _seg_stats_match may only return False when NO value
+    in the segment satisfies the predicate — pruning must never be
+    unsound (dropping a segment that had matching rows)."""
+    import random
+
+    from cuplyr_spark.sources.connectors import (
+        _normalize_stats_filter,
+        _seg_stats_match,
+    )
+
+    rng = random.Random(42)
+    ops = ["==", "<", "<=", ">", ">=", "in"]
+    for _ in range(500):
+        n = rng.randint(0, 8)
+        vals = [rng.randint(-5, 5) for _ in range(n)]
+        nulls = rng.randint(0, 3)
+        rows = n + nulls
+        st = {
+            "rows": rows,
+            "cols": {
+                "k": [min(vals) if vals else None,
+                      max(vals) if vals else None, nulls]
+            },
+        }
+        op = rng.choice(ops)
+        v = [rng.randint(-6, 6) for _ in range(rng.randint(1, 3))] \
+            if op == "in" else rng.randint(-6, 6)
+        filt = _normalize_stats_filter(
+            {"k": (op, v)}, [["k", "bigint"]]
+        )
+
+        def sat(x):
+            if op == "==":
+                return x == v
+            if op == "<":
+                return x < v
+            if op == "<=":
+                return x <= v
+            if op == ">":
+                return x > v
+            if op == ">=":
+                return x >= v
+            return x in v
+
+        any_match = any(sat(x) for x in vals)
+        kept = _seg_stats_match(st, filt)
+        assert kept or not any_match, (
+            f"UNSOUND prune: vals={vals} nulls={nulls} op={op} v={v}"
+        )
+
+
+def test_stream_append_sink_stats_and_sidecar(spark, tmp_path):
+    """The streaming sink passes collect_stats/sketch_spec through:
+    after an availableNow run, the table has zone maps and a sidecar
+    row per microbatch segment, and table_stats is exact."""
+    from cuplyr_spark.sources.connectors import table_stats
+    from cuplyr_spark.streaming.stream import stream_append_snapshot
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pd.DataFrame({"k": range(100), "v": [float(i) for i in range(100)]}).to_parquet(
+        os.path.join(src, "a.parquet")
+    )
+    d = str(tmp_path / "t")
+    q = stream_append_snapshot(
+        spark.readStream.schema("k long, v double").parquet(src),
+        d,
+        checkpoint=str(tmp_path / "ck"),
+        sketch_spec={"distinct": ["k"], "histogram": {"v": [0.0, 100.0, 10]}},
+    )
+    q.awaitTermination(120)
+    log = _read_log(_TableFS(d))
+    (seg,) = log["segments"]
+    assert log["stats"][seg]["cols"]["k"] == [0, 99, 0]
+    assert os.path.isdir(os.path.join(d, "_sketch", seg))
+    st = table_stats(spark, d).df.first().asDict()
+    assert st["rows"] == 100 and st["k_distinct_est"] == 100
+
+
+def test_tail_consumer_stats_scoped(spark, tmp_path):
+    """A range-scoped exactly-once consumer: bootstrap and every delta
+    read prune by zone maps; the cursor still advances over the full
+    log."""
+    from cuplyr_spark.sources.connectors import tail_append_changes
+
+    d = str(tmp_path / "t")
+    cur = str(tmp_path / "cursors")
+    seen = []
+
+    def process(changes, up_to):
+        seen.append((sorted(r["k"] for r in changes.df.collect()), up_to))
+
+    append_snapshot(_batch(spark, 0, 100), d, batch_id=0)
+    tail_append_changes(
+        spark, d, cur, process, stats_filter={"k": ("<", 10)}
+    )
+    append_snapshot(_batch(spark, 100, 200), d, batch_id=1)  # all out of range
+    append_snapshot(_batch(spark, 200, 212), d, batch_id=2)
+    tail_append_changes(
+        spark, d, cur, process, stats_filter={"k": [(">=", 205), ("<", 300)]}
+    )
+    assert seen[0] == (list(range(10)), 1)
+    assert seen[1] == (list(range(205, 212)), 3)
