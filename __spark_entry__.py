@@ -3216,6 +3216,48 @@ def q_zone_map_prune(spark, sf_dir):
     )
 
 
+def q_dictionary_prune(spark, sf_dir):
+    """Dictionary zone maps (``connectors._segment_stats`` value
+    sets): events ingest as two segments split by CATEGORY — {click,
+    error} vs {purchase, signup, view}. The IN-filter values {click,
+    signup} straddle both segments' [min, max] ranges, so range-only
+    zone maps prune nothing; the recorded exact value SETS prove each
+    segment's membership and the read still returns exactly ``read +
+    filter`` (the residual predicate guards exactness)."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    d = _scratch_dir("dict_prune")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(
+        ev.filter("event_type in ('click', 'error')"), d, batch_id=0
+    )
+    append_snapshot(
+        ev.filter("event_type not in ('click', 'error')"), d, batch_id=1
+    )
+    out = read_append_snapshot(
+        spark, d, stats_filter={"event_type": ("in", ["click", "signup"])}
+    )
+    return out.df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("total"),
+    )
+
+
 def q_sidecar_table_stats(spark, sf_dir):
     """Sketch-sidecar table statistics (``connectors.table_stats``):
     events ingest as two appends with a sketch spec — each segment
@@ -3444,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cross_dedup": q_incremental_cross_dedup,
         "zone_map_prune": q_zone_map_prune,
         "sidecar_table_stats": q_sidecar_table_stats,
+        "dictionary_prune": q_dictionary_prune,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -5499,6 +5542,13 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS p50_within_bin,
                TRUE AS p90_within_bin
         FROM events
+    """
+    out["dictionary_prune"] = """
+        SELECT count(*) AS n,
+               min(event_id) AS min_id,
+               max(event_id) AS max_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM events WHERE event_type IN ('click', 'signup')
     """
     out["zone_map_prune"] = """
         SELECT count(*) AS n,

@@ -1081,6 +1081,11 @@ _STAT_TYPES = {
 }
 _STAT_STR_CAP = 64
 _STAT_OPS = {"==", "=", "<", "<=", ">", ">=", "in"}
+# dictionary zone maps: record the EXACT value set of a column when it
+# has at most this many distinct values in the segment — prunes
+# scattered equality keys (categoricals like event_type) that min/max
+# ranges cannot, the manifest analog of Iceberg's dictionary pruning
+_STAT_SET_CAP = 32
 
 
 def _stat_trunc_min(s: str) -> str:
@@ -1131,9 +1136,13 @@ def _stat_norm_value(v):
 def _segment_stats(spark, fs: _TableFS, seg: str, schema, pby) -> dict:
     """min/max/null-count per stat-eligible column of a just-written
     segment, via ONE column-pruned aggregate over the segment's
-    parquet (cost ∝ the batch's bytes, never the table's). Partition
-    columns are covered by the manifest partition map and skipped.
-    Shape: ``{"rows": n, "cols": {col: [min, max, nulls]}}``."""
+    parquet (cost ∝ the batch's bytes, never the table's), plus — for
+    columns an HLL estimate flags as low-cardinality — the EXACT value
+    set from one second tiny aggregate over just those columns
+    (dictionary zone map: prunes scattered equality keys min/max
+    cannot). Partition columns are covered by the manifest partition
+    map and skipped. Shape: ``{"rows": n, "cols": {col: [min, max,
+    nulls] | [min, max, nulls, values]}}``."""
     from pyspark.sql import functions as F
 
     types = dict(map(tuple, schema))
@@ -1148,8 +1157,33 @@ def _segment_stats(spark, fs: _TableFS, seg: str, schema, pby) -> dict:
             F.min(F.col(c)).alias(f"mn{i}"),
             F.max(F.col(c)).alias(f"mx{i}"),
             F.sum(F.isnull(F.col(c)).cast("long")).alias(f"nu{i}"),
+            F.approx_count_distinct(F.col(c)).alias(f"ad{i}"),
         ]
     row = sdf.agg(*aggs).first()
+    # second pass only over HLL-flagged candidates (margin over the
+    # cap because the estimate is approximate); the set itself is
+    # verified exactly driver-side before being recorded
+    cand = [
+        (i, c)
+        for i, c in enumerate(cols)
+        if (row[f"ad{i}"] or 0) <= _STAT_SET_CAP * 1.5
+    ]
+    sets: dict = {}
+    if cand:
+        row2 = sdf.agg(
+            *[F.collect_set(F.col(c)).alias(f"vs{i}") for i, c in cand]
+        ).first()
+        for i, c in cand:
+            vals = row2[f"vs{i}"]
+            if not vals or len(vals) > _STAT_SET_CAP:
+                continue  # empty = all-NULL (nonnull==0 already prunes)
+            if types[c] == "string" and any(
+                len(v) > _STAT_STR_CAP for v in vals
+            ):
+                continue  # don't bloat the manifest with long strings
+            sets[c] = sorted(
+                _stat_json(v, types[c]) for v in vals
+            )
     out = {}
     for i, c in enumerate(cols):
         t = types[c]
@@ -1158,7 +1192,10 @@ def _segment_stats(spark, fs: _TableFS, seg: str, schema, pby) -> dict:
         if t == "string":
             mn = None if mn is None else _stat_trunc_min(mn)
             mx = None if mx is None else _stat_trunc_max(mx)
-        out[c] = [mn, mx, int(row[f"nu{i}"] or 0)]
+        entry = [mn, mx, int(row[f"nu{i}"] or 0)]
+        if c in sets:
+            entry.append(sets[c])
+        out[c] = entry
     return {"rows": int(row["__n"]), "cols": out}
 
 
@@ -1173,19 +1210,31 @@ def _merge_segment_stats(sts: list) -> dict | None:
     cols = {}
     for c in common:
         mns, mxs, nulls = [], [], 0
+        vset: set | None = set()
         for st in sts:
-            mn, mx, nu = st["cols"][c]
+            entry = st["cols"][c]
+            mn, mx, nu = entry[0], entry[1], entry[2]
             nulls += nu
             if st["rows"] - nu > 0:  # contributes non-null values
                 mns.append(mn)
                 mxs.append(mx)
+                # value sets union exactly; any contributor without
+                # one makes the merged set unknown
+                sv = entry[3] if len(entry) > 3 else None
+                if vset is not None and sv is not None:
+                    vset |= set(sv)
+                else:
+                    vset = None
         merged_mn = (
             None if not mns or any(m is None for m in mns) else min(mns)
         )
         merged_mx = (
             None if not mxs or any(m is None for m in mxs) else max(mxs)
         )
-        cols[c] = [merged_mn, merged_mx, nulls]
+        merged = [merged_mn, merged_mx, nulls]
+        if vset is not None and 0 < len(vset) <= _STAT_SET_CAP:
+            merged.append(sorted(vset))
+        cols[c] = merged
     return {"rows": rows, "cols": cols}
 
 
@@ -1273,7 +1322,8 @@ def _seg_stats_match(st, filt: dict) -> bool:
         cs = cols.get(c)
         if cs is None:
             continue
-        mn, mx, nulls = cs
+        mn, mx, nulls = cs[0], cs[1], cs[2]
+        vset = set(cs[3]) if len(cs) > 3 else None
         nonnull = None if rows is None else rows - nulls
         for op, v in conds:
             if nonnull == 0:
@@ -1281,8 +1331,17 @@ def _seg_stats_match(st, filt: dict) -> bool:
             if op == "in":
                 if all(_range_excludes(mn, mx, "==", x) for x in v):
                     return False
-            elif _range_excludes(mn, mx, op, v):
-                return False
+                if vset is not None and not any(x in vset for x in v):
+                    return False  # dictionary: none of the values occur
+            else:
+                if _range_excludes(mn, mx, op, v):
+                    return False
+                if (
+                    op in ("==", "=")
+                    and vset is not None
+                    and v not in vset
+                ):
+                    return False  # dictionary: the value never occurs
     return True
 
 

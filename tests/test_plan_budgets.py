@@ -178,6 +178,7 @@ EXCHANGE_BUDGETS = {
     "incremental_cross_dedup": 3,  # r8: same three as cross_corpus_dedup (existing-bucket agg + two semi-join flags); append/compaction staging ran eagerly
     "zone_map_prune": 1,  # r10: one global agg over the stats-pruned scan; staging (appends + fold) runs eagerly before the plan
     "sidecar_table_stats": 12,  # r10: all exchanges ride 1-row sidecar frames (collect_list folds + two 1-row verification joins); the only data-scale pass is the exact-percentile agg over events
+    "dictionary_prune": 1,  # r10: one global agg over the dictionary-pruned scan; staging appends run eagerly
     "date_functions": 0,
     "quantile_agg": 1,
 }

@@ -411,7 +411,7 @@ def test_stats_date_timestamp_bounds(spark, tmp_path):
     append_snapshot(seg(days[5:]), d, batch_id=1)
     log = _read_log(_TableFS(d))
     seg0, seg1 = log["segments"]
-    assert log["stats"][seg0]["cols"]["day"] == [
+    assert log["stats"][seg0]["cols"]["day"][:3] == [
         "2024-01-01", "2024-01-05", 0,
     ]
     assert log["stats"][seg0]["cols"]["ts"][0].startswith("2024-01-01T12:30")
@@ -569,3 +569,122 @@ def test_tail_consumer_stats_scoped(spark, tmp_path):
     )
     assert seen[0] == (list(range(10)), 1)
     assert seen[1] == (list(range(205, 212)), 3)
+
+
+# -- dictionary zone maps (exact low-cardinality value sets) --------------
+
+
+def test_dictionary_set_prunes_scattered_equality(spark, tmp_path):
+    """Categorical columns: both segments span the SAME alphabetic
+    range (min/max can't separate them) but their value SETS differ —
+    equality and IN filters prune from the recorded dictionary."""
+    d = str(tmp_path / "t")
+    append_snapshot(
+        from_pandas(
+            spark,
+            pd.DataFrame({"t": ["apple", "zebra"] * 10, "n": range(20)}),
+        ),
+        d,
+        batch_id=0,
+    )
+    append_snapshot(
+        from_pandas(
+            spark,
+            pd.DataFrame({"t": ["ant", "zoo"] * 10, "n": range(20, 40)}),
+        ),
+        d,
+        batch_id=1,
+    )
+    log = _read_log(_TableFS(d))
+    seg0, seg1 = log["segments"]
+    assert log["stats"][seg0]["cols"]["t"][3] == ["apple", "zebra"]
+    assert log["stats"][seg1]["cols"]["t"][3] == ["ant", "zoo"]
+    # ranges overlap completely; only the dictionary can prune seg1
+    shutil.rmtree(os.path.join(d, seg1))
+    out = read_append_snapshot(spark, d, stats_filter={"t": "apple"})
+    assert out.df.count() == 10
+    out = read_append_snapshot(
+        spark, d, stats_filter={"t": ("in", ["apple", "zebra"])}
+    )
+    assert out.df.count() == 20
+
+
+def test_dictionary_set_fold_union_and_cap(spark, tmp_path):
+    """Folds union dictionaries exactly; a union past the cap drops
+    the set (range bounds remain); a high-cardinality column never
+    records one."""
+    from cuplyr_spark.sources.connectors import _STAT_SET_CAP
+
+    d = str(tmp_path / "t")
+    append_snapshot(
+        from_pandas(
+            spark,
+            pd.DataFrame({"t": ["a", "b"], "big": ["x0", "x1"]}),
+        ),
+        d,
+        batch_id=0,
+    )
+    append_snapshot(
+        from_pandas(
+            spark,
+            pd.DataFrame(
+                {
+                    "t": ["c", "d"],
+                    "big": [f"y{i}" for i in range(2)],
+                }
+            ),
+        ),
+        d,
+        batch_id=1,
+    )
+    compact_append_snapshot(spark, d, target_file_bytes=1 << 30)
+    log = _read_log(_TableFS(d))
+    (fold,) = log["segments"]
+    assert log["stats"][fold]["cols"]["t"][3] == ["a", "b", "c", "d"]
+    # high-cardinality column records no set at segment grain
+    d2 = str(tmp_path / "hc")
+    append_snapshot(
+        from_pandas(
+            spark,
+            pd.DataFrame({"k": [f"v{i:04d}" for i in range(500)]}),
+        ),
+        d2,
+        batch_id=0,
+    )
+    log2 = _read_log(_TableFS(d2))
+    (seg,) = log2["segments"]
+    assert len(log2["stats"][seg]["cols"]["k"]) == 3  # no dictionary
+    assert _STAT_SET_CAP == 32  # the documented knob
+
+
+def test_dictionary_soundness_brute_force():
+    """Fuzz the dictionary path too: with a recorded value set, a
+    prune may only happen when no segment value satisfies the
+    predicate."""
+    import random
+
+    from cuplyr_spark.sources.connectors import (
+        _STAT_SET_CAP,
+        _normalize_stats_filter,
+        _seg_stats_match,
+    )
+
+    rng = random.Random(7)
+    for _ in range(500):
+        n = rng.randint(1, 10)
+        vals = [rng.randint(-4, 4) for _ in range(n)]
+        st = {
+            "rows": n,
+            "cols": {
+                "k": [min(vals), max(vals), 0, sorted(set(vals))]
+            },
+        }
+        assert len(set(vals)) <= _STAT_SET_CAP
+        if rng.random() < 0.5:
+            v = rng.randint(-5, 5)
+            filt = _normalize_stats_filter({"k": ("==", v)}, [["k", "bigint"]])
+            assert _seg_stats_match(st, filt) or v not in vals
+        else:
+            vs = [rng.randint(-5, 5) for _ in range(rng.randint(1, 3))]
+            filt = _normalize_stats_filter({"k": ("in", vs)}, [["k", "bigint"]])
+            assert _seg_stats_match(st, filt) or not (set(vs) & set(vals))
