@@ -308,3 +308,51 @@ def test_vacuum_sweeps_pub_records(spark, tmp_path):
     assert "_PUB.3" in names and "_PUB.4" in names
     assert "_PUB.1" not in names and "_PUB.2" not in names
     assert latest_snapshot_version(d) == 4
+
+
+def test_rebase_carries_zone_maps_and_orphan_sidecar_swept(spark, tmp_path):
+    """The loser of a log-commit race rebases WITHOUT losing metadata:
+    its own segment's zone maps land in the rebased log alongside the
+    winner's. And a replay-race orphan's sketch sidecar is swept with
+    the orphan segment by vacuum."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        _read_log,
+        vacuum_append_snapshot,
+    )
+
+    d = str(tmp_path / "t")
+    append_snapshot(_df(spark, [(1, "a")]), d, batch_id=0, app_id="q")
+    _fake_competing_log(d, 2)  # winner (re-registers v1's segments)
+    v = append_snapshot(_df(spark, [(2, "b")]), d, batch_id=1, app_id="q")
+    assert v == 3
+    log = _read_log(_TableFS(d))
+    assert len(log["segments"]) == 2
+    # both segments carry zone maps in the rebased log
+    for s in log["segments"]:
+        assert log["stats"][s]["cols"]["k"][2] == 0  # nulls recorded
+    assert log["stats"][log["segments"][1]]["cols"]["k"][:2] == [2, 2]
+
+    # a crashed writer's orphan (segment written + sidecar written, log
+    # commit never happened — the exact on-disk state a kill between
+    # _write_segment_sketch and _write_log leaves): vacuum must sweep
+    # the sidecar together with the orphan segment
+    d2 = str(tmp_path / "t2")
+    spec = {"distinct": ["k"]}
+    append_snapshot(
+        _df(spark, [(1, "a")]), d2, batch_id=0, app_id="q",
+        sketch_spec=spec,
+    )
+    live = set(_read_log(_TableFS(d2))["segments"])
+    (seg1,) = live
+    orphan = "seg=2-deadbeef"
+    shutil.copytree(os.path.join(d2, seg1), os.path.join(d2, orphan))
+    shutil.copytree(
+        os.path.join(d2, "_sketch", seg1),
+        os.path.join(d2, "_sketch", orphan),
+    )
+    removed = vacuum_append_snapshot(d2, keep_last=2, orphan_grace_hours=0)
+    assert removed == [orphan]
+    assert not os.path.exists(os.path.join(d2, "_sketch", orphan))
+    assert os.path.isdir(os.path.join(d2, "_sketch", seg1))  # live kept
