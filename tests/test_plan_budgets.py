@@ -177,7 +177,7 @@ EXCHANGE_BUDGETS = {
     "heavy_hitter_tokens": 1,    # r8: one hash agg on (tok) with map-side combine; top-k is TakeOrderedAndProject
     "incremental_cross_dedup": 3,  # r8: same three as cross_corpus_dedup (existing-bucket agg + two semi-join flags); append/compaction staging ran eagerly
     "zone_map_prune": 1,  # r10: one global agg over the stats-pruned scan; staging (appends + fold) runs eagerly before the plan
-    "sidecar_table_stats": 12,  # r10: all exchanges ride 1-row sidecar frames (collect_list folds + two 1-row verification joins); the only data-scale pass is the exact-percentile agg over events
+    "sidecar_table_stats": 12,  # r10: all exchanges ride 1-row sidecar frames (collect_list folds + two 1-row verification joins); the only data-scale pass is the exact-percentile agg over events. The audit's BroadcastNestedLoopJoin here is the constant-key join of two GLOBAL AGGREGATES — both sides are exactly 1 row at ANY data scale, so the nested loop is 1x1 by construction, not a scale hazard
     "dictionary_prune": 1,  # r10: one global agg over the dictionary-pruned scan; staging appends run eagerly
     "date_functions": 0,
     "quantile_agg": 1,
