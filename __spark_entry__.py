@@ -3258,6 +3258,37 @@ def q_dictionary_prune(spark, sf_dir):
     )
 
 
+def q_bloom_point_lookup(spark, sf_dir):
+    """Sidecar bloom filters (``connectors._bloom_prune``): events
+    ingest as two segments split by event_id PARITY — scattered
+    high-cardinality keys where both segments span the full id range
+    (zone-map ranges prune nothing) and cardinality is far past the
+    dictionary cap — then equality/IN point lookups prune provably-
+    miss segments from one segment-count-bounded sidecar scan. A
+    bloom can only false-POSITIVE, so pruning is sound and the
+    residual predicate keeps the result exactly ``read + filter``."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    d = _scratch_dir("bloom_lookup")
+    shutil.rmtree(d, ignore_errors=True)
+    spec = {"bloom": {"event_id": [131072, 7]}}
+    append_snapshot(
+        ev.filter("event_id % 2 == 0"), d, batch_id=0, sketch_spec=spec
+    )
+    append_snapshot(ev.filter("event_id % 2 == 1"), d, batch_id=1)
+    out = read_append_snapshot(
+        spark, d,
+        stats_filter={"event_id": ("in", [40, 41, 202, 607])},
+    )
+    return out.df.select("event_id", "user_id", "value").orderBy("event_id")
+
+
 def q_sidecar_table_stats(spark, sf_dir):
     """Sketch-sidecar table statistics (``connectors.table_stats``):
     events ingest as two appends with a sketch spec — each segment
@@ -3487,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_map_prune": q_zone_map_prune,
         "sidecar_table_stats": q_sidecar_table_stats,
         "dictionary_prune": q_dictionary_prune,
+        "bloom_point_lookup": q_bloom_point_lookup,
         "date_functions": q_date_functions,
         "quantile_agg": q_quantile_agg,
     }
@@ -5542,6 +5574,11 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS p50_within_bin,
                TRUE AS p90_within_bin
         FROM events
+    """
+    out["bloom_point_lookup"] = """
+        SELECT event_id, user_id, value
+        FROM events WHERE event_id IN (40, 41, 202, 607)
+        ORDER BY event_id
     """
     out["dictionary_prune"] = """
         SELECT count(*) AS n,

@@ -1376,25 +1376,33 @@ def _stats_filter_cond(filt: dict):
 _SKETCH_DIR = "_sketch"
 
 
+# bloom-eligible types: values with a canonical string form identical
+# on the JVM (CAST AS STRING) and in Python (str()) — the two sides
+# must hash the same bytes
+_BLOOM_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+
+
 def _validate_sketch_spec(spec: dict, schema) -> dict:
     """Normalize/validate ``{"distinct": [col, ...], "histogram":
-    {col: [lo, hi, bins]}, "lgk": 12}`` against the table schema.
-    JSON-shaped on purpose — it is stamped into the log manifest."""
+    {col: [lo, hi, bins]}, "bloom": {col: [m_bits, k_hashes]},
+    "lgk": 12}`` against the table schema. JSON-shaped on purpose —
+    it is stamped into the log manifest."""
     if not isinstance(spec, dict):
         raise ValueError("sketch_spec must be a dict")
-    unknown = set(spec) - {"distinct", "histogram", "lgk"}
+    unknown = set(spec) - {"distinct", "histogram", "bloom", "lgk"}
     if unknown:
         raise ValueError(
             f"sketch_spec: unknown keys {sorted(unknown)} (use "
-            "'distinct', 'histogram', 'lgk')"
+            "'distinct', 'histogram', 'bloom', 'lgk')"
         )
-    cols = {n for n, _ in schema} if schema else None
+    cols = dict(map(tuple, schema)) if schema else None
     out: dict = {"lgk": int(spec.get("lgk", 12))}
     if not 4 <= out["lgk"] <= 21:
         raise ValueError("sketch_spec: lgk must be in [4, 21]")
     dist = list(spec.get("distinct") or [])
     hist = dict(spec.get("histogram") or {})
-    for c in dist + list(hist):
+    bloom = dict(spec.get("bloom") or {})
+    for c in dist + list(hist) + list(bloom):
         if cols is not None and c not in cols:
             raise ValueError(
                 f"sketch_spec: {c!r} is not a column of the table"
@@ -1407,21 +1415,91 @@ def _validate_sketch_spec(spec: dict, schema) -> dict:
                 f"bins >= 1, got {hspec!r}"
             )
         hist[c] = [float(lo), float(hi), int(bins)]
+    for c, bspec in bloom.items():
+        if cols is not None and cols[c] not in _BLOOM_TYPES:
+            raise ValueError(
+                f"sketch_spec: bloom on {c!r} ({cols[c]!r}) — only "
+                f"{sorted(_BLOOM_TYPES)} columns have a canonical "
+                "string form both sides hash identically"
+            )
+        m, k = int(bspec[0]), int(bspec[1])
+        if m % 64 or not 64 <= m <= 1 << 22 or not 1 <= k <= 16:
+            raise ValueError(
+                f"sketch_spec: bloom for {c!r} needs m a multiple of "
+                f"64 in [64, 4194304] and k in [1, 16], got {bspec!r}"
+            )
+        bloom[c] = [m, k]
     out["distinct"] = dist
     out["histogram"] = hist
-    if not dist and not hist:
+    out["bloom"] = bloom
+    if not dist and not hist and not bloom:
         raise ValueError("sketch_spec: no sketch columns given")
     return out
 
 
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """The k bit positions of a value, computed with sha256 over the
+    value's canonical string form + a seed suffix — replicated
+    EXACTLY by the JVM side (``sha2(concat(cast(col as string),
+    '|<i>'), 256)``), which is why bloom columns are restricted to
+    int/string types."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.sha256(f"{value}|{i}".encode()).hexdigest()[:15], 16
+        )
+        % m
+        for i in range(k)
+    ]
+
+
+def _bloom_might_contain(words: list[int], value, m: int, k: int) -> bool:
+    for pos in _bloom_positions(value, m, k):
+        if not (words[pos // 64] >> (pos % 64)) & 1:
+            return False
+    return True
+
+
+def _bloom_hash_cols(c: str, m: int, k: int):
+    """The k JVM-side position expressions — sha256 over the value's
+    canonical string form + '|<i>', first 15 hex chars as a long,
+    mod m. Mirrors :func:`_bloom_positions` byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    return [
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.col(c).cast("string"), F.lit(f"|{i}")
+                        ),
+                        256,
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+        for i in range(k)
+    ]
+
+
 def _segment_sketch_df(spark, fs: _TableFS, seg: str, spec: dict):
-    """ONE sidecar row for a segment: exact row count, one mergeable
-    DataSketches HLL binary per 'distinct' column, one fixed-bin
-    histogram array per 'histogram' column. One aggregate job for
-    rows+HLLs plus one per histogram column, each a column-pruned
-    scan of the segment only (cost ∝ the batch). The row is tiny
-    (KBs), so it is assembled driver-side and returned as a 1-row
-    DataFrame the caller writes or unions."""
+    """ONE sidecar row for a segment: the segment's name (so readers
+    can map sidecar rows back to segments in one multi-path scan),
+    exact row count, one mergeable DataSketches HLL binary per
+    'distinct' column, one fixed-bin histogram array per 'histogram'
+    column, one bloom-filter word array per 'bloom' column. One
+    aggregate job for rows+HLLs plus one per histogram/bloom column,
+    each a column-pruned scan of the segment only (cost ∝ the batch;
+    the bloom pass additionally ∝ k). The row is tiny (KBs), so it is
+    assembled driver-side and returned as a 1-row DataFrame the
+    caller writes or unions."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -1431,8 +1509,11 @@ def _segment_sketch_df(spark, fs: _TableFS, seg: str, spec: dict):
     for c in spec["distinct"]:
         aggs.append(F.hll_sketch_agg(F.col(c), lgk).alias(f"hll_{c}"))
     row = sdf.agg(*aggs).first()
-    data = {"rows": row["rows"]}
-    fields = [T.StructField("rows", T.LongType())]
+    data = {"seg": seg, "rows": row["rows"]}
+    fields = [
+        T.StructField("seg", T.StringType()),
+        T.StructField("rows", T.LongType()),
+    ]
     for c in spec["distinct"]:
         data[f"hll_{c}"] = row[f"hll_{c}"]
         fields.append(T.StructField(f"hll_{c}", T.BinaryType()))
@@ -1445,6 +1526,36 @@ def _segment_sketch_df(spark, fs: _TableFS, seg: str, spec: dict):
         data[f"hist_{c}"] = list(h["h"]) if h is not None else [0] * bins
         fields.append(
             T.StructField(f"hist_{c}", T.ArrayType(T.LongType()))
+        )
+    for c, (m, k) in (spec.get("bloom") or {}).items():
+        # k positions per row, exploded and folded into m/64 words by
+        # a partial-combined bit_or — the shuffle is <= m/64 longs per
+        # partition, never rows
+        posed = (
+            sdf.filter(F.col(c).isNotNull())
+            .select(
+                F.explode(F.array(*_bloom_hash_cols(c, m, k))).alias(
+                    "__p"
+                )
+            )
+        )
+        wm = (
+            posed.groupBy(
+                F.floor(F.col("__p") / 64).cast("int").alias("__w")
+            )
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, int(__p % 64))")
+                ).alias("__b")
+            )
+            .collect()
+        )
+        arr = [0] * (m // 64)
+        for r in wm:
+            arr[r["__w"]] = r["__b"]
+        data[f"bloom_{c}"] = arr
+        fields.append(
+            T.StructField(f"bloom_{c}", T.ArrayType(T.LongType()))
         )
     return spark.createDataFrame([data], T.StructType(fields))
 
@@ -1472,7 +1583,8 @@ def _merged_sketch_df(spark, fs: _TableFS, segs, spec: dict):
             parts.append(_segment_sketch_df(spark, fs, s, spec))
     df = parts[0]
     for p in parts[1:]:
-        df = df.unionByName(p)
+        # pre-r10 sidecar rows lack the seg column; tolerate the mix
+        df = df.unionByName(p, allowMissingColumns=True)
     aggs = [F.sum("rows").alias("rows")]
     for c in spec["distinct"]:
         aggs.append(F.hll_union_agg(F.col(f"hll_{c}")).alias(f"hll_{c}"))
@@ -1485,6 +1597,17 @@ def _merged_sketch_df(spark, fs: _TableFS, segs, spec: dict):
                     F.zip_with(acc, x, lambda a, b: a + b)
                 ),
             ).alias(f"hist_{c}")
+        )
+    for c in spec.get("bloom") or {}:
+        # bloom of a union is the word-wise OR of the blooms — exact
+        aggs.append(
+            F.aggregate(
+                F.collect_list(F.col(f"bloom_{c}")),
+                F.expr("cast(array() as array<bigint>)"),
+                lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+                    F.zip_with(acc, x, lambda a, b: a.bitwiseOR(b))
+                ),
+            ).alias(f"bloom_{c}")
         )
     return df.agg(*aggs)
 
@@ -1540,6 +1663,59 @@ def table_stats(
     return Frame(df.select(*sel), ())
 
 
+def _bloom_prune(spark, fs: _TableFS, log: dict, segs, sfilt: dict):
+    """Drop segments whose sidecar bloom filters prove every value of
+    an equality/IN condition absent. One multi-path scan over the
+    candidate segments' sidecar rows (cost ∝ segments, never data
+    bytes); segments without a sidecar are kept. A bloom can only
+    produce false POSITIVES, so pruning is always sound; the residual
+    predicate keeps the result exact either way."""
+    bloom = (log.get("sketch_spec") or {}).get("bloom") or {}
+    # per bloom column: the list of value-lists, one per AND-ed
+    # equality/IN condition (a segment is needed only if EVERY
+    # condition has at least one possibly-present value)
+    conds: dict[str, list[list]] = {}
+    for c, pairs in sfilt.items():
+        if c not in bloom:
+            continue
+        for op, v in pairs:
+            if op in ("==", "="):
+                conds.setdefault(c, []).append([v])
+            elif op == "in":
+                conds.setdefault(c, []).append(list(v))
+    if not conds:
+        return segs
+    with_side = [s for s in segs if fs.exists(f"{_SKETCH_DIR}/{s}")]
+    if not with_side:
+        return segs
+    rows = (
+        spark.read.parquet(
+            *[fs.join(f"{_SKETCH_DIR}/{s}") for s in with_side]
+        )
+        .select("seg", *[f"bloom_{c}" for c in conds])
+        .collect()
+    )
+    blooms = {r["seg"]: r for r in rows}
+
+    def needed(s: str) -> bool:
+        r = blooms.get(s)
+        if r is None:
+            return True  # no sidecar row / pre-seg-column row: keep
+        for c, vlists in conds.items():
+            words = r[f"bloom_{c}"]
+            if words is None:
+                continue
+            m, k = bloom[c]
+            for vlist in vlists:
+                if not any(
+                    _bloom_might_contain(words, v, m, k) for v in vlist
+                ):
+                    return False
+        return True
+
+    return [s for s in segs if needed(s)]
+
+
 def _normalize_pfilter(partition_filter: dict) -> dict[str, set]:
     """{col: value-or-list} → {col: set of string forms} — partition
     dir values are strings, so comparison happens in string space."""
@@ -1583,6 +1759,8 @@ def _read_segments(
         sfilt = _normalize_stats_filter(stats_filter, log.get("schema"))
         smap = log.get("stats") or {}
         segs = [s for s in segs if _seg_stats_match(smap.get(s), sfilt)]
+        if (log.get("sketch_spec") or {}).get("bloom"):
+            segs = _bloom_prune(spark, fs, log, segs, sfilt)
         stats_cond = _stats_filter_cond(sfilt)
 
     def _empty():
@@ -1732,16 +1910,28 @@ def append_snapshot(
     folded segments' stats arithmetically (no re-scan).
 
     ``sketch_spec`` (``{"distinct": [col, ...], "histogram": {col:
-    [lo, hi, bins]}, "lgk": 12}``) turns on the SKETCH SIDECAR: each
-    segment additionally gets one row of mergeable statistics — exact
-    row count, a DataSketches HLL per 'distinct' column, a fixed-bin
-    histogram per 'histogram' column — written under ``_sketch/`` at
-    ingest (cost ∝ the batch; one aggregate job plus one per
-    histogram column). :func:`table_stats` folds the sidecar rows
-    into whole-table statistics at cost ∝ live segments, never a
-    corpus rescan; compaction merges sidecars arithmetically. Like
-    ``partition_by``, the spec is stamped at table creation and
-    inherited afterwards (pass it again only identically).
+    [lo, hi, bins]}, "bloom": {col: [m_bits, k_hashes]}, "lgk": 12}``)
+    turns on the SKETCH SIDECAR: each segment additionally gets one
+    row of mergeable statistics — exact row count, a DataSketches HLL
+    per 'distinct' column, a fixed-bin histogram per 'histogram'
+    column, a bloom filter per 'bloom' column — written under
+    ``_sketch/`` at ingest (cost ∝ the batch; one aggregate job plus
+    one per histogram/bloom column). :func:`table_stats` folds the
+    sidecar rows into whole-table statistics at cost ∝ live segments,
+    never a corpus rescan; compaction merges sidecars arithmetically
+    (bloom of a union = word-wise OR). Like ``partition_by``, the
+    spec is stamped at table creation and inherited afterwards (pass
+    it again only identically).
+
+    Bloom columns close the pruning gap zone maps leave: an equality
+    lookup on a HIGH-CARDINALITY scattered key (user/doc/event ids)
+    where ranges are too wide and the ≤32-value dictionary too small.
+    ``stats_filter`` equality/IN reads consult the sidecar blooms in
+    one segment-count-bounded scan and drop provably-miss segments —
+    only false POSITIVES possible, so pruning is always sound. Size
+    ``m_bits`` at ~10-13 bits per expected distinct value per segment
+    (k≈7) for ~1% false-positive rate; an undersized bloom degrades
+    to no pruning, never to wrong rows.
 
     Concurrency: the data segment's name is unique, so racing
     appenders never collide on data; the log commit is an atomic
@@ -2328,11 +2518,16 @@ def compact_append_snapshot(
     if spec is not None:
         log["sketch_spec"] = spec
         # fold the folded segments' sidecar rows arithmetically (HLL
-        # union + histogram sum + exact row-count sum); any segment
-        # missing its sidecar is sketched from its data on the fly
-        _merged_sketch_df(spark, fs, fold, spec).coalesce(1).write.mode(
-            "errorifexists"
-        ).parquet(fs.join(f"{_SKETCH_DIR}/{seg}"))
+        # union + histogram sum + bloom word-OR + exact row-count
+        # sum); any segment missing its sidecar is sketched from its
+        # data on the fly
+        from pyspark.sql import functions as F
+
+        _merged_sketch_df(spark, fs, fold, spec).withColumn(
+            "seg", F.lit(seg)
+        ).coalesce(1).write.mode("errorifexists").parquet(
+            fs.join(f"{_SKETCH_DIR}/{seg}")
+        )
     return _write_log(fs, log)
 
 

@@ -179,6 +179,7 @@ EXCHANGE_BUDGETS = {
     "zone_map_prune": 1,  # r10: one global agg over the stats-pruned scan; staging (appends + fold) runs eagerly before the plan
     "sidecar_table_stats": 12,  # r10: all exchanges ride 1-row sidecar frames (collect_list folds + two 1-row verification joins); the only data-scale pass is the exact-percentile agg over events. The audit's BroadcastNestedLoopJoin here is the constant-key join of two GLOBAL AGGREGATES — both sides are exactly 1 row at ANY data scale, so the nested loop is 1x1 by construction, not a scale hazard
     "dictionary_prune": 1,  # r10: one global agg over the dictionary-pruned scan; staging appends run eagerly
+    "bloom_point_lookup": 2,  # r10: bloom-pruned scan + orderBy (range exchange, AQE-counted); the sidecar probe is a separate tiny segment-count-bounded job
     "date_functions": 0,
     "quantile_agg": 1,
 }

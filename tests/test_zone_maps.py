@@ -688,3 +688,89 @@ def test_dictionary_soundness_brute_force():
             vs = [rng.randint(-5, 5) for _ in range(rng.randint(1, 3))]
             filt = _normalize_stats_filter({"k": ("in", vs)}, [["k", "bigint"]])
             assert _seg_stats_match(st, filt) or not (set(vs) & set(vals))
+
+
+# -- bloom sidecar (point-lookup pruning for high-cardinality keys) -------
+
+
+def _bloom_table(spark, tmp_path, m=131072, k=7):
+    d = str(tmp_path / "bl")
+    spec = {"bloom": {"uid": [m, k]}}
+    append_snapshot(
+        from_pandas(spark, pd.DataFrame({"uid": list(range(0, 20000, 2))})),
+        d, batch_id=0, sketch_spec=spec,
+    )
+    append_snapshot(
+        from_pandas(spark, pd.DataFrame({"uid": list(range(1, 20000, 2))})),
+        d, batch_id=1,
+    )
+    return d
+
+
+def test_bloom_prunes_point_lookup(spark, tmp_path):
+    """High-cardinality scattered ids: ranges fully overlap and the
+    dictionary is way past its cap, so only the sidecar bloom can
+    prune — proven by deleting the non-matching segment's dir. A
+    value present nowhere prunes everything (empty frame, table
+    schema). No false negatives by construction (fuzzed below)."""
+    d = _bloom_table(spark, tmp_path)
+    log = _read_log(_TableFS(d))
+    s_even, s_odd = log["segments"]
+    assert len(log["stats"][s_even]["cols"]["uid"]) == 3  # no dictionary
+    shutil.rmtree(os.path.join(d, s_odd))
+    out = read_append_snapshot(spark, d, stats_filter={"uid": 4242})
+    assert [r["uid"] for r in out.df.collect()] == [4242]
+    out = read_append_snapshot(
+        spark, d, stats_filter={"uid": ("in", [100, 4242])}
+    )
+    assert sorted(r["uid"] for r in out.df.collect()) == [100, 4242]
+    # also delete the even segment: a nowhere-present id reads as empty
+    shutil.rmtree(os.path.join(d, s_even))
+    out = read_append_snapshot(spark, d, stats_filter={"uid": 20001})
+    assert out.df.count() == 0
+    assert out.df.columns == ["uid"]
+
+
+def test_bloom_no_false_negatives(spark, tmp_path):
+    """A bloom may only produce false positives: every PRESENT value
+    must survive pruning. Deterministic (fixed data + sha256)."""
+    import random
+
+    d = _bloom_table(spark, tmp_path)
+    rng = random.Random(11)
+    for v in [rng.randrange(0, 20000) for _ in range(40)]:
+        got = read_append_snapshot(
+            spark, d, stats_filter={"uid": v}
+        ).df.count()
+        assert got == 1, f"false negative for uid={v}"
+
+
+def test_bloom_fold_merges_word_or(spark, tmp_path):
+    """Compaction ORs the folded blooms word-wise (bloom of the union
+    — exact): lookups keep pruning and keep finding through the
+    fold."""
+    d = _bloom_table(spark, tmp_path)
+    v = compact_append_snapshot(spark, d, target_file_bytes=1 << 30)
+    assert v is not None
+    log = _read_log(_TableFS(d))
+    (fold,) = log["segments"]
+    assert os.path.isdir(os.path.join(d, "_sketch", fold))
+    out = read_append_snapshot(spark, d, stats_filter={"uid": 4242})
+    assert [r["uid"] for r in out.df.collect()] == [4242]
+    # nowhere-present id still prunes the (only) fold segment
+    out = read_append_snapshot(spark, d, stats_filter={"uid": 20001})
+    assert out.df.count() == 0
+
+
+def test_bloom_validation(spark, tmp_path):
+    base = from_pandas(
+        spark, pd.DataFrame({"uid": [1], "x": [1.5]})
+    )
+    with pytest.raises(ValueError, match="multiple of"):
+        append_snapshot(
+            base, str(tmp_path / "a"), sketch_spec={"bloom": {"uid": [100, 5]}}
+        )
+    with pytest.raises(ValueError, match="canonical string"):
+        append_snapshot(
+            base, str(tmp_path / "b"), sketch_spec={"bloom": {"x": [4096, 5]}}
+        )
