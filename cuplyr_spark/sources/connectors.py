@@ -1423,10 +1423,12 @@ def _validate_sketch_spec(spec: dict, schema) -> dict:
                 "string form both sides hash identically"
             )
         m, k = int(bspec[0]), int(bspec[1])
-        if m % 64 or not 64 <= m <= 1 << 22 or not 1 <= k <= 16:
+        # cap: 2^28 bits = 32 MiB of words per segment per column —
+        # sized for ~25M distinct values/segment at ~10 bits each
+        if m % 64 or not 64 <= m <= 1 << 28 or not 1 <= k <= 16:
             raise ValueError(
                 f"sketch_spec: bloom for {c!r} needs m a multiple of "
-                f"64 in [64, 4194304] and k in [1, 16], got {bspec!r}"
+                f"64 in [64, 268435456] and k in [1, 16], got {bspec!r}"
             )
         bloom[c] = [m, k]
     out["distinct"] = dist
@@ -1688,32 +1690,36 @@ def _bloom_prune(spark, fs: _TableFS, log: dict, segs, sfilt: dict):
     with_side = [s for s in segs if fs.exists(f"{_SKETCH_DIR}/{s}")]
     if not with_side:
         return segs
+    from pyspark.sql import functions as F
+
+    # membership tests run JVM-side against the k specific word
+    # positions of each value — the (possibly MBs-large) word arrays
+    # never leave the executors; only (seg, keep) booleans come back
+    def probe(c: str, v) -> str:
+        m, k = bloom[c]
+        bits = " AND ".join(
+            f"((shiftright(element_at(`bloom_{c}`, {pos // 64 + 1}), "
+            f"{pos % 64}) & 1) = 1)"
+            for pos in _bloom_positions(v, m, k)
+        )
+        return f"({bits})"
+
+    keep_sql = " AND ".join(
+        f"(`bloom_{c}` IS NULL OR ("
+        + " OR ".join(probe(c, v) for v in vlist)
+        + "))"
+        for c, vlists in conds.items()
+        for vlist in vlists
+    )
     rows = (
         spark.read.parquet(
             *[fs.join(f"{_SKETCH_DIR}/{s}") for s in with_side]
         )
-        .select("seg", *[f"bloom_{c}" for c in conds])
+        .select("seg", F.expr(keep_sql).alias("__keep"))
         .collect()
     )
-    blooms = {r["seg"]: r for r in rows}
-
-    def needed(s: str) -> bool:
-        r = blooms.get(s)
-        if r is None:
-            return True  # no sidecar row / pre-seg-column row: keep
-        for c, vlists in conds.items():
-            words = r[f"bloom_{c}"]
-            if words is None:
-                continue
-            m, k = bloom[c]
-            for vlist in vlists:
-                if not any(
-                    _bloom_might_contain(words, v, m, k) for v in vlist
-                ):
-                    return False
-        return True
-
-    return [s for s in segs if needed(s)]
+    doomed = {r["seg"] for r in rows if r["__keep"] is False}
+    return [s for s in segs if s not in doomed]
 
 
 def _normalize_pfilter(partition_filter: dict) -> dict[str, set]:
