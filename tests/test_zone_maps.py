@@ -774,3 +774,21 @@ def test_bloom_validation(spark, tmp_path):
         append_snapshot(
             base, str(tmp_path / "b"), sketch_spec={"bloom": {"x": [4096, 5]}}
         )
+
+
+def test_stats_filter_without_stats_is_exact(spark, tmp_path):
+    """A table ingested with collect_stats=False has no zone maps:
+    stats_filter prunes nothing but the residual predicate still makes
+    the result exactly read + filter — the degrade path is never
+    wrong, merely unpruned."""
+    d = str(tmp_path / "t")
+    append_snapshot(_batch(spark, 0, 100), d, batch_id=0, collect_stats=False)
+    append_snapshot(_batch(spark, 100, 200), d, batch_id=1, collect_stats=False)
+    log = _read_log(_TableFS(d))
+    assert "stats" not in log
+    out = read_append_snapshot(spark, d, stats_filter={"k": (">=", 150)})
+    assert sorted(r["k"] for r in out.df.collect()) == list(range(150, 200))
+    # and a mixed table (one stats-less, one with stats) stays exact
+    append_snapshot(_batch(spark, 200, 300), d, batch_id=2)
+    out = read_append_snapshot(spark, d, stats_filter={"k": ("<", 120)})
+    assert sorted(r["k"] for r in out.df.collect()) == list(range(0, 120))
