@@ -110,6 +110,8 @@ from cuplyr_spark.pipeline.similarity import (
 from cuplyr_spark.sources.connectors import (
     ConcurrentWriteError,
     append_snapshot,
+    delete_append_rows,
+    update_append_rows,
     read_append_changes,
     read_append_snapshot,
     read_snapshot,

@@ -1646,7 +1646,15 @@ def table_stats(
             "with append_snapshot(..., sketch_spec={...})"
         )
     df = _merged_sketch_df(spark, fs, log["segments"], spec)
-    sel = [F.col("rows")]
+    # deletion vectors: sidecars are add-only, but the manifest's
+    # delete_counts are exactly additive (the delete scan reads through
+    # existing DVs, so a row is never marked twice) — subtracting them
+    # keeps `rows` EXACT under merge-on-read deletes. Distinct/histogram
+    # sketches still include deleted rows (upper bounds) until a
+    # compaction materializes the deletes and re-sketches.
+    cmap = log.get("delete_counts") or {}
+    deleted = sum(int(cmap.get(s, 0)) for s in log["segments"])
+    sel = [(F.col("rows") - F.lit(deleted)).cast("long").alias("rows")]
     for c in spec["distinct"]:
         sel.append(
             F.hll_sketch_estimate(F.col(f"hll_{c}"))
@@ -1722,6 +1730,113 @@ def _bloom_prune(spark, fs: _TableFS, log: dict, segs, sfilt: dict):
     return [s for s in segs if s not in doomed]
 
 
+_DELETE_DIR = "_delete"
+_DV_SEG, _DV_FILE, _DV_POS = "__dv_seg", "__dv_file", "__dv_pos"
+
+
+def _with_dv_meta(df):
+    """Attach the (segment, file-within-segment, row position) address
+    columns derived from the scan's hidden ``_metadata`` struct — the
+    jar-free DELETION VECTOR row address. Parquet ``row_index`` is a
+    per-physical-file position and segment files are immutable, so the
+    address is stable across readers, mount points, and filesystem
+    schemes (the segment/file parts are regex-derived RELATIVE paths,
+    not absolute URIs). Greedy prefixes bind to the LAST ``seg=`` /
+    ``fold=`` path component, so even a table nested under another
+    table's segment dir resolves its own segment."""
+    from pyspark.sql import functions as F
+
+    fp = F.col("_metadata.file_path")
+    return (
+        df.withColumn(
+            _DV_SEG, F.regexp_extract(fp, r".*/((?:seg|fold)=[^/]+)/", 1)
+        )
+        .withColumn(
+            _DV_FILE,
+            F.regexp_extract(fp, r".*/(?:seg|fold)=[^/]+/(.*)$", 1),
+        )
+        .withColumn(_DV_POS, F.col("_metadata.row_index"))
+    )
+
+
+def _dv_frame(spark, fs: _TableFS, log: dict, segs):
+    """Union-read the deletion-vector parquets covering ``segs`` (each
+    a tiny table of (seg, file, pos) row addresses), restricted to
+    those segments. One DV file can cover many segments (one DELETE
+    touching several); each distinct file is read once. Returns None
+    when no covered segment carries deletes."""
+    from pyspark.sql import functions as F
+
+    dmap = log.get("deletes") or {}
+    dirs = sorted({d for s in segs for d in dmap.get(s, ())})
+    if not dirs:
+        return None
+    df = spark.read.parquet(*[fs.join(d) for d in dirs])
+    return df.filter(F.col("seg").isin([s for s in segs if dmap.get(s)]))
+
+
+def _anti_dv(df, dv):
+    """LEFT ANTI join a position-addressed scan against its deletion
+    vectors on the (seg, file, pos) address. Equi-keys, so Spark plans
+    a BroadcastHashJoin when the DV side is small (the common case —
+    AQE decides from the actual size): map-side, no shuffle of the
+    data. Keeps the address columns; callers drop them."""
+    from pyspark.sql import functions as F
+
+    if dv is None:
+        return df
+    return df.alias("l").join(
+        dv.alias("r"),
+        on=[
+            F.col(f"l.{_DV_SEG}") == F.col("r.seg"),
+            F.col(f"l.{_DV_FILE}") == F.col("r.file"),
+            F.col(f"l.{_DV_POS}") == F.col("r.pos"),
+        ],
+        how="left_anti",
+    )
+
+
+def _scan_with_dv(spark, fs: _TableFS, log: dict, segs):
+    """Scan ``segs`` with the (seg, file, pos) address columns attached
+    and every EXISTING deletion vector already applied — the input the
+    row-level write paths (:func:`delete_append_rows` /
+    :func:`update_append_rows`) start from, so a second delete never
+    re-marks rows an earlier one already removed (which keeps the
+    manifest's ``delete_counts`` exactly additive)."""
+    pby = log.get("partition_by") or []
+    schema = log.get("schema")
+    if not pby:
+        df = _with_dv_meta(spark.read.parquet(*[fs.join(s) for s in segs]))
+    else:
+        conf = spark.conf
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = conf.get(key)
+        conf.set(key, "false")
+        try:
+            ext = list(schema) + [
+                [_DV_SEG, "string"],
+                [_DV_FILE, "string"],
+                [_DV_POS, "bigint"],
+            ]
+            parts = [
+                _conform_schema(
+                    _with_dv_meta(
+                        spark.read.option("basePath", fs.join(s)).parquet(
+                            fs.join(s)
+                        )
+                    ),
+                    ext,
+                )
+                for s in segs
+            ]
+        finally:
+            conf.set(key, prev)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+    return _anti_dv(df, _dv_frame(spark, fs, log, segs))
+
+
 def _normalize_pfilter(partition_filter: dict) -> dict[str, set]:
     """{col: value-or-list} → {col: set of string forms} — partition
     dir values are strings, so comparison happens in string space."""
@@ -1774,6 +1889,23 @@ def _read_segments(
         ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
         return spark.createDataFrame([], ddl)
 
+    dmap = log.get("deletes") or {}
+    cmap = log.get("delete_counts") or {}
+    if cmap:
+        # a segment whose EXACT delete count has reached its recorded
+        # zone-map row count is fully deleted: contribute nothing —
+        # no listing, no DV read (counts are additive-exact because
+        # the delete scan reads through existing DVs)
+        smap = log.get("stats") or {}
+        segs = [
+            s
+            for s in segs
+            if not (
+                s in cmap
+                and (smap.get(s) or {}).get("rows") is not None
+                and int(cmap[s]) >= int(smap[s]["rows"])
+            )
+        ]
     pby = log.get("partition_by") or []
     if not pby:
         if partition_filter:
@@ -1783,7 +1915,28 @@ def _read_segments(
             )
         if not segs:
             return _empty()
-        df = spark.read.parquet(*[fs.join(s) for s in segs])
+        # deletion vectors: segments WITHOUT deletes take the plain
+        # multi-path scan untouched (the common case pays nothing);
+        # segments WITH deletes are scanned position-addressed and
+        # anti-joined against their DVs (equi-key broadcast-hash, no
+        # data shuffle)
+        clean = [s for s in segs if not dmap.get(s)]
+        dirty = [s for s in segs if dmap.get(s)]
+        parts = []
+        if clean:
+            parts.append(spark.read.parquet(*[fs.join(s) for s in clean]))
+        if dirty:
+            raw = _with_dv_meta(
+                spark.read.parquet(*[fs.join(s) for s in dirty])
+            )
+            parts.append(
+                _anti_dv(raw, _dv_frame(spark, fs, log, dirty)).drop(
+                    _DV_SEG, _DV_FILE, _DV_POS
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df.filter(stats_cond) if stats_cond is not None else df
     pmap = log.get("partitions") or {}
     pf = _normalize_pfilter(partition_filter) if partition_filter else None
@@ -1827,14 +1980,32 @@ def _read_segments(
     prev = conf.get(key)
     conf.set(key, "false")
     try:
-        parts = []
+        parts, dirty_parts = [], []
+        ext = list(schema) + [
+            [_DV_SEG, "string"],
+            [_DV_FILE, "string"],
+            [_DV_POS, "bigint"],
+        ]
         for s in segs:
             df = spark.read.option("basePath", fs.join(s)).parquet(fs.join(s))
             if conds is not None:
                 df = df.filter(conds)
-            parts.append(_conform_schema(df, schema))
+            if dmap.get(s):
+                # delete-carrying segment: conform WITH the position
+                # address columns so the DV anti-join below can apply
+                dirty_parts.append(_conform_schema(_with_dv_meta(df), ext))
+            else:
+                parts.append(_conform_schema(df, schema))
     finally:
         conf.set(key, prev)
+    if dirty_parts:
+        dirty = dirty_parts[0]
+        for p in dirty_parts[1:]:
+            dirty = dirty.unionByName(p)
+        dirty = _anti_dv(
+            dirty, _dv_frame(spark, fs, log, [s for s in segs if dmap.get(s)])
+        ).drop(_DV_SEG, _DV_FILE, _DV_POS)
+        parts.append(dirty)
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -2068,6 +2239,10 @@ def append_snapshot(
             }
         if spec is not None:
             log["sketch_spec"] = spec
+        if cur and cur.get("deletes"):  # deletion vectors carry through
+            log["deletes"] = cur["deletes"]
+        if cur and cur.get("delete_counts"):
+            log["delete_counts"] = cur["delete_counts"]
         try:
             return _write_log(fs, log)
         except ConcurrentWriteError:
@@ -2138,6 +2313,10 @@ def reset_append_watermark(
         log["stats"] = cur["stats"]
     if cur.get("sketch_spec"):
         log["sketch_spec"] = cur["sketch_spec"]
+    if cur.get("deletes"):  # deletion vectors carry through
+        log["deletes"] = cur["deletes"]
+    if cur.get("delete_counts"):
+        log["delete_counts"] = cur["delete_counts"]
     return _write_log(fs, log)
 
 
@@ -2195,6 +2374,7 @@ def read_append_changes(
     version: int | None = None,
     partition_filter: dict | None = None,
     stats_filter: dict | None = None,
+    apply_deletes: bool = False,
 ) -> Frame:
     """Incremental read: ONLY the rows appended after log version
     ``since_version`` (exclusive) up to ``version`` (inclusive; default
@@ -2272,12 +2452,332 @@ def read_append_changes(
     synth = dict(cur)
     synth["partitions"] = {**(cur.get("partitions") or {}), **added_pmap}
     synth["stats"] = {**(cur.get("stats") or {}), **added_stats}
+    if not apply_deletes:
+        # CDF default: rows AS APPENDED — later row-level deletes don't
+        # rewrite change history (the Delta CDF model, where a delete
+        # is its own change event). apply_deletes=True instead filters
+        # the window through the END version's deletion vectors, for
+        # consumers that want "new rows still live as of `version`".
+        synth["deletes"] = {}
     return Frame(
         _read_segments(
             spark, fs, synth, new_segs, partition_filter, stats_filter
         ),
         (),
     )
+
+
+def _rm_dir(fs: _TableFS, rel: str) -> None:
+    target = fs.join(rel)
+    if fs.remote:
+        fs._fs.delete(fs._jpath(target), True)
+    else:
+        import shutil
+
+        shutil.rmtree(target, ignore_errors=True)
+
+
+def _log_with_extras(cur: dict, n: int, segments: list[str]) -> dict:
+    """A new log version carrying every metadata family forward for the
+    surviving ``segments`` — the one place the carry rules live so a
+    publish path can't silently drop deletion vectors or zone maps."""
+    log = {
+        "version": n,
+        "segments": segments,
+        "watermarks": _log_watermarks(cur),
+        "schema": cur.get("schema"),
+    }
+    live = set(segments)
+    if cur.get("partition_by"):
+        log["partition_by"] = cur["partition_by"]
+        pmap = cur.get("partitions") or {}
+        log["partitions"] = {s: pmap[s] for s in segments if s in pmap}
+    smap = cur.get("stats") or {}
+    kept_stats = {s: smap[s] for s in segments if s in smap}
+    if kept_stats:
+        log["stats"] = kept_stats
+    if cur.get("sketch_spec"):
+        log["sketch_spec"] = cur["sketch_spec"]
+    dmap = {
+        s: v for s, v in (cur.get("deletes") or {}).items()
+        if s in live and v
+    }
+    if dmap:
+        log["deletes"] = dmap
+    cmap = {
+        s: v for s, v in (cur.get("delete_counts") or {}).items()
+        if s in live and v
+    }
+    if cmap:
+        log["delete_counts"] = cmap
+    return log
+
+
+def _dv_conflict_check(cur: dict, new: dict, touched) -> None:
+    """Serializable row-level semantics for the DV publish rebase: a
+    concurrent APPEND only adds segments (our row addresses stay
+    valid — rebase freely), but a concurrent compaction that folded a
+    touched segment, or a concurrent delete/update that marked new
+    rows in one, invalidates what this operation scanned — surface
+    :class:`ConcurrentWriteError` so the caller re-runs against fresh
+    data (Delta raises on concurrent row-level ops the same way)."""
+    live = set(new["segments"])
+    old_d, new_d = cur.get("deletes") or {}, new.get("deletes") or {}
+    gone = [s for s in touched if s not in live]
+    changed = [s for s in touched if new_d.get(s, []) != old_d.get(s, [])]
+    if gone or changed:
+        raise ConcurrentWriteError(
+            "row-level write lost a race: "
+            + (f"segments {gone} were compacted away; " if gone else "")
+            + (f"segments {changed} got concurrent deletes; " if changed else "")
+            + "re-run the delete/update against the new log version"
+        )
+
+
+def delete_append_rows(
+    spark: SparkSession,
+    table_dir: str,
+    where,
+) -> tuple[int, int]:
+    """Row-level DELETE on an append table WITHOUT rewriting data — the
+    jar-free deletion-vector (merge-on-read) analog of Delta/Iceberg
+    DVs. Matching rows are addressed by (segment, file-within-segment,
+    parquet row position — the scan's ``_metadata.row_index``) and the
+    addresses written as a tiny ``_delete/dv=*`` parquet; a new log
+    version maps each touched segment to its DV files. Readers apply
+    DVs as a broadcast anti-join over ONLY the delete-carrying
+    segments (clean segments scan untouched), so at 100 TB a DELETE
+    costs one scan of the candidate segments plus DV bytes ∝ deleted
+    rows — never a table rewrite. Compaction MATERIALIZES deletes (the
+    fold reads through DVs) and drops them; vacuum sweeps DV files
+    with their history.
+
+    ``where`` is either the ``stats_filter`` dict form (``{col: value
+    | (op, value) | [(op, value), ...]}``) — which prunes candidate
+    segments through zone maps / dictionaries / bloom sidecars before
+    any scan, the fast path for range or key deletes (GDPR id purges) —
+    or any :meth:`Frame.filter` predicate (string/Column), which scans
+    every live segment.
+
+    Already-deleted rows are never re-marked (the matching scan reads
+    through existing DVs), so the manifest's ``delete_counts`` stay
+    exactly additive — :func:`table_stats` subtracts them for an exact
+    live-row count. Time travel to pre-delete versions still sees the
+    rows (the data files are untouched). Concurrency: rebases over
+    concurrent APPENDS; a concurrent compaction/delete touching the
+    same segments raises :class:`ConcurrentWriteError` (re-run).
+
+    Returns ``(published_version, rows_deleted)``; a no-match delete
+    publishes nothing and returns the current version."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    segs = list(cur["segments"])
+    if isinstance(where, dict):
+        sfilt = _normalize_stats_filter(where, cur.get("schema"))
+        smap = cur.get("stats") or {}
+        segs = [s for s in segs if _seg_stats_match(smap.get(s), sfilt)]
+        if (cur.get("sketch_spec") or {}).get("bloom"):
+            segs = _bloom_prune(spark, fs, cur, segs, sfilt)
+        cond = _stats_filter_cond(sfilt)
+        matcher = lambda df: df.filter(cond)  # noqa: E731
+    else:
+        matcher = lambda df: Frame(df, ()).filter(where).df  # noqa: E731
+    if not segs:
+        return cur["version"], 0
+    matches = matcher(_scan_with_dv(spark, fs, cur, segs))
+    dv_rel = f"{_DELETE_DIR}/dv={cur['version'] + 1}-{uuid.uuid4().hex[:8]}"
+    matches.select(
+        F.col(_DV_SEG).alias("seg"),
+        F.col(_DV_FILE).alias("file"),
+        F.col(_DV_POS).alias("pos"),
+    ).write.mode("errorifexists").parquet(fs.join(dv_rel))
+    counts = {
+        r["seg"]: r["n"]
+        for r in spark.read.parquet(fs.join(dv_rel))
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = int(sum(counts.values()))
+    if total == 0:
+        _rm_dir(fs, dv_rel)  # nothing matched: no new version
+        return cur["version"], 0
+    touched = sorted(counts)
+    for _ in range(6):
+        n = cur["version"] + 1
+        log = _log_with_extras(cur, n, list(cur["segments"]))
+        dmap = dict(log.get("deletes") or {})
+        cmap = dict(log.get("delete_counts") or {})
+        for s in touched:
+            dmap[s] = list(dmap.get(s, [])) + [dv_rel]
+            cmap[s] = int(cmap.get(s, 0)) + int(counts[s])
+        log["deletes"], log["delete_counts"] = dmap, cmap
+        try:
+            return _write_log(fs, log), total
+        except ConcurrentWriteError:
+            m = n
+            while fs.exists(f"_LOG.{m + 1}"):
+                m += 1
+            _advance_ptr(
+                fs, _LOG_PTR, m, "ptr",
+                committed=lambda: _log_committed_floor(fs),
+            )
+            new = _read_log(fs, m)
+            _dv_conflict_check(cur, new, touched)
+            cur = new
+    raise ConcurrentWriteError(
+        f"delete on {table_dir!r} lost 6 straight log-commit races — "
+        "writer storm; re-run the delete"
+    )
+
+
+def update_append_rows(
+    spark: SparkSession,
+    table_dir: str,
+    where,
+    assignments: dict,
+) -> tuple[int, int]:
+    """Row-level UPDATE on an append table, merge-on-read style: the
+    matching rows are deletion-vector-marked in place (see
+    :func:`delete_append_rows` — same addressing, same candidate
+    pruning through zone maps/blooms when ``where`` is the dict form)
+    and their UPDATED copies appended as one new segment in the SAME
+    log version — an atomic delete+insert, which is exactly how
+    Delta's merge-on-read UPDATE decomposes. Cost at 100 TB: one scan
+    of the candidate segments + a write ∝ updated rows; untouched
+    data is never rewritten.
+
+    ``assignments`` maps existing column names to :meth:`Frame.mutate`
+    expressions (strings/Columns — they may reference other columns);
+    assigning a NEW column is refused (append tables are fixed-schema).
+    Updating a partition column works — the updated rows land in their
+    new partition directories inside the new segment. The new segment
+    gets zone maps / a sketch sidecar iff the table carries them, so
+    pruning keeps working over updated data. The change feed
+    (:func:`read_append_changes`) sees the updated copies as appended
+    rows in this version (the delete+insert CDF decomposition).
+
+    Returns ``(published_version, rows_updated)``; a no-match update
+    publishes nothing and returns the current version."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    schema = cur.get("schema") or []
+    known = {name for name, _ in schema}
+    unknown = sorted(set(assignments) - known)
+    if unknown:
+        raise ValueError(
+            f"update_append_rows: columns {unknown} are not in the table "
+            f"schema — append tables are fixed-schema (existing columns: "
+            f"{sorted(known)})"
+        )
+    segs = list(cur["segments"])
+    if isinstance(where, dict):
+        sfilt = _normalize_stats_filter(where, cur.get("schema"))
+        smap = cur.get("stats") or {}
+        segs = [s for s in segs if _seg_stats_match(smap.get(s), sfilt)]
+        if (cur.get("sketch_spec") or {}).get("bloom"):
+            segs = _bloom_prune(spark, fs, cur, segs, sfilt)
+        cond = _stats_filter_cond(sfilt)
+        matcher = lambda df: df.filter(cond)  # noqa: E731
+    else:
+        matcher = lambda df: Frame(df, ()).filter(where).df  # noqa: E731
+    if not segs:
+        return cur["version"], 0
+    matches = matcher(_scan_with_dv(spark, fs, cur, segs))
+    matches.persist()  # one scan feeds BOTH the DV and the new segment
+    try:
+        dv_rel = (
+            f"{_DELETE_DIR}/dv={cur['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        )
+        matches.select(
+            F.col(_DV_SEG).alias("seg"),
+            F.col(_DV_FILE).alias("file"),
+            F.col(_DV_POS).alias("pos"),
+        ).write.mode("errorifexists").parquet(fs.join(dv_rel))
+        counts = {
+            r["seg"]: r["n"]
+            for r in spark.read.parquet(fs.join(dv_rel))
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = int(sum(counts.values()))
+        if total == 0:
+            _rm_dir(fs, dv_rel)
+            return cur["version"], 0
+        updated = Frame(
+            matches.drop(_DV_SEG, _DV_FILE, _DV_POS), ()
+        ).mutate(**assignments)
+        pby = list(cur.get("partition_by") or [])
+        n = cur["version"] + 1
+        seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
+        writer = _conform_schema(updated.df, schema).write.mode(
+            "errorifexists"
+        )
+        if pby:
+            writer = writer.partitionBy(*pby)
+        writer.parquet(fs.join(seg))
+        pdirs = _partition_dirs(fs, seg, len(pby)) if pby else None
+        seg_stats = (
+            _segment_stats(spark, fs, seg, schema, pby)
+            if cur.get("stats")
+            else None
+        )
+        spec = cur.get("sketch_spec")
+        if spec is not None:
+            _write_segment_sketch(spark, fs, seg, spec)
+        touched = sorted(counts)
+        for _ in range(6):
+            n = cur["version"] + 1
+            log = _log_with_extras(cur, n, list(cur["segments"]) + [seg])
+            dmap = dict(log.get("deletes") or {})
+            cmap = dict(log.get("delete_counts") or {})
+            for s in touched:
+                dmap[s] = list(dmap.get(s, [])) + [dv_rel]
+                cmap[s] = int(cmap.get(s, 0)) + int(counts[s])
+            log["deletes"], log["delete_counts"] = dmap, cmap
+            if pby:
+                log["partitions"] = {
+                    **(log.get("partitions") or {}),
+                    seg: pdirs,
+                }
+            if seg_stats is not None:
+                log["stats"] = {**(log.get("stats") or {}), seg: seg_stats}
+            try:
+                return _write_log(fs, log), total
+            except ConcurrentWriteError:
+                m = n
+                while fs.exists(f"_LOG.{m + 1}"):
+                    m += 1
+                _advance_ptr(
+                    fs, _LOG_PTR, m, "ptr",
+                    committed=lambda: _log_committed_floor(fs),
+                )
+                new = _read_log(fs, m)
+                _dv_conflict_check(cur, new, touched)
+                cur = new
+        raise ConcurrentWriteError(
+            f"update on {table_dir!r} lost 6 straight log-commit races — "
+            "writer storm; re-run the update"
+        )
+    finally:
+        matches.unpersist()
 
 
 def tail_append_changes(
@@ -2373,6 +2873,7 @@ def compact_append_snapshot(
     zorder_by: list[str] | None = None,
     zorder_bits: int = 16,
     max_live_segments: int | None = None,
+    purge_deletes: bool = False,
 ) -> int | None:
     """Tiered (bin-packed) compaction for append tables — the
     OPTIMIZE pass for the log-table shape, where maintenance debt is
@@ -2446,8 +2947,16 @@ def compact_append_snapshot(
             1, -(-total // target_file_bytes)
         )
 
-    fold = [s for s in cur["segments"] if fragmented(stats[s])]
-    keep = [s for s in cur["segments"] if not fragmented(stats[s])]
+    dmap = cur.get("deletes") or {}
+
+    def needs_fold(s: str) -> bool:
+        # a delete-carrying segment joins the fold when asked
+        # (purge_deletes) — folding reads THROUGH its deletion vectors,
+        # so the fold materializes the deletes and drops the DVs
+        return fragmented(stats[s]) or (purge_deletes and bool(dmap.get(s)))
+
+    fold = [s for s in cur["segments"] if needs_fold(s)]
+    keep = [s for s in cur["segments"] if not needs_fold(s)]
     if max_live_segments is not None:
         # pull smallest right-sized segments into the fold until the
         # new log's live count (keep + one fold) fits the knob
@@ -2464,6 +2973,7 @@ def compact_append_snapshot(
         len(fold) == 1
         and len(fold_sizes) <= n_target
         and not zorder_by
+        and not dmap.get(fold[0])  # rewriting purges its deletes: not 1:1
     ):
         return None  # folding a lone compact segment rewrites it 1:1
     import uuid
@@ -2492,48 +3002,53 @@ def compact_append_snapshot(
     else:
         df.coalesce(n_target).write.mode("errorifexists").parquet(fs.join(seg))
     ordered = [s for s in cur["segments"] if s in set(keep)] + [seg]
-    log = {
-        "version": n,
-        "segments": ordered,
-        "watermarks": _log_watermarks(cur),
-        "schema": cur.get("schema"),
-    }
+    fold_has_dv = any(dmap.get(s) for s in fold)
+    # _log_with_extras restricts every metadata family to the surviving
+    # segments: kept segments keep their deletion vectors, while the
+    # folded segments' DVs are DROPPED — the fold read them through
+    # _read_segments, so the deletes are now materialized in the data
+    log = _log_with_extras(cur, n, ordered)
     if pby:
-        pmap = cur.get("partitions") or {}
-        log["partition_by"] = pby
         log["partitions"] = {
-            **{s: pmap[s] for s in ordered if s in pmap},
+            **(log.get("partitions") or {}),
             seg: _partition_dirs(fs, seg, len(pby)),
         }
     # zone maps: merge the folded segments' stats arithmetically (min
-    # of mins / max of maxes / summed nulls — exact, zero extra IO);
-    # only a fold containing a legacy no-stats segment pays one
-    # column-pruned aggregate over the new fold segment
+    # of mins / max of maxes / summed nulls — exact, zero extra IO).
+    # A fold that materialized deletes instead RECOMPUTES from the new
+    # segment (cost ∝ fold bytes): the merged bounds would still be
+    # sound (superset) but the null counts would include deleted rows.
+    # Same for a fold containing a legacy no-stats segment.
     cur_smap = cur.get("stats") or {}
-    fold_stats = _merge_segment_stats([cur_smap.get(s) for s in fold])
+    fold_stats = (
+        None
+        if fold_has_dv
+        else _merge_segment_stats([cur_smap.get(s) for s in fold])
+    )
     if fold_stats is None and cur_smap:
         fold_stats = _segment_stats(
             spark, fs, seg, cur.get("schema"), pby
         ) if cur.get("schema") else None
-    new_smap = {s: cur_smap[s] for s in ordered if s in cur_smap}
     if fold_stats is not None:
-        new_smap[seg] = fold_stats
-    if new_smap:
-        log["stats"] = new_smap
+        log["stats"] = {**(log.get("stats") or {}), seg: fold_stats}
     spec = cur.get("sketch_spec")
     if spec is not None:
-        log["sketch_spec"] = spec
-        # fold the folded segments' sidecar rows arithmetically (HLL
-        # union + histogram sum + bloom word-OR + exact row-count
-        # sum); any segment missing its sidecar is sketched from its
-        # data on the fly
-        from pyspark.sql import functions as F
+        if fold_has_dv:
+            # sidecars can't subtract (HLL/histograms are add-only):
+            # re-sketch the fold from its materialized data
+            _write_segment_sketch(spark, fs, seg, spec)
+        else:
+            # fold the folded segments' sidecar rows arithmetically
+            # (HLL union + histogram sum + bloom word-OR + exact
+            # row-count sum); any segment missing its sidecar is
+            # sketched from its data on the fly
+            from pyspark.sql import functions as F
 
-        _merged_sketch_df(spark, fs, fold, spec).withColumn(
-            "seg", F.lit(seg)
-        ).coalesce(1).write.mode("errorifexists").parquet(
-            fs.join(f"{_SKETCH_DIR}/{seg}")
-        )
+            _merged_sketch_df(spark, fs, fold, spec).withColumn(
+                "seg", F.lit(seg)
+            ).coalesce(1).write.mode("errorifexists").parquet(
+                fs.join(f"{_SKETCH_DIR}/{seg}")
+            )
     return _write_log(fs, log)
 
 
@@ -2578,6 +3093,9 @@ def append_history(
                 "watermarks": _log_watermarks(log),
                 "partition_by": list(log.get("partition_by") or []),
                 "published": v == published,
+                "rows_deleted": sum(
+                    int(c) for c in (log.get("delete_counts") or {}).values()
+                ),
             }
         )
         prev = set(segs)
@@ -2629,24 +3147,30 @@ def vacuum_append_snapshot(
         keep.add(published)
     referenced: set = set()
     ever_logged: set = set()
+    referenced_dv: set = set()
+    ever_logged_dv: set = set()
     for v in versions:
-        segs = _read_log(fs, v)["segments"]
+        log_v = _read_log(fs, v)
+        segs = log_v["segments"]
+        dvs = {d for files in (log_v.get("deletes") or {}).values() for d in files}
         ever_logged.update(segs)
+        ever_logged_dv.update(dvs)
         if v in keep:
             referenced.update(segs)
+            referenced_dv.update(dvs)
 
-    def ripe(seg: str) -> bool:
-        if seg in ever_logged or orphan_grace_hours <= 0:
+    def ripe(rel: str, logged: set) -> bool:
+        if rel in logged or orphan_grace_hours <= 0:
             return True
         import time as _time
 
         if fs.remote:
             mtime = (
-                fs._fs.getFileStatus(fs._jpath(fs.join(seg)))
+                fs._fs.getFileStatus(fs._jpath(fs.join(rel)))
                 .getModificationTime() / 1000.0
             )
         else:
-            mtime = os.path.getmtime(fs.join(seg))
+            mtime = os.path.getmtime(fs.join(rel))
         return _time.time() - mtime > orphan_grace_hours * 3600.0
 
     doomed_segs = sorted(
@@ -2654,7 +3178,7 @@ def vacuum_append_snapshot(
         for name in fs.listdir()
         if name.startswith(("seg=", "fold="))
         and name not in referenced
-        and ripe(name)
+        and ripe(name, ever_logged)
     )
     for seg in doomed_segs:
         for target in (fs.join(seg), fs.join(f"{_SKETCH_DIR}/{seg}")):
@@ -2664,6 +3188,14 @@ def vacuum_append_snapshot(
                 import shutil
 
                 shutil.rmtree(target, ignore_errors=True)
+    # deletion-vector files: same rule as segments — swept once no kept
+    # log references them; a never-logged DV is an in-flight or crashed
+    # delete's, so it ages through the orphan grace window first
+    if fs.exists(_DELETE_DIR):
+        for name in fs.subdirs(_DELETE_DIR):
+            rel = f"{_DELETE_DIR}/{name}"
+            if rel not in referenced_dv and ripe(rel, ever_logged_dv):
+                _rm_dir(fs, rel)
     for v in versions:
         if v not in keep:
             target = fs.join(f"_LOG.{v}")

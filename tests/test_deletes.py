@@ -1,0 +1,331 @@
+"""Deletion vectors (merge-on-read row-level DELETE/UPDATE) on append
+tables: `connectors.delete_append_rows` / `update_append_rows` and
+their interactions with reads, time travel, the change feed,
+compaction, vacuum, sketch-sidecar statistics, and concurrent writers.
+
+The reference has no storage layer at all (SURVEY.md §2.1); this is
+the Delta/Iceberg deletion-vector design re-expressed jar-free: row
+addresses are (segment, file-within-segment, parquet row position from
+the scan's `_metadata.row_index`), written as tiny `_delete/dv=*`
+parquets and applied by readers as a broadcast anti-join over ONLY the
+delete-carrying segments."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuplyr_spark.frame import Frame
+from cuplyr_spark.sources.connectors import (
+    ConcurrentWriteError,
+    append_history,
+    append_snapshot,
+    compact_append_snapshot,
+    delete_append_rows,
+    read_append_changes,
+    read_append_snapshot,
+    table_stats,
+    update_append_rows,
+    vacuum_append_snapshot,
+)
+
+
+def _mk(spark, tmp_path, name, two_batches=True, **kw):
+    d = str(tmp_path / name)
+    shutil.rmtree(d, ignore_errors=True)
+    df = spark.range(100).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    if two_batches:
+        append_snapshot(Frame(df.filter("id < 50"), ()), d, batch_id=0, **kw)
+        append_snapshot(Frame(df.filter("id >= 50"), ()), d, batch_id=1, **kw)
+    else:
+        append_snapshot(Frame(df, ()), d, batch_id=0, **kw)
+    return d
+
+
+def _log(d, v):
+    with open(os.path.join(d, f"_LOG.{v}")) as f:
+        return json.load(f)
+
+
+def test_delete_basic_and_time_travel(spark, tmp_path):
+    d = _mk(spark, tmp_path, "t1")
+    v, n = delete_append_rows(spark, d, {"id": [(">=", 10), ("<", 20)]})
+    assert (v, n) == (3, 10)
+    got = sorted(r["id"] for r in read_append_snapshot(spark, d).df.collect())
+    assert got == [i for i in range(100) if not (10 <= i < 20)]
+    # the data files are untouched: pre-delete version still complete
+    assert read_append_snapshot(spark, d, version=2).df.count() == 100
+
+
+def test_delete_string_predicate_and_no_rewrite_of_marked_rows(spark, tmp_path):
+    d = _mk(spark, tmp_path, "t2")
+    delete_append_rows(spark, d, {"id": [(">=", 10), ("<", 20)]})
+    # overlapping second delete scans THROUGH the first DV: only the
+    # 5 still-live rows in [15, 25) are marked, so counts stay additive
+    v, n = delete_append_rows(spark, d, "id >= 15 and id < 25")
+    assert n == 5
+    assert read_append_snapshot(spark, d).df.count() == 85
+    cmap = _log(d, v)["delete_counts"]
+    assert sum(cmap.values()) == 15
+
+
+def test_delete_no_match_publishes_nothing(spark, tmp_path):
+    d = _mk(spark, tmp_path, "t3")
+    v0, _ = delete_append_rows(spark, d, {"id": ("<", 5)})
+    v, n = delete_append_rows(spark, d, "id = 2")  # already deleted
+    assert n == 0 and v == v0
+    # and no stray DV dir for the no-op
+    dvs = os.listdir(os.path.join(d, "_delete"))
+    assert len(dvs) == 1
+
+
+def test_delete_dict_form_prunes_segments(spark, tmp_path):
+    """The dict (stats_filter) form never scans segments whose zone
+    maps prove no match — shown the zone-map-test way: physically
+    delete the non-candidate segment's directory and the delete still
+    runs."""
+    d = str(tmp_path / "t4")
+    lo = spark.range(0, 50).select(F.col("id").cast("long"))
+    hi = spark.range(1000, 1050).select(F.col("id").cast("long"))
+    append_snapshot(Frame(lo, ()), d, batch_id=0)
+    append_snapshot(Frame(hi, ()), d, batch_id=1)
+    log = _log(d, 2)
+    lo_seg = log["segments"][0]
+    shutil.rmtree(os.path.join(d, lo_seg))  # would fail if scanned
+    v, n = delete_append_rows(spark, d, {"id": (">=", 1040)})
+    assert n == 10
+    # DV addresses point only at the hi segment
+    dmap = _log(d, v)["deletes"]
+    assert list(dmap) == [log["segments"][1]]
+
+
+def test_append_after_delete_keeps_dvs(spark, tmp_path):
+    d = _mk(spark, tmp_path, "t5")
+    delete_append_rows(spark, d, {"id": ("<", 10)})
+    extra = spark.range(100, 110).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    append_snapshot(Frame(extra, ()), d, batch_id=2)
+    got = sorted(r["id"] for r in read_append_snapshot(spark, d).df.collect())
+    assert got == list(range(10, 110))
+
+
+def test_update_rows(spark, tmp_path):
+    d = _mk(spark, tmp_path, "t6")
+    v, n = update_append_rows(spark, d, "id >= 95", {"v": "v + 1000"})
+    assert n == 5
+    rows = {r["id"]: r["v"] for r in read_append_snapshot(spark, d).df.collect()}
+    assert len(rows) == 100
+    assert rows[95] == 95 * 2 + 1000 and rows[94] == 94 * 2
+    # updated copies are APPENDED rows in the change feed (delete+insert)
+    ch = read_append_changes(spark, d, since_version=2)
+    assert sorted(r["id"] for r in ch.df.collect()) == [95, 96, 97, 98, 99]
+
+
+def test_update_refuses_new_columns(spark, tmp_path):
+    d = _mk(spark, tmp_path, "t7", two_batches=False)
+    with pytest.raises(ValueError, match="fixed-schema"):
+        update_append_rows(spark, d, "id < 5", {"brand_new": "id + 1"})
+
+
+def test_cdf_deletes_default_and_applied(spark, tmp_path):
+    d = _mk(spark, tmp_path, "t8")
+    delete_append_rows(spark, d, {"id": ("<", 30)})
+    # default: rows AS APPENDED — the delete does not rewrite history
+    assert read_append_changes(spark, d, since_version=0).df.count() == 100
+    # apply_deletes: only rows still live at the end version
+    assert (
+        read_append_changes(
+            spark, d, since_version=0, apply_deletes=True
+        ).df.count()
+        == 70
+    )
+
+
+def test_compact_materializes_deletes(spark, tmp_path):
+    d = _mk(spark, tmp_path, "t9")
+    delete_append_rows(spark, d, {"id": [(">=", 0), ("<", 25)]})
+    cv = compact_append_snapshot(
+        spark, d, target_file_bytes=1 << 30, purge_deletes=True
+    )
+    assert cv is not None
+    log = _log(d, cv)
+    assert not log.get("deletes") and not log.get("delete_counts")
+    assert read_append_snapshot(spark, d).df.count() == 75
+    # recomputed zone maps are tight: min reflects the deletions
+    (fold_seg,) = log["segments"]
+    assert int(log["stats"][fold_seg]["cols"]["id"][0]) == 25
+
+
+def test_compact_keeps_dvs_of_untouched_segments(spark, tmp_path):
+    """A fold that doesn't include a delete-carrying right-sized
+    segment must CARRY that segment's DVs into the new log."""
+    d = str(tmp_path / "t10")
+    big = spark.range(0, 20000).select(F.col("id").cast("long")).coalesce(1)
+    small = spark.range(20000, 20010).select(F.col("id").cast("long"))
+    append_snapshot(Frame(big, ()), d, batch_id=0)
+    v, n = delete_append_rows(spark, d, {"id": ("<", 100)})
+    assert n == 100
+    append_snapshot(Frame(small, ()), d, batch_id=1)
+    append_snapshot(
+        Frame(small.select((F.col("id") + 10).alias("id")), ()), d, batch_id=2
+    )
+    # target sized so the big (delete-carrying) segment is right-sized
+    # and only the two tiny appends fold
+    big_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fn in os.walk(os.path.join(d, _log(d, 1)["segments"][0]))
+        for f in fn
+        if not f.startswith(("_", "."))  # the planner's data-file rule
+    )
+    cv = compact_append_snapshot(spark, d, target_file_bytes=big_bytes)
+    assert cv is not None
+    log = _log(d, cv)
+    assert any(s.startswith("fold=") for s in log["segments"])
+    assert log["deletes"]  # the big segment's DV survived
+    assert read_append_snapshot(spark, d).df.count() == 20000 - 100 + 20
+
+
+def test_vacuum_sweeps_unreferenced_dvs(spark, tmp_path):
+    d = _mk(spark, tmp_path, "t11")
+    delete_append_rows(spark, d, {"id": ("<", 10)})
+    compact_append_snapshot(
+        spark, d, target_file_bytes=1 << 30, purge_deletes=True
+    )
+    assert os.listdir(os.path.join(d, "_delete"))
+    vacuum_append_snapshot(d, keep_last=1, orphan_grace_hours=0)
+    assert not os.listdir(os.path.join(d, "_delete"))
+    assert read_append_snapshot(spark, d).df.count() == 90
+
+
+def test_vacuum_keeps_referenced_dvs(spark, tmp_path):
+    d = _mk(spark, tmp_path, "t12")
+    delete_append_rows(spark, d, {"id": ("<", 10)})
+    vacuum_append_snapshot(d, keep_last=1, orphan_grace_hours=0)
+    assert os.listdir(os.path.join(d, "_delete"))  # published log needs it
+    assert read_append_snapshot(spark, d).df.count() == 90
+
+
+def test_table_stats_subtracts_deletes(spark, tmp_path):
+    d = _mk(
+        spark,
+        tmp_path,
+        "t13",
+        sketch_spec={"distinct": ["g"], "histogram": {}, "bloom": {}},
+    )
+    delete_append_rows(spark, d, {"id": [(">=", 40), ("<", 60)]})
+    row = table_stats(spark, d).df.collect()[0]
+    assert row["rows"] == 80  # EXACT under merge-on-read deletes
+    # after purge-compaction the sidecar itself is re-sketched
+    compact_append_snapshot(
+        spark, d, target_file_bytes=1 << 30, purge_deletes=True
+    )
+    row = table_stats(spark, d).df.collect()[0]
+    assert row["rows"] == 80
+
+
+def test_partitioned_delete_update_and_filtered_read(spark, tmp_path):
+    d = str(tmp_path / "t14")
+    df = spark.range(100).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 4).cast("string").alias("p"),
+        (F.col("id") * 3).alias("v"),
+    )
+    append_snapshot(Frame(df, ()), d, batch_id=0, partition_by="p")
+    v, n = delete_append_rows(spark, d, "p = '1' and id < 50")
+    assert n == 13  # ids 1,5,...,49
+    got = read_append_snapshot(spark, d, partition_filter={"p": "1"})
+    assert sorted(r["id"] for r in got.df.collect()) == [
+        i for i in range(50, 100) if i % 4 == 1
+    ]
+    assert read_append_snapshot(spark, d).df.count() == 87
+    # update a partition column: rows MOVE partitions via the new segment
+    v, n = update_append_rows(spark, d, "id = 96", {"p": "'relocated'"})
+    assert n == 1
+    moved = read_append_snapshot(
+        spark, d, partition_filter={"p": "relocated"}
+    ).df.collect()
+    assert len(moved) == 1 and moved[0]["id"] == 96 and moved[0]["v"] == 288
+    assert read_append_snapshot(spark, d).df.count() == 87
+
+
+def test_delete_concurrent_append_rebases(spark, tmp_path, monkeypatch):
+    """An append landing between the delete's scan and its log commit
+    only ADDS a segment — the delete's row addresses stay valid, so the
+    rebase publishes both."""
+    import cuplyr_spark.sources.connectors as C
+
+    d = _mk(spark, tmp_path, "t15")
+    real = C._write_log
+    fired = {}
+
+    def racing(fs, log):
+        if "delete_counts" in log and not fired:
+            fired["x"] = True
+            extra = spark.range(100, 105).select(
+                F.col("id").cast("long"),
+                (F.col("id") % 10).alias("g"),
+                (F.col("id") * 2).alias("v"),
+            )
+            append_snapshot(Frame(extra, ()), d, batch_id=7)
+        return real(fs, log)
+
+    monkeypatch.setattr(C, "_write_log", racing)
+    v, n = delete_append_rows(spark, d, {"id": ("<", 10)})
+    assert n == 10 and v == 4  # append took v3, delete rebased to v4
+    assert read_append_snapshot(spark, d).df.count() == 95
+
+
+def test_delete_concurrent_fold_raises(spark, tmp_path, monkeypatch):
+    """A compaction folding a touched segment between scan and commit
+    invalidates the row addresses — the delete must surface
+    ConcurrentWriteError, never publish stale DVs."""
+    import cuplyr_spark.sources.connectors as C
+
+    d = _mk(spark, tmp_path, "t16")
+    real = C._write_log
+    fired = {}
+
+    def racing(fs, log):
+        if "delete_counts" in log and not fired:
+            fired["x"] = True
+            compact_append_snapshot(spark, d, target_file_bytes=1 << 30)
+        return real(fs, log)
+
+    monkeypatch.setattr(C, "_write_log", racing)
+    with pytest.raises(ConcurrentWriteError, match="compacted away"):
+        delete_append_rows(spark, d, {"id": ("<", 10)})
+    # and the table is untouched by the failed delete
+    assert read_append_snapshot(spark, d).df.count() == 100
+
+
+def test_fully_deleted_segment_never_opened(spark, tmp_path):
+    """When a segment's exact delete count reaches its zone-map row
+    count, reads skip it entirely — proven by removing its directory
+    and its DV files from disk."""
+    d = _mk(spark, tmp_path, "t18")
+    log = _log(d, 2)
+    first = log["segments"][0]  # ids 0..49
+    v, n = delete_append_rows(spark, d, {"id": ("<", 50)})
+    assert n == 50
+    shutil.rmtree(os.path.join(d, first))
+    got = sorted(r["id"] for r in read_append_snapshot(spark, d).df.collect())
+    assert got == list(range(50, 100))
+
+
+def test_history_reports_deleted_rows(spark, tmp_path):
+    d = _mk(spark, tmp_path, "t17")
+    delete_append_rows(spark, d, {"id": ("<", 10)})
+    delete_append_rows(spark, d, {"id": (">=", 90)})
+    hist = {h["version"]: h["rows_deleted"] for h in append_history(d)}
+    assert hist[2] == 0 and hist[3] == 10 and hist[4] == 20
