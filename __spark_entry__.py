@@ -3289,6 +3289,144 @@ def q_bloom_point_lookup(spark, sf_dir):
     return out.df.select("event_id", "user_id", "value").orderBy("event_id")
 
 
+def q_append_delete_rows(spark, sf_dir):
+    """Deletion vectors — merge-on-read row-level DELETE
+    (``connectors.delete_append_rows``; the jar-free Delta/Iceberg DV
+    design): orders land in an append table as two parity batches,
+    then two deletes run WITHOUT rewriting any data file — one in the
+    stats_filter dict form (candidate segments pruned through zone
+    maps before the scan) and one as a free-form predicate whose
+    match set OVERLAPS the first (the second scan reads THROUGH the
+    first delete's DVs, so already-deleted rows are never re-marked
+    and the manifest's delete counts stay exactly additive). The
+    surviving-row aggregate must equal the plain SQL complement. At
+    100 TB a delete costs candidate-segment scan + DV bytes ∝ deleted
+    rows; readers anti-join only delete-carrying segments."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        delete_append_rows,
+        read_append_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    d = _scratch_dir("dv_delete")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(orders.filter("o_orderkey % 2 = 0"), d, batch_id=0)
+    append_snapshot(orders.filter("o_orderkey % 2 = 1"), d, batch_id=1)
+    delete_append_rows(spark, d, {"o_totalprice": (">", 200000.0)})
+    delete_append_rows(
+        spark, d, "o_orderstatus = 'F' and o_totalprice > 150000"
+    )
+    out = read_append_snapshot(spark, d)
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
+def q_append_update_rows(spark, sf_dir):
+    """Merge-on-read UPDATE (``connectors.update_append_rows``):
+    matching rows are deletion-vector-marked and their updated copies
+    appended as one new segment in the SAME log version — the atomic
+    delete+insert decomposition of Delta's MoR UPDATE. High-value
+    urgent orders get re-prioritized and a flat surcharge; the
+    post-update aggregate must equal the SQL CASE-WHEN rewrite.
+    Untouched rows are never rewritten (cost ∝ updated rows)."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+        update_append_rows,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    d = _scratch_dir("dv_update")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(orders.filter("o_orderkey % 2 = 0"), d, batch_id=0)
+    append_snapshot(orders.filter("o_orderkey % 2 = 1"), d, batch_id=1)
+    update_append_rows(
+        spark,
+        d,
+        "o_orderpriority = '1-URGENT' and o_totalprice > 250000",
+        {"o_orderpriority": "'5-LOW'", "o_totalprice": "o_totalprice + 1000"},
+    )
+    out = read_append_snapshot(spark, d)
+    return out.df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
+def q_join_pruned_read(spark, sf_dir):
+    """Dynamic file skipping from a join's small side
+    (``connectors.join_prune_filter`` — the manifest-level analog of
+    Spark's dynamic partition pruning / runtime bloom joins): orders
+    land in an append table as two disjoint ``o_custkey`` ranges (the
+    customer-clustered layout), the dimension side is customers of one
+    nation with high balances, and the fact read takes the dim's
+    distinct key set as a ``stats_filter`` IN-clause — fact segments
+    whose zone maps provably miss every surviving key are never
+    listed or opened. The subsequent broadcast join keeps the result
+    exact (the prune is purely an IO reducer), so the aggregate must
+    equal the plain SQL join."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        join_prune_filter,
+        read_append_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    d = _scratch_dir("join_prune")
+    shutil.rmtree(d, ignore_errors=True)
+    split = 750  # disjoint custkey ranges: the clustered-ingest shape
+    append_snapshot(orders.filter(f"o_custkey < {split}"), d, batch_id=0)
+    append_snapshot(orders.filter(f"o_custkey >= {split}"), d, batch_id=1)
+    dim = cust.filter(f"c_nationkey = 5 and c_acctbal > 5000 "
+                      f"and c_custkey >= {split}")
+    filt = join_prune_filter(dim, "c_custkey", fact_col="o_custkey")
+    fact = read_append_snapshot(spark, d, stats_filter=filt)
+    out = fact.inner_join(dim.broadcast(), by={"o_custkey": "c_custkey"})
+    return out.df.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_custs"),
+        F.min("o_orderkey").alias("min_key"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
 def q_sidecar_table_stats(spark, sf_dir):
     """Sketch-sidecar table statistics (``connectors.table_stats``):
     events ingest as two appends with a sketch spec — each segment
@@ -3516,6 +3654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_shard_quantiles": q_histogram_shard_quantiles,
         "incremental_cross_dedup": q_incremental_cross_dedup,
         "zone_map_prune": q_zone_map_prune,
+        "append_delete_rows": q_append_delete_rows,
+        "append_update_rows": q_append_update_rows,
+        "join_pruned_read": q_join_pruned_read,
         "sidecar_table_stats": q_sidecar_table_stats,
         "dictionary_prune": q_dictionary_prune,
         "bloom_point_lookup": q_bloom_point_lookup,
@@ -5593,6 +5734,49 @@ def oracle_sql() -> dict[str, str]:
                max(o_orderkey) AS max_key,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
         FROM orders WHERE o_orderkey > 100 AND o_orderkey < 3000
+    """
+    out["append_delete_rows"] = """
+        SELECT o_orderstatus,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM orders
+        WHERE NOT (o_totalprice > 200000)
+          AND NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
+        GROUP BY o_orderstatus
+    """
+    out["join_pruned_read"] = """
+        SELECT c_nationkey,
+               count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_custs,
+               min(o_orderkey) AS min_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_nationkey = 5 AND c_acctbal > 5000 AND c_custkey >= 750
+        GROUP BY c_nationkey
+    """
+    out["append_update_rows"] = """
+        WITH updated AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                             AND o_totalprice > 250000
+                        THEN '5-LOW' ELSE o_orderpriority
+                   END AS o_orderpriority,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                             AND o_totalprice > 250000
+                        THEN o_totalprice + 1000 ELSE o_totalprice
+                   END AS o_totalprice
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM updated
+        GROUP BY o_orderpriority
     """
     return out
 

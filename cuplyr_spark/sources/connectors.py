@@ -54,6 +54,7 @@ from __future__ import annotations
 import os
 import posixpath
 import re
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -2465,6 +2466,57 @@ def read_append_changes(
         ),
         (),
     )
+
+
+def join_prune_filter(
+    frame,
+    col: str,
+    fact_col: str | None = None,
+    max_keys: int = 100_000,
+) -> dict | None:
+    """Dynamic file skipping from a join's SMALL side — the
+    manifest-level analog of Spark's dynamic partition pruning and
+    runtime bloom-filter joins, built on the ``stats_filter``
+    machinery: collect the DISTINCT surviving join keys of an
+    already-filtered dimension (driver-side, bounded by ``max_keys``)
+    and return a ``stats_filter`` IN-clause for the fact-side read, so
+    zone maps, dictionary sets AND bloom sidecars all engage on the
+    key set — fact segments that provably hold none of the dimension's
+    keys are never listed or opened.
+
+    The 100 TB shape: ``fact ⋈ σ(dim)`` where the filtered dim is
+    thousands of keys but the fact table is thousands of segments —
+    without this the join scans every fact segment and discards most
+    rows at the join; with it the read itself skips non-matching
+    segments, and the residual IN predicate (a semi-join by value)
+    also reaches the parquet row-group stats of the survivors. The
+    subsequent join keeps the result exact either way, so the filter
+    is purely an IO reducer.
+
+    Returns ``None`` — meaning "no pruning, pass ``stats_filter=None``
+    through" — when the dim side exceeds ``max_keys`` (collecting an
+    unbounded key set to the driver is the one thing this must never
+    do; the plain join is the correct fallback) . NULL keys are
+    dropped (an equality join never matches them; use ``eqNullSafe``
+    joins on the unpruned read if you need NULL↔NULL). Usage::
+
+        keys = join_prune_filter(small_dim, "c_custkey", "o_custkey")
+        fact = read_append_snapshot(spark, d, stats_filter=keys)
+        out  = fact.inner_join(small_dim, by={"o_custkey": "c_custkey"})
+    """
+    df = frame.df if isinstance(frame, Frame) else frame
+    rows = df.select(col).distinct().limit(max_keys + 1).collect()
+    if len(rows) > max_keys:
+        warnings.warn(
+            f"join_prune_filter: more than {max_keys} distinct keys in "
+            f"{col!r} — skipping manifest pruning (the plain join is the "
+            "correct fallback at this cardinality; raise max_keys if the "
+            "driver can hold the set)",
+            stacklevel=2,
+        )
+        return None
+    keys = sorted(r[0] for r in rows if r[0] is not None)
+    return {fact_col or col: ("in", keys)}
 
 
 def _rm_dir(fs: _TableFS, rel: str) -> None:

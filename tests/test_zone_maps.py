@@ -792,3 +792,42 @@ def test_stats_filter_without_stats_is_exact(spark, tmp_path):
     append_snapshot(_batch(spark, 200, 300), d, batch_id=2)
     out = read_append_snapshot(spark, d, stats_filter={"k": ("<", 120)})
     assert sorted(r["k"] for r in out.df.collect()) == list(range(0, 120))
+
+
+def test_join_prune_filter_prunes_fact_segments(spark, tmp_path):
+    """Dynamic file skipping (`connectors.join_prune_filter`): the
+    filtered dim's key set becomes a stats_filter IN-clause, so fact
+    segments whose zone maps provably miss every key are never opened
+    — proven by deleting the non-matching segment's directory."""
+    from cuplyr_spark.sources.connectors import join_prune_filter
+
+    d = str(tmp_path / "t")
+    append_snapshot(_batch(spark, 0, 100), d, batch_id=0)
+    append_snapshot(_batch(spark, 1000, 1100), d, batch_id=1)
+    dim = from_pandas(
+        spark,
+        pd.DataFrame({"key": [1005, 1042, 1077], "label": ["a", "b", "c"]}),
+    )
+    filt = join_prune_filter(dim, "key", fact_col="k")
+    assert filt == {"k": ("in", [1005, 1042, 1077])}
+    # the low segment can't match: remove it from disk, read still works
+    low_seg = _read_log(_TableFS(d), 1)["segments"][0]
+    shutil.rmtree(os.path.join(d, low_seg))
+    fact = read_append_snapshot(spark, d, stats_filter=filt)
+    out = fact.inner_join(dim, by={"k": "key"})
+    got = sorted(r["k"] for r in out.df.collect())
+    assert got == [1005, 1042, 1077]
+
+
+def test_join_prune_filter_guards_and_nulls(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import join_prune_filter
+
+    dim = from_pandas(
+        spark,
+        pd.DataFrame({"key": pd.array([1, 2, None, 2], dtype="Int64")}),
+    )
+    # NULL keys dropped (equality joins never match them)
+    assert join_prune_filter(dim, "key") == {"key": ("in", [1, 2])}
+    # over the cap: explicit None (caller passes stats_filter=None)
+    with pytest.warns(UserWarning, match="distinct keys"):
+        assert join_prune_filter(dim, "key", max_keys=1) is None
