@@ -3378,6 +3378,73 @@ def q_append_update_rows(spark, sf_dir):
     )
 
 
+def q_separate_rows(spark, sf_dir):
+    """tidyr ``separate_rows`` (``Frame.separate_rows``): a delimited
+    string column explodes into one row per element — map-side
+    generator over the scan, no shuffle. Built here by uniting two
+    order columns and splitting them back; the oracle is DuckDB's
+    unnest(string_split(...))."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    out = (
+        orders.mutate(tag="concat(o_orderstatus, ',', o_orderpriority)")
+        .select("o_orderkey", "tag")
+        .separate_rows("tag")
+    )
+    return out.df.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+def q_uncount(spark, sf_dir):
+    """tidyr ``uncount`` (``Frame.uncount``): each row replicated by a
+    weight expression with a 1-based copy index; weight 0 drops the
+    row. sequence + explode — map-side, no shuffle. Oracle:
+    unnest(generate_series(...))."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    out = orders.mutate(w="o_orderkey % 4").uncount("w", id_col="copy")
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("copy").alias("copy_sum"),
+        F.max("copy").alias("copy_max"),
+    )
+
+
+def q_time_gapfill(spark, sf_dir):
+    """Hypertable-style gap-filled rollup
+    (``operators.events.time_bucket_gapfill``): sparse high-value
+    events rolled up hourly per type, then every missing bucket in
+    each group's range materialized from an arithmetic sequence (never
+    a scan) with three fill policies at once — count defaults to 0,
+    the integer-cents revenue carries forward (locf), and the max
+    value interpolates LINEARLY by actual time distance (NULL outside
+    the observed range, the Timescale ``interpolate`` contract). One
+    shuffle for the rollup + one group-keyed window pass; the oracle
+    replays the same grid with generate_series + IGNORE NULLS
+    windows."""
+    from cuplyr_spark.operators.events import time_bucket_gapfill
+
+    ev = _t(spark, sf_dir, "events").filter(
+        "event_type in ('error', 'signup') and value > 15"
+    )
+    out = time_bucket_gapfill(
+        ev,
+        "ts",
+        bucket="hour",
+        group_cols=("event_type",),
+        fill={"n": 0, "cents": "locf", "vmax": "linear"},
+        n=F.count(F.lit(1)),
+        cents=F.sum(F.round(F.col("value") * 100, 0).cast("long")),
+        vmax=F.max("value"),
+    )
+    return out.df
+
+
 def q_join_pruned_read(spark, sf_dir):
     """Dynamic file skipping from a join's small side
     (``connectors.join_prune_filter`` — the manifest-level analog of
@@ -3657,6 +3724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_delete_rows": q_append_delete_rows,
         "append_update_rows": q_append_update_rows,
         "join_pruned_read": q_join_pruned_read,
+        "time_gapfill": q_time_gapfill,
+        "separate_rows": q_separate_rows,
+        "uncount": q_uncount,
         "sidecar_table_stats": q_sidecar_table_stats,
         "dictionary_prune": q_dictionary_prune,
         "bloom_point_lookup": q_bloom_point_lookup,
@@ -5745,6 +5815,89 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT (o_totalprice > 200000)
           AND NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
         GROUP BY o_orderstatus
+    """
+    out["separate_rows"] = """
+        SELECT t.tag,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        CROSS JOIN unnest(
+            string_split(o_orderstatus || ',' || o_orderpriority, ',')
+        ) AS t(tag)
+        GROUP BY t.tag
+    """
+    out["uncount"] = """
+        SELECT o_orderstatus,
+               count(*) AS n,
+               CAST(sum(t.copy) AS BIGINT) AS copy_sum,
+               CAST(max(t.copy) AS BIGINT) AS copy_max
+        FROM orders
+        CROSS JOIN unnest(
+            generate_series(1, CAST(o_orderkey % 4 AS BIGINT))
+        ) AS t(copy)
+        GROUP BY o_orderstatus
+    """
+    out["time_gapfill"] = """
+        WITH obs AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket_start,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   max(value) AS vmax
+            FROM events
+            WHERE event_type IN ('error', 'signup') AND value > 15
+            GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type,
+                   min(bucket_start) AS lo,
+                   max(bucket_start) AS hi
+            FROM obs GROUP BY 1
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS bucket_start
+            FROM bounds
+        ),
+        joined AS (
+            SELECT g.event_type, g.bucket_start, o.n, o.cents, o.vmax
+            FROM grid g
+            LEFT JOIN obs o
+              ON g.event_type = o.event_type
+             AND g.bucket_start = o.bucket_start
+        ),
+        marked AS (
+            SELECT *,
+                   CAST(epoch(bucket_start) AS DOUBLE) AS sec,
+                   last_value(vmax IGNORE NULLS) OVER wb AS pv,
+                   last_value(CASE WHEN vmax IS NOT NULL
+                              THEN CAST(epoch(bucket_start) AS DOUBLE) END
+                              IGNORE NULLS) OVER wb AS pt,
+                   first_value(vmax IGNORE NULLS) OVER wf AS nv,
+                   first_value(CASE WHEN vmax IS NOT NULL
+                               THEN CAST(epoch(bucket_start) AS DOUBLE) END
+                               IGNORE NULLS) OVER wf AS nt,
+                   last_value(cents IGNORE NULLS) OVER wb AS cents_f
+            FROM joined
+            WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_start
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   wf AS (PARTITION BY event_type ORDER BY bucket_start
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+        )
+        SELECT bucket_start,
+               event_type,
+               coalesce(n, 0) AS n,
+               cents_f AS cents,
+               CASE WHEN vmax IS NOT NULL THEN vmax
+                    WHEN pt IS NULL OR nt IS NULL THEN NULL
+                    ELSE pv + (nv - pv) * (sec - pt) / (nt - pt)
+               END AS vmax
+        FROM marked
     """
     out["join_pruned_read"] = """
         SELECT c_nationkey,

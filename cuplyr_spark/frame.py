@@ -1176,6 +1176,51 @@ class Frame:
             out = out.drop(col)
         return self._with(out)
 
+    def separate_rows(self, *cols: str, sep: str = ",", convert: bool = False) -> Frame:
+        """tidyr separate_rows: split delimited string column(s) and
+        EXPLODE into one row per element — the long-form twin of
+        :meth:`separate`. Multiple columns split in lockstep (tidyr's
+        rule: they must have equal element counts per row; shorter
+        lists yield NULLs here rather than erroring, Spark's
+        arrays_zip padding). ``convert=True`` casts results that look
+        numeric to long. Map-side only — a generator over the scan, no
+        shuffle; NULL input rows stay single rows with NULL parts."""
+        if not cols:
+            raise ValueError("separate_rows needs at least one column")
+        out = self._df
+        split = {c: F.split(_qcol(c), sep) for c in cols}
+        if len(cols) == 1:
+            c = cols[0]
+            out = out.withColumn(c, F.explode_outer(split[c]))
+        else:
+            zipped = F.arrays_zip(*[split[c].alias(c) for c in cols])
+            out = out.withColumn("__sr", F.explode_outer(zipped))
+            for c in cols:
+                out = out.withColumn(c, F.col("__sr").getField(c))
+            out = out.drop("__sr")
+        if convert:
+            for c in cols:
+                out = out.withColumn(c, _qcol(c).cast("long"))
+        return self._with(out)
+
+    def uncount(self, weights, *, id_col: str | None = None) -> Frame:
+        """tidyr uncount: replicate each row ``weights`` times (a
+        column name or any expression; non-positive/NULL weights drop
+        the row). ``id_col`` adds a 1-based copy index. The inverse of
+        ``count()``. Map-side generator (sequence + explode) — no
+        shuffle, but a huge weight fans out inside one task, so feed it
+        bounded multiplicities (class rebalancing, survey weights),
+        not corpus blow-ups."""
+        w = _as_column(weights) if isinstance(weights, str) else F.lit(weights) if isinstance(weights, int) else weights
+        n = w.cast("long")
+        # weight < 1 or NULL drops the row (sequence(1, 0) would count
+        # DOWN in Spark; the when-guard yields NULL and explode skips)
+        idx = F.explode(F.when(n >= 1, F.sequence(F.lit(1), n)))
+        out = self._df.withColumn("__uc", idx)
+        if id_col is not None:
+            out = out.withColumn(id_col, F.col("__uc"))
+        return self._with(out.drop("__uc"))
+
     def fill_down(self, cols: list[str], order_by: str, partition_by: list[str] | None = None) -> Frame:
         """tidyr fill(.direction='down') / last-observation-carried-
         forward: NULLs take the most recent non-NULL value in

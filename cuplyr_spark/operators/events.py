@@ -208,3 +208,111 @@ def with_rolling_agg(
         ),
         frame.group_vars(),
     )
+
+
+def time_bucket_gapfill(
+    frame: Frame,
+    ts_col: str,
+    bucket: str = "hour",
+    group_cols: tuple[str, ...] = (),
+    fill: dict | None = None,
+    bounds="per_group",
+    **aggs: Column,
+) -> Frame:
+    """Tumbling rollup with GAP FILLING — the hypertable
+    ``time_bucket_gapfill`` shape: :func:`time_bucket_agg` first, then
+    every missing bucket in the series is materialized (``sequence``
+    + ``explode`` of the bucket grid — generated, never scanned) and
+    the aggregate columns filled per the ``fill`` spec:
+
+    - ``"locf"`` — last observation carried forward (``last`` with
+      ``ignorenulls`` over an unbounded-preceding row frame);
+    - ``"linear"`` — linear interpolation between the previous and
+      next OBSERVED buckets by actual time distance; NULL before the
+      first / after the last observation (the Timescale
+      ``interpolate`` contract). The result is ``double``;
+    - any other value — a constant default (``coalesce``).
+    Columns not named in ``fill`` stay NULL on generated rows.
+
+    ``bounds`` picks the grid extent: ``"per_group"`` (default) spans
+    each group's own [min, max] observed bucket; ``"global"`` spans
+    the whole frame's range for EVERY group (cross join of the
+    distinct groups with one broadcast two-timestamp row — aligned
+    series for dashboards/tensors); or an explicit ``(start, end)``
+    pair of timestamp strings.
+
+    Scale shape: one shuffle for the rollup, one group-keyed window
+    pass for the fills. The grid is arithmetic — no data is re-read
+    to discover gaps. An UNGROUPED gapfill is a single series (one
+    window partition) by construction: bounded by the grid length,
+    fine for rollup grains, not a fan-out path."""
+    fill = fill or {}
+    rolled = time_bucket_agg(frame, ts_col, bucket, tuple(group_cols), **aggs).df
+    step = F.expr(f"interval 1 {bucket}")
+    if isinstance(bounds, tuple):
+        lo, hi = bounds
+        span = rolled.select(*group_cols).distinct().select(
+            *group_cols,
+            F.lit(lo).cast("timestamp").alias("__lo"),
+            F.lit(hi).cast("timestamp").alias("__hi"),
+        )
+    elif bounds == "per_group" and group_cols:
+        span = rolled.groupBy(*group_cols).agg(
+            F.min("bucket_start").alias("__lo"),
+            F.max("bucket_start").alias("__hi"),
+        )
+    elif bounds in ("per_group", "global"):
+        agg_span = rolled.agg(
+            F.min("bucket_start").alias("__lo"),
+            F.max("bucket_start").alias("__hi"),
+        )
+        span = (
+            rolled.select(*group_cols).distinct().crossJoin(
+                F.broadcast(agg_span)
+            )
+            if group_cols
+            else agg_span
+        )
+    else:
+        raise ValueError(
+            f"bounds must be 'per_group', 'global' or a (start, end) "
+            f"tuple, got {bounds!r}"
+        )
+    grid = span.withColumn(
+        "bucket_start", F.explode(F.sequence("__lo", "__hi", step))
+    ).drop("__lo", "__hi")
+    out = grid.join(rolled, on=["bucket_start", *group_cols], how="left")
+    if fill:
+        unknown = sorted(set(fill) - set(aggs))
+        if unknown:
+            raise ValueError(
+                f"fill names {unknown} are not aggregate columns "
+                f"({sorted(aggs)})"
+            )
+        w = Window.partitionBy(*group_cols).orderBy("bucket_start")
+        wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        sec = F.unix_timestamp(F.col("bucket_start")).cast("double")
+        for name, how in fill.items():
+            c = F.col(name)
+            if how == "locf":
+                filled = F.last(c, ignorenulls=True).over(wb)
+            elif how == "linear":
+                pv = F.last(c, ignorenulls=True).over(wb).cast("double")
+                pt = F.last(
+                    F.when(c.isNotNull(), sec), ignorenulls=True
+                ).over(wb)
+                nv = F.first(c, ignorenulls=True).over(wf).cast("double")
+                nt = F.first(
+                    F.when(c.isNotNull(), sec), ignorenulls=True
+                ).over(wf)
+                filled = (
+                    F.when(c.isNotNull(), c.cast("double"))
+                    .when(pt.isNull() | nt.isNull(), F.lit(None))
+                    .otherwise(pv + (nv - pv) * (sec - pt) / (nt - pt))
+                )
+            else:
+                filled = F.coalesce(c, F.lit(how))
+            out = out.withColumn(name, filled)
+    cols = ["bucket_start", *group_cols, *aggs]
+    return Frame(out.select(*cols), ())

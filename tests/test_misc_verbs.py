@@ -393,3 +393,41 @@ def test_group_modify_largest_group_advisory(spark):
         w.simplefilter("always")
         f.group_modify(head1, "g long, v long").collect()
     assert not [r for r in rec2 if "largest group" in str(r.message)]
+
+
+def test_separate_rows(spark):
+    import pandas as pd
+    from cuplyr_spark import from_pandas
+
+    f = from_pandas(
+        spark,
+        pd.DataFrame(
+            {"id": [1, 2, 3], "tags": ["a,b,c", "d", None], "n": ["1,2,3", "4", None]}
+        ),
+    )
+    out = f.separate_rows("tags").collect()
+    assert list(out["tags"]) == ["a", "b", "c", "d", None]
+    # lockstep multi-column split + numeric convert
+    out2 = (
+        from_pandas(
+            spark, pd.DataFrame({"id": [1], "a": ["x,y"], "b": ["10,20"]})
+        )
+        .separate_rows("b", sep=",", convert=True)
+        .collect()
+    )
+    assert list(out2["b"]) == [10, 20]
+
+
+def test_uncount(spark):
+    import pandas as pd
+    from cuplyr_spark import from_pandas
+
+    f = from_pandas(
+        spark,
+        pd.DataFrame({"g": ["a", "b", "c", "d"], "w": [2, 0, 1, None]}),
+    )
+    out = f.uncount("w", id_col="copy").arrange("g", "copy").collect()
+    assert list(out["g"]) == ["a", "a", "c"]
+    assert list(out["copy"]) == [1, 2, 1]
+    # integer literal weight
+    assert len(f.uncount(2).collect()) == 8

@@ -339,3 +339,109 @@ def test_standardize_null_group_key(spark):
     assert out.loc[3, "x_z"] == pytest.approx(-0.707107, abs=1e-6)
     assert out.loc[4, "x_z"] == pytest.approx(0.707107, abs=1e-6)
     assert out.loc[1, "x_z"] == pytest.approx(-0.707107, abs=1e-6)
+
+
+def test_time_bucket_gapfill(spark):
+    from cuplyr_spark.operators.events import time_bucket_gapfill
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:10",  # hour 0
+                    "2024-01-01 03:20",  # hour 3 (gap: 1, 2)
+                    "2024-01-01 04:05",  # hour 4
+                    "2024-01-01 01:00",  # b: hour 1
+                    "2024-01-01 02:30",  # b: hour 2 (no gap)
+                ]
+            ),
+            "v": [10.0, 40.0, 50.0, 7.0, 9.0],
+        }
+    )
+    f = from_pandas(spark, pdf)
+    out = time_bucket_gapfill(
+        f,
+        "ts",
+        bucket="hour",
+        group_cols=("g",),
+        fill={"total": "linear", "n": 0},
+        total=F.sum("v"),
+        n=F.count(F.lit(1)),
+    )
+    rows = {
+        (r["g"], r["bucket_start"].hour): (r["total"], r["n"])
+        for r in out.df.collect()
+    }
+    # a: hours 0..4 materialized; 1 and 2 linearly interpolated
+    assert rows[("a", 0)] == (10.0, 1)
+    assert rows[("a", 1)] == (20.0, 0)  # 10 + (40-10) * 1/3
+    assert rows[("a", 2)] == (30.0, 0)
+    assert rows[("a", 3)] == (40.0, 1)
+    assert rows[("a", 4)] == (50.0, 1)
+    # b spans only its own range (per_group bounds)
+    assert ("b", 0) not in rows and ("b", 3) not in rows
+    assert rows[("b", 1)] == (7.0, 1) and rows[("b", 2)] == (9.0, 1)
+
+
+def test_time_bucket_gapfill_locf_and_global_bounds(spark):
+    from cuplyr_spark.operators.events import time_bucket_gapfill
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 02:00", "2024-01-01 01:00"]
+            ),
+            "v": [1.0, 3.0, 5.0],
+        }
+    )
+    f = from_pandas(spark, pdf)
+    out = time_bucket_gapfill(
+        f,
+        "ts",
+        bucket="hour",
+        group_cols=("g",),
+        bounds="global",
+        fill={"total": "locf"},
+        total=F.sum("v"),
+    )
+    rows = {
+        (r["g"], r["bucket_start"].hour): r["total"]
+        for r in out.df.collect()
+    }
+    # global bounds: BOTH groups span hours 0..2 (aligned series)
+    assert rows[("a", 1)] == 1.0  # carried forward
+    assert rows[("b", 0)] is None  # nothing to carry yet
+    assert rows[("b", 2)] == 5.0  # carried forward
+    # linear leaves NULL outside the observed range
+    out2 = time_bucket_gapfill(
+        f,
+        "ts",
+        bucket="hour",
+        group_cols=("g",),
+        bounds="global",
+        fill={"total": "linear"},
+        total=F.sum("v"),
+    )
+    rows2 = {
+        (r["g"], r["bucket_start"].hour): r["total"]
+        for r in out2.df.collect()
+    }
+    assert rows2[("b", 0)] is None and rows2[("b", 2)] is None
+    assert rows2[("a", 1)] == 2.0
+
+
+def test_time_bucket_gapfill_validates_fill_names(spark):
+    from cuplyr_spark.operators.events import time_bucket_gapfill
+
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01"]), "v": [1.0]}
+    )
+    with pytest.raises(ValueError, match="not aggregate columns"):
+        time_bucket_gapfill(
+            from_pandas(spark, pdf),
+            "ts",
+            fill={"nope": "locf"},
+            total=F.sum("v"),
+        )
