@@ -3378,6 +3378,54 @@ def q_append_update_rows(spark, sf_dir):
     )
 
 
+def q_append_upsert_rows(spark, sf_dir):
+    """Keyed MERGE on an append table at merge-on-read cost
+    (``connectors.upsert_append_rows``): a late-arriving corrections
+    batch — updated copies of some orders plus brand-new ones — lands
+    as ONE log version that DV-marks the superseded table rows and
+    appends the whole batch; nothing else is rewritten (the
+    copy-on-write MERGE would rewrite the table). The batch's key set
+    prunes candidate segments through the zone maps before the
+    matching scan. Oracle: anti-join + union."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+        upsert_append_rows,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = _scratch_dir("dv_upsert")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(orders.filter("o_orderkey % 2 = 0"), d, batch_id=0)
+    append_snapshot(orders.filter("o_orderkey % 2 = 1"), d, batch_id=1)
+    # corrections: every P order re-priced +500, plus synthetic new keys
+    batch = orders.filter("o_orderstatus = 'P'").mutate(
+        o_totalprice="o_totalprice + 500"
+    ).bind_rows(
+        orders.filter("o_orderkey <= 40").mutate(
+            o_orderkey="o_orderkey + 90000000",
+            o_orderstatus="'N'",
+        )
+    )
+    upsert_append_rows(batch, d, key="o_orderkey")
+    out = read_append_snapshot(spark, d)
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
 def q_separate_rows(spark, sf_dir):
     """tidyr ``separate_rows`` (``Frame.separate_rows``): a delimited
     string column explodes into one row per element — map-side
@@ -3727,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_gapfill": q_time_gapfill,
         "separate_rows": q_separate_rows,
         "uncount": q_uncount,
+        "append_upsert_rows": q_append_upsert_rows,
         "sidecar_table_stats": q_sidecar_table_stats,
         "dictionary_prune": q_dictionary_prune,
         "bloom_point_lookup": q_bloom_point_lookup,
@@ -5814,6 +5863,29 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE NOT (o_totalprice > 200000)
           AND NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
+        GROUP BY o_orderstatus
+    """
+    out["append_upsert_rows"] = """
+        WITH batch AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 500 AS o_totalprice
+            FROM orders WHERE o_orderstatus = 'P'
+            UNION ALL
+            SELECT o_orderkey + 90000000, 'N', o_totalprice
+            FROM orders WHERE o_orderkey <= 40
+        ),
+        merged AS (
+            SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+            FROM orders o
+            WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+            UNION ALL
+            SELECT * FROM batch
+        )
+        SELECT o_orderstatus,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM merged
         GROUP BY o_orderstatus
     """
     out["separate_rows"] = """

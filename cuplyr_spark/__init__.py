@@ -112,6 +112,7 @@ from cuplyr_spark.sources.connectors import (
     append_snapshot,
     delete_append_rows,
     update_append_rows,
+    upsert_append_rows,
     read_append_changes,
     read_append_snapshot,
     read_snapshot,

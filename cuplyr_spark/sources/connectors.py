@@ -1735,27 +1735,44 @@ _DELETE_DIR = "_delete"
 _DV_SEG, _DV_FILE, _DV_POS = "__dv_seg", "__dv_file", "__dv_pos"
 
 
-def _with_dv_meta(df):
-    """Attach the (segment, file-within-segment, row position) address
-    columns derived from the scan's hidden ``_metadata`` struct — the
-    jar-free DELETION VECTOR row address. Parquet ``row_index`` is a
+def _with_dv_meta(df, partitioned: bool = False):
+    """Attach the (segment, file, row position) address columns derived
+    from the scan's hidden ``_metadata`` struct — the jar-free
+    DELETION VECTOR row address. Parquet ``row_index`` is a
     per-physical-file position and segment files are immutable, so the
     address is stable across readers, mount points, and filesystem
-    schemes (the segment/file parts are regex-derived RELATIVE paths,
-    not absolute URIs). Greedy prefixes bind to the LAST ``seg=`` /
-    ``fold=`` path component, so even a table nested under another
-    table's segment dir resolves its own segment."""
+    schemes.
+
+    The FILE part is layout-dependent: UNPARTITIONED segments use the
+    bare ``file_name`` — every data file is written by this layer
+    through a Spark job whose part-file names embed a per-job UUID, so
+    basenames are unique table-wide and the read-side anti-join stays
+    pure metadata-struct access, no path parsing (a regexp over the
+    25M-row rehearsal scan was the measured hot spot). PARTITIONED
+    segments reuse basenames across their partition directories (one
+    write job), so they address by the path WITHIN the segment
+    (partition dirs + basename, regex-derived, mount-point-free).
+    The convention is fixed per table by its layout, so writers and
+    readers always agree.
+
+    The SEGMENT part (regex; greedy prefix binds the LAST
+    ``seg=``/``fold=`` component, so a table nested under another
+    table's segment dir resolves its own) is recorded for DV scoping
+    and vacuum/audit only — Catalyst prunes it wherever unused, which
+    is every read; only a DELETE's matched rows evaluate it."""
     from pyspark.sql import functions as F
 
     fp = F.col("_metadata.file_path")
+    file = (
+        F.regexp_extract(fp, r".*/(?:seg|fold)=[^/]+/(.*)$", 1)
+        if partitioned
+        else F.col("_metadata.file_name")
+    )
     return (
         df.withColumn(
             _DV_SEG, F.regexp_extract(fp, r".*/((?:seg|fold)=[^/]+)/", 1)
         )
-        .withColumn(
-            _DV_FILE,
-            F.regexp_extract(fp, r".*/(?:seg|fold)=[^/]+/(.*)$", 1),
-        )
+        .withColumn(_DV_FILE, file)
         .withColumn(_DV_POS, F.col("_metadata.row_index"))
     )
 
@@ -1778,18 +1795,31 @@ def _dv_frame(spark, fs: _TableFS, log: dict, segs):
 
 def _anti_dv(df, dv):
     """LEFT ANTI join a position-addressed scan against its deletion
-    vectors on the (seg, file, pos) address. Equi-keys, so Spark plans
-    a BroadcastHashJoin when the DV side is small (the common case —
-    AQE decides from the actual size): map-side, no shuffle of the
-    data. Keeps the address columns; callers drop them."""
+    vectors on the (seg, file, pos) address. The DV side is FORCE-
+    broadcast (size-guarded): AQE's 10 MB autobroadcast threshold is
+    far below a realistic DV (a 1% delete of 25M rows is ~50 MB of
+    addresses), and without the hint the anti-join degrades to a
+    sort-merge SHUFFLE OF THE WHOLE FACT SCAN — measured 68x read tax
+    in the 25M rehearsal, vs ~flat with the broadcast. Delta applies
+    DVs scan-side for exactly this reason. A DV past the guard
+    (multi-GB — billions of deleted rows) drops the hint and degrades
+    to the shuffle, which is the right call at that delete fraction
+    anyway (compact with purge_deletes instead). Keeps the address
+    columns; callers drop them."""
     from pyspark.sql import functions as F
+
+    from cuplyr_spark.frame import broadcast_guarded
 
     if dv is None:
         return df
+    # (file_name, row_index) alone addresses the row — basenames are
+    # unique table-wide (per-job UUID in every part-file name), and
+    # _dv_frame already scoped the DV rows to the covered segments.
+    # Leaving seg out of the condition lets Catalyst prune the
+    # regex-derived segment column from the scan entirely.
     return df.alias("l").join(
-        dv.alias("r"),
+        broadcast_guarded(dv, what="deletion-vector apply").alias("r"),
         on=[
-            F.col(f"l.{_DV_SEG}") == F.col("r.seg"),
             F.col(f"l.{_DV_FILE}") == F.col("r.file"),
             F.col(f"l.{_DV_POS}") == F.col("r.pos"),
         ],
@@ -1824,7 +1854,8 @@ def _scan_with_dv(spark, fs: _TableFS, log: dict, segs):
                     _with_dv_meta(
                         spark.read.option("basePath", fs.join(s)).parquet(
                             fs.join(s)
-                        )
+                        ),
+                        partitioned=True,
                     ),
                     ext,
                 )
@@ -1994,7 +2025,9 @@ def _read_segments(
             if dmap.get(s):
                 # delete-carrying segment: conform WITH the position
                 # address columns so the DV anti-join below can apply
-                dirty_parts.append(_conform_schema(_with_dv_meta(df), ext))
+                dirty_parts.append(
+                    _conform_schema(_with_dv_meta(df, partitioned=True), ext)
+                )
             else:
                 parts.append(_conform_schema(df, schema))
     finally:
@@ -2832,6 +2865,162 @@ def update_append_rows(
         matches.unpersist()
 
 
+def upsert_append_rows(
+    frame: Frame,
+    table_dir: str,
+    key: str | list[str],
+    max_prune_keys: int = 100_000,
+) -> tuple[int, int, int]:
+    """Keyed MERGE (upsert) on an append table at merge-on-read cost —
+    the Delta ``MERGE WHEN MATCHED UPDATE ALL WHEN NOT MATCHED INSERT
+    ALL`` decomposition for the log-table shape: table rows whose key
+    appears in the source batch are deletion-vector-marked, and the
+    WHOLE source batch is appended as one new segment, both in the
+    same log version. Net cost: one scan of the candidate segments
+    (pruned through zone maps / dictionaries / bloom sidecars by the
+    source's key set via :func:`join_prune_filter` when it fits
+    ``max_prune_keys`` — keyed blooms make this the GDPR/user-profile
+    upsert shape) + DV bytes ∝ matched rows + write ∝ the batch. The
+    copy-on-write path (:func:`upsert_snapshot`) rewrites the whole
+    table per merge; this rewrites NOTHING.
+
+    Duplicate keys WITHIN the source are appended as-is (the table
+    then holds both copies — dedupe the batch first if that matters);
+    a source key matching several table rows marks them all, standard
+    MERGE delete-all-matches semantics. NULL source keys never match
+    (insert-only rows). Concurrency follows
+    :func:`delete_append_rows`: rebases over concurrent appends,
+    raises on concurrent folds/row-level writes over the touched
+    segments.
+
+    Returns ``(published_version, rows_replaced, rows_appended)``."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+    spark = frame.df.sparkSession
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    schema = cur.get("schema") or []
+    known = {name for name, _ in schema}
+    missing = sorted(set(keys) - known)
+    if missing:
+        raise ValueError(
+            f"upsert_append_rows: key columns {missing} are not in the "
+            f"table schema ({sorted(known)})"
+        )
+    incoming = {name for name, _ in _frame_schema_pairs(frame.df)}
+    if incoming != known:
+        raise ValueError(
+            f"upsert_append_rows: batch columns {sorted(incoming)} do not "
+            f"match the table's {sorted(known)} — append tables are "
+            "fixed-schema"
+        )
+    src = frame.df
+    segs = list(cur["segments"])
+    # manifest-level candidate pruning by the source's key set (single
+    # key only — the stats_filter grammar is per-column; multi-key
+    # upserts scan all segments and let the anti-join do the work)
+    if len(keys) == 1:
+        filt = join_prune_filter(
+            Frame(src, ()), keys[0], max_keys=max_prune_keys
+        )
+        if filt is not None:
+            sfilt = _normalize_stats_filter(filt, cur.get("schema"))
+            smap = cur.get("stats") or {}
+            segs = [s for s in segs if _seg_stats_match(smap.get(s), sfilt)]
+            if (cur.get("sketch_spec") or {}).get("bloom"):
+                segs = _bloom_prune(spark, fs, cur, segs, sfilt)
+    n_appended = src.count()
+    matched = None
+    counts: dict = {}
+    dv_rel = None
+    if segs:
+        from cuplyr_spark.frame import broadcast_guarded
+
+        scan = _scan_with_dv(spark, fs, cur, segs)
+        keyset = src.select(*keys).distinct()
+        # plain-equality semi-join: NULL keys never match on either
+        # side (insert-only rows); guarded broadcast keeps it map-side
+        matched = scan.join(
+            broadcast_guarded(keyset, what="upsert_append_rows key set"),
+            on=keys,
+            how="left_semi",
+        )
+        dv_rel = (
+            f"{_DELETE_DIR}/dv={cur['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        )
+        matched.select(
+            F.col(_DV_SEG).alias("seg"),
+            F.col(_DV_FILE).alias("file"),
+            F.col(_DV_POS).alias("pos"),
+        ).write.mode("errorifexists").parquet(fs.join(dv_rel))
+        counts = {
+            r["seg"]: r["n"]
+            for r in spark.read.parquet(fs.join(dv_rel))
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not counts:
+            _rm_dir(fs, dv_rel)
+            dv_rel = None
+    n_replaced = int(sum(counts.values()))
+    pby = list(cur.get("partition_by") or [])
+    n = cur["version"] + 1
+    seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
+    writer = _conform_schema(src, schema).write.mode("errorifexists")
+    if pby:
+        writer = writer.partitionBy(*pby)
+    writer.parquet(fs.join(seg))
+    pdirs = _partition_dirs(fs, seg, len(pby)) if pby else None
+    seg_stats = (
+        _segment_stats(spark, fs, seg, schema, pby)
+        if cur.get("stats")
+        else None
+    )
+    spec = cur.get("sketch_spec")
+    if spec is not None:
+        _write_segment_sketch(spark, fs, seg, spec)
+    touched = sorted(counts)
+    for _ in range(6):
+        n = cur["version"] + 1
+        log = _log_with_extras(cur, n, list(cur["segments"]) + [seg])
+        if dv_rel is not None:
+            dmap = dict(log.get("deletes") or {})
+            cmap = dict(log.get("delete_counts") or {})
+            for s in touched:
+                dmap[s] = list(dmap.get(s, [])) + [dv_rel]
+                cmap[s] = int(cmap.get(s, 0)) + int(counts[s])
+            log["deletes"], log["delete_counts"] = dmap, cmap
+        if pby:
+            log["partitions"] = {**(log.get("partitions") or {}), seg: pdirs}
+        if seg_stats is not None:
+            log["stats"] = {**(log.get("stats") or {}), seg: seg_stats}
+        try:
+            return _write_log(fs, log), n_replaced, int(n_appended)
+        except ConcurrentWriteError:
+            m = n
+            while fs.exists(f"_LOG.{m + 1}"):
+                m += 1
+            _advance_ptr(
+                fs, _LOG_PTR, m, "ptr",
+                committed=lambda: _log_committed_floor(fs),
+            )
+            new = _read_log(fs, m)
+            _dv_conflict_check(cur, new, touched)
+            cur = new
+    raise ConcurrentWriteError(
+        f"upsert on {table_dir!r} lost 6 straight log-commit races — "
+        "writer storm; re-run the upsert"
+    )
+
+
 def tail_append_changes(
     spark: SparkSession,
     table_dir: str,
@@ -2840,6 +3029,7 @@ def tail_append_changes(
     consumer_id: str = "__default__",
     partition_filter: dict | None = None,
     stats_filter: dict | None = None,
+    apply_deletes: bool = False,
 ) -> tuple[int, int]:
     """EXACTLY-ONCE batch-incremental consumer for an append table —
     the checkpointed driver around :func:`read_append_changes`, and
@@ -2899,6 +3089,9 @@ def tail_append_changes(
         )
     up_to = cur["version"]
     if cursor_text is None:
+        # bootstrap reads the published snapshot, which always applies
+        # deletion vectors (a new consumer should never see rows the
+        # table no longer holds)
         changes = read_append_snapshot(
             spark, table_dir, version=up_to,
             partition_filter=partition_filter, stats_filter=stats_filter,
@@ -2912,6 +3105,7 @@ def tail_append_changes(
     changes = read_append_changes(
         spark, table_dir, since_version=start, version=up_to,
         partition_filter=partition_filter, stats_filter=stats_filter,
+        apply_deletes=apply_deletes,
     )
     process(changes, up_to)
     fs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")

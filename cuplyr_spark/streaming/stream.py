@@ -447,7 +447,13 @@ def stream_append_log(
     batch-incremental consumer instead
     (``connectors.tail_append_changes``, which walks the log with a
     checkpointed cursor and composes with a sink watermark into
-    end-to-end exactly-once). Schema is mandatory, as for any file
+    end-to-end exactly-once). Row-level DELETEs
+    (``connectors.delete_append_rows``) are likewise invisible to the
+    file tail: deletion vectors live in the log manifest, so deleted
+    rows are still delivered here — matching the change feed's
+    rows-as-appended default; use ``tail_append_changes`` /
+    ``read_append_changes(apply_deletes=True)`` when the tail must
+    respect deletes. Schema is mandatory, as for any file
     stream — read it from the table's log manifest or a segment.
 
     Hive-partitioned append tables cannot be tailed this way — the

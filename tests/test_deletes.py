@@ -329,3 +329,57 @@ def test_history_reports_deleted_rows(spark, tmp_path):
     delete_append_rows(spark, d, {"id": (">=", 90)})
     hist = {h["version"]: h["rows_deleted"] for h in append_history(d)}
     assert hist[2] == 0 and hist[3] == 10 and hist[4] == 20
+
+
+def test_upsert_append_rows(spark, tmp_path):
+    """Keyed MERGE at merge-on-read cost: matched table rows DV-marked,
+    the whole batch appended in the same log version."""
+    from cuplyr_spark.sources.connectors import upsert_append_rows
+
+    d = _mk(spark, tmp_path, "t19")
+    batch = spark.createDataFrame(
+        [(40, 99, -1), (41, 99, -2), (200, 99, -3)], "id long, g long, v long"
+    )
+    v, replaced, appended = upsert_append_rows(Frame(batch, ()), d, key="id")
+    assert (replaced, appended) == (2, 3)
+    rows = {r["id"]: (r["g"], r["v"]) for r in read_append_snapshot(spark, d).df.collect()}
+    assert len(rows) == 101  # 100 - 2 replaced + 3 (2 updates, 1 insert)
+    assert rows[40] == (99, -1) and rows[41] == (99, -2) and rows[200] == (99, -3)
+    assert rows[42] == (2, 84)  # untouched
+
+
+def test_upsert_append_rows_prunes_by_key(spark, tmp_path):
+    """Single-key upserts prune candidate segments through the zone
+    maps before any scan — proven the usual way: the non-candidate
+    segment's directory is gone and the upsert still runs."""
+    from cuplyr_spark.sources.connectors import upsert_append_rows
+
+    d = str(tmp_path / "t20")
+    append_snapshot(
+        Frame(spark.range(0, 100).select(F.col("id").cast("long")), ()),
+        d, batch_id=0,
+    )
+    append_snapshot(
+        Frame(spark.range(5000, 5100).select(F.col("id").cast("long")), ()),
+        d, batch_id=1,
+    )
+    lo_seg = _log(d, 2)["segments"][0]
+    shutil.rmtree(os.path.join(d, lo_seg))
+    batch = spark.createDataFrame([(5050,), (9999,)], "id long")
+    v, replaced, appended = upsert_append_rows(Frame(batch, ()), d, key="id")
+    assert (replaced, appended) == (1, 2)
+
+
+def test_upsert_append_rows_validates_schema(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import upsert_append_rows
+
+    d = _mk(spark, tmp_path, "t21", two_batches=False)
+    bad = spark.createDataFrame([(1, 2)], "id long, extra long")
+    with pytest.raises(ValueError, match="fixed-schema"):
+        upsert_append_rows(Frame(bad, ()), d, key="id")
+    with pytest.raises(ValueError, match="key columns"):
+        upsert_append_rows(
+            Frame(spark.createDataFrame(
+                [(1, 1, 1)], "id long, g long, v long"), ()),
+            d, key="nope",
+        )

@@ -182,6 +182,13 @@ EXCHANGE_BUDGETS = {
     "bloom_point_lookup": 2,  # r10: bloom-pruned scan + orderBy (range exchange, AQE-counted); the sidecar probe is a separate tiny segment-count-bounded job
     "date_functions": 0,
     "quantile_agg": 1,
+    "append_delete_rows": 1,  # r11: one grouped agg over the DV-filtered scan (the DV anti-join broadcasts); delete staging runs eagerly
+    "append_update_rows": 1,  # r11: same shape — grouped agg over the merged scan; DV + new-segment staging eager
+    "join_pruned_read": 2,  # r11: count_distinct expand (partial+final) over the key-pruned scan; the dim join broadcasts
+    "time_gapfill": 2,  # r11: rollup hash agg + group-keyed exchange shared by the grid join and the fill windows
+    "separate_rows": 1,  # r11: explode is map-side; one hash agg on the exploded tag
+    "uncount": 1,  # r11: sequence+explode map-side; one grouped agg
+    "append_upsert_rows": 1,  # r11: grouped agg over the merged scan; the DV broadcast anti-join is map-side
 }
 
 # Queries whose plan legitimately contains an unpartitioned window over
