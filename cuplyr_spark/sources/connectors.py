@@ -2623,6 +2623,7 @@ def delete_append_rows(
     spark: SparkSession,
     table_dir: str,
     where,
+    residual=None,
 ) -> tuple[int, int]:
     """Row-level DELETE on an append table WITHOUT rewriting data — the
     jar-free deletion-vector (merge-on-read) analog of Delta/Iceberg
@@ -2642,7 +2643,12 @@ def delete_append_rows(
     segments through zone maps / dictionaries / bloom sidecars before
     any scan, the fast path for range or key deletes (GDPR id purges) —
     or any :meth:`Frame.filter` predicate (string/Column), which scans
-    every live segment.
+    every live segment. ``residual`` composes the two: a dict ``where``
+    scopes the candidate segments through the manifest while the
+    residual predicate (any filter expression) refines WITHIN them —
+    ``delete_append_rows(d, {"ts": ("<", cutoff)}, residual=
+    "user_id % 7 = 0")`` deletes rows matching BOTH, at the pruned
+    scan's cost.
 
     Already-deleted rows are never re-marked (the matching scan reads
     through existing DVs), so the manifest's ``delete_counts`` stay
@@ -2674,10 +2680,17 @@ def delete_append_rows(
         cond = _stats_filter_cond(sfilt)
         matcher = lambda df: df.filter(cond)  # noqa: E731
     else:
+        if residual is not None:
+            raise ValueError(
+                "residual= requires the dict (stats_filter) form of "
+                "where — fold the condition into the predicate instead"
+            )
         matcher = lambda df: Frame(df, ()).filter(where).df  # noqa: E731
     if not segs:
         return cur["version"], 0
     matches = matcher(_scan_with_dv(spark, fs, cur, segs))
+    if residual is not None:
+        matches = Frame(matches, ()).filter(residual).df
     dv_rel = f"{_DELETE_DIR}/dv={cur['version'] + 1}-{uuid.uuid4().hex[:8]}"
     matches.select(
         F.col(_DV_SEG).alias("seg"),
@@ -2729,6 +2742,7 @@ def update_append_rows(
     table_dir: str,
     where,
     assignments: dict,
+    residual=None,
 ) -> tuple[int, int]:
     """Row-level UPDATE on an append table, merge-on-read style: the
     matching rows are deletion-vector-marked in place (see
@@ -2781,10 +2795,17 @@ def update_append_rows(
         cond = _stats_filter_cond(sfilt)
         matcher = lambda df: df.filter(cond)  # noqa: E731
     else:
+        if residual is not None:
+            raise ValueError(
+                "residual= requires the dict (stats_filter) form of "
+                "where — fold the condition into the predicate instead"
+            )
         matcher = lambda df: Frame(df, ()).filter(where).df  # noqa: E731
     if not segs:
         return cur["version"], 0
     matches = matcher(_scan_with_dv(spark, fs, cur, segs))
+    if residual is not None:
+        matches = Frame(matches, ()).filter(residual).df
     matches.persist()  # one scan feeds BOTH the DV and the new segment
     try:
         dv_rel = (

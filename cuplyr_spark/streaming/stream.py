@@ -312,6 +312,82 @@ def stream_upsert_snapshot(
     return writer.start()
 
 
+def stream_upsert_append(
+    stream: DataFrame,
+    table_dir: str,
+    key: str | list[str],
+    checkpoint: str,
+    trigger_once: bool = True,
+    compact_every: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    vacuum_keep: int | None = None,
+    purge_deletes: bool = True,
+):
+    """Continuous keyed MERGE into an APPEND table — the merge-on-read
+    twin of :func:`stream_upsert_snapshot`: each microbatch runs
+    ``connectors.upsert_append_rows`` (matched table rows
+    deletion-vector-marked, the batch appended as one segment, one
+    atomic log version), so per-batch cost is DV bytes ∝ matched rows
+    + write ∝ the batch — where the copy-on-write sink republishes the
+    WHOLE table per batch. This is the sink for large mutable-by-key
+    tables fed by streams (user profiles, session state, CDC apply).
+
+    Exactly-once is BY KEY IDEMPOTENCE, same as the COW sink: a
+    replayed microbatch re-upserts the same keys — the final table
+    state is identical (the replay's DV marks the previous copy), at
+    the cost of one redundant segment + DV that compaction folds away.
+    Batch-id watermarks don't apply here (an upsert is not an
+    insert-only append).
+
+    Maintenance, tuned to what a MoR merge sink actually accretes:
+    SEGMENT COUNT and DELETION VECTORS. ``compact_every=N`` runs
+    tiered compaction every Nth batch with ``purge_deletes`` (default
+    on here) so accumulated DVs are materialized and dropped on the
+    same cadence; ``vacuum_keep=K`` prunes log history + unreferenced
+    segments/DVs on the compaction cadence (or every batch without
+    one). Single-writer: one streaming query per table.
+
+    Returns the started StreamingQuery; ``trigger_once`` drains
+    available input and stops (incremental-batch scheduling)."""
+    from cuplyr_spark.sources.connectors import (
+        compact_append_snapshot,
+        upsert_append_rows,
+        vacuum_append_snapshot,
+    )
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_append_rows(Frame(batch_df, ()), table_dir, key)
+        if compact_every is not None and batch_id % compact_every == (
+            compact_every - 1
+        ):
+            compact_append_snapshot(
+                batch_df.sparkSession, table_dir, target_file_bytes,
+                purge_deletes=purge_deletes,
+            )
+        if vacuum_keep is not None and (
+            compact_every is None
+            or batch_id % compact_every == compact_every - 1
+        ):
+            vacuum_append_snapshot(
+                table_dir, keep_last=vacuum_keep,
+                spark=batch_df.sparkSession,
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_append_snapshot(
     stream: DataFrame,
     table_dir: str,

@@ -383,3 +383,22 @@ def test_upsert_append_rows_validates_schema(spark, tmp_path):
                 [(1, 1, 1)], "id long, g long, v long"), ()),
             d, key="nope",
         )
+
+
+def test_delete_residual_composes_with_pruning(spark, tmp_path):
+    """residual= refines WITHIN the zone-map-pruned candidate segments:
+    dict scoping + free-form predicate, both required to match."""
+    d = str(tmp_path / "t22")
+    lo = spark.range(0, 50).select(F.col("id").cast("long"))
+    hi = spark.range(1000, 1050).select(F.col("id").cast("long"))
+    append_snapshot(Frame(lo, ()), d, batch_id=0)
+    append_snapshot(Frame(hi, ()), d, batch_id=1)
+    lo_seg = _log(d, 2)["segments"][0]
+    shutil.rmtree(os.path.join(d, lo_seg))  # prune proof: never scanned
+    v, n = delete_append_rows(
+        spark, d, {"id": (">=", 1000)}, residual="id % 2 = 0"
+    )
+    assert n == 25
+    # residual with a non-dict where is refused
+    with pytest.raises(ValueError, match="residual"):
+        delete_append_rows(spark, d, "id > 0", residual="id < 10")

@@ -556,3 +556,66 @@ def test_stream_append_log_tail(spark, tmp_path):
     run_to_memory(tail, "tail2")
     got = spark.sql("SELECT * FROM tail2").toPandas().sort_values("k")
     assert got["k"].tolist() == [1, 2, 3, 4]
+
+
+def test_stream_upsert_append_mor_sink(spark, tmp_path):
+    """Streaming keyed MERGE into an APPEND table (merge-on-read):
+    each microbatch DV-marks matched keys and appends the batch — the
+    table is never rewritten. Batch 2 updates a batch-1 key and
+    inserts a new one; maintenance (purge-compaction + vacuum) runs on
+    its cadence and materializes the DVs."""
+    import os
+
+    import pandas as pd
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+    )
+    from cuplyr_spark.streaming.stream import stream_upsert_append
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    # the table must exist (first publish fixes schema); seed it
+    import cuplyr_spark as cs
+
+    seed = cs.from_pandas(
+        spark, pd.DataFrame({"k": [1], "v": ["seed"]})
+    )
+    append_snapshot(seed, table, batch_id=0)
+
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}).to_parquet(
+        f"{src}/b0.parquet", index=False
+    )
+    q = stream_upsert_append(
+        spark.readStream.schema("k long, v string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src),
+        table, key="k", checkpoint=ckpt,
+    )
+    q.awaitTermination()
+    got = read_append_snapshot(spark, table).collect().sort_values("k")
+    assert got["v"].tolist() == ["a", "b"]  # seed's k=1 replaced
+
+    pd.DataFrame({"k": [2, 3], "v": ["B", "c"]}).to_parquet(
+        f"{src}/b1.parquet", index=False
+    )
+    q = stream_upsert_append(
+        spark.readStream.schema("k long, v string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src),
+        table, key="k", checkpoint=ckpt,
+        compact_every=1, vacuum_keep=1,
+    )
+    q.awaitTermination()
+    got = read_append_snapshot(spark, table).collect().sort_values("k")
+    assert got["v"].tolist() == ["a", "B", "c"]
+    # purge-compaction on the cadence: no deletion vectors left behind
+    import json
+
+    ptr = int(open(os.path.join(table, "_LATEST_LOG")).read())
+    log = json.load(open(os.path.join(table, f"_LOG.{ptr}")))
+    assert not log.get("deletes")
