@@ -3378,6 +3378,51 @@ def q_append_update_rows(spark, sf_dir):
     )
 
 
+def q_append_cdf(spark, sf_dir):
+    """Typed change-data-feed (``connectors.read_append_cdf``): orders
+    land in two appends, a price-range DELETE marks deletion vectors,
+    and an UPDATE re-prices pending orders — the feed emits every
+    change as (``_change_type``, ``_commit_version``)-tagged rows:
+    inserts per append, the delete's addressed rows read back from
+    their immutable segments, and the update decomposed as
+    delete+insert in one version (the MoR CDF contract a downstream
+    mirror replays to reproduce the table). The oracle rebuilds the
+    same five change sets with plain SQL."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        delete_append_rows,
+        read_append_cdf,
+        update_append_rows,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = _scratch_dir("dv_cdf")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(orders.filter("o_orderkey % 2 = 0"), d, batch_id=0)
+    append_snapshot(orders.filter("o_orderkey % 2 = 1"), d, batch_id=1)
+    delete_append_rows(spark, d, {"o_totalprice": (">", 250000.0)})
+    update_append_rows(
+        spark, d, "o_orderstatus = 'P' and o_totalprice <= 250000",
+        {"o_totalprice": "o_totalprice + 10"},
+    )
+    cdf = read_append_cdf(spark, d, since_version=0)
+    return cdf.df.groupBy("_change_type", "_commit_version").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
 def q_append_upsert_rows(spark, sf_dir):
     """Keyed MERGE on an append table at merge-on-read cost
     (``connectors.upsert_append_rows``): a late-arriving corrections
@@ -3776,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "separate_rows": q_separate_rows,
         "uncount": q_uncount,
         "append_upsert_rows": q_append_upsert_rows,
+        "append_cdf": q_append_cdf,
         "sidecar_table_stats": q_sidecar_table_stats,
         "dictionary_prune": q_dictionary_prune,
         "bloom_point_lookup": q_bloom_point_lookup,
@@ -5864,6 +5910,34 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT (o_totalprice > 200000)
           AND NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
         GROUP BY o_orderstatus
+    """
+    out["append_cdf"] = """
+        WITH changes AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice, 'insert', 2
+            FROM orders WHERE o_orderkey % 2 = 1
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete', 3
+            FROM orders WHERE o_totalprice > 250000
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete', 4
+            FROM orders
+            WHERE o_orderstatus = 'P' AND o_totalprice <= 250000
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 10, 'insert', 4
+            FROM orders
+            WHERE o_orderstatus = 'P' AND o_totalprice <= 250000
+        )
+        SELECT _change_type, _commit_version,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM changes
+        GROUP BY _change_type, _commit_version
     """
     out["append_upsert_rows"] = """
         WITH batch AS (

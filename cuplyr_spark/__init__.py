@@ -70,6 +70,7 @@ from cuplyr_spark.operators.events import (
     sessionize,
     session_stats,
     time_bucket_agg,
+    time_bucket_gapfill,
     with_rolling_agg,
     with_running_sum,
 )
@@ -111,6 +112,7 @@ from cuplyr_spark.sources.connectors import (
     ConcurrentWriteError,
     append_snapshot,
     delete_append_rows,
+    read_append_cdf,
     update_append_rows,
     upsert_append_rows,
     read_append_changes,

@@ -2886,6 +2886,151 @@ def update_append_rows(
         matches.unpersist()
 
 
+def read_append_cdf(
+    spark: SparkSession,
+    table_dir: str,
+    since_version: int,
+    version: int | None = None,
+) -> Frame:
+    """TYPED change-data-feed: every row-level change in
+    ``(since_version, version]`` as rows tagged ``_change_type``
+    (``insert`` | ``delete``) and ``_commit_version`` — the full Delta
+    CDF surface for downstream MIRRORS (a consumer applying inserts
+    and deletes in version order reproduces the table exactly), where
+    :func:`read_append_changes` is the slimmer inserts-only feed.
+
+    Per version: segments ADDED emit their rows as ``insert``;
+    deletion-vector files ADDED emit the ADDRESSED rows as ``delete``
+    (read back from their immutable segments by (file, pos) — cost ∝
+    deleted rows, the segments were retained by the same vacuum
+    contract every CDF reader relies on). An UPDATE/upsert therefore
+    appears as its MoR decomposition — ``delete`` of the old copies +
+    ``insert`` of the new — in one version, and compaction folds emit
+    nothing (``dataChange=false``). Scan count is ∝ versions in the
+    window (one per version with inserts, one per version with
+    deletes): CDF windows are incremental-consumer sized by
+    construction; for a full-table bootstrap use
+    ``read_append_snapshot`` instead."""
+    from pyspark.sql import functions as F
+
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs, version)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    end = cur["version"]
+    if since_version > end:
+        raise ValueError(
+            f"since_version {since_version} is past log version {end}"
+        )
+    prev = _read_log(fs, since_version) if since_version > 0 else None
+    prev_segs = set(prev["segments"]) if prev else set()
+    prev_dvs = {
+        d
+        for files in ((prev or {}).get("deletes") or {}).values()
+        for d in files
+    }
+    parts = []
+    meta = [
+        [_DV_SEG, "string"],
+        [_DV_FILE, "string"],
+        [_DV_POS, "bigint"],
+    ]
+    for k in range(since_version + 1, end + 1):
+        log_k = _read_log(fs, k)
+        pby = log_k.get("partition_by") or []
+        added = [
+            s
+            for s in log_k["segments"]
+            if s not in prev_segs and s.startswith("seg=")
+        ]
+        if added:
+            ins = _read_segments(
+                spark,
+                fs,
+                # rows AS APPENDED: no DVs at insert time
+                {**log_k, "deletes": {}},
+                added,
+            )
+            parts.append(
+                ins.withColumn("_change_type", F.lit("insert")).withColumn(
+                    "_commit_version", F.lit(k).cast("long")
+                )
+            )
+        dvs_k = {
+            d
+            for files in (log_k.get("deletes") or {}).values()
+            for d in files
+        }
+        new_dvs = sorted(dvs_k - prev_dvs)
+        if new_dvs:
+            addr = spark.read.parquet(*[fs.join(d) for d in new_dvs])
+            owners = sorted(
+                {r["seg"] for r in addr.select("seg").distinct().collect()}
+            )
+            # the addressed rows, read back from their immutable
+            # segments: scan owners WITHOUT DV application (the rows
+            # being deleted are by definition DV-marked at >= k) and
+            # semi-join the addresses
+            schema = log_k.get("schema")
+            if not pby:
+                raw = _with_dv_meta(
+                    spark.read.parquet(*[fs.join(s) for s in owners])
+                )
+            else:
+                conf = spark.conf
+                key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+                prev_conf = conf.get(key)
+                conf.set(key, "false")
+                try:
+                    ps = [
+                        _conform_schema(
+                            _with_dv_meta(
+                                spark.read.option(
+                                    "basePath", fs.join(s)
+                                ).parquet(fs.join(s)),
+                                partitioned=True,
+                            ),
+                            list(schema) + meta,
+                        )
+                        for s in owners
+                    ]
+                finally:
+                    conf.set(key, prev_conf)
+                raw = ps[0]
+                for p in ps[1:]:
+                    raw = raw.unionByName(p)
+            from cuplyr_spark.frame import broadcast_guarded
+
+            dels = raw.alias("l").join(
+                broadcast_guarded(addr, what="CDF delete addresses").alias(
+                    "r"
+                ),
+                on=[
+                    F.col(f"l.{_DV_FILE}") == F.col("r.file"),
+                    F.col(f"l.{_DV_POS}") == F.col("r.pos"),
+                ],
+                how="left_semi",
+            ).drop(_DV_SEG, _DV_FILE, _DV_POS)
+            parts.append(
+                dels.withColumn("_change_type", F.lit("delete")).withColumn(
+                    "_commit_version", F.lit(k).cast("long")
+                )
+            )
+        prev_segs = set(log_k["segments"])
+        prev_dvs = dvs_k
+    if not parts:
+        schema = cur.get("schema") or []
+        ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+        ddl += ", `_change_type` string, `_commit_version` long"
+        return Frame(spark.createDataFrame([], ddl), ())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return Frame(out, ())
+
+
 def upsert_append_rows(
     frame: Frame,
     table_dir: str,

@@ -402,3 +402,53 @@ def test_delete_residual_composes_with_pruning(spark, tmp_path):
     # residual with a non-dict where is refused
     with pytest.raises(ValueError, match="residual"):
         delete_append_rows(spark, d, "id > 0", residual="id < 10")
+
+
+def test_read_append_cdf_typed_feed(spark, tmp_path):
+    """Typed CDF: inserts per append version, deletes for DV-added
+    versions, and an UPDATE decomposed as delete+insert in one
+    version. A mirror replaying the feed in order reproduces the
+    table."""
+    from cuplyr_spark.sources.connectors import read_append_cdf
+
+    d = _mk(spark, tmp_path, "t23")  # v1: id<50, v2: id>=50
+    delete_append_rows(spark, d, {"id": ("<", 10)})  # v3
+    update_append_rows(spark, d, "id >= 95", {"v": "v + 1"})  # v4
+    cdf = read_append_cdf(spark, d, since_version=0)
+    rows = [
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in cdf.df.collect()
+    ]
+    by = {}
+    for i, t, k in rows:
+        by.setdefault((t, k), set()).add(i)
+    assert by[("insert", 1)] == set(range(50))
+    assert by[("insert", 2)] == set(range(50, 100))
+    assert by[("delete", 3)] == set(range(10))
+    assert by[("delete", 4)] == set(range(95, 100))
+    assert by[("insert", 4)] == set(range(95, 100))
+    # the update's insert carries the NEW value, its delete the OLD
+    vals = {
+        (r["_change_type"], r["id"]): r["v"]
+        for r in cdf.df.filter("id = 95").collect()
+    }
+    assert vals[("delete", 95)] == 190 and vals[("insert", 95)] == 191
+    # mirror replay: inserts minus later deletes == the live table
+    import pandas as pd
+
+    pdf = cdf.df.toPandas()
+    state = {}
+    for k in sorted(pdf["_commit_version"].unique()):
+        win = pdf[pdf["_commit_version"] == k]
+        for _, r in win[win["_change_type"] == "delete"].iterrows():
+            state.pop(r["id"], None)
+        for _, r in win[win["_change_type"] == "insert"].iterrows():
+            state[r["id"]] = r["v"]
+    live = {
+        r["id"]: r["v"] for r in read_append_snapshot(spark, d).df.collect()
+    }
+    assert state == live
+    # empty window: typed empty frame at the extended schema
+    empty = read_append_cdf(spark, d, since_version=4)
+    assert empty.df.count() == 0
+    assert "_change_type" in empty.df.columns

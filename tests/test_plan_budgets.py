@@ -189,6 +189,7 @@ EXCHANGE_BUDGETS = {
     "separate_rows": 1,  # r11: explode is map-side; one hash agg on the exploded tag
     "uncount": 1,  # r11: sequence+explode map-side; one grouped agg
     "append_upsert_rows": 1,  # r11: grouped agg over the merged scan; the DV broadcast anti-join is map-side
+    "append_cdf": 1,  # r11: one grouped agg over the unioned typed feed; per-version scans + address semi-joins are broadcast/map-side
 }
 
 # Queries whose plan legitimately contains an unpartitioned window over
