@@ -3286,6 +3286,7 @@ def compact_append_snapshot(
     zorder_bits: int = 16,
     max_live_segments: int | None = None,
     purge_deletes: bool = False,
+    shuffle: bool = False,
 ) -> int | None:
     """Tiered (bin-packed) compaction for append tables — the
     OPTIMIZE pass for the log-table shape, where maintenance debt is
@@ -3332,6 +3333,8 @@ def compact_append_snapshot(
     ``None``. A concurrent append winning the log-commit race
     surfaces as :class:`ConcurrentWriteError` (the fold referenced a
     superseded segment list — just re-run; the append is intact)."""
+    from pyspark.sql import functions as F
+
     if target_file_bytes < 1:
         raise ValueError("target_file_bytes must be >= 1")
     if max_live_segments is not None and max_live_segments < 1:
@@ -3406,13 +3409,27 @@ def compact_append_snapshot(
             partition_by=pby or None,
         )
     elif pby:
-        # partition layout carries through the fold; coalesce bounds
-        # the TASK count, so files per partition stay <= n_target
-        df.coalesce(n_target).write.mode("errorifexists").partitionBy(
-            *pby
-        ).parquet(fs.join(seg))
+        # partition layout carries through the fold. Default: coalesce
+        # bounds the TASK count so files per partition stay <= n_target
+        # with ZERO shuffle — but coalesce also pulls the whole fold
+        # pipeline (scan + DV anti-join) through those few tasks, so a
+        # LARGE fold (purge of a big table) serializes. shuffle=True
+        # repartitions on the partition columns instead: one shuffle of
+        # the folded bytes buys full write parallelism (measured 160 s
+        # -> task-parallel on the 8M partitioned purge rehearsal).
+        shaped = (
+            df.repartition(n_target, *[F.col(c) for c in pby])
+            if shuffle
+            else df.coalesce(n_target)
+        )
+        shaped.write.mode("errorifexists").partitionBy(*pby).parquet(
+            fs.join(seg)
+        )
     else:
-        df.coalesce(n_target).write.mode("errorifexists").parquet(fs.join(seg))
+        shaped = (
+            df.repartition(n_target) if shuffle else df.coalesce(n_target)
+        )
+        shaped.write.mode("errorifexists").parquet(fs.join(seg))
     ordered = [s for s in cur["segments"] if s in set(keep)] + [seg]
     fold_has_dv = any(dmap.get(s) for s in fold)
     # _log_with_extras restricts every metadata family to the surviving

@@ -40,6 +40,11 @@ from cuplyr_spark.sources.connectors import (
 
 N = int(os.environ.get("DV_ROWS", 25_000_000))
 SEGS = int(os.environ.get("DV_SEGS", 8))
+# DV_PARTITIONED=1 reruns the flow on a hive-partitioned table: its DV
+# addresses use the within-segment relative path (regex-derived — the
+# partition dirs reuse basenames), so this measures the slow
+# addressing path honestly
+PARTITIONED = os.environ.get("DV_PARTITIONED") == "1"
 
 
 def timed(label, fn):
@@ -60,8 +65,12 @@ def main():
             F.col("id").cast("long"),
             (F.col("id") % 9_999_991).alias("uid"),
             (F.col("id") % 97).cast("double").alias("v"),
+            (F.col("id") % 8).cast("string").alias("p"),
         )
-        append_snapshot(Frame(batch, ()), d, batch_id=i)
+        append_snapshot(
+            Frame(batch, ()), d, batch_id=i,
+            partition_by="p" if PARTITIONED else None,
+        )
 
     read0, t_read0 = timed(
         "full read before deletes",
@@ -100,7 +109,8 @@ def main():
     _, t_purge = timed(
         "purge-compaction (materialize deletes)",
         lambda: compact_append_snapshot(
-            spark, d, target_file_bytes=256 << 20, purge_deletes=True
+            spark, d, target_file_bytes=256 << 20, purge_deletes=True,
+            shuffle=True,  # large fold: parallel write beats zero-shuffle
         ),
     )
     read2, t_read2 = timed(
@@ -115,6 +125,7 @@ def main():
     out = {
         "rows": N,
         "segments": SEGS,
+        "partitioned": PARTITIONED,
         "deleted_range": n_range,
         "deleted_scattered": n_scat,
         "read_before_s": round(t_read0, 2),

@@ -452,3 +452,18 @@ def test_read_append_cdf_typed_feed(spark, tmp_path):
     empty = read_append_cdf(spark, d, since_version=4)
     assert empty.df.count() == 0
     assert "_change_type" in empty.df.columns
+
+
+def test_compact_shuffle_mode(spark, tmp_path):
+    """shuffle=True folds via repartition (parallel write) and stays
+    row-identical to the zero-shuffle coalesce fold."""
+    d = _mk(spark, tmp_path, "t24")
+    delete_append_rows(spark, d, {"id": ("<", 20)})
+    cv = compact_append_snapshot(
+        spark, d, target_file_bytes=1 << 30, purge_deletes=True,
+        shuffle=True,
+    )
+    assert cv is not None
+    got = sorted(r["id"] for r in read_append_snapshot(spark, d).df.collect())
+    assert got == list(range(20, 100))
+    assert not _log(d, cv).get("deletes")
