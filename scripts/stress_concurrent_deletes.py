@@ -1,0 +1,210 @@
+"""Multi-process concurrency stress for the ROW-LEVEL write paths
+(deletion vectors): N independent worker processes (each its own
+Python + JVM) hammer ONE append table with interleaved appends,
+deletes, and keyed upserts — while an optional maintenance process
+runs purge-compaction + vacuum in a loop. No coordination beyond the
+filesystem commit protocol under test.
+
+Each worker owns a disjoint id range, so the expected FINAL state is
+exactly computable regardless of interleaving:
+
+  per worker w, batch b over rows [lo, lo+R):
+    - append rows with val=b
+    - delete its rows where id % 10 < 3      (retry on conflict)
+    - upsert rows [lo, lo+5) with val=b+1000 (re-inserts any of those
+      five the delete removed — MERGE insert-on-miss)
+
+  expected(id) = b+1000 if id in the upsert window
+                 absent if id % 10 < 3 (outside the window)
+                 b      otherwise
+
+PASS = the final table equals that dict exactly: no lost update, no
+resurrected delete, no double row — despite folds landing mid-write
+(which force delete/upsert rebases and ConcurrentWriteError retries,
+the documented recovery).
+
+Usage: python scripts/stress_concurrent_deletes.py [N] [K] [--no-maint]
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # spawn'd workers re-import this module bare
+    sys.path.insert(0, REPO)
+
+ROWS = 40
+UPS = 5  # upsert window size at the head of each batch's range
+
+
+def _session(tag):
+    from cuplyr_spark.session import get_session
+
+    return get_session(app_name=f"dvstress_{tag}", cpus=2, shuffle_partitions=2)
+
+
+def _retry(fn):
+    from cuplyr_spark import ConcurrentWriteError
+
+    n = 0
+    while True:
+        try:
+            return fn(), n
+        except ConcurrentWriteError:
+            n += 1
+            time.sleep(0.05)
+
+
+def rowlevel_worker(table, wid, k, out):
+    import pandas as pd
+
+    from cuplyr_spark import from_pandas
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        delete_append_rows,
+        upsert_append_rows,
+    )
+
+    spark = _session(f"w{wid}")
+    t0 = time.time()
+    retries = 0
+    base = wid * 1_000_000
+    for b in range(k):
+        lo = base + b * ROWS
+        pdf = pd.DataFrame(
+            {"id": range(lo, lo + ROWS), "val": [b] * ROWS}
+        )
+        append_snapshot(
+            from_pandas(spark, pdf), table, batch_id=b, app_id=f"w{wid}"
+        )
+        _, r1 = _retry(
+            lambda: delete_append_rows(
+                spark, table,
+                {"id": [(">=", lo), ("<", lo + ROWS)]},
+                residual="id % 10 < 3",
+            )
+        )
+        ups = pd.DataFrame(
+            {"id": range(lo, lo + UPS), "val": [b + 1000] * UPS}
+        )
+        _, r2 = _retry(
+            lambda: upsert_append_rows(
+                from_pandas(spark, ups), table, key="id"
+            )
+        )
+        retries += r1 + r2
+    out.put(("ok", wid, time.time() - t0, retries))
+
+
+def maintenance_worker(table, done_flag, out):
+    from cuplyr_spark import ConcurrentWriteError
+    from cuplyr_spark.sources.connectors import (
+        compact_append_snapshot,
+        vacuum_append_snapshot,
+    )
+
+    spark = _session("maint")
+    t0 = time.time()
+    folds = lost = 0
+    while time.time() - t0 < 600:
+        finishing = os.path.exists(done_flag)
+        try:
+            if compact_append_snapshot(
+                spark, table, purge_deletes=True, shuffle=True
+            ) is not None:
+                folds += 1
+            vacuum_append_snapshot(table, keep_last=6, spark=spark)
+        except ConcurrentWriteError:
+            lost += 1  # a live writer won the log race mid-fold
+        except FileNotFoundError:
+            pass  # table not created yet
+        if finishing:
+            break
+        time.sleep(0.2)
+    out.put(("ok", 99, time.time() - t0, folds, lost))
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    maint = "--no-maint" not in sys.argv
+    root = tempfile.mkdtemp(prefix="dvstress_")
+    table = root + "/t"
+    done_flag = root + "/_STRESS_DONE"
+    ctx = mp.get_context("spawn")
+    out = ctx.Queue()
+    procs = [
+        ctx.Process(target=rowlevel_worker, args=(table, w, k, out))
+        for w in range(n)
+    ]
+    if maint:
+        procs.append(
+            ctx.Process(
+                target=maintenance_worker, args=(table, done_flag, out)
+            )
+        )
+    t0 = time.time()
+    for p in procs:
+        p.start()
+    # workers first; then signal the maintenance loop to finish
+    for p in procs[:n]:
+        p.join(900)
+    open(done_flag, "w").write("done")
+    for p in procs[n:]:
+        p.join(900)
+    results = [out.get(timeout=60) for _ in procs]
+    wall = time.time() - t0
+    assert len(results) == len(procs) and all(
+        r[0] == "ok" for r in results
+    ), results
+
+    expected = {}
+    for w in range(n):
+        base = w * 1_000_000
+        for b in range(k):
+            lo = base + b * ROWS
+            for i in range(lo, lo + ROWS):
+                if i < lo + UPS:
+                    expected[i] = b + 1000
+                elif i % 10 < 3:
+                    pass  # deleted
+                else:
+                    expected[i] = b
+
+    spark = _session("check")
+    from cuplyr_spark.sources.connectors import read_append_snapshot
+
+    got = {
+        r["id"]: r["val"]
+        for r in read_append_snapshot(spark, table).df.collect()
+    }
+    missing = sorted(set(expected) - set(got))[:5]
+    extra = sorted(set(got) - set(expected))[:5]
+    wrong = sorted(
+        i for i in set(got) & set(expected) if got[i] != expected[i]
+    )[:5]
+    ok = not missing and not extra and not wrong
+    m = next((r for r in results if r[1] == 99), None)
+    print(json.dumps({
+        "workers": n, "batches": k, "rows": len(got),
+        "expected_rows": len(expected),
+        "worker_retries": sum(r[3] for r in results if r[1] != 99),
+        "folds": m[3] if m else None,
+        "fold_conflicts_skipped": m[4] if m else None,
+        "missing": missing, "extra": extra, "wrong_val": wrong,
+        "wall_s": round(wall, 1), "pass": ok,
+    }))
+    shutil.rmtree(root, ignore_errors=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
