@@ -3278,6 +3278,69 @@ def tail_append_changes(
     return (start, up_to)
 
 
+def tail_append_cdf(
+    spark: SparkSession,
+    table_dir: str,
+    cursor_dir: str,
+    process: "Callable[[Frame, int], None]",
+    consumer_id: str = "__default__",
+) -> tuple[int, int]:
+    """Checkpointed consumer of the TYPED change feed — the
+    :func:`tail_append_changes` pattern over :func:`read_append_cdf`:
+    each call hands ``process(cdf_frame, up_to_version)`` the
+    insert/delete-tagged changes since this consumer's cursor and
+    advances the cursor after ``process`` returns. THE driver loop for
+    maintaining a downstream MIRROR of a table with row-level writes:
+    apply deletes then inserts per ``_commit_version`` in order and
+    the mirror equals the table (the replay asserted in the CDF
+    tests). At-least-once alone; exactly-once when ``process`` is
+    idempotent per version window (e.g. the mirror records
+    ``up_to_version`` transactionally, the same sink-watermark recipe
+    as the untyped tail).
+
+    Bootstrap (no cursor yet): the published SNAPSHOT as one all-
+    ``insert`` window at the current version — exact (DVs applied, so
+    a new mirror never materializes already-deleted rows) and immune
+    to vacuumed early history. Same retention contract afterwards:
+    keep vacuum's ``keep_last`` above every consumer's lag."""
+    from pyspark.sql import functions as F
+
+    if "/" in consumer_id or not consumer_id.strip():
+        raise ValueError(
+            f"consumer_id {consumer_id!r} must be a non-empty name "
+            "without '/' (it becomes the cursor filename)"
+        )
+    cfs = _TableFS(cursor_dir, spark)
+    cfs.mkdirs()
+    name = f"_CURSOR.cdf.{consumer_id}"
+    cursor_text = cfs.read_text(name)
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    up_to = cur["version"]
+    if cursor_text is None:
+        snap = read_append_snapshot(spark, table_dir, version=up_to)
+        typed = Frame(
+            snap.df.withColumn("_change_type", F.lit("insert")).withColumn(
+                "_commit_version", F.lit(up_to).cast("long")
+            ),
+            (),
+        )
+        process(typed, up_to)
+        cfs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")
+        return (0, up_to)
+    start = int(cursor_text)
+    if up_to <= start:
+        return (start, start)
+    changes = read_append_cdf(spark, table_dir, since_version=start, version=up_to)
+    process(changes, up_to)
+    cfs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")
+    return (start, up_to)
+
+
 def compact_append_snapshot(
     spark: SparkSession,
     table_dir: str,

@@ -467,3 +467,45 @@ def test_compact_shuffle_mode(spark, tmp_path):
     got = sorted(r["id"] for r in read_append_snapshot(spark, d).df.collect())
     assert got == list(range(20, 100))
     assert not _log(d, cv).get("deletes")
+
+
+def test_tail_append_cdf_mirror_loop(spark, tmp_path):
+    """Checkpointed typed-feed consumer: a mirror applying deletes
+    then inserts per version equals the table after every call; the
+    cursor advances only after process returns; idle calls are no-ops;
+    bootstrap delivers the DV-applied snapshot as inserts."""
+    from cuplyr_spark.sources.connectors import tail_append_cdf
+
+    d = _mk(spark, tmp_path, "t25")
+    delete_append_rows(spark, d, {"id": ("<", 5)})  # pre-bootstrap
+    cur = str(tmp_path / "cur25")
+    mirror = {}
+
+    def apply(frame, up_to):
+        pdf = frame.df.toPandas()
+        for k in sorted(pdf["_commit_version"].unique()):
+            win = pdf[pdf["_commit_version"] == k]
+            for _, r in win[win["_change_type"] == "delete"].iterrows():
+                mirror.pop(r["id"], None)
+            for _, r in win[win["_change_type"] == "insert"].iterrows():
+                mirror[r["id"]] = r["v"]
+
+    def table_now():
+        return {
+            r["id"]: r["v"]
+            for r in read_append_snapshot(spark, d).df.collect()
+        }
+
+    frm, to = tail_append_cdf(spark, d, cur, apply)
+    assert (frm, to) == (0, 3)
+    assert mirror == table_now()  # bootstrap excludes deleted rows
+    # idle: no new version, process not called
+    frm, to = tail_append_cdf(spark, d, cur, apply)
+    assert frm == to == 3
+    # a delta window with delete + update, applied incrementally
+    update_append_rows(spark, d, "id >= 98", {"v": "v * 10"})
+    delete_append_rows(spark, d, {"id": [(">=", 10), ("<", 12)]})
+    frm, to = tail_append_cdf(spark, d, cur, apply)
+    assert (frm, to) == (3, 5)
+    assert mirror == table_now()
+    assert mirror[98] == 98 * 2 * 10 and 10 not in mirror

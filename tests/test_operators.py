@@ -445,3 +445,33 @@ def test_time_bucket_gapfill_validates_fill_names(spark):
             fill={"nope": "locf"},
             total=F.sum("v"),
         )
+
+
+def test_time_bucket_gapfill_explicit_bounds(spark):
+    from cuplyr_spark.operators.events import time_bucket_gapfill
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"],
+            "ts": pd.to_datetime(["2024-01-01 02:00"]),
+            "v": [5.0],
+        }
+    )
+    out = time_bucket_gapfill(
+        from_pandas(spark, pdf),
+        "ts",
+        bucket="hour",
+        group_cols=("g",),
+        bounds=("2024-01-01 00:00:00", "2024-01-01 04:00:00"),
+        fill={"total": 0.0},
+        total=F.sum("v"),
+    )
+    rows = sorted(
+        (r["bucket_start"].hour, r["total"]) for r in out.df.collect()
+    )
+    assert rows == [(0, 0.0), (1, 0.0), (2, 5.0), (3, 0.0), (4, 0.0)]
+    with pytest.raises(ValueError, match="bounds"):
+        time_bucket_gapfill(
+            from_pandas(spark, pdf), "ts", bounds="nonsense",
+            total=F.sum("v"),
+        )
