@@ -509,3 +509,34 @@ def test_tail_append_cdf_mirror_loop(spark, tmp_path):
     assert (frm, to) == (3, 5)
     assert mirror == table_now()
     assert mirror[98] == 98 * 2 * 10 and 10 not in mirror
+
+
+def test_dv_lifecycle_under_file_scheme(spark, tmp_path):
+    """Row-level writes through the Hadoop FileSystem path (file://):
+    DV write, read anti-join, purge-compaction sidecar handling and
+    the vacuum DV sweep all route through the remote-FS branches."""
+    from cuplyr_spark.sources.connectors import _TableFS
+
+    d = str(tmp_path / "dv_scheme")
+    uri = "file://" + d
+    df = spark.range(60).select(
+        F.col("id").cast("long"), (F.col("id") * 2).alias("v")
+    )
+    append_snapshot(Frame(df, ()), uri, batch_id=0)
+    assert _TableFS(uri, spark).remote
+    v, n = delete_append_rows(spark, uri, {"id": ("<", 15)})
+    assert n == 15
+    assert read_append_snapshot(spark, uri).df.count() == 45
+    # bare-path read sees the same table (one filesystem location)
+    assert read_append_snapshot(spark, d).df.count() == 45
+    v, n = update_append_rows(spark, uri, "id >= 55", {"v": "v + 7"})
+    assert n == 5
+    got = {r["id"]: r["v"] for r in read_append_snapshot(spark, uri).df.collect()}
+    assert got[55] == 117 and got[50] == 100
+    cv = compact_append_snapshot(
+        spark, uri, target_file_bytes=1 << 30, purge_deletes=True
+    )
+    assert cv is not None
+    vacuum_append_snapshot(uri, keep_last=1, orphan_grace_hours=0, spark=spark)
+    assert not os.listdir(os.path.join(d, "_delete"))
+    assert read_append_snapshot(spark, uri).df.count() == 45

@@ -131,3 +131,20 @@ def test_dv_lifecycle_matches_model(spark, tmp_path, seed):
             f"(missing={sorted(set(model) - set(got))[:5]}, "
             f"extra={sorted(set(got) - set(model))[:5]})"
         )
+        if step % 3 == 2:
+            # zone-map pruned read under deletes: stats are stale
+            # (recorded pre-delete) but pruning must stay SOUND — the
+            # filtered read equals the model subset exactly
+            lo = rng.randrange(max(next_id, 1))
+            hi = lo + rng.randrange(1, 50)
+            pruned = {
+                r["id"]: (r["g"], r["v"])
+                for r in read_append_snapshot(
+                    spark, d, stats_filter={"id": [(">=", lo), ("<", hi)]}
+                ).df.collect()
+            }
+            want = {i: gv for i, gv in model.items() if lo <= i < hi}
+            assert pruned == want, (
+                f"seed={seed} step={step}: stats_filter under deletes "
+                f"diverged on [{lo}, {hi})"
+            )
