@@ -45,11 +45,15 @@ def _table_state(spark, d) -> dict[int, tuple[int, int]]:
     }
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
-def test_dv_lifecycle_matches_model(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,partitioned",
+    [(11, False), (23, False), (47, False), (61, True), (83, True)],
+)
+def test_dv_lifecycle_matches_model(spark, tmp_path, seed, partitioned):
     rng = random.Random(seed)
     d = str(tmp_path / f"fuzz{seed}")
     shutil.rmtree(d, ignore_errors=True)
+    pby = ["g"] if partitioned else None
     model: dict[int, tuple[int, int]] = {}
     next_id = 0
     batch = 0
@@ -65,7 +69,9 @@ def test_dv_lifecycle_matches_model(spark, tmp_path, seed):
 
     # the table must exist before row-level ops
     rows = fresh_rows(rng.randrange(20, 60))
-    append_snapshot(Frame(_mkdf(spark, rows), ()), d, batch_id=batch)
+    append_snapshot(
+        Frame(_mkdf(spark, rows), ()), d, batch_id=batch, partition_by=pby
+    )
     batch += 1
     model.update({i: (g, v) for i, g, v in rows})
 
