@@ -2619,11 +2619,62 @@ def _dv_conflict_check(cur: dict, new: dict, touched) -> None:
         )
 
 
+def _partition_scope(cur: dict, segs, partition_filter):
+    """Manifest-level candidate pruning + residual condition for a
+    partition-scoped row-level write: segments whose recorded
+    partition values all miss the filter are dropped (zero listing),
+    and the returned Column re-checks the filter over the conformed
+    scan for exactness (partition values compare in their recorded
+    column types)."""
+    from pyspark.sql import functions as F
+
+    if not partition_filter:
+        return segs, None
+    pby = cur.get("partition_by") or []
+    if not pby:
+        raise ValueError(
+            "partition_filter on an unpartitioned append table"
+        )
+    pf = _normalize_pfilter(partition_filter)
+    unknown = set(pf) - set(pby)
+    if unknown:
+        raise ValueError(
+            f"partition_filter columns {sorted(unknown)} are not "
+            f"partition columns {pby}"
+        )
+    pmap = cur.get("partitions") or {}
+
+    def seg_matches(seg):
+        rels = pmap.get(seg)
+        if rels is None:
+            return True  # legacy manifest without the map: keep
+        for rel in rels:
+            vals = _partition_values(rel)
+            if all(vals.get(c) in want for c, want in pf.items()):
+                return True
+        return False
+
+    segs = [s for s in segs if seg_matches(s)]
+    cond = None
+    for c, want in pf.items():
+        nn = [v for v in want if v is not None]
+        # compare in string space — partition values were recorded as
+        # directory strings, and the conformed column casts back
+        this = (
+            F.col(c).cast("string").isin(nn) if nn else F.lit(False)
+        )
+        if None in want:
+            this = this | F.col(c).isNull()
+        cond = this if cond is None else cond & this
+    return segs, cond
+
+
 def delete_append_rows(
     spark: SparkSession,
     table_dir: str,
-    where,
+    where=None,
     residual=None,
+    partition_filter: dict | None = None,
 ) -> tuple[int, int]:
     """Row-level DELETE on an append table WITHOUT rewriting data — the
     jar-free deletion-vector (merge-on-read) analog of Delta/Iceberg
@@ -2648,7 +2699,13 @@ def delete_append_rows(
     residual predicate (any filter expression) refines WITHIN them —
     ``delete_append_rows(d, {"ts": ("<", cutoff)}, residual=
     "user_id % 7 = 0")`` deletes rows matching BOTH, at the pruned
-    scan's cost.
+    scan's cost. ``partition_filter`` ({col: value-or-list},
+    partitioned tables) additionally scopes by the manifest's
+    PARTITION map — the "drop a day from the events table" shape:
+    ``delete_append_rows(d, partition_filter={"day": "2024-01-07"})``
+    (``where`` may then be omitted) never lists a segment whose
+    recorded partition values all miss, and combines with either
+    ``where`` form.
 
     Already-deleted rows are never re-marked (the matching scan reads
     through existing DVs), so the manifest's ``delete_counts`` stay
@@ -2670,7 +2727,14 @@ def delete_append_rows(
         raise FileNotFoundError(
             f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
         )
+    if where is None and partition_filter is None:
+        raise ValueError(
+            "delete_append_rows needs where= and/or partition_filter= "
+            "(an unconditional full-table delete is surely a mistake; "
+            "pass where=True explicitly if you mean it)"
+        )
     segs = list(cur["segments"])
+    segs, pcond = _partition_scope(cur, segs, partition_filter)
     if isinstance(where, dict):
         sfilt = _normalize_stats_filter(where, cur.get("schema"))
         smap = cur.get("stats") or {}
@@ -2679,6 +2743,8 @@ def delete_append_rows(
             segs = _bloom_prune(spark, fs, cur, segs, sfilt)
         cond = _stats_filter_cond(sfilt)
         matcher = lambda df: df.filter(cond)  # noqa: E731
+    elif where is None:
+        matcher = lambda df: df  # noqa: E731  (partition-only delete)
     else:
         if residual is not None:
             raise ValueError(
@@ -2689,6 +2755,8 @@ def delete_append_rows(
     if not segs:
         return cur["version"], 0
     matches = matcher(_scan_with_dv(spark, fs, cur, segs))
+    if pcond is not None:
+        matches = matches.filter(pcond)
     if residual is not None:
         matches = Frame(matches, ()).filter(residual).df
     dv_rel = f"{_DELETE_DIR}/dv={cur['version'] + 1}-{uuid.uuid4().hex[:8]}"
@@ -2743,6 +2811,7 @@ def update_append_rows(
     where,
     assignments: dict,
     residual=None,
+    partition_filter: dict | None = None,
 ) -> tuple[int, int]:
     """Row-level UPDATE on an append table, merge-on-read style: the
     matching rows are deletion-vector-marked in place (see
@@ -2786,6 +2855,7 @@ def update_append_rows(
             f"{sorted(known)})"
         )
     segs = list(cur["segments"])
+    segs, pcond = _partition_scope(cur, segs, partition_filter)
     if isinstance(where, dict):
         sfilt = _normalize_stats_filter(where, cur.get("schema"))
         smap = cur.get("stats") or {}
@@ -2794,6 +2864,8 @@ def update_append_rows(
             segs = _bloom_prune(spark, fs, cur, segs, sfilt)
         cond = _stats_filter_cond(sfilt)
         matcher = lambda df: df.filter(cond)  # noqa: E731
+    elif where is None:
+        matcher = lambda df: df  # noqa: E731  (partition-only update)
     else:
         if residual is not None:
             raise ValueError(
@@ -2804,6 +2876,8 @@ def update_append_rows(
     if not segs:
         return cur["version"], 0
     matches = matcher(_scan_with_dv(spark, fs, cur, segs))
+    if pcond is not None:
+        matches = matches.filter(pcond)
     if residual is not None:
         matches = Frame(matches, ()).filter(residual).df
     matches.persist()  # one scan feeds BOTH the DV and the new segment

@@ -540,3 +540,35 @@ def test_dv_lifecycle_under_file_scheme(spark, tmp_path):
     vacuum_append_snapshot(uri, keep_last=1, orphan_grace_hours=0, spark=spark)
     assert not os.listdir(os.path.join(d, "_delete"))
     assert read_append_snapshot(spark, uri).df.count() == 45
+
+
+def test_partition_scoped_delete_prunes_from_manifest(spark, tmp_path):
+    """partition_filter deletes prune candidate segments from the
+    manifest partition MAP (zero listing) — the 'drop a day' shape —
+    proven by removing the non-matching segment's directory."""
+    d = str(tmp_path / "t26")
+    mk = lambda lo, hi, p: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("long"), F.lit(p).alias("p"),
+    )
+    append_snapshot(Frame(mk(0, 40, "a"), ()), d, batch_id=0, partition_by="p")
+    append_snapshot(Frame(mk(40, 80, "b"), ()), d, batch_id=1)
+    a_seg = _log(d, 2)["segments"][0]
+    shutil.rmtree(os.path.join(d, a_seg))  # would fail if listed
+    # partition-only delete (where omitted)
+    v, n = delete_append_rows(spark, d, partition_filter={"p": "b"})
+    assert n == 40
+    # combined: partition scope + dict where (on the restored table)
+    d2 = str(tmp_path / "t26b")
+    append_snapshot(Frame(mk(0, 40, "a"), ()), d2, batch_id=0, partition_by="p")
+    append_snapshot(Frame(mk(40, 80, "b"), ()), d2, batch_id=1)
+    v, n = delete_append_rows(
+        spark, d2, {"id": ("<", 50)}, partition_filter={"p": "b"}
+    )
+    assert n == 10  # ids 40..49 in partition b only
+    got = sorted(r["id"] for r in read_append_snapshot(spark, d2).df.collect())
+    assert got == list(range(40)) + list(range(50, 80))
+    # guards
+    with pytest.raises(ValueError, match="unconditional"):
+        delete_append_rows(spark, d2)
+    with pytest.raises(ValueError, match="not partition columns"):
+        delete_append_rows(spark, d2, partition_filter={"id": 1})
