@@ -2492,7 +2492,11 @@ def read_append_changes(
         # is its own change event). apply_deletes=True instead filters
         # the window through the END version's deletion vectors, for
         # consumers that want "new rows still live as of `version`".
+        # BOTH maps must go: leaving delete_counts would let the
+        # fully-deleted-segment skip drop a window segment whose rows
+        # this mode promises to return.
         synth["deletes"] = {}
+        synth["delete_counts"] = {}
     return Frame(
         _read_segments(
             spark, fs, synth, new_segs, partition_filter, stats_filter
@@ -2854,6 +2858,12 @@ def update_append_rows(
             f"schema — append tables are fixed-schema (existing columns: "
             f"{sorted(known)})"
         )
+    if where is None and partition_filter is None:
+        raise ValueError(
+            "update_append_rows needs where= and/or partition_filter= "
+            "(an unconditional full-table update is surely a mistake; "
+            "pass where=True explicitly if you mean it)"
+        )
     segs = list(cur["segments"])
     segs, pcond = _partition_scope(cur, segs, partition_filter)
     if isinstance(where, dict):
@@ -3023,8 +3033,10 @@ def read_append_cdf(
             ins = _read_segments(
                 spark,
                 fs,
-                # rows AS APPENDED: no DVs at insert time
-                {**log_k, "deletes": {}},
+                # rows AS APPENDED: no DVs at insert time (both maps —
+                # delete_counts alone would engage the fully-deleted
+                # segment skip)
+                {**log_k, "deletes": {}, "delete_counts": {}},
                 added,
             )
             parts.append(

@@ -572,3 +572,41 @@ def test_partition_scoped_delete_prunes_from_manifest(spark, tmp_path):
         delete_append_rows(spark, d2)
     with pytest.raises(ValueError, match="not partition columns"):
         delete_append_rows(spark, d2, partition_filter={"id": 1})
+
+
+def test_update_refuses_unconditional(spark, tmp_path):
+    d = _mk(spark, tmp_path, "t27", two_batches=False)
+    with pytest.raises(ValueError, match="unconditional"):
+        update_append_rows(spark, d, None, {"v": "v + 1"})
+    # explicit where=True is the sanctioned full-table form
+    v, n = update_append_rows(spark, d, True, {"v": "v + 1"})
+    assert n == 100
+
+
+def test_cdf_returns_fully_deleted_window_segment(spark, tmp_path):
+    """rows-as-appended CDF must return a window segment's rows even
+    after that segment is FULLY deleted later — the fully-deleted-
+    segment skip only applies when deletes are being applied."""
+    d = _mk(spark, tmp_path, "t28")  # v1: id<50, v2: id>=50
+    v, n = delete_append_rows(spark, d, {"id": (">=", 50)})
+    assert n == 50  # the v2 segment is now 100% deleted
+    ch = read_append_changes(spark, d, since_version=1)
+    assert sorted(r["id"] for r in ch.df.collect()) == list(range(50, 100))
+    # and with apply_deletes=True it is (correctly) empty
+    assert (
+        read_append_changes(
+            spark, d, since_version=1, apply_deletes=True
+        ).df.count()
+        == 0
+    )
+    # the typed feed also replays the full lifecycle
+    from cuplyr_spark.sources.connectors import read_append_cdf
+
+    cdf = read_append_cdf(spark, d, since_version=1)
+    by = {}
+    for r in cdf.df.collect():
+        by.setdefault((r["_change_type"], r["_commit_version"]), set()).add(
+            r["id"]
+        )
+    assert by[("insert", 2)] == set(range(50, 100))
+    assert by[("delete", 3)] == set(range(50, 100))
