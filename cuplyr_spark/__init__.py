@@ -112,6 +112,7 @@ from cuplyr_spark.sources.connectors import (
     ConcurrentWriteError,
     append_snapshot,
     delete_append_rows,
+    merge_append_dvs,
     read_append_cdf,
     update_append_rows,
     upsert_append_rows,

@@ -1182,9 +1182,16 @@ class Frame:
         :meth:`separate`. Multiple columns split in lockstep (tidyr's
         rule: they must have equal element counts per row; shorter
         lists yield NULLs here rather than erroring, Spark's
-        arrays_zip padding). ``convert=True`` casts results that look
-        numeric to long. Map-side only — a generator over the scan, no
-        shuffle; NULL input rows stay single rows with NULL parts."""
+        arrays_zip padding). ``convert=True`` type-converts PER COLUMN
+        the way tidyr's ``type.convert`` does: a column whose non-NULL
+        elements all parse as integers becomes ``long``, one whose
+        elements are all numeric (decimals/scientific) becomes
+        ``double``, and any column with a non-numeric element stays
+        ``string`` untouched — which requires one aggregation pass
+        over the exploded data to decide (eager, like tidyr; leave
+        ``convert=False`` for the fully lazy path). Map-side only — a
+        generator over the scan, no shuffle; NULL input rows stay
+        single rows with NULL parts."""
         if not cols:
             raise ValueError("separate_rows needs at least one column")
         out = self._df
@@ -1199,8 +1206,28 @@ class Frame:
                 out = out.withColumn(c, F.col("__sr").getField(c))
             out = out.drop("__sr")
         if convert:
-            for c in cols:
-                out = out.withColumn(c, _qcol(c).cast("long"))
+            # classify each split column: 0 = all long-safe integers,
+            # 1 = all numeric, 2 = has a non-numeric element (19+ digit
+            # integers count as numeric, not long — casting them to
+            # long would overflow where tidyr promotes to double)
+            int_re = r"^[+-]?\d{1,18}$"
+            num_re = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+            probes = [
+                F.max(
+                    F.when(_qcol(c).isNull(), F.lit(0))
+                    .when(F.trim(_qcol(c)).rlike(int_re), F.lit(0))
+                    .when(F.trim(_qcol(c)).rlike(num_re), F.lit(1))
+                    .otherwise(F.lit(2))
+                ).alias(f"__t{i}")
+                for i, c in enumerate(cols)
+            ]
+            kinds = out.agg(*probes).first()
+            for i, c in enumerate(cols):
+                k = kinds[i]
+                if k is None or k == 0:
+                    out = out.withColumn(c, _qcol(c).cast("long"))
+                elif k == 1:
+                    out = out.withColumn(c, _qcol(c).cast("double"))
         return self._with(out)
 
     def uncount(self, weights, *, id_col: str | None = None) -> Frame:

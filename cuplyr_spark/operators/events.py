@@ -210,6 +210,24 @@ def with_rolling_agg(
     )
 
 
+# Gapfill grid steps per bucket unit: date_trunc-valid units mapped to
+# the interval that advances the grid by exactly one bucket. 'quarter'
+# is a date_trunc unit but NOT an interval unit (-> 3 months); 'week'
+# steps 7 days from the Monday date_trunc anchors to. Anything else
+# (raw strings, typos) is rejected up front instead of surfacing as an
+# opaque Spark interval-parse error.
+_GAPFILL_STEPS = {
+    "year": "interval 1 year",
+    "quarter": "interval 3 month",
+    "month": "interval 1 month",
+    "week": "interval 7 day",
+    "day": "interval 1 day",
+    "hour": "interval 1 hour",
+    "minute": "interval 1 minute",
+    "second": "interval 1 second",
+}
+
+
 def time_bucket_gapfill(
     frame: Frame,
     ts_col: str,
@@ -247,8 +265,15 @@ def time_bucket_gapfill(
     window partition) by construction: bounded by the grid length,
     fine for rollup grains, not a fan-out path."""
     fill = fill or {}
+    step_expr = _GAPFILL_STEPS.get(str(bucket).lower())
+    if step_expr is None:
+        raise ValueError(
+            f"time_bucket_gapfill: unsupported bucket {bucket!r} — use "
+            f"one of {sorted(_GAPFILL_STEPS)} (the units where the "
+            "date_trunc grid and an interval step agree)"
+        )
     rolled = time_bucket_agg(frame, ts_col, bucket, tuple(group_cols), **aggs).df
-    step = F.expr(f"interval 1 {bucket}")
+    step = F.expr(step_expr)
     if isinstance(bounds, tuple):
         lo, hi = bounds
         span = rolled.select(*group_cols).distinct().select(

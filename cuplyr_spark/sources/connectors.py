@@ -1151,7 +1151,9 @@ def _segment_stats(spark, fs: _TableFS, seg: str, schema, pby) -> dict:
         n for n, t in schema
         if t in _STAT_TYPES and n not in set(pby or [])
     ]
-    sdf = spark.read.parquet(fs.join(seg))
+    # pinned to the TABLE schema: a schema_mode="merge" batch missing
+    # a table column still gets exact stats for it ([None, None, rows])
+    sdf = _read_parquet_at(spark, schema, fs.join(seg))
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         aggs += [
@@ -1237,6 +1239,29 @@ def _merge_segment_stats(sts: list) -> dict | None:
             merged.append(sorted(vset))
         cols[c] = merged
     return {"rows": rows, "cols": cols}
+
+
+def _grow_schema_stats(smap: dict, added) -> dict:
+    """Zone maps for segments written BEFORE an additive schema
+    evolution: the new column is NULL on every row there, so its exact
+    stats are ``[None, None, nulls=rows]`` — stamped arithmetically at
+    evolution time (zero IO), which makes any comparison filter on the
+    new column prune every pre-evolution segment through the existing
+    ``nonnull == 0`` rule."""
+    import copy
+
+    out = {}
+    for s, st in smap.items():
+        if st is None or st.get("rows") is None:
+            out[s] = st
+            continue
+        st = copy.deepcopy(st)
+        cols = st.setdefault("cols", {})
+        for name, typ in added:
+            if typ in _STAT_TYPES and name not in cols:
+                cols[name] = [None, None, int(st["rows"])]
+        out[s] = st
+    return out
 
 
 def _normalize_stats_filter(stats_filter: dict, schema) -> dict:
@@ -1344,6 +1369,132 @@ def _seg_stats_match(st, filt: dict) -> bool:
                 ):
                     return False  # dictionary: the value never occurs
     return True
+
+
+def _derive_stats_filter(pred: str, schema) -> dict | None:
+    """Best-effort COMPILE of a free-form string predicate into the
+    ``stats_filter`` dict form, so ``delete_append_rows(d, "price >
+    100")`` prunes candidate segments through zone maps / dictionary
+    sets / bloom sidecars exactly like the dict form — the predicate
+    itself still runs over the survivors, so the derivation is purely
+    an IO reducer and only needs to be IMPLIED by the predicate, never
+    equivalent to it.
+
+    Recognized: top-level conjunctions (``and``) of
+    ``col <op> literal`` / ``literal <op> col`` (ops ``== < <= > >=``)
+    and ``col in [literals]``, on stat-eligible columns. Anything
+    else — OR branches, arithmetic, function calls, col-op-col,
+    non-literal sides — contributes nothing (the enclosing conjunct is
+    skipped; an OR at the top level skips the whole predicate), which
+    degrades to the full scan, never to a wrong prune. Returns None
+    when nothing was derivable."""
+    import ast as _ast
+
+    try:
+        tree = _ast.parse(pred, mode="eval").body
+    except SyntaxError:
+        return None
+    types = dict(map(tuple, schema or []))
+
+    def const(node):
+        """The literal value of a constant-expression node, or a
+        sentinel when the node isn't one. bool excluded (zone-map
+        comparison semantics for booleans are not worth deriving)."""
+        if isinstance(node, _ast.Constant) and (
+            type(node.value) in (int, float, str)
+        ):
+            return node.value
+        if (
+            isinstance(node, _ast.UnaryOp)
+            and isinstance(node.op, _ast.USub)
+            and isinstance(node.operand, _ast.Constant)
+            and type(node.operand.value) in (int, float)
+        ):
+            return -node.operand.value
+        return const  # sentinel: not a literal
+
+    _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "==": "=="}
+    _OPS = {_ast.Eq: "==", _ast.Lt: "<", _ast.LtE: "<=",
+            _ast.Gt: ">", _ast.GtE: ">="}
+    conjuncts: list = []
+
+    def walk(n):
+        if isinstance(n, _ast.BoolOp) and isinstance(n.op, _ast.And):
+            for v in n.values:
+                walk(v)
+        else:
+            conjuncts.append(n)
+
+    walk(tree)
+    out: dict = {}
+    for c in conjuncts:
+        if not (isinstance(c, _ast.Compare) and len(c.ops) == 1):
+            continue
+        op_node, left, right = c.ops[0], c.left, c.comparators[0]
+        if isinstance(op_node, _ast.In):
+            if not (
+                isinstance(left, _ast.Name)
+                and isinstance(right, (_ast.List, _ast.Tuple, _ast.Set))
+            ):
+                continue
+            vals = [const(e) for e in right.elts]
+            if const in vals or not vals:
+                continue
+            col, cond = left.id, ("in", vals)
+        elif type(op_node) in _OPS:
+            op = _OPS[type(op_node)]
+            if isinstance(left, _ast.Name) and const(right) is not const:
+                col, cond = left.id, (op, const(right))
+            elif isinstance(right, _ast.Name) and const(left) is not const:
+                col, cond = right.id, (_FLIP[op], const(left))
+            else:
+                continue
+        else:
+            continue
+        if types.get(col) not in _STAT_TYPES:
+            continue
+        op, vals = cond[0], cond[1] if cond[0] == "in" else [cond[1]]
+        normed = [_stat_lit_norm(types[col], v) for v in vals]
+        if any(v is _stat_lit_norm for v in normed):
+            continue  # literal/column type mismatch: underivable
+        out.setdefault(col, []).append(
+            (op, normed if op == "in" else normed[0])
+        )
+    return out or None
+
+
+def _stat_lit_norm(typ: str, v):
+    """Normalize a PREDICATE literal into the domain the zone maps of
+    a ``typ`` column were recorded in, or the function itself as a
+    'underivable' sentinel. The subtle case is a string literal
+    against a timestamp column: stats hold full ``isoformat()``
+    strings, and a bare date like ``'2024-06-01'`` compares STRICTLY
+    BELOW its own midnight ``'2024-06-01T00:00:00'`` lexicographically
+    while comparing EQUAL as timestamps — re-rendering through
+    fromisoformat keeps the prune sound."""
+    import datetime
+
+    if typ == "string":
+        return v if isinstance(v, str) else _stat_lit_norm
+    if typ in ("timestamp", "timestamp_ntz"):
+        if not isinstance(v, str):
+            return _stat_lit_norm
+        try:
+            return datetime.datetime.fromisoformat(v).isoformat()
+        except ValueError:
+            return _stat_lit_norm
+    if typ == "date":
+        if not isinstance(v, str):
+            return _stat_lit_norm
+        try:
+            return datetime.date.fromisoformat(v).isoformat()
+        except ValueError:
+            return _stat_lit_norm
+    if typ == "boolean":
+        return _stat_lit_norm
+    # numeric column: int/float literals only (bool is an int subclass
+    # but was already excluded by const())
+    return v if type(v) in (int, float) else _stat_lit_norm
 
 
 def _stats_filter_cond(filt: dict):
@@ -1733,27 +1884,67 @@ def _bloom_prune(spark, fs: _TableFS, log: dict, segs, sfilt: dict):
 
 _DELETE_DIR = "_delete"
 _DV_SEG, _DV_FILE, _DV_POS = "__dv_seg", "__dv_file", "__dv_pos"
+# v2 partitioned addressing (basename + partition composite) and the
+# legacy path-within-segment column old-layout DVs still join on
+_DV_PART, _DV_RELP = "__dv_part", "__dv_relp"
 
 
-def _with_dv_meta(df, partitioned: bool = False):
-    """Attach the (segment, file, row position) address columns derived
-    from the scan's hidden ``_metadata`` struct — the jar-free
-    DELETION VECTOR row address. Parquet ``row_index`` is a
-    per-physical-file position and segment files are immutable, so the
-    address is stable across readers, mount points, and filesystem
-    schemes.
+def _dv_is_v2(rel: str) -> bool:
+    """Deletion-vector LAYOUT from the directory name: ``dv2=`` /
+    ``dvm2=`` files store (seg, file-basename, part-composite, pos);
+    legacy ``dv=`` / ``dvm=`` files store (seg, path-within-segment,
+    pos). The name, not a schema read, so splitting costs nothing."""
+    return rel.rsplit("/", 1)[-1].startswith(("dv2=", "dvm2="))
 
-    The FILE part is layout-dependent: UNPARTITIONED segments use the
-    bare ``file_name`` — every data file is written by this layer
-    through a Spark job whose part-file names embed a per-job UUID, so
-    basenames are unique table-wide and the read-side anti-join stays
-    pure metadata-struct access, no path parsing (a regexp over the
-    25M-row rehearsal scan was the measured hot spot). PARTITIONED
-    segments reuse basenames across their partition directories (one
-    write job), so they address by the path WITHIN the segment
-    (partition dirs + basename, regex-derived, mount-point-free).
-    The convention is fixed per table by its layout, so writers and
-    readers always agree.
+
+def _dv_is_maintenance(rel: str) -> bool:
+    """``dvm=``/``dvm2=`` files are DV MAINTENANCE rewrites (several
+    of a segment's DVs unioned into one) — dataChange=false: the rows
+    they address were already emitted as deletes by the original
+    commits, so the change feed must skip them."""
+    return rel.rsplit("/", 1)[-1].startswith(("dvm=", "dvm2="))
+
+
+def _dv_part_expr(pby):
+    """The PARTITION component of a deletion-vector row address: the
+    raw (string, inference-off) discovered partition columns folded
+    into one ``\\x1f``-separated composite with a ``\\x00`` NULL
+    sentinel. Writers (the DELETE's matching scan) and readers (the
+    DV anti-join) both derive it from the same discovered columns of
+    the same immutable directories, so the two sides agree by
+    construction — no path parsing, no hive escape/unescape round
+    trip. MUST be computed BEFORE :func:`_conform_schema` casts the
+    partition columns to their recorded types."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in pby],
+    )
+
+
+def _with_dv_meta(df, pby=None, legacy: bool = False):
+    """Attach the row-address columns derived from the scan's hidden
+    ``_metadata`` struct — the jar-free DELETION VECTOR address.
+    Parquet ``row_index`` is a per-physical-file position and segment
+    files are immutable, so the address is stable across readers,
+    mount points, and filesystem schemes.
+
+    The FILE part is always the bare ``file_name`` — pure
+    metadata-struct access, no path parsing (a regexp over the 25M-row
+    rehearsal scan was the measured hot spot, first removed from the
+    unpartitioned layout, now from both). Unpartitioned segments need
+    nothing more: every data file is written by this layer through a
+    Spark job whose part-file names embed a per-job UUID, so basenames
+    are unique table-wide. PARTITIONED segments reuse basenames across
+    their partition directories (one write job), so the address gains
+    the PARTITION component (:func:`_dv_part_expr` over ``pby`` — a
+    cheap codegen concat of already-materialized partition values,
+    measured far below the old per-row regexp). ``legacy=True``
+    additionally attaches the pre-v2 regex-derived path-within-segment
+    column, needed only while the scanned segments still carry
+    old-layout ``dv=`` files (written before the v2 addressing; purge
+    or DV maintenance retires them).
 
     The SEGMENT part (regex; greedy prefix binds the LAST
     ``seg=``/``fold=`` component, so a table nested under another
@@ -1763,99 +1954,178 @@ def _with_dv_meta(df, partitioned: bool = False):
     from pyspark.sql import functions as F
 
     fp = F.col("_metadata.file_path")
-    file = (
-        F.regexp_extract(fp, r".*/(?:seg|fold)=[^/]+/(.*)$", 1)
-        if partitioned
-        else F.col("_metadata.file_name")
-    )
-    return (
+    df = (
         df.withColumn(
             _DV_SEG, F.regexp_extract(fp, r".*/((?:seg|fold)=[^/]+)/", 1)
         )
-        .withColumn(_DV_FILE, file)
+        .withColumn(_DV_FILE, F.col("_metadata.file_name"))
         .withColumn(_DV_POS, F.col("_metadata.row_index"))
+    )
+    if pby:
+        df = df.withColumn(_DV_PART, _dv_part_expr(pby))
+    if legacy:
+        df = df.withColumn(
+            _DV_RELP, F.regexp_extract(fp, r".*/(?:seg|fold)=[^/]+/(.*)$", 1)
+        )
+    return df
+
+
+def _dv_dirs_split(log: dict, segs) -> tuple[list[str], list[str]]:
+    """The deletion-vector directories covering ``segs``, split by
+    layout: (legacy path-addressed dirs, v2 basename+part dirs)."""
+    dmap = log.get("deletes") or {}
+    dirs = sorted({d for s in segs for d in dmap.get(s, ())})
+    return (
+        [d for d in dirs if not _dv_is_v2(d)],
+        [d for d in dirs if _dv_is_v2(d)],
     )
 
 
-def _dv_frame(spark, fs: _TableFS, log: dict, segs):
+def _dv_frames(spark, fs: _TableFS, log: dict, segs):
     """Union-read the deletion-vector parquets covering ``segs`` (each
-    a tiny table of (seg, file, pos) row addresses), restricted to
-    those segments. One DV file can cover many segments (one DELETE
-    touching several); each distinct file is read once. Returns None
-    when no covered segment carries deletes."""
+    a tiny table of row addresses), restricted to those segments and
+    split by layout — ``(legacy_df | None, v2_df | None)``. One DV
+    file can cover many segments (one DELETE touching several); each
+    distinct file is read once."""
     from pyspark.sql import functions as F
 
     dmap = log.get("deletes") or {}
-    dirs = sorted({d for s in segs for d in dmap.get(s, ())})
-    if not dirs:
-        return None
-    df = spark.read.parquet(*[fs.join(d) for d in dirs])
-    return df.filter(F.col("seg").isin([s for s in segs if dmap.get(s)]))
+    covered = [s for s in segs if dmap.get(s)]
+    legacy_dirs, v2_dirs = _dv_dirs_split(log, segs)
+
+    def load(dirs):
+        if not dirs:
+            return None
+        df = spark.read.parquet(*[fs.join(d) for d in dirs])
+        return df.filter(F.col("seg").isin(covered))
+
+    return load(legacy_dirs), load(v2_dirs)
 
 
-def _anti_dv(df, dv):
+def _anti_dv(df, dvs):
     """LEFT ANTI join a position-addressed scan against its deletion
-    vectors on the (seg, file, pos) address. The DV side is FORCE-
-    broadcast (size-guarded): AQE's 10 MB autobroadcast threshold is
-    far below a realistic DV (a 1% delete of 25M rows is ~50 MB of
-    addresses), and without the hint the anti-join degrades to a
-    sort-merge SHUFFLE OF THE WHOLE FACT SCAN — measured 68x read tax
-    in the 25M rehearsal, vs ~flat with the broadcast. Delta applies
-    DVs scan-side for exactly this reason. A DV past the guard
-    (multi-GB — billions of deleted rows) drops the hint and degrades
-    to the shuffle, which is the right call at that delete fraction
-    anyway (compact with purge_deletes instead). Keeps the address
-    columns; callers drop them."""
+    vectors on the row address — (file-basename, pos) for
+    unpartitioned scans, plus the partition composite for v2
+    partitioned DVs, or the legacy path-within-segment for old-layout
+    files. The DV side is FORCE-broadcast (size-guarded): AQE's 10 MB
+    autobroadcast threshold is far below a realistic DV (a 1% delete
+    of 25M rows is ~50 MB of addresses), and without the hint the
+    anti-join degrades to a sort-merge SHUFFLE OF THE WHOLE FACT
+    SCAN — measured 68x read tax in the 25M rehearsal, vs ~flat with
+    the broadcast. Delta applies DVs scan-side for exactly this
+    reason. A DV past the guard (multi-GB — billions of deleted rows)
+    drops the hint and degrades to the shuffle, which is the right
+    call at that delete fraction anyway (compact with purge_deletes
+    instead). Keeps the address columns; callers drop them.
+
+    ``seg`` is left out of every join condition on purpose — the DV
+    frames are already scoped to the covered segments, basenames are
+    unique table-wide (per-job UUID in every part-file name), and
+    omitting it lets Catalyst prune the regex-derived segment column
+    from the scan entirely."""
     from pyspark.sql import functions as F
 
     from cuplyr_spark.frame import broadcast_guarded
 
-    if dv is None:
-        return df
-    # (file_name, row_index) alone addresses the row — basenames are
-    # unique table-wide (per-job UUID in every part-file name), and
-    # _dv_frame already scoped the DV rows to the covered segments.
-    # Leaving seg out of the condition lets Catalyst prune the
-    # regex-derived segment column from the scan entirely.
-    return df.alias("l").join(
-        broadcast_guarded(dv, what="deletion-vector apply").alias("r"),
-        on=[
+    legacy, v2 = dvs
+    if v2 is not None:
+        on = [
             F.col(f"l.{_DV_FILE}") == F.col("r.file"),
             F.col(f"l.{_DV_POS}") == F.col("r.pos"),
-        ],
-        how="left_anti",
+        ]
+        if _DV_PART in df.columns:
+            on.append(F.col(f"l.{_DV_PART}") == F.col("r.part"))
+        df = df.alias("l").join(
+            broadcast_guarded(v2, what="deletion-vector apply").alias("r"),
+            on=on,
+            how="left_anti",
+        )
+    if legacy is not None:
+        # legacy DVs address by path-within-segment: unpartitioned
+        # tables wrote the bare basename there (== _DV_FILE), while
+        # partitioned scans carry the regex-derived _DV_RELP
+        key = _DV_RELP if _DV_RELP in df.columns else _DV_FILE
+        df = df.alias("l").join(
+            broadcast_guarded(legacy, what="deletion-vector apply").alias(
+                "r"
+            ),
+            on=[
+                F.col(f"l.{key}") == F.col("r.file"),
+                F.col(f"l.{_DV_POS}") == F.col("r.pos"),
+            ],
+            how="left_anti",
+        )
+    return df
+
+
+def _schema_ddl(schema) -> str:
+    return ", ".join(f"`{n}` {t}" for n, t in schema)
+
+
+def _read_parquet_at(spark, schema, *paths):
+    """Multi-path parquet scan pinned to the MANIFEST schema — one
+    datasource relation (pushdown/pruning span every segment), with a
+    column absent from some physical file read as NULL there, which is
+    what makes additive schema evolution a metadata-only operation.
+    Falls back to footer inference only for pre-schema legacy logs."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(_schema_ddl(schema))
+    return reader.parquet(*paths)
+
+
+def _dv_meta_cols(pby, legacy: bool):
+    """The (name, type) pairs :func:`_with_dv_meta` attaches for this
+    layout — appended to the conform target so the address columns
+    survive the schema projection."""
+    cols = [
+        [_DV_SEG, "string"],
+        [_DV_FILE, "string"],
+        [_DV_POS, "bigint"],
+    ]
+    if pby:
+        cols.append([_DV_PART, "string"])
+    if legacy:
+        cols.append([_DV_RELP, "string"])
+    return cols
+
+
+def _has_legacy_dvs(log: dict, segs) -> bool:
+    dmap = log.get("deletes") or {}
+    return any(
+        not _dv_is_v2(d) for s in segs for d in dmap.get(s, ())
     )
 
 
 def _scan_with_dv(spark, fs: _TableFS, log: dict, segs):
-    """Scan ``segs`` with the (seg, file, pos) address columns attached
-    and every EXISTING deletion vector already applied — the input the
-    row-level write paths (:func:`delete_append_rows` /
+    """Scan ``segs`` with the row-address columns attached and every
+    EXISTING deletion vector already applied — the input the row-level
+    write paths (:func:`delete_append_rows` /
     :func:`update_append_rows`) start from, so a second delete never
     re-marks rows an earlier one already removed (which keeps the
     manifest's ``delete_counts`` exactly additive)."""
     pby = log.get("partition_by") or []
     schema = log.get("schema")
+    legacy = _has_legacy_dvs(log, segs)
     if not pby:
-        df = _with_dv_meta(spark.read.parquet(*[fs.join(s) for s in segs]))
+        df = _with_dv_meta(
+            _read_parquet_at(spark, schema, *[fs.join(s) for s in segs])
+        )
     else:
         conf = spark.conf
         key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         prev = conf.get(key)
         conf.set(key, "false")
         try:
-            ext = list(schema) + [
-                [_DV_SEG, "string"],
-                [_DV_FILE, "string"],
-                [_DV_POS, "bigint"],
-            ]
+            ext = list(schema) + _dv_meta_cols(pby, legacy)
             parts = [
                 _conform_schema(
                     _with_dv_meta(
                         spark.read.option("basePath", fs.join(s)).parquet(
                             fs.join(s)
                         ),
-                        partitioned=True,
+                        pby=pby,
+                        legacy=legacy,
                     ),
                     ext,
                 )
@@ -1866,17 +2136,49 @@ def _scan_with_dv(spark, fs: _TableFS, log: dict, segs):
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-    return _anti_dv(df, _dv_frame(spark, fs, log, segs))
+    return _anti_dv(df, _dv_frames(spark, fs, log, segs))
+
+
+def _pdir_str(v) -> str | None:
+    """One partition value → the STRING Spark renders into the
+    partition directory name (which is also what partition discovery
+    hands back with type inference off). Python ``str()`` diverges for
+    several types — ``str(True)`` is ``'True'`` but the directory says
+    ``true`` — and a silently-mismatched form makes partition-scoped
+    reads and row-level writes match ZERO segments instead of failing,
+    so unsupported types raise loudly rather than guess."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "true" if v else "false"
+    if isinstance(v, (int, str)):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        s = v.isoformat(sep=" ")
+        if "." in s:  # Spark trims trailing fractional zeros
+            s = s.rstrip("0").rstrip(".")
+        return s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    raise ValueError(
+        f"partition_filter value {v!r} ({type(v).__name__}): no reliable "
+        "directory-string form (float/Decimal render differently on the "
+        "JVM) — pass the value as the exact partition directory string"
+    )
 
 
 def _normalize_pfilter(partition_filter: dict) -> dict[str, set]:
     """{col: value-or-list} → {col: set of string forms} — partition
-    dir values are strings, so comparison happens in string space."""
+    dir values are strings, so comparison happens in string space,
+    with each value rendered the way Spark writes directory names
+    (:func:`_pdir_str`)."""
     out = {}
     for col, vals in partition_filter.items():
         if not isinstance(vals, (list, tuple, set)):
             vals = [vals]
-        out[col] = {None if v is None else str(v) for v in vals}
+        out[col] = {_pdir_str(v) for v in vals}
     return out
 
 
@@ -1917,9 +2219,7 @@ def _read_segments(
         stats_cond = _stats_filter_cond(sfilt)
 
     def _empty():
-        schema = log.get("schema")
-        ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
-        return spark.createDataFrame([], ddl)
+        return spark.createDataFrame([], _schema_ddl(log.get("schema")))
 
     dmap = log.get("deletes") or {}
     cmap = log.get("delete_counts") or {}
@@ -1954,15 +2254,18 @@ def _read_segments(
         # data shuffle)
         clean = [s for s in segs if not dmap.get(s)]
         dirty = [s for s in segs if dmap.get(s)]
+        schema = log.get("schema")
         parts = []
         if clean:
-            parts.append(spark.read.parquet(*[fs.join(s) for s in clean]))
+            parts.append(
+                _read_parquet_at(spark, schema, *[fs.join(s) for s in clean])
+            )
         if dirty:
             raw = _with_dv_meta(
-                spark.read.parquet(*[fs.join(s) for s in dirty])
+                _read_parquet_at(spark, schema, *[fs.join(s) for s in dirty])
             )
             parts.append(
-                _anti_dv(raw, _dv_frame(spark, fs, log, dirty)).drop(
+                _anti_dv(raw, _dv_frames(spark, fs, log, dirty)).drop(
                     _DV_SEG, _DV_FILE, _DV_POS
                 )
             )
@@ -2011,13 +2314,12 @@ def _read_segments(
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     prev = conf.get(key)
     conf.set(key, "false")
+    dirty_segs = [s for s in segs if dmap.get(s)]
+    legacy = _has_legacy_dvs(log, dirty_segs)
+    meta = _dv_meta_cols(pby, legacy)
     try:
         parts, dirty_parts = [], []
-        ext = list(schema) + [
-            [_DV_SEG, "string"],
-            [_DV_FILE, "string"],
-            [_DV_POS, "bigint"],
-        ]
+        ext = list(schema) + meta
         for s in segs:
             df = spark.read.option("basePath", fs.join(s)).parquet(fs.join(s))
             if conds is not None:
@@ -2026,7 +2328,9 @@ def _read_segments(
                 # delete-carrying segment: conform WITH the position
                 # address columns so the DV anti-join below can apply
                 dirty_parts.append(
-                    _conform_schema(_with_dv_meta(df, partitioned=True), ext)
+                    _conform_schema(
+                        _with_dv_meta(df, pby=pby, legacy=legacy), ext
+                    )
                 )
             else:
                 parts.append(_conform_schema(df, schema))
@@ -2037,8 +2341,8 @@ def _read_segments(
         for p in dirty_parts[1:]:
             dirty = dirty.unionByName(p)
         dirty = _anti_dv(
-            dirty, _dv_frame(spark, fs, log, [s for s in segs if dmap.get(s)])
-        ).drop(_DV_SEG, _DV_FILE, _DV_POS)
+            dirty, _dv_frames(spark, fs, log, dirty_segs)
+        ).drop(*[name for name, _ in meta])
         parts.append(dirty)
     df = parts[0]
     for p in parts[1:]:
@@ -2056,6 +2360,7 @@ def append_snapshot(
     partition_by: list[str] | str | None = None,
     collect_stats: bool = True,
     sketch_spec: dict | None = None,
+    schema_mode: str = "strict",
 ) -> int:
     """Append-only publish: write ONLY this batch's rows as a new
     segment directory and publish a log manifest listing every live
@@ -2088,16 +2393,26 @@ def append_snapshot(
     ``app_id``, or clear the slot with
     :func:`reset_append_watermark`.
 
-    Appends are fixed-schema, validated by (name, type) against the
-    schema recorded in the log manifest — a batch with matching names
-    but drifted types is rejected HERE rather than surfacing later as
-    a corrupted multi-segment scan (Delta's write-time check). The
-    manifest carries the schema, so validation costs no filesystem
-    round-trip (legacy manifests without it fall back to one footer
-    read and are stamped on the next publish). Evolving schemas belong
-    to the copy-on-write path
-    (``upsert_snapshot(schema_evolution=True)``) where every version
-    is rewritten whole.
+    Appends are fixed-schema by default (``schema_mode="strict"``),
+    validated by (name, type) against the schema recorded in the log
+    manifest — a batch with matching names but drifted types is
+    rejected HERE rather than surfacing later as a corrupted
+    multi-segment scan (Delta's write-time check). The manifest
+    carries the schema, so validation costs no filesystem round-trip
+    (legacy manifests without it fall back to one footer read and are
+    stamped on the next publish).
+
+    ``schema_mode="merge"`` allows ADDITIVE evolution — the normal
+    life of a long-lived ingest table (Delta's mergeSchema): a batch
+    may carry NEW columns (appended to the manifest schema; earlier
+    segments read them as NULL — metadata-only, no rewrite, and their
+    zone maps gain the exact ``[None, None, rows]`` entry so pruning
+    on the new column skips pre-evolution segments arithmetically) and
+    may OMIT existing non-partition columns (the segment simply lacks
+    them; every read pins the manifest schema, so they come back NULL).
+    Type CHANGES are still refused loudly — a widening rewrite belongs
+    to the copy-on-write path (``upsert_snapshot(
+    schema_evolution=True)``), where every version is rewritten whole.
 
     ``partition_by`` writes the segment hive-partitioned (the 100 TB
     event-table shape: ingest partitioned by date/type so readers
@@ -2155,6 +2470,10 @@ def append_snapshot(
 
     if isinstance(partition_by, str):
         partition_by = [partition_by]
+    if schema_mode not in ("strict", "merge"):
+        raise ValueError(
+            f"schema_mode must be 'strict' or 'merge', got {schema_mode!r}"
+        )
     fs = _TableFS(table_dir, frame.df.sparkSession)
     fs.mkdirs()
     key = app_id or _DEFAULT_APP
@@ -2162,8 +2481,8 @@ def append_snapshot(
 
     def check(cur):
         """Validate against the current log; returns (schema, pby,
-        sketch spec) or None when the batch is a watermark replay
-        (no-op)."""
+        sketch spec, added columns) or None when the batch is a
+        watermark replay (no-op)."""
         wms = _log_watermarks(cur)
         if (
             batch_id is not None
@@ -2183,7 +2502,7 @@ def append_snapshot(
                 if sketch_spec is not None
                 else None
             )
-            return incoming, pby, spec
+            return incoming, pby, spec, []
         table_pby = list(cur.get("partition_by") or [])
         if partition_by is not None and list(partition_by) != table_pby:
             raise ValueError(
@@ -2199,14 +2518,31 @@ def append_snapshot(
                 )
             )
         have, got = dict(map(tuple, table)), dict(map(tuple, incoming))
-        if set(got) != set(have):
+        added: list = []
+        if schema_mode == "merge":
+            missing_pby = [c for c in table_pby if c not in got]
+            if missing_pby:
+                raise ValueError(
+                    f"append_snapshot: partition columns {missing_pby} "
+                    "missing from the batch — additive evolution never "
+                    "relaxes the partition layout"
+                )
+            added = [
+                [name, typ] for name, typ in incoming if name not in have
+            ]
+            table = list(table) + added
+        elif set(got) != set(have):
             raise ValueError(
                 f"append_snapshot: columns {sorted(got)} do not match "
                 f"the table's {sorted(have)} — append tables are "
-                "fixed-schema (use the copy-on-write path for "
-                "schema evolution)"
+                "fixed-schema (pass schema_mode='merge' for additive "
+                "evolution, or the copy-on-write path for rewrites)"
             )
-        drift = {c: (have[c], got[c]) for c in have if have[c] != got[c]}
+        drift = {
+            c: (have[c], got[c])
+            for c in have
+            if c in got and have[c] != got[c]
+        }
         if drift:
             raise ValueError(
                 "append_snapshot: column type mismatch "
@@ -2214,7 +2550,7 @@ def append_snapshot(
                     f"{c}: table={t!r} vs append={g!r}"
                     for c, (t, g) in sorted(drift.items())
                 )
-                + " — append tables are fixed-schema; cast the batch "
+                + " — a type CHANGE is never additive; cast the batch "
                 "or use the copy-on-write path for schema evolution"
             )
         table_spec = cur.get("sketch_spec")
@@ -2225,13 +2561,13 @@ def append_snapshot(
                     f"table's {table_spec!r} — the spec is fixed at "
                     "table creation (sidecars must merge)"
                 )
-        return table, table_pby, table_spec
+        return table, table_pby, table_spec, added
 
     cur = _read_log(fs)
     checked = check(cur)
     if checked is None:
         return cur["version"]
-    schema, pby, spec = checked
+    schema, pby, spec, added = checked
     # write the data ONCE — the unique segment name never collides, so
     # only the cheap log commit below ever needs to retry
     n = (cur["version"] if cur else 0) + 1
@@ -2266,6 +2602,10 @@ def append_snapshot(
                 seg: pdirs,
             }
         cur_stats = (cur.get("stats") if cur else None) or {}
+        if added and cur_stats:
+            # pre-evolution segments: the new columns are all-NULL
+            # there — exact stats stamped with zero IO
+            cur_stats = _grow_schema_stats(cur_stats, added)
         if seg_stats is not None or cur_stats:
             log["stats"] = {
                 **cur_stats,
@@ -2296,7 +2636,7 @@ def append_snapshot(
             checked = check(cur)
             if checked is None:  # the winner WAS this batch (replay race)
                 return cur["version"]  # our segment is an orphan; vacuum
-            schema, rebased_pby, rebased_spec = checked
+            schema, rebased_pby, rebased_spec, added = checked
             if rebased_pby != pby:  # first-append race decided a
                 raise ValueError(   # different layout than we wrote
                     f"append_snapshot: a concurrent first append fixed "
@@ -2360,6 +2700,7 @@ def read_append_snapshot(
     version: int | None = None,
     partition_filter: dict | None = None,
     stats_filter: dict | None = None,
+    where: str | None = None,
 ) -> Frame:
     """Read the published log version (default) or a pinned earlier one
     (time travel): one multi-path parquet scan over the live segments —
@@ -2384,7 +2725,16 @@ def read_append_snapshot(
     identical predicate is applied as a real filter over the
     survivors, so the result is exactly ``read + filter`` at a
     fraction of the IO when appends are range-clustered (time-ordered
-    ingest, monotone ids)."""
+    ingest, monotone ids).
+
+    ``where`` (a free-form string predicate) composes both: its
+    implied col-op-literal conjuncts are COMPILED into a
+    ``stats_filter`` automatically (:func:`_derive_stats_filter` —
+    manifest pruning with zero extra syntax) and the full predicate is
+    applied over the result, so ``read_append_snapshot(spark, d,
+    where="price > 100 and cat == 'a'")`` is exactly
+    ``read + filter`` with the dict form's IO profile. An underivable
+    predicate just reads everything and filters."""
     fs = _TableFS(table_dir, spark)
     log = _read_log(fs, version)
     if log is None:
@@ -2393,12 +2743,26 @@ def read_append_snapshot(
         )
     if not log["segments"]:
         raise FileNotFoundError(f"log version {log['version']} has no segments")
-    return Frame(
-        _read_segments(
-            spark, fs, log, log["segments"], partition_filter, stats_filter
-        ),
-        (),
+    derived = (
+        _derive_stats_filter(where, log.get("schema"))
+        if where is not None
+        else None
     )
+    if derived and stats_filter:
+        derived = None  # explicit stats_filter wins; don't merge
+    try:
+        out = _read_segments(
+            spark, fs, log, log["segments"], partition_filter,
+            stats_filter if stats_filter else derived,
+        )
+    except ValueError:
+        if derived is None:
+            raise
+        out = _read_segments(  # derivation mismatched the stats: full scan
+            spark, fs, log, log["segments"], partition_filter, stats_filter
+        )
+    frame = Frame(out, ())
+    return frame.filter(where) if where is not None else frame
 
 
 def read_append_changes(
@@ -2602,6 +2966,52 @@ def _log_with_extras(cur: dict, n: int, segments: list[str]) -> dict:
     return log
 
 
+def _prune_by_stats(spark, fs: _TableFS, cur: dict, segs, stats_filter):
+    """Shared candidate pruning for the row-level writes: zone maps /
+    dictionary sets, then bloom sidecars. Returns (surviving segments,
+    the exactness residual Column)."""
+    sfilt = _normalize_stats_filter(stats_filter, cur.get("schema"))
+    smap = cur.get("stats") or {}
+    segs = [s for s in segs if _seg_stats_match(smap.get(s), sfilt)]
+    if (cur.get("sketch_spec") or {}).get("bloom"):
+        segs = _bloom_prune(spark, fs, cur, segs, sfilt)
+    return segs, _stats_filter_cond(sfilt)
+
+
+def _write_dv(spark, fs: _TableFS, cur: dict, matches, pby):
+    """Write the deletion-vector parquet addressing ``matches`` (a
+    position-addressed scan from :func:`_scan_with_dv`). Partitioned
+    tables get the v2 layout (seg, file-basename, part-composite,
+    pos) under ``dv2=``; unpartitioned the (seg, file, pos) layout
+    under ``dv=``. Returns ``(dv_rel | None, per-segment counts)`` —
+    None when nothing matched (the file is removed, no version
+    published)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    prefix = "dv2" if pby else "dv"
+    dv_rel = (
+        f"{_DELETE_DIR}/{prefix}={cur['version'] + 1}-{uuid.uuid4().hex[:8]}"
+    )
+    sel = [F.col(_DV_SEG).alias("seg"), F.col(_DV_FILE).alias("file")]
+    if pby:
+        sel.append(F.col(_DV_PART).alias("part"))
+    sel.append(F.col(_DV_POS).alias("pos"))
+    matches.select(*sel).write.mode("errorifexists").parquet(fs.join(dv_rel))
+    counts = {
+        r["seg"]: r["n"]
+        for r in spark.read.parquet(fs.join(dv_rel))
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        _rm_dir(fs, dv_rel)
+        return None, {}
+    return dv_rel, counts
+
+
 def _dv_conflict_check(cur: dict, new: dict, touched) -> None:
     """Serializable row-level semantics for the DV publish rebase: a
     concurrent APPEND only adds segments (our row addresses stay
@@ -2697,8 +3107,13 @@ def delete_append_rows(
     | (op, value) | [(op, value), ...]}``) — which prunes candidate
     segments through zone maps / dictionaries / bloom sidecars before
     any scan, the fast path for range or key deletes (GDPR id purges) —
-    or any :meth:`Frame.filter` predicate (string/Column), which scans
-    every live segment. ``residual`` composes the two: a dict ``where``
+    or any :meth:`Frame.filter` predicate (string/Column). A STRING
+    predicate's implied col-op-literal conjuncts are COMPILED into the
+    dict form automatically (:func:`_derive_stats_filter`), so
+    ``delete_append_rows(d, "price > 100 and cat == 'a'")`` prunes
+    exactly like the dict form; only genuinely underivable predicates
+    (ORs, arithmetic, col-op-col) or Column objects scan every live
+    segment. ``residual`` composes the two: a dict ``where``
     scopes the candidate segments through the manifest while the
     residual predicate (any filter expression) refines WITHIN them —
     ``delete_append_rows(d, {"ts": ("<", cutoff)}, residual=
@@ -2740,12 +3155,7 @@ def delete_append_rows(
     segs = list(cur["segments"])
     segs, pcond = _partition_scope(cur, segs, partition_filter)
     if isinstance(where, dict):
-        sfilt = _normalize_stats_filter(where, cur.get("schema"))
-        smap = cur.get("stats") or {}
-        segs = [s for s in segs if _seg_stats_match(smap.get(s), sfilt)]
-        if (cur.get("sketch_spec") or {}).get("bloom"):
-            segs = _bloom_prune(spark, fs, cur, segs, sfilt)
-        cond = _stats_filter_cond(sfilt)
+        segs, cond = _prune_by_stats(spark, fs, cur, segs, where)
         matcher = lambda df: df.filter(cond)  # noqa: E731
     elif where is None:
         matcher = lambda df: df  # noqa: E731  (partition-only delete)
@@ -2755,6 +3165,17 @@ def delete_append_rows(
                 "residual= requires the dict (stats_filter) form of "
                 "where — fold the condition into the predicate instead"
             )
+        if isinstance(where, str):
+            # free-form predicate: compile its implied conjuncts into
+            # the stats_filter form and prune candidates the same way —
+            # the full predicate still runs over the survivors, so a
+            # failed/partial derivation only costs IO, never rows
+            derived = _derive_stats_filter(where, cur.get("schema"))
+            if derived:
+                try:
+                    segs, _ = _prune_by_stats(spark, fs, cur, segs, derived)
+                except ValueError:
+                    pass  # stats/value mismatch: keep the full scan
         matcher = lambda df: Frame(df, ()).filter(where).df  # noqa: E731
     if not segs:
         return cur["version"], 0
@@ -2763,23 +3184,12 @@ def delete_append_rows(
         matches = matches.filter(pcond)
     if residual is not None:
         matches = Frame(matches, ()).filter(residual).df
-    dv_rel = f"{_DELETE_DIR}/dv={cur['version'] + 1}-{uuid.uuid4().hex[:8]}"
-    matches.select(
-        F.col(_DV_SEG).alias("seg"),
-        F.col(_DV_FILE).alias("file"),
-        F.col(_DV_POS).alias("pos"),
-    ).write.mode("errorifexists").parquet(fs.join(dv_rel))
-    counts = {
-        r["seg"]: r["n"]
-        for r in spark.read.parquet(fs.join(dv_rel))
-        .groupBy("seg")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    total = int(sum(counts.values()))
-    if total == 0:
-        _rm_dir(fs, dv_rel)  # nothing matched: no new version
+    dv_rel, counts = _write_dv(
+        spark, fs, cur, matches, list(cur.get("partition_by") or [])
+    )
+    if dv_rel is None:  # nothing matched: no new version
         return cur["version"], 0
+    total = int(sum(counts.values()))
     touched = sorted(counts)
     for _ in range(6):
         n = cur["version"] + 1
@@ -2816,6 +3226,7 @@ def update_append_rows(
     assignments: dict,
     residual=None,
     partition_filter: dict | None = None,
+    schema_mode: str = "strict",
 ) -> tuple[int, int]:
     """Row-level UPDATE on an append table, merge-on-read style: the
     matching rows are deletion-vector-marked in place (see
@@ -2829,7 +3240,13 @@ def update_append_rows(
 
     ``assignments`` maps existing column names to :meth:`Frame.mutate`
     expressions (strings/Columns — they may reference other columns);
-    assigning a NEW column is refused (append tables are fixed-schema).
+    assigning a NEW column is refused by default (append tables are
+    fixed-schema) and allowed with ``schema_mode="merge"`` — the
+    additive-evolution rule of :func:`append_snapshot`: the manifest
+    schema grows by the assigned column (its type from the evaluated
+    expression), every pre-existing segment reads it as NULL, and the
+    UPDATED rows carry the computed values — the "backfill a new
+    column for matching rows" shape, at merge-on-read cost.
     Updating a partition column works — the updated rows land in their
     new partition directories inside the new segment. The new segment
     gets zone maps / a sketch sidecar iff the table carries them, so
@@ -2849,14 +3266,18 @@ def update_append_rows(
         raise FileNotFoundError(
             f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
         )
+    if schema_mode not in ("strict", "merge"):
+        raise ValueError(
+            f"schema_mode must be 'strict' or 'merge', got {schema_mode!r}"
+        )
     schema = cur.get("schema") or []
     known = {name for name, _ in schema}
     unknown = sorted(set(assignments) - known)
-    if unknown:
+    if unknown and schema_mode != "merge":
         raise ValueError(
             f"update_append_rows: columns {unknown} are not in the table "
             f"schema — append tables are fixed-schema (existing columns: "
-            f"{sorted(known)})"
+            f"{sorted(known)}; pass schema_mode='merge' to add them)"
         )
     if where is None and partition_filter is None:
         raise ValueError(
@@ -2867,12 +3288,7 @@ def update_append_rows(
     segs = list(cur["segments"])
     segs, pcond = _partition_scope(cur, segs, partition_filter)
     if isinstance(where, dict):
-        sfilt = _normalize_stats_filter(where, cur.get("schema"))
-        smap = cur.get("stats") or {}
-        segs = [s for s in segs if _seg_stats_match(smap.get(s), sfilt)]
-        if (cur.get("sketch_spec") or {}).get("bloom"):
-            segs = _bloom_prune(spark, fs, cur, segs, sfilt)
-        cond = _stats_filter_cond(sfilt)
+        segs, cond = _prune_by_stats(spark, fs, cur, segs, where)
         matcher = lambda df: df.filter(cond)  # noqa: E731
     elif where is None:
         matcher = lambda df: df  # noqa: E731  (partition-only update)
@@ -2882,6 +3298,15 @@ def update_append_rows(
                 "residual= requires the dict (stats_filter) form of "
                 "where — fold the condition into the predicate instead"
             )
+        if isinstance(where, str):
+            # same derivation as delete_append_rows: implied conjuncts
+            # prune candidates, the full predicate guards exactness
+            derived = _derive_stats_filter(where, cur.get("schema"))
+            if derived:
+                try:
+                    segs, _ = _prune_by_stats(spark, fs, cur, segs, derived)
+                except ValueError:
+                    pass
         matcher = lambda df: Frame(df, ()).filter(where).df  # noqa: E731
     if not segs:
         return cur["version"], 0
@@ -2892,29 +3317,19 @@ def update_append_rows(
         matches = Frame(matches, ()).filter(residual).df
     matches.persist()  # one scan feeds BOTH the DV and the new segment
     try:
-        dv_rel = (
-            f"{_DELETE_DIR}/dv={cur['version'] + 1}-{uuid.uuid4().hex[:8]}"
-        )
-        matches.select(
-            F.col(_DV_SEG).alias("seg"),
-            F.col(_DV_FILE).alias("file"),
-            F.col(_DV_POS).alias("pos"),
-        ).write.mode("errorifexists").parquet(fs.join(dv_rel))
-        counts = {
-            r["seg"]: r["n"]
-            for r in spark.read.parquet(fs.join(dv_rel))
-            .groupBy("seg")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        total = int(sum(counts.values()))
-        if total == 0:
-            _rm_dir(fs, dv_rel)
-            return cur["version"], 0
-        updated = Frame(
-            matches.drop(_DV_SEG, _DV_FILE, _DV_POS), ()
-        ).mutate(**assignments)
         pby = list(cur.get("partition_by") or [])
+        dv_rel, counts = _write_dv(spark, fs, cur, matches, pby)
+        if dv_rel is None:
+            return cur["version"], 0
+        total = int(sum(counts.values()))
+        updated = Frame(
+            matches.drop(_DV_SEG, _DV_FILE, _DV_POS, _DV_PART, _DV_RELP), ()
+        ).mutate(**assignments)
+        added: list = []
+        if unknown:  # schema_mode="merge": grow by the assigned columns
+            got = dict(map(tuple, _frame_schema_pairs(updated.df)))
+            added = [[c, got[c]] for c in unknown]
+            schema = list(schema) + added
         n = cur["version"] + 1
         seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
         writer = _conform_schema(updated.df, schema).write.mode(
@@ -2936,6 +3351,27 @@ def update_append_rows(
         for _ in range(6):
             n = cur["version"] + 1
             log = _log_with_extras(cur, n, list(cur["segments"]) + [seg])
+            if added:
+                # additive evolution, rebased against the CURRENT log:
+                # a concurrent writer adding the same name with a
+                # different type is a real conflict, not mergeable
+                have_now = dict(map(tuple, log.get("schema") or []))
+                clash = {
+                    c: (have_now[c], t)
+                    for c, t in added
+                    if have_now.get(c, t) != t
+                }
+                if clash:
+                    raise ConcurrentWriteError(
+                        f"update on {table_dir!r}: concurrent writer "
+                        f"added {sorted(clash)} with different types — "
+                        "re-run the update"
+                    )
+                log["schema"] = list(log.get("schema") or []) + [
+                    [c, t] for c, t in added if c not in have_now
+                ]
+                if log.get("stats"):
+                    log["stats"] = _grow_schema_stats(log["stats"], added)
             dmap = dict(log.get("deletes") or {})
             cmap = dict(log.get("delete_counts") or {})
             for s in touched:
@@ -2985,16 +3421,21 @@ def read_append_cdf(
 
     Per version: segments ADDED emit their rows as ``insert``;
     deletion-vector files ADDED emit the ADDRESSED rows as ``delete``
-    (read back from their immutable segments by (file, pos) — cost ∝
+    (read back from their immutable segments by row address — cost ∝
     deleted rows, the segments were retained by the same vacuum
     contract every CDF reader relies on). An UPDATE/upsert therefore
     appears as its MoR decomposition — ``delete`` of the old copies +
-    ``insert`` of the new — in one version, and compaction folds emit
-    nothing (``dataChange=false``). Scan count is ∝ versions in the
-    window (one per version with inserts, one per version with
-    deletes): CDF windows are incremental-consumer sized by
-    construction; for a full-table bootstrap use
-    ``read_append_snapshot`` instead."""
+    ``insert`` of the new — in one version; compaction folds and DV
+    maintenance rewrites (``dvm=``/``dvm2=``) emit nothing
+    (``dataChange=false``). Scan count: CONTIGUOUS insert-only
+    versions of an unpartitioned table batch into ONE multi-path scan
+    (``_commit_version`` tagged through a segment→version map over
+    the scan's ``_metadata`` — per-row work only on the window's
+    changed rows), so a wide insert-heavy window costs one scan plus
+    one per delete-carrying version; partitioned tables scan
+    per-version (their read is per-segment either way). CDF windows
+    are incremental-consumer sized by construction; for a full-table
+    bootstrap use ``read_append_snapshot`` instead."""
     from pyspark.sql import functions as F
 
     fs = _TableFS(table_dir, spark)
@@ -3016,20 +3457,17 @@ def read_append_cdf(
         for d in files
     }
     parts = []
-    meta = [
-        [_DV_SEG, "string"],
-        [_DV_FILE, "string"],
-        [_DV_POS, "bigint"],
-    ]
-    for k in range(since_version + 1, end + 1):
-        log_k = _read_log(fs, k)
-        pby = log_k.get("partition_by") or []
-        added = [
-            s
-            for s in log_k["segments"]
-            if s not in prev_segs and s.startswith("seg=")
-        ]
-        if added:
+    # run of contiguous insert-only versions of an unpartitioned table
+    # awaiting one batched scan: [(version, [seg, ...]), ...]
+    pending: list = []
+    pending_schema = None
+
+    def flush_inserts():
+        nonlocal pending, pending_schema
+        if not pending:
+            return
+        if len(pending) == 1:
+            k, added, log_k = pending[0]
             ins = _read_segments(
                 spark,
                 fs,
@@ -3044,76 +3482,167 @@ def read_append_cdf(
                     "_commit_version", F.lit(k).cast("long")
                 )
             )
+        else:
+            # one multi-path relation over every added segment in the
+            # run; _commit_version from the adding segment's name via
+            # the scan's _metadata — one regex + O(1) map lookup per
+            # INSERTED row (∝ the window's changes, not the table)
+            segmap = {s: k for k, added, _ in pending for s in added}
+            raw = _read_parquet_at(
+                spark, pending_schema, *[fs.join(s) for s in segmap]
+            )
+            seg_of = F.regexp_extract(
+                F.col("_metadata.file_path"),
+                r".*/((?:seg|fold)=[^/]+)/",
+                1,
+            )
+            vmap = F.create_map(
+                *[F.lit(x) for kv in segmap.items() for x in kv]
+            )
+            parts.append(
+                raw.withColumn("_change_type", F.lit("insert")).withColumn(
+                    "_commit_version",
+                    F.element_at(vmap, seg_of).cast("long"),
+                )
+            )
+        pending, pending_schema = [], None
+
+    for k in range(since_version + 1, end + 1):
+        log_k = _read_log(fs, k)
+        pby = log_k.get("partition_by") or []
+        added = [
+            s
+            for s in log_k["segments"]
+            if s not in prev_segs and s.startswith("seg=")
+        ]
         dvs_k = {
             d
             for files in (log_k.get("deletes") or {}).values()
             for d in files
         }
-        new_dvs = sorted(dvs_k - prev_dvs)
-        if new_dvs:
-            addr = spark.read.parquet(*[fs.join(d) for d in new_dvs])
-            owners = sorted(
-                {r["seg"] for r in addr.select("seg").distinct().collect()}
-            )
-            # the addressed rows, read back from their immutable
-            # segments: scan owners WITHOUT DV application (the rows
-            # being deleted are by definition DV-marked at >= k) and
-            # semi-join the addresses
-            schema = log_k.get("schema")
-            if not pby:
-                raw = _with_dv_meta(
-                    spark.read.parquet(*[fs.join(s) for s in owners])
-                )
+        # maintenance rewrites are dataChange=false: their rows were
+        # already emitted by the commits that created the merged DVs
+        new_dvs = [
+            d for d in sorted(dvs_k - prev_dvs) if not _dv_is_maintenance(d)
+        ]
+        if added:
+            if (
+                pby
+                or new_dvs
+                or (pending and log_k.get("schema") != pending_schema)
+            ):
+                flush_inserts()
+            if pby or new_dvs:
+                pending.append((k, added, log_k))
+                pending_schema = log_k.get("schema")
+                flush_inserts()  # not batchable: emit as a lone version
             else:
-                conf = spark.conf
-                key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-                prev_conf = conf.get(key)
-                conf.set(key, "false")
-                try:
-                    ps = [
-                        _conform_schema(
-                            _with_dv_meta(
-                                spark.read.option(
-                                    "basePath", fs.join(s)
-                                ).parquet(fs.join(s)),
-                                partitioned=True,
-                            ),
-                            list(schema) + meta,
-                        )
-                        for s in owners
-                    ]
-                finally:
-                    conf.set(key, prev_conf)
-                raw = ps[0]
-                for p in ps[1:]:
-                    raw = raw.unionByName(p)
-            from cuplyr_spark.frame import broadcast_guarded
-
-            dels = raw.alias("l").join(
-                broadcast_guarded(addr, what="CDF delete addresses").alias(
-                    "r"
-                ),
-                on=[
-                    F.col(f"l.{_DV_FILE}") == F.col("r.file"),
-                    F.col(f"l.{_DV_POS}") == F.col("r.pos"),
-                ],
-                how="left_semi",
-            ).drop(_DV_SEG, _DV_FILE, _DV_POS)
-            parts.append(
-                dels.withColumn("_change_type", F.lit("delete")).withColumn(
-                    "_commit_version", F.lit(k).cast("long")
+                pending.append((k, added, log_k))
+                pending_schema = log_k.get("schema")
+        if new_dvs:
+            flush_inserts()
+            schema = log_k.get("schema")
+            legacy_dirs = [d for d in new_dvs if not _dv_is_v2(d)]
+            v2_dirs = [d for d in new_dvs if _dv_is_v2(d)]
+            for dirs, is_legacy in ((legacy_dirs, True), (v2_dirs, False)):
+                if not dirs:
+                    continue
+                addr = spark.read.parquet(*[fs.join(d) for d in dirs])
+                owners = sorted(
+                    {
+                        r["seg"]
+                        for r in addr.select("seg").distinct().collect()
+                    }
                 )
-            )
+                # the addressed rows, read back from their immutable
+                # segments: scan owners WITHOUT DV application (the
+                # rows being deleted are by definition DV-marked at
+                # >= k) and semi-join the addresses
+                meta = _dv_meta_cols(pby, is_legacy)
+                if not pby:
+                    raw = _with_dv_meta(
+                        _read_parquet_at(
+                            spark, schema, *[fs.join(s) for s in owners]
+                        )
+                    )
+                else:
+                    conf = spark.conf
+                    key = (
+                        "spark.sql.sources."
+                        "partitionColumnTypeInference.enabled"
+                    )
+                    prev_conf = conf.get(key)
+                    conf.set(key, "false")
+                    try:
+                        ps = [
+                            _conform_schema(
+                                _with_dv_meta(
+                                    spark.read.option(
+                                        "basePath", fs.join(s)
+                                    ).parquet(fs.join(s)),
+                                    pby=pby,
+                                    legacy=is_legacy,
+                                ),
+                                list(schema) + meta,
+                            )
+                            for s in owners
+                        ]
+                    finally:
+                        conf.set(key, prev_conf)
+                    raw = ps[0]
+                    for p in ps[1:]:
+                        raw = raw.unionByName(p)
+                from cuplyr_spark.frame import broadcast_guarded
+
+                if is_legacy:
+                    fkey = _DV_RELP if pby else _DV_FILE
+                    on = [
+                        F.col(f"l.{fkey}") == F.col("r.file"),
+                        F.col(f"l.{_DV_POS}") == F.col("r.pos"),
+                    ]
+                else:
+                    on = [
+                        F.col(f"l.{_DV_FILE}") == F.col("r.file"),
+                        F.col(f"l.{_DV_POS}") == F.col("r.pos"),
+                    ]
+                    if pby:
+                        on.append(
+                            F.col(f"l.{_DV_PART}") == F.col("r.part")
+                        )
+                dels = raw.alias("l").join(
+                    broadcast_guarded(
+                        addr, what="CDF delete addresses"
+                    ).alias("r"),
+                    on=on,
+                    how="left_semi",
+                ).drop(_DV_SEG, _DV_FILE, _DV_POS, _DV_PART, _DV_RELP)
+                parts.append(
+                    dels.withColumn(
+                        "_change_type", F.lit("delete")
+                    ).withColumn("_commit_version", F.lit(k).cast("long"))
+                )
         prev_segs = set(log_k["segments"])
         prev_dvs = dvs_k
+    flush_inserts()
     if not parts:
         schema = cur.get("schema") or []
-        ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+        ddl = _schema_ddl(schema)
         ddl += ", `_change_type` string, `_commit_version` long"
         return Frame(spark.createDataFrame([], ddl), ())
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns: a window spanning an additive schema
+        # evolution null-fills the new column on pre-evolution rows
+        out = out.unionByName(p, allowMissingColumns=True)
+    schema = cur.get("schema")
+    if schema is not None:
+        # pin column ORDER to the end version's schema (the union
+        # appends evolution columns wherever the first part left off)
+        out = out.select(
+            *[n for n, _ in schema if n in out.columns],
+            "_change_type",
+            "_commit_version",
+        )
     return Frame(out, ())
 
 
@@ -3122,6 +3651,7 @@ def upsert_append_rows(
     table_dir: str,
     key: str | list[str],
     max_prune_keys: int = 100_000,
+    schema_mode: str = "strict",
 ) -> tuple[int, int, int]:
     """Keyed MERGE (upsert) on an append table at merge-on-read cost —
     the Delta ``MERGE WHEN MATCHED UPDATE ALL WHEN NOT MATCHED INSERT
@@ -3166,32 +3696,60 @@ def upsert_append_rows(
             f"upsert_append_rows: key columns {missing} are not in the "
             f"table schema ({sorted(known)})"
         )
-    incoming = {name for name, _ in _frame_schema_pairs(frame.df)}
-    if incoming != known:
+    if schema_mode not in ("strict", "merge"):
+        raise ValueError(
+            f"schema_mode must be 'strict' or 'merge', got {schema_mode!r}"
+        )
+    incoming_pairs = _frame_schema_pairs(frame.df)
+    incoming = {name for name, _ in incoming_pairs}
+    added: list = []
+    if schema_mode == "merge":
+        # additive evolution per append_snapshot: extra batch columns
+        # grow the manifest schema, omitted columns are NULL-filled by
+        # the conform below; type CHANGES still refuse loudly
+        have = dict(map(tuple, schema))
+        got = dict(incoming_pairs)
+        drift = {
+            c: (have[c], got[c])
+            for c in have
+            if c in got and have[c] != got[c]
+        }
+        if drift:
+            raise ValueError(
+                "upsert_append_rows: column type mismatch "
+                + ", ".join(
+                    f"{c}: table={t!r} vs batch={g!r}"
+                    for c, (t, g) in sorted(drift.items())
+                )
+                + " — a type CHANGE is never additive"
+            )
+        added = [[c, t] for c, t in incoming_pairs if c not in have]
+        schema = list(schema) + added
+    elif incoming != known:
         raise ValueError(
             f"upsert_append_rows: batch columns {sorted(incoming)} do not "
             f"match the table's {sorted(known)} — append tables are "
-            "fixed-schema"
+            "fixed-schema (pass schema_mode='merge' for additive "
+            "evolution)"
         )
     src = frame.df
     segs = list(cur["segments"])
     # manifest-level candidate pruning by the source's key set (single
     # key only — the stats_filter grammar is per-column; multi-key
-    # upserts scan all segments and let the anti-join do the work)
-    if len(keys) == 1:
+    # upserts scan all segments and let the anti-join do the work).
+    # Stat-INELIGIBLE key types (decimal, binary, ...) carry no zone
+    # maps, so pruning is skipped up front — _normalize_stats_filter
+    # would reject them — and the plain semi-join does the matching.
+    if len(keys) == 1 and dict(map(tuple, schema)).get(keys[0]) in _STAT_TYPES:
         filt = join_prune_filter(
             Frame(src, ()), keys[0], max_keys=max_prune_keys
         )
         if filt is not None:
-            sfilt = _normalize_stats_filter(filt, cur.get("schema"))
-            smap = cur.get("stats") or {}
-            segs = [s for s in segs if _seg_stats_match(smap.get(s), sfilt)]
-            if (cur.get("sketch_spec") or {}).get("bloom"):
-                segs = _bloom_prune(spark, fs, cur, segs, sfilt)
+            segs, _ = _prune_by_stats(spark, fs, cur, segs, filt)
     n_appended = src.count()
-    matched = None
     counts: dict = {}
     dv_rel = None
+    pby = list(cur.get("partition_by") or [])
     if segs:
         from cuplyr_spark.frame import broadcast_guarded
 
@@ -3204,26 +3762,8 @@ def upsert_append_rows(
             on=keys,
             how="left_semi",
         )
-        dv_rel = (
-            f"{_DELETE_DIR}/dv={cur['version'] + 1}-{uuid.uuid4().hex[:8]}"
-        )
-        matched.select(
-            F.col(_DV_SEG).alias("seg"),
-            F.col(_DV_FILE).alias("file"),
-            F.col(_DV_POS).alias("pos"),
-        ).write.mode("errorifexists").parquet(fs.join(dv_rel))
-        counts = {
-            r["seg"]: r["n"]
-            for r in spark.read.parquet(fs.join(dv_rel))
-            .groupBy("seg")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        if not counts:
-            _rm_dir(fs, dv_rel)
-            dv_rel = None
+        dv_rel, counts = _write_dv(spark, fs, cur, matched, pby)
     n_replaced = int(sum(counts.values()))
-    pby = list(cur.get("partition_by") or [])
     n = cur["version"] + 1
     seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
     writer = _conform_schema(src, schema).write.mode("errorifexists")
@@ -3243,6 +3783,23 @@ def upsert_append_rows(
     for _ in range(6):
         n = cur["version"] + 1
         log = _log_with_extras(cur, n, list(cur["segments"]) + [seg])
+        if added:
+            have_now = dict(map(tuple, log.get("schema") or []))
+            clash = {
+                c: (have_now[c], t)
+                for c, t in added
+                if have_now.get(c, t) != t
+            }
+            if clash:
+                raise ConcurrentWriteError(
+                    f"upsert on {table_dir!r}: concurrent writer added "
+                    f"{sorted(clash)} with different types — re-run"
+                )
+            log["schema"] = list(log.get("schema") or []) + [
+                [c, t] for c, t in added if c not in have_now
+            ]
+            if log.get("stats"):
+                log["stats"] = _grow_schema_stats(log["stats"], added)
         if dv_rel is not None:
             dmap = dict(log.get("deletes") or {})
             cmap = dict(log.get("delete_counts") or {})
@@ -3425,6 +3982,117 @@ def tail_append_cdf(
     process(changes, up_to)
     cfs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")
     return (start, up_to)
+
+
+def merge_append_dvs(
+    spark: SparkSession,
+    table_dir: str,
+    min_dvs: int = 2,
+) -> int | None:
+    """DELETION-VECTOR maintenance WITHOUT touching data: k row-level
+    writes against one segment accrete k tiny DV parquet directories,
+    each applied as a separately-unioned broadcast on every read of
+    that segment. This pass unions them into ONE directory per layout
+    family and republishes the map — metadata-only (no data file read
+    or written; cost ∝ DV bytes), where :func:`compact_append_snapshot
+    (purge_deletes=True)` is the full fold that materializes deletes
+    into data. Delta's own DV model does the same: rewrite the vector,
+    not the rows.
+
+    Segments whose DV-directory count within a layout family (legacy
+    ``dv=`` path-addressed vs v2 ``dv2=`` basename+partition) is below
+    ``min_dvs`` are left alone — merging one file into one file is
+    churn. Families are never mixed: the two layouts address rows
+    differently, and a cross-family rewrite would have to re-derive
+    addresses by parsing hive-escaped paths (exactly the fragile step
+    the v2 layout removed); a table carrying both converges to ≤2 DV
+    dirs per segment here and to zero at the next purge. All merged
+    rows across segments land in ONE directory per family (readers
+    scope by ``seg``) — one write job per family, not per segment.
+
+    The merged directory is named ``dvm=``/``dvm2=`` so the change
+    feed recognizes it as dataChange=false (the addressed rows were
+    already emitted as deletes by their original commits) and emits
+    nothing. ``delete_counts`` are untouched (the merged vector marks
+    exactly the same rows). History keeps referencing the original
+    directories, so time travel and in-window CDF reads are unchanged;
+    vacuum sweeps the originals once no kept log references them.
+
+    Concurrency: rebases over concurrent appends; a concurrent
+    row-level write or fold touching a merged segment raises
+    :class:`ConcurrentWriteError` (re-run — the merge is cheap).
+    Returns the published log version, or None when no segment had
+    ``min_dvs`` directories to merge."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    if min_dvs < 2:
+        raise ValueError("min_dvs must be >= 2 (merging fewer is churn)")
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    dmap = cur.get("deletes") or {}
+    # per family: the segments whose directory count warrants a merge
+    plans: dict[bool, list[str]] = {}
+    for is_v2 in (False, True):
+        segs = [
+            s
+            for s, dirs in dmap.items()
+            if sum(1 for d in dirs if _dv_is_v2(d) == is_v2) >= min_dvs
+        ]
+        if segs:
+            plans[is_v2] = sorted(segs)
+    if not plans:
+        return None
+    n = cur["version"] + 1
+    merged: dict[bool, str] = {}
+    for is_v2, segs in plans.items():
+        dirs = sorted(
+            {d for s in segs for d in dmap[s] if _dv_is_v2(d) == is_v2}
+        )
+        prefix = "dvm2" if is_v2 else "dvm"
+        rel = f"{_DELETE_DIR}/{prefix}={n}-{uuid.uuid4().hex[:8]}"
+        (
+            spark.read.parquet(*[fs.join(d) for d in dirs])
+            .filter(F.col("seg").isin(segs))
+            .coalesce(1)
+            .write.mode("errorifexists")
+            .parquet(fs.join(rel))
+        )
+        merged[is_v2] = rel
+    touched = sorted({s for segs in plans.values() for s in segs})
+    for _ in range(6):
+        n = cur["version"] + 1
+        log = _log_with_extras(cur, n, list(cur["segments"]))
+        new_dmap = dict(log.get("deletes") or {})
+        for is_v2, segs in plans.items():
+            for s in segs:
+                if s not in new_dmap:
+                    continue
+                kept = [d for d in new_dmap[s] if _dv_is_v2(d) != is_v2]
+                new_dmap[s] = kept + [merged[is_v2]]
+        log["deletes"] = new_dmap
+        try:
+            return _write_log(fs, log)
+        except ConcurrentWriteError:
+            m = n
+            while fs.exists(f"_LOG.{m + 1}"):
+                m += 1
+            _advance_ptr(
+                fs, _LOG_PTR, m, "ptr",
+                committed=lambda: _log_committed_floor(fs),
+            )
+            new = _read_log(fs, m)
+            _dv_conflict_check(cur, new, touched)
+            cur = new
+    raise ConcurrentWriteError(
+        f"DV merge on {table_dir!r} lost 6 straight log-commit races — "
+        "writer storm; re-run the merge"
+    )
 
 
 def compact_append_snapshot(
