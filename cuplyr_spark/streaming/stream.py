@@ -532,22 +532,54 @@ def stream_append_log(
     respect deletes. Schema is mandatory, as for any file
     stream — read it from the table's log manifest or a segment.
 
-    Hive-partitioned append tables cannot be tailed this way — the
-    partition columns live in directory names the file source does not
-    parse, so rows would silently lack them; this raises instead.
-    Tail partitioned tables with ``connectors.tail_append_changes``."""
+    HIVE-PARTITIONED append tables tail the same way: the partition
+    columns live in directory names, which the file source parses
+    when every level is a ``k=v`` component under a ``basePath`` —
+    and the table layout makes the ``seg=<n>-<hash>`` level itself
+    such a component, so the source is pointed at the table root with
+    ``seg`` as a synthetic leading partition column (typed string,
+    injected into the user schema here) and the column dropped from
+    the returned stream. Partition VALUES arrive cast to the types the
+    caller's ``schema`` declares for them (include every partition
+    column, or this raises); the checkpoint's processed-file log keeps
+    delivery exactly-once across restarts exactly as for flat
+    tables."""
     import posixpath
 
     from cuplyr_spark.sources.connectors import _read_log, _TableFS
 
     log = _read_log(_TableFS(table_dir, spark))
-    if log is not None and log.get("partition_by"):
-        raise ValueError(
-            f"stream_append_log cannot tail the hive-partitioned append "
-            f"table at {table_dir!r} (partition columns "
-            f"{log['partition_by']} live in directory names the file "
-            "source does not parse) — use connectors.tail_append_changes"
+    pby = list((log or {}).get("partition_by") or [])
+    if not pby:
+        return spark.readStream.schema(schema).parquet(
+            posixpath.join(table_dir.rstrip("/"), "seg=*")
         )
-    return spark.readStream.schema(schema).parquet(
-        posixpath.join(table_dir.rstrip("/"), "seg=*")
+    fields = (
+        T._parse_datatype_string(schema)
+        if isinstance(schema, str)
+        else schema
+    )
+    names = set(fields.fieldNames())
+    missing = [c for c in pby if c not in names]
+    if missing:
+        raise ValueError(
+            f"stream_append_log: schema is missing the partition "
+            f"columns {missing} of {table_dir!r} — the file source "
+            "parses them from the directory names into typed columns, "
+            "so the schema must declare them"
+        )
+    if "seg" in names:
+        raise ValueError(
+            "stream_append_log: 'seg' is reserved (the segment level "
+            "of the table layout is parsed as a synthetic partition "
+            "column and dropped)"
+        )
+    ext = T.StructType(
+        list(fields.fields) + [T.StructField("seg", T.StringType())]
+    )
+    return (
+        spark.readStream.schema(ext)
+        .option("basePath", table_dir.rstrip("/"))
+        .parquet(posixpath.join(table_dir.rstrip("/"), "seg=*"))
+        .drop("seg")
     )
