@@ -3471,6 +3471,162 @@ def q_append_upsert_rows(spark, sf_dir):
     )
 
 
+def q_append_schema_evolution(spark, sf_dir):
+    """ADDITIVE schema evolution on an append table
+    (``append_snapshot(schema_mode='merge')`` — Delta's mergeSchema
+    for the log-table shape): the first batch lands without
+    ``o_orderpriority``, the second adds it, and the manifest schema
+    grows METADATA-ONLY — pre-evolution segments read the new column
+    as NULL via manifest-pinned scans and their zone maps gain the
+    exact all-NULL stamp, so the follow-up DELETE on the new column
+    prunes them arithmetically (equality never matches NULL). Oracle:
+    union with a NULL column + IS DISTINCT FROM complement."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        delete_append_rows,
+        read_append_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    d = _scratch_dir("dv_evolve")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(
+        orders.select("o_orderkey", "o_totalprice").filter(
+            "o_orderkey % 2 = 0"
+        ),
+        d,
+        batch_id=0,
+    )
+    append_snapshot(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .filter("o_orderkey % 2 = 1"),
+        d,
+        batch_id=1,
+        schema_mode="merge",
+    )
+    delete_append_rows(spark, d, {"o_orderpriority": "1-URGENT"})
+    out = read_append_snapshot(spark, d)
+    return out.df.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("?")).alias("prio")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
+def q_append_dv_partitioned(spark, sf_dir):
+    """Row-level writes on a HIVE-PARTITIONED append table — the v2
+    deletion-vector addressing (basename + partition composite from
+    the scan's ``_metadata``, no per-row path parsing): a
+    string-predicate DELETE (conjuncts auto-compiled into zone-map
+    pruning), a partition-scoped DELETE combining ``partition_filter``
+    with the dict form, a MoR UPDATE whose predicate also derives its
+    pruning, then ``merge_append_dvs`` folds the accreted vectors into
+    one directory per segment — reads must be byte-identical before
+    and after the maintenance pass. Oracle: WHERE complement +
+    CASE-WHEN re-price."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        delete_append_rows,
+        merge_append_dvs,
+        read_append_snapshot,
+        update_append_rows,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = _scratch_dir("dv_part")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(
+        orders.filter("o_orderkey % 2 = 0"), d, batch_id=0,
+        partition_by="o_orderstatus",
+    )
+    append_snapshot(orders.filter("o_orderkey % 2 = 1"), d, batch_id=1)
+    delete_append_rows(spark, d, "o_totalprice > 400000")
+    delete_append_rows(
+        spark,
+        d,
+        {"o_totalprice": ("<", 50000.0)},
+        partition_filter={"o_orderstatus": ["F"]},
+    )
+    update_append_rows(
+        spark,
+        d,
+        "o_orderstatus = 'P' and o_totalprice > 200000",
+        {"o_totalprice": "o_totalprice + 5"},
+    )
+    merge_append_dvs(spark, d)
+    out = read_append_snapshot(spark, d)
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
+def q_append_read_where(spark, sf_dir):
+    """Predicate-derived manifest pruning on the READ path
+    (``read_append_snapshot(where=...)``): a free-form string
+    predicate's col-op-literal conjuncts compile into the
+    ``stats_filter`` form automatically, so the scan skips segments
+    the zone maps exclude and the full predicate guards exactness over
+    the survivors — ``read + filter`` semantics at pruned-IO cost.
+    Ingest is keyed by order date ranges, so the date conjunct prunes
+    whole segments. Oracle: plain WHERE."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    d = _scratch_dir("read_where")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(
+        orders.filter("o_orderdate < '1995-01-01'"), d, batch_id=0
+    )
+    append_snapshot(
+        orders.filter("o_orderdate >= '1995-01-01'"), d, batch_id=1
+    )
+    out = read_append_snapshot(
+        spark,
+        d,
+        where="o_orderdate >= '1996-06-15' and o_totalprice > 150000 "
+        "and o_orderkey % 3 == 0",
+    )
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
 def q_separate_rows(spark, sf_dir):
     """tidyr ``separate_rows`` (``Frame.separate_rows``): a delimited
     string column explodes into one row per element — map-side
@@ -3822,6 +3978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uncount": q_uncount,
         "append_upsert_rows": q_append_upsert_rows,
         "append_cdf": q_append_cdf,
+        "append_schema_evolution": q_append_schema_evolution,
+        "append_dv_partitioned": q_append_dv_partitioned,
+        "append_read_where": q_append_read_where,
         "sidecar_table_stats": q_sidecar_table_stats,
         "dictionary_prune": q_dictionary_prune,
         "bloom_point_lookup": q_bloom_point_lookup,
@@ -5960,6 +6119,53 @@ def oracle_sql() -> dict[str, str]:
                max(o_orderkey) AS max_key,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
         FROM merged
+        GROUP BY o_orderstatus
+    """
+    out["append_schema_evolution"] = """
+        WITH t AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT COALESCE(o_orderpriority, '?') AS prio,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM t
+        WHERE o_orderpriority IS DISTINCT FROM '1-URGENT'
+        GROUP BY prio
+    """
+    out["append_dv_partitioned"] = """
+        WITH live AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderstatus = 'P' AND o_totalprice > 200000
+                        THEN o_totalprice + 5 ELSE o_totalprice END
+                       AS o_totalprice
+            FROM orders
+            WHERE NOT (o_totalprice > 400000)
+              AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+        )
+        SELECT o_orderstatus,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM live
+        GROUP BY o_orderstatus
+    """
+    out["append_read_where"] = """
+        SELECT o_orderstatus,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-06-15'
+          AND o_totalprice > 150000
+          AND o_orderkey % 3 = 0
         GROUP BY o_orderstatus
     """
     out["separate_rows"] = """

@@ -76,7 +76,50 @@ def execute(df) -> float:
     return time.perf_counter() - t0
 
 
+def calibrate() -> dict:
+    """HOST-SPEED calibration constant, emitted into the artifact so
+    cross-round totals are normalizable in place: the same tree has
+    measured ±36% on this VM across host eras (BENCH_DELTA r11), and
+    adjudicating that required a manual A/B clone. A fixed
+    deterministic CPU + parquet codec microbench (numpy churn + one
+    pyarrow write/read cycle, no Spark, no JVM warmth) takes the host's
+    fingerprint instead: compare `calibration.sec` across rounds and
+    scale totals by the ratio before concluding regression. Median of
+    3 to reject a single steal burst; ~1-2 s total."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    ints = rng.integers(0, 1_000_000, size=4_000_000)
+    floats = rng.random(4_000_000)
+    samples = []
+    with tempfile.TemporaryDirectory(prefix="cuplyr_cal_") as td:
+        path = os.path.join(td, "cal.parquet")
+        for i in range(6):  # first pass is the warmup (imports, page
+            t0 = time.perf_counter()  # cache, allocator) and is dropped
+            # CPU leg: hash-ish integer churn + float reduction
+            acc = (ints * 2654435761 % 2**31) ^ (ints >> 7)
+            s = float(np.sort(floats)[::1000].sum()) + int(acc.sum() % 97)
+            # parquet codec leg: one write/read cycle
+            tab = pa.table({"i": ints, "f": floats})
+            pq.write_table(tab, path, compression="snappy")
+            got = pq.read_table(path)
+            s += got.num_rows
+            if i > 0:
+                samples.append(time.perf_counter() - t0)
+        del s
+    return {
+        "sec": round(statistics.median(samples), 4),
+        "what": "numpy churn + 4M-row snappy parquet write/read, "
+        "median of 5 after 1 warmup",
+    }
+
+
 def main() -> None:
+    calibration = calibrate()
     spark = get_session(app_name="cuplyr_spark_bench")
     queries = entrymod.queries()
     # Build every plan once, time executions only — the reference's
@@ -116,6 +159,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration": calibration,
             }
         )
     )

@@ -3136,10 +3136,6 @@ def delete_append_rows(
 
     Returns ``(published_version, rows_deleted)``; a no-match delete
     publishes nothing and returns the current version."""
-    import uuid
-
-    from pyspark.sql import functions as F
-
     fs = _TableFS(table_dir, spark)
     cur = _read_log(fs)
     if cur is None:
@@ -3257,8 +3253,6 @@ def update_append_rows(
     Returns ``(published_version, rows_updated)``; a no-match update
     publishes nothing and returns the current version."""
     import uuid
-
-    from pyspark.sql import functions as F
 
     fs = _TableFS(table_dir, spark)
     cur = _read_log(fs)
@@ -3677,8 +3671,6 @@ def upsert_append_rows(
 
     Returns ``(published_version, rows_replaced, rows_appended)``."""
     import uuid
-
-    from pyspark.sql import functions as F
 
     keys = [key] if isinstance(key, str) else list(key)
     spark = frame.df.sparkSession

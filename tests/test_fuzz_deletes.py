@@ -22,6 +22,7 @@ from cuplyr_spark.sources.connectors import (
     append_snapshot,
     compact_append_snapshot,
     delete_append_rows,
+    merge_append_dvs,
     read_append_snapshot,
     update_append_rows,
     upsert_append_rows,
@@ -77,7 +78,8 @@ def test_dv_lifecycle_matches_model(spark, tmp_path, seed, partitioned):
 
     for step in range(N_OPS):
         op = rng.choice(
-            ["append", "delete", "update", "upsert", "compact", "vacuum"]
+            ["append", "delete", "update", "upsert", "compact", "vacuum",
+             "merge_dvs"]
         )
         if op == "append":
             rows = fresh_rows(rng.randrange(5, 40))
@@ -127,6 +129,10 @@ def test_dv_lifecycle_matches_model(spark, tmp_path, seed, partitioned):
                 target_file_bytes=rng.choice([1 << 10, 1 << 30]),
                 purge_deletes=rng.random() < 0.5,
             )
+        elif op == "merge_dvs":
+            # DV maintenance is dataChange=false: the model is
+            # untouched by construction
+            merge_append_dvs(spark, d)
         else:
             vacuum_append_snapshot(
                 d, keep_last=rng.randrange(1, 4), orphan_grace_hours=0
@@ -140,17 +146,143 @@ def test_dv_lifecycle_matches_model(spark, tmp_path, seed, partitioned):
         if step % 3 == 2:
             # zone-map pruned read under deletes: stats are stale
             # (recorded pre-delete) but pruning must stay SOUND — the
-            # filtered read equals the model subset exactly
+            # filtered read equals the model subset exactly. Alternate
+            # the dict form with the string-predicate form (whose
+            # conjuncts compile into the same pruning).
             lo = rng.randrange(max(next_id, 1))
             hi = lo + rng.randrange(1, 50)
-            pruned = {
-                r["id"]: (r["g"], r["v"])
-                for r in read_append_snapshot(
+            if rng.random() < 0.5:
+                got_f = read_append_snapshot(
                     spark, d, stats_filter={"id": [(">=", lo), ("<", hi)]}
-                ).df.collect()
+                )
+            else:
+                got_f = read_append_snapshot(
+                    spark, d, where=f"id >= {lo} and id < {hi}"
+                )
+            pruned = {
+                r["id"]: (r["g"], r["v"]) for r in got_f.df.collect()
             }
             want = {i: gv for i, gv in model.items() if lo <= i < hi}
             assert pruned == want, (
                 f"seed={seed} step={step}: stats_filter under deletes "
                 f"diverged on [{lo}, {hi})"
             )
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_evolution_lifecycle_matches_model(spark, tmp_path, seed):
+    """Model-based fuzz of ADDITIVE SCHEMA EVOLUTION interleaved with
+    the row-level lifecycle: the table starts at (id, g, v), evolves to
+    carry `w` mid-sequence, and every subsequent append randomly
+    includes or omits it; deletes/updates run against BOTH old and new
+    columns; compaction folds across the evolution boundary. The table
+    must equal the 4-tuple model (None = NULL) after every op."""
+    rng = random.Random(seed)
+    d = str(tmp_path / f"efuzz{seed}")
+    shutil.rmtree(d, ignore_errors=True)
+    model: dict[int, tuple[int, int, int | None]] = {}
+    next_id = 0
+    batch = 0
+    evolved = False
+
+    def mk(rows, with_w):
+        if with_w:
+            return spark.createDataFrame(
+                [(int(i), int(g), int(v), w) for i, g, v, w in rows],
+                "id long, g long, v long, w long",
+            )
+        return spark.createDataFrame(
+            [(int(i), int(g), int(v)) for i, g, v, _ in rows],
+            "id long, g long, v long",
+        )
+
+    def fresh(n, with_w):
+        nonlocal next_id
+        rows = [
+            (
+                i,
+                rng.randrange(5),
+                rng.randrange(1000),
+                rng.randrange(50) if with_w else None,
+            )
+            for i in range(next_id, next_id + n)
+        ]
+        next_id += n
+        return rows
+
+    rows = fresh(rng.randrange(20, 40), False)
+    append_snapshot(Frame(mk(rows, False), ()), d, batch_id=batch)
+    batch += 1
+    model.update({r[0]: r[1:] for r in rows})
+
+    for step in range(14):
+        op = rng.choice(["append", "delete", "update", "compact", "merge"])
+        if op == "append":
+            with_w = evolved and rng.random() < 0.7
+            grow = not evolved and rng.random() < 0.4
+            if grow:
+                with_w, evolved = True, True
+            rows = fresh(rng.randrange(5, 25), with_w)
+            append_snapshot(
+                Frame(mk(rows, with_w), ()), d, batch_id=batch,
+                schema_mode="merge",
+            )
+            batch += 1
+            model.update({r[0]: r[1:] for r in rows})
+        elif op == "delete":
+            if evolved and rng.random() < 0.5:
+                cut = rng.randrange(50)
+                delete_append_rows(spark, d, {"w": (">=", cut)})
+                for i in list(model):
+                    w = model[i][2]
+                    if w is not None and w >= cut:
+                        del model[i]
+            else:
+                m = rng.randrange(2, 7)
+                r = rng.randrange(m)
+                delete_append_rows(spark, d, f"id % {m} == {r}")
+                for i in list(model):
+                    if i % m == r:
+                        del model[i]
+        elif op == "update":
+            if evolved and rng.random() < 0.5:
+                # backfill w for a slice of old rows
+                m = rng.randrange(2, 5)
+                r = rng.randrange(m)
+                update_append_rows(
+                    spark, d, f"id % {m} == {r}", {"w": "v % 50"},
+                    schema_mode="merge",
+                )
+                for i, (g, v, w) in model.items():
+                    if i % m == r:
+                        model[i] = (g, v, v % 50)
+            else:
+                add = rng.randrange(1, 100)
+                r = rng.randrange(5)
+                update_append_rows(spark, d, f"g == {r}", {"v": f"v + {add}"})
+                for i, (g, v, w) in model.items():
+                    if g == r:
+                        model[i] = (g, v + add, w)
+        elif op == "compact":
+            compact_append_snapshot(
+                spark, d,
+                target_file_bytes=rng.choice([1 << 10, 1 << 30]),
+                purge_deletes=rng.random() < 0.5,
+            )
+        else:
+            merge_append_dvs(spark, d)
+        got_df = read_append_snapshot(spark, d).df
+        if not evolved:
+            got = {
+                r["id"]: (r["g"], r["v"], None) for r in got_df.collect()
+            }
+        else:
+            got = {
+                r["id"]: (r["g"], r["v"], r["w"]) for r in got_df.collect()
+            }
+        assert got == model, (
+            f"seed={seed} step={step} op={op}: diverged "
+            f"(missing={sorted(set(model) - set(got))[:5]}, "
+            f"extra={sorted(set(got) - set(model))[:5]}, "
+            f"wrong={[i for i in got if i in model and got[i] != model[i]][:5]})"
+        )
