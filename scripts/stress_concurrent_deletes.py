@@ -2,8 +2,15 @@
 (deletion vectors): N independent worker processes (each its own
 Python + JVM) hammer ONE append table with interleaved appends,
 deletes, and keyed upserts — while an optional maintenance process
-runs purge-compaction + vacuum in a loop. No coordination beyond the
-filesystem commit protocol under test.
+runs purge-compaction + DV-merge maintenance + vacuum in a loop. No
+coordination beyond the filesystem commit protocol under test.
+
+By default worker 0 also EVOLVES the schema mid-stress (its batches
+from b>=1 carry an extra `w` column via schema_mode="merge" while
+every other writer keeps appending without it) — the rebase rules
+under test then include concurrent additive evolution: grown schemas
+must survive interleaved publishes, and pre-evolution rows must read
+w=NULL exactly. Pass --no-evolve for the fixed-schema variant.
 
 Each worker owns a disjoint id range, so the expected FINAL state is
 exactly computable regardless of interleaving:
@@ -62,7 +69,7 @@ def _retry(fn):
             time.sleep(0.05)
 
 
-def rowlevel_worker(table, wid, k, out):
+def rowlevel_worker(table, wid, k, out, evolve=True):
     import pandas as pd
 
     from cuplyr_spark import from_pandas
@@ -77,13 +84,19 @@ def rowlevel_worker(table, wid, k, out):
     t0 = time.time()
     retries = 0
     base = wid * 1_000_000
+    mode = "merge" if evolve else "strict"
     for b in range(k):
         lo = base + b * ROWS
         pdf = pd.DataFrame(
             {"id": range(lo, lo + ROWS), "val": [b] * ROWS}
         )
-        append_snapshot(
-            from_pandas(spark, pdf), table, batch_id=b, app_id=f"w{wid}"
+        if evolve and wid == 0 and b >= 1:
+            pdf["w"] = [b] * ROWS  # worker 0 evolves the schema live
+        _, r0 = _retry(
+            lambda: append_snapshot(
+                from_pandas(spark, pdf), table, batch_id=b,
+                app_id=f"w{wid}", schema_mode=mode,
+            )
         )
         _, r1 = _retry(
             lambda: delete_append_rows(
@@ -97,10 +110,11 @@ def rowlevel_worker(table, wid, k, out):
         )
         _, r2 = _retry(
             lambda: upsert_append_rows(
-                from_pandas(spark, ups), table, key="id"
+                from_pandas(spark, ups), table, key="id",
+                schema_mode=mode,
             )
         )
-        retries += r1 + r2
+        retries += r0 + r1 + r2
     out.put(("ok", wid, time.time() - t0, retries))
 
 
@@ -108,6 +122,7 @@ def maintenance_worker(table, done_flag, out):
     from cuplyr_spark import ConcurrentWriteError
     from cuplyr_spark.sources.connectors import (
         compact_append_snapshot,
+        merge_append_dvs,
         vacuum_append_snapshot,
     )
 
@@ -117,13 +132,15 @@ def maintenance_worker(table, done_flag, out):
     while time.time() - t0 < 600:
         finishing = os.path.exists(done_flag)
         try:
+            if merge_append_dvs(spark, table) is not None:
+                folds += 1  # DV maintenance counts as a fold too
             if compact_append_snapshot(
                 spark, table, purge_deletes=True, shuffle=True
             ) is not None:
                 folds += 1
             vacuum_append_snapshot(table, keep_last=6, spark=spark)
         except ConcurrentWriteError:
-            lost += 1  # a live writer won the log race mid-fold
+            lost += 1  # a live writer won the log race mid-fold/merge
         except FileNotFoundError:
             pass  # table not created yet
         if finishing:
@@ -136,13 +153,14 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     maint = "--no-maint" not in sys.argv
+    evolve = "--no-evolve" not in sys.argv
     root = tempfile.mkdtemp(prefix="dvstress_")
     table = root + "/t"
     done_flag = root + "/_STRESS_DONE"
     ctx = mp.get_context("spawn")
     out = ctx.Queue()
     procs = [
-        ctx.Process(target=rowlevel_worker, args=(table, w, k, out))
+        ctx.Process(target=rowlevel_worker, args=(table, w, k, out, evolve))
         for w in range(n)
     ]
     if maint:
@@ -171,20 +189,26 @@ def main():
         base = w * 1_000_000
         for b in range(k):
             lo = base + b * ROWS
+            # worker 0's batches b>=1 carry w=b; upserted rows are
+            # replaced by (id, val)-only batches, so their w is NULL
+            w_val = b if (evolve and w == 0 and b >= 1) else None
             for i in range(lo, lo + ROWS):
                 if i < lo + UPS:
-                    expected[i] = b + 1000
+                    expected[i] = (b + 1000, None)
                 elif i % 10 < 3:
                     pass  # deleted
                 else:
-                    expected[i] = b
+                    expected[i] = (b, w_val)
 
     spark = _session("check")
     from cuplyr_spark.sources.connectors import read_append_snapshot
 
+    final = read_append_snapshot(spark, table).df
+    if evolve and "w" not in final.columns:
+        raise AssertionError("schema evolution lost: no w column")
     got = {
-        r["id"]: r["val"]
-        for r in read_append_snapshot(spark, table).df.collect()
+        r["id"]: (r["val"], r["w"] if evolve else None)
+        for r in final.collect()
     }
     missing = sorted(set(expected) - set(got))[:5]
     extra = sorted(set(got) - set(expected))[:5]

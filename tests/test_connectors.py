@@ -1188,7 +1188,10 @@ def test_append_partitioned_guards(spark, tmp_path):
     # z-ordering a partition column itself is a refused no-op
     with _pytest.raises(ValueError, match="are partition columns"):
         compact_append_snapshot(spark, d, zorder_by=["event_type"])
-    with _pytest.raises(ValueError, match="tail_append_changes"):
+    # r12: partitioned tables CAN be tailed, but the schema must
+    # declare the partition columns (the source parses them from the
+    # directory names into typed columns)
+    with _pytest.raises(ValueError, match="missing the partition"):
         stream_append_log(spark, d, "event_id long")
     d2 = str(tmp_path / "flat")
     append_snapshot(from_pandas(spark, pdf), d2)
