@@ -178,7 +178,9 @@ def main():
     open(done_flag, "w").write("done")
     for p in procs[n:]:
         p.join(900)
-    results = [out.get(timeout=60) for _ in procs]
+    # generous timeout: N+1 cold JVMs starting at once can leave the
+    # slowest worker's queue put racing a short get (observed once)
+    results = [out.get(timeout=300) for _ in procs]
     wall = time.time() - t0
     assert len(results) == len(procs) and all(
         r[0] == "ok" for r in results
