@@ -1463,6 +1463,115 @@ def _derive_stats_filter(pred: str, schema) -> dict | None:
     return out or None
 
 
+_PDIR_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _pdir_lit(typ: str, v):
+    """A predicate literal rendered as the directory string a
+    ``typ``-recorded partition column would produce for an EQUAL
+    value, or the function itself as an 'unsound' sentinel. Type
+    gating is what keeps the prune sound: Spark's comparison coercions
+    are value-space (``string_col == 1`` matches ``'01'``) while the
+    directory map is string-space, so only literal/column pairs whose
+    canonical renderings coincide may derive — exact strings on string
+    columns, decimal ints on int columns, bools on boolean, ISO
+    strings re-canonicalized on date/timestamp."""
+    import datetime
+
+    if typ == "string":
+        return v if type(v) is str else _pdir_lit
+    if typ in _PDIR_INT_TYPES:
+        return str(v) if type(v) is int else _pdir_lit
+    if typ == "boolean":
+        return ("true" if v else "false") if type(v) is bool else _pdir_lit
+    if typ == "date":
+        if type(v) is not str:
+            return _pdir_lit
+        try:
+            return datetime.date.fromisoformat(v).isoformat()
+        except ValueError:
+            return _pdir_lit
+    if typ in ("timestamp", "timestamp_ntz"):
+        if type(v) is not str:
+            return _pdir_lit
+        try:
+            return _pdir_str(datetime.datetime.fromisoformat(v))
+        except ValueError:
+            return _pdir_lit
+    return _pdir_lit
+
+
+def _derive_pfilter(pred: str, pby, schema) -> dict | None:
+    """Best-effort compile of a string predicate's PARTITION-COLUMN
+    equality conjuncts into the ``partition_filter`` dict form —
+    partition columns carry no zone maps (their values live in the
+    manifest partition map instead), so :func:`_derive_stats_filter`
+    can't prune on them; this closes that gap for ``where="p == '1'
+    and x > 5"``-style predicates. Same soundness rule: only
+    top-level AND conjuncts of ``col == literal`` / ``col in
+    [literals]`` on partition columns derive, and only when the
+    literal's canonical directory rendering provably coincides with
+    the column's (:func:`_pdir_lit`); everything else contributes
+    nothing, and the full predicate still guards exactness. Returns
+    None when nothing derived."""
+    import ast as _ast
+
+    if not pby:
+        return None
+    try:
+        tree = _ast.parse(pred, mode="eval").body
+    except SyntaxError:
+        return None
+    types = dict(map(tuple, schema or []))
+    pset = set(pby)
+
+    def const(node):
+        if isinstance(node, _ast.Constant) and (
+            type(node.value) in (int, float, str, bool)
+        ):
+            return node.value
+        return const
+
+    conjuncts: list = []
+
+    def walk(n):
+        if isinstance(n, _ast.BoolOp) and isinstance(n.op, _ast.And):
+            for v in n.values:
+                walk(v)
+        else:
+            conjuncts.append(n)
+
+    walk(tree)
+    out: dict = {}
+    for c in conjuncts:
+        if not (isinstance(c, _ast.Compare) and len(c.ops) == 1):
+            continue
+        op, left, right = c.ops[0], c.left, c.comparators[0]
+        if isinstance(op, _ast.Eq):
+            if isinstance(left, _ast.Name) and const(right) is not const:
+                col, vals = left.id, [const(right)]
+            elif isinstance(right, _ast.Name) and const(left) is not const:
+                col, vals = right.id, [const(left)]
+            else:
+                continue
+        elif isinstance(op, _ast.In) and isinstance(left, _ast.Name) and (
+            isinstance(right, (_ast.List, _ast.Tuple, _ast.Set))
+        ):
+            vals = [const(e) for e in right.elts]
+            if const in vals or not vals:
+                continue
+            col = left.id
+        else:
+            continue
+        if col not in pset or col in out or col not in types:
+            continue  # repeated col: keep first; unknown col: skip
+        normed = [_pdir_lit(types[col], v) for v in vals]
+        if any(x is _pdir_lit for x in normed):
+            continue  # rendering not provably canonical: skip
+        out[col] = normed
+    return out or None
+
+
 def _stat_lit_norm(typ: str, v):
     """Normalize a PREDICATE literal into the domain the zone maps of
     a ``typ`` column were recorded in, or the function itself as a
@@ -2750,15 +2859,21 @@ def read_append_snapshot(
     )
     if derived and stats_filter:
         derived = None  # explicit stats_filter wins; don't merge
+    dpf = (
+        _derive_pfilter(where, log.get("partition_by"), log.get("schema"))
+        if where is not None and partition_filter is None
+        else None
+    )
     try:
         out = _read_segments(
-            spark, fs, log, log["segments"], partition_filter,
+            spark, fs, log, log["segments"],
+            partition_filter if partition_filter else dpf,
             stats_filter if stats_filter else derived,
         )
     except ValueError:
-        if derived is None:
+        if derived is None and dpf is None:
             raise
-        out = _read_segments(  # derivation mismatched the stats: full scan
+        out = _read_segments(  # derivation mismatched: full scan
             spark, fs, log, log["segments"], partition_filter, stats_filter
         )
     frame = Frame(out, ())
@@ -2773,6 +2888,7 @@ def read_append_changes(
     partition_filter: dict | None = None,
     stats_filter: dict | None = None,
     apply_deletes: bool = False,
+    where: str | None = None,
 ) -> Frame:
     """Incremental read: ONLY the rows appended after log version
     ``since_version`` (exclusive) up to ``version`` (inclusive; default
@@ -2797,7 +2913,15 @@ def read_append_changes(
     ``vacuum_append_snapshot`` with ``keep_last`` at least the deepest
     reader lag, or a lagging reader gets ``FileNotFoundError`` here
     instead of silently wrong rows. Returns an EMPTY frame (correct
-    table schema) when no rows were appended in the window."""
+    table schema) when no rows were appended in the window.
+
+    ``where`` (free-form string predicate) works like
+    ``read_append_snapshot(where=)``: implied col-op-literal conjuncts
+    compile into ``stats_filter`` pruning and partition-column
+    equality conjuncts into ``partition_filter`` pruning
+    automatically, with the full predicate applied over the result —
+    ``read + filter`` semantics at pruned-IO cost over just the
+    window's new segments."""
     fs = _TableFS(table_dir, spark)
     cur = _read_log(fs, version)
     if cur is None:
@@ -2847,6 +2971,19 @@ def read_append_changes(
                 spark.createDataFrame([], _T.StructType(fields)), ()
             )
         return Frame(read_append_snapshot(spark, table_dir, end).df.limit(0), ())
+    derived_any = False
+    if where is not None:
+        # same derivation as read_append_snapshot(where=): implied
+        # conjuncts prune through zone maps / the partition map, the
+        # full predicate (applied below) guards exactness
+        if stats_filter is None:
+            stats_filter = _derive_stats_filter(where, cur.get("schema"))
+            derived_any = derived_any or stats_filter is not None
+        if partition_filter is None:
+            partition_filter = _derive_pfilter(
+                where, cur.get("partition_by"), cur.get("schema")
+            )
+            derived_any = derived_any or partition_filter is not None
     synth = dict(cur)
     synth["partitions"] = {**(cur.get("partitions") or {}), **added_pmap}
     synth["stats"] = {**(cur.get("stats") or {}), **added_stats}
@@ -2861,12 +2998,20 @@ def read_append_changes(
         # this mode promises to return.
         synth["deletes"] = {}
         synth["delete_counts"] = {}
-    return Frame(
-        _read_segments(
-            spark, fs, synth, new_segs, partition_filter, stats_filter
-        ),
-        (),
-    )
+    try:
+        out = Frame(
+            _read_segments(
+                spark, fs, synth, new_segs, partition_filter, stats_filter
+            ),
+            (),
+        )
+    except ValueError:
+        if not derived_any:
+            raise  # explicit caller filters: surface the misuse
+        out = Frame(  # derivation mismatched the stats: full scan
+            _read_segments(spark, fs, synth, new_segs), ()
+        )
+    return out.filter(where) if where is not None else out
 
 
 def join_prune_filter(
@@ -3172,6 +3317,14 @@ def delete_append_rows(
                     segs, _ = _prune_by_stats(spark, fs, cur, segs, derived)
                 except ValueError:
                     pass  # stats/value mismatch: keep the full scan
+            # partition-column equality conjuncts prune through the
+            # manifest PARTITION map the same way (zone maps skip
+            # partition columns, so stats derivation can't see them)
+            dpf = _derive_pfilter(
+                where, cur.get("partition_by"), cur.get("schema")
+            )
+            if dpf:
+                segs, _ = _partition_scope(cur, segs, dpf)
         matcher = lambda df: Frame(df, ()).filter(where).df  # noqa: E731
     if not segs:
         return cur["version"], 0
@@ -3301,6 +3454,11 @@ def update_append_rows(
                     segs, _ = _prune_by_stats(spark, fs, cur, segs, derived)
                 except ValueError:
                     pass
+            dpf = _derive_pfilter(
+                where, cur.get("partition_by"), cur.get("schema")
+            )
+            if dpf:
+                segs, _ = _partition_scope(cur, segs, dpf)
         matcher = lambda df: Frame(df, ()).filter(where).df  # noqa: E731
     if not segs:
         return cur["version"], 0
@@ -3831,6 +3989,7 @@ def tail_append_changes(
     partition_filter: dict | None = None,
     stats_filter: dict | None = None,
     apply_deletes: bool = False,
+    where: str | None = None,
 ) -> tuple[int, int]:
     """EXACTLY-ONCE batch-incremental consumer for an append table —
     the checkpointed driver around :func:`read_append_changes`, and
@@ -3896,6 +4055,7 @@ def tail_append_changes(
         changes = read_append_snapshot(
             spark, table_dir, version=up_to,
             partition_filter=partition_filter, stats_filter=stats_filter,
+            where=where,
         )
         process(changes, up_to)
         fs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")
@@ -3906,7 +4066,7 @@ def tail_append_changes(
     changes = read_append_changes(
         spark, table_dir, since_version=start, version=up_to,
         partition_filter=partition_filter, stats_filter=stats_filter,
-        apply_deletes=apply_deletes,
+        apply_deletes=apply_deletes, where=where,
     )
     process(changes, up_to)
     fs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")

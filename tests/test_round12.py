@@ -566,3 +566,83 @@ def test_gapfill_bucket_whitelist(spark):
     assert [r[1] for r in rows] == [1.0, None, 2.0]
     with pytest.raises(ValueError, match="bucket"):
         time_bucket_gapfill(Frame(df, ()), "ts", bucket="fortnight")
+
+
+# -- partition-column derivation (r12 cont.) ---------------------------------
+
+
+def test_derive_pfilter_grammar():
+    from cuplyr_spark.sources.connectors import _derive_pfilter
+
+    schema = [
+        ["id", "bigint"], ["p", "string"], ["k", "int"], ["b", "boolean"],
+        ["d", "date"],
+    ]
+    f = lambda s, pby: _derive_pfilter(s, pby, schema)  # noqa: E731
+    assert f("p == '1' and id > 5", ["p"]) == {"p": ["1"]}
+    assert f("p in ['a', 'b']", ["p"]) == {"p": ["a", "b"]}
+    assert f("k == 3 and p == 'x'", ["k", "p"]) == {"k": ["3"], "p": ["x"]}
+    assert f("b == True", ["b"]) == {"b": ["true"]}
+    assert f("d == '2024-06-01'", ["d"]) == {"d": ["2024-06-01"]}
+    # soundness gates: value-space coercions must NOT derive —
+    # string_col == 1 matches '01' in Spark but '1' != '01' in dirs
+    assert f("p == 1", ["p"]) is None
+    assert f("k == '3'", ["k"]) is None
+    assert f("p == '1' or p == '2'", ["p"]) is None
+    assert f("p > '1'", ["p"]) is None  # only equality/in derive
+    assert f("id == 5", ["p"]) is None  # not a partition column
+    assert f("p == '1'", []) is None
+
+
+def test_string_predicate_prunes_partition_map(spark, tmp_path):
+    d = str(tmp_path / "pder")
+    lo = spark.range(100).select(
+        F.col("id"), F.lit("a").alias("p"), (F.col("id") * 1.0).alias("v")
+    )
+    hi = spark.range(100, 200).select(
+        F.col("id"), F.lit("b").alias("p"), (F.col("id") * 1.0).alias("v")
+    )
+    append_snapshot(Frame(lo, ()), d, batch_id=0, partition_by="p")
+    append_snapshot(Frame(hi, ()), d, batch_id=1)
+    seen = []
+    orig = C._scan_with_dv
+    try:
+        C._scan_with_dv = (
+            lambda spark, fs, log, segs: seen.append(list(segs))
+            or orig(spark, fs, log, segs)
+        )
+        # zone maps can't see p (partition column, no stats recorded);
+        # only the partition-map derivation can prune here — id ranges
+        # overlap is irrelevant: the delete targets p == 'b' rows
+        v, n = delete_append_rows(spark, d, "p == 'b' and id % 2 == 0")
+    finally:
+        C._scan_with_dv = orig
+    assert n == 50
+    assert len(seen) == 1 and len(seen[0]) == 1, seen
+    got = read_append_snapshot(spark, d).df
+    assert got.count() == 150
+    # read path: where= derives the partition filter too
+    sel = read_append_snapshot(spark, d, where="p == 'a' and id < 10").df
+    assert sel.count() == 10
+
+
+def test_read_append_changes_where(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import read_append_changes
+
+    d = str(tmp_path / "chwhere")
+    for i in range(3):
+        df = spark.range(i * 100, i * 100 + 100).select(
+            F.col("id"), (F.col("id") * 1.0).alias("v")
+        )
+        append_snapshot(Frame(df, ()), d, batch_id=i)
+    got = read_append_changes(
+        spark, d, since_version=1, where="id >= 250 and id % 2 == 0"
+    ).df
+    # window = versions 2..3 (rows 100..299); predicate keeps 250-298 even
+    assert got.count() == 25
+    assert got.agg(F.min("id")).first()[0] == 250
+    # underivable predicate: exact results via full window scan
+    got = read_append_changes(
+        spark, d, since_version=0, where="id < 50 or id >= 290"
+    ).df
+    assert got.count() == 60
