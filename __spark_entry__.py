@@ -3471,6 +3471,63 @@ def q_append_upsert_rows(spark, sf_dir):
     )
 
 
+def q_incremental_view(spark, sf_dir):
+    """Incremental materialized aggregate view
+    (``sources/views.py``): orders land in two appends on a 50-bucket
+    grouping, the view refreshes after each (the second is the
+    insert-only ARITHMETIC-MERGE path — only the appended rows are
+    read), then a price-range DELETE dirties the base and the third
+    refresh takes the AFFECTED-GROUP-RECOMPUTE path (only the touched
+    groups' base rows are re-aggregated, pruned through the zone-map
+    machinery). The view read must equal a from-scratch GROUP BY over
+    the final table state — which is exactly the oracle. Sums run on
+    exact integer cents so incremental merge order cannot drift
+    floating point; the mean divides the exact stored sum by the
+    exact stored count, bit-identical to SUM/COUNT in SQL."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        delete_append_rows,
+    )
+    from cuplyr_spark.sources.views import (
+        create_append_view,
+        read_append_view,
+        refresh_append_view,
+    )
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .df.select(
+            (F.col("o_orderkey") % 50).alias("bucket"),
+            F.col("o_orderkey").alias("okey"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    d = _scratch_dir("view_base")
+    v = _scratch_dir("view_def")
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(v, ignore_errors=True)
+    append_snapshot(Frame(base.filter("okey % 2 = 0"), ()), d, batch_id=0)
+    create_append_view(
+        spark, d, v, "bucket",
+        {
+            "sum_cents": ("sum", "cents"),
+            "n": ("count", None),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+            "avg_cents": ("mean", "cents"),
+        },
+    )
+    append_snapshot(Frame(base.filter("okey % 2 = 1"), ()), d, batch_id=1)
+    refresh_append_view(spark, v)  # insert-only: arithmetic merge
+    delete_append_rows(spark, d, "cents > 25000000")
+    refresh_append_view(spark, v)  # deletes: affected-group recompute
+    return read_append_view(spark, v).df
+
+
 def q_append_schema_evolution(spark, sf_dir):
     """ADDITIVE schema evolution on an append table
     (``append_snapshot(schema_mode='merge')`` — Delta's mergeSchema
@@ -3978,6 +4035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uncount": q_uncount,
         "append_upsert_rows": q_append_upsert_rows,
         "append_cdf": q_append_cdf,
+        "incremental_view": q_incremental_view,
         "append_schema_evolution": q_append_schema_evolution,
         "append_dv_partitioned": q_append_dv_partitioned,
         "append_read_where": q_append_read_where,
@@ -6097,6 +6155,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
         FROM changes
         GROUP BY _change_type, _commit_version
+    """
+    out["incremental_view"] = """
+        WITH base AS (
+            SELECT o_orderkey % 50 AS bucket,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        live AS (SELECT * FROM base WHERE cents <= 25000000)
+        SELECT bucket,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               count(*) AS n,
+               min(cents) AS min_cents,
+               max(cents) AS max_cents,
+               CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents
+        FROM live
+        GROUP BY bucket
     """
     out["append_upsert_rows"] = """
         WITH batch AS (

@@ -112,6 +112,7 @@ from cuplyr_spark.sources.connectors import (
     ConcurrentWriteError,
     append_snapshot,
     delete_append_rows,
+    explain_append_scan,
     merge_append_dvs,
     read_append_cdf,
     update_append_rows,
@@ -124,6 +125,12 @@ from cuplyr_spark.sources.connectors import (
     table_stats,
     upsert_snapshot,
     write_snapshot,
+)
+from cuplyr_spark.sources.views import (
+    append_view_status,
+    create_append_view,
+    read_append_view,
+    refresh_append_view,
 )
 from cuplyr_spark.pipeline.text import (
     chunk_documents,

@@ -2880,6 +2880,161 @@ def read_append_snapshot(
     return frame.filter(where) if where is not None else frame
 
 
+def explain_append_scan(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
+    stats_filter: dict | None = None,
+    where: str | None = None,
+) -> Frame:
+    """The scan-planning report for a prospective read — EXPLAIN for
+    the manifest-pruning stack: one row per segment in the (pinned)
+    log with the decision the reader would make for the SAME
+    arguments and the reason, from PURE MANIFEST METADATA (plus one
+    tiny sidecar read per surviving segment when bloom filters
+    engage — exactly what the read itself would pay). Nothing is
+    listed or scanned, so this is safe to run against a
+    100 TB table from a notebook to answer "why is my delete slow"
+    or "did my predicate actually prune" before paying for the read.
+
+    Columns: ``segment``, ``kind`` (``seg``/``fold``), ``action``
+    (``scan``/``pruned``), ``pruned_by`` (``zone_map`` — min/max or
+    dictionary miss — ``bloom``, ``fully_deleted``, ``partition``, or
+    NULL for survivors), ``rows`` (manifest-recorded, NULL when the
+    table carries no stats), ``delete_count``, ``live_rows``,
+    ``dv_files``, ``partition_dirs``.
+
+    Decision parity is the contract (tested): a segment reported
+    ``scan`` is opened by :func:`read_append_snapshot` with the same
+    arguments and a segment reported ``pruned`` is not, including the
+    precedence rules — an explicit ``stats_filter``/
+    ``partition_filter`` beats the ``where``-derived form, and a
+    ``where`` whose derivation mismatches the schema degrades to the
+    full scan exactly like the read does."""
+    fs = _TableFS(table_dir, spark)
+    log = _read_log(fs, version)
+    if log is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    schema = log.get("schema")
+    pby = log.get("partition_by") or []
+    if partition_filter and not pby:
+        raise ValueError(
+            "partition_filter on an unpartitioned append table "
+            f"(no partition_by in the log at {fs.dir!r})"
+        )
+    derived = (
+        _derive_stats_filter(where, schema) if where is not None else None
+    )
+    if derived and stats_filter:
+        derived = None  # explicit stats_filter wins, like the read
+    dpf = (
+        _derive_pfilter(where, pby, schema)
+        if where is not None and partition_filter is None
+        else None
+    )
+    sf = stats_filter if stats_filter else derived
+    pfil = partition_filter if partition_filter else dpf
+    segs = list(log["segments"])
+    reason: dict[str, str] = {}
+    smap = log.get("stats") or {}
+    # 1) zone maps / dictionaries, then bloom sidecars — same order as
+    # _read_segments
+    if sf:
+        try:
+            sfilt = _normalize_stats_filter(sf, schema)
+        except ValueError:
+            if stats_filter:
+                raise  # explicit dict: surface, like the read
+            sfilt = None  # derived mismatch: read degrades to full scan
+        if sfilt is not None:
+            survivors = []
+            for s in segs:
+                if _seg_stats_match(smap.get(s), sfilt):
+                    survivors.append(s)
+                else:
+                    reason[s] = "zone_map"
+            if (log.get("sketch_spec") or {}).get("bloom"):
+                kept = set(_bloom_prune(spark, fs, log, survivors, sfilt))
+                for s in survivors:
+                    if s not in kept:
+                        reason[s] = "bloom"
+                survivors = [s for s in survivors if s in kept]
+            segs = survivors
+    # 2) fully-deleted segments contribute nothing
+    cmap = log.get("delete_counts") or {}
+    if cmap:
+        left = []
+        for s in segs:
+            rows = (smap.get(s) or {}).get("rows")
+            if s in cmap and rows is not None and int(cmap[s]) >= int(rows):
+                reason[s] = "fully_deleted"
+            else:
+                left.append(s)
+        segs = left
+    # 3) manifest partition map
+    if pfil:
+        try:
+            pf = _normalize_pfilter(pfil)
+        except ValueError:
+            if partition_filter:
+                raise
+            pf = None  # derived form never carries unrenderable values
+        if pf is not None:
+            unknown = set(pf) - set(pby)
+            if unknown:
+                raise ValueError(
+                    f"partition_filter columns {sorted(unknown)} are not "
+                    f"partition columns {pby}"
+                )
+            pmap = log.get("partitions") or {}
+            left = []
+            for s in segs:
+                rels = pmap.get(s)
+                if rels is None:
+                    left.append(s)  # legacy manifest: keep, like the read
+                    continue
+                hit = any(
+                    all(
+                        _partition_values(rel).get(c) in want
+                        for c, want in pf.items()
+                    )
+                    for rel in rels
+                )
+                if hit:
+                    left.append(s)
+                else:
+                    reason[s] = "partition"
+            segs = left
+    dmap = log.get("deletes") or {}
+    pmap = log.get("partitions") or {}
+    keep = set(segs)
+    data = []
+    for s in log["segments"]:
+        rows = (smap.get(s) or {}).get("rows")
+        dels = int(cmap.get(s, 0))
+        data.append((
+            s,
+            "fold" if s.startswith("fold=") else "seg",
+            "scan" if s in keep else "pruned",
+            reason.get(s),
+            rows,
+            dels,
+            None if rows is None else int(rows) - dels,
+            len(dmap.get(s) or []),
+            len(pmap.get(s) or []) if pby else None,
+        ))
+    out = spark.createDataFrame(
+        data,
+        "segment string, kind string, action string, pruned_by string, "
+        "rows bigint, delete_count bigint, live_rows bigint, "
+        "dv_files int, partition_dirs int",
+    )
+    return Frame(out, ())
+
+
 def read_append_changes(
     spark: SparkSession,
     table_dir: str,

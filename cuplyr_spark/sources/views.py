@@ -1,0 +1,579 @@
+"""Incremental MATERIALIZED AGGREGATE VIEWS over append tables — the
+"never rescan the corpus to refresh a dashboard" layer: a grouped
+aggregate (sum / count / min / max / mean) is materialized once, then
+each :func:`refresh_append_view` advances it using the base table's
+typed change feed at cost ∝ the CHANGED data, not table size. At
+100 TB the distinction is the whole feature: a nightly full GROUP BY
+over the corpus re-reads everything; this reads the delta.
+
+Two maintenance strategies, picked automatically per refresh window
+by inspecting the base log manifests (metadata-only — no data read to
+decide):
+
+- **arithmetic merge** (window is insert-only, detected by unchanged
+  ``delete_counts``): partial-aggregate ONLY the appended rows
+  (:func:`read_append_changes`), join the touched groups against the
+  pinned previous state, and combine accumulators (sums/counts add;
+  min/max fold through ``least``/``greatest`` — all five supported
+  aggregates are decomposable on inserts). Cost ∝ delta rows.
+- **affected-group recompute** (window carries deletes/updates/
+  upserts): the groups named by ANY change event
+  (:func:`read_append_cdf`) are recomputed from the base snapshot —
+  scoped by a null-safe semi-join, with the base read pruned through
+  the zone-map machinery via :func:`join_prune_filter` when the
+  group key is a single stat-eligible column — and replace their
+  state rows; groups whose rows all vanished are deleted from the
+  state. Correct for NON-decomposable-under-delete aggregates
+  (min/max) without keeping per-group detail. Cost ∝ the affected
+  groups' base bytes (≈ delta for time-keyed groupings).
+
+The STATE is itself an append table (``<view_dir>/state``) keyed by
+the group columns: refreshes land as keyed MERGE
+(:func:`upsert_append_rows`) + row-level deletes, so the state gets
+time travel, compaction and vacuum for free. Aggregates needing
+hidden accumulators (``mean`` = sum + count) store them as
+``_acc_{name}_*`` columns; :func:`read_append_view` derives the
+public columns.
+
+Crash consistency WITHOUT a rollback step: a refresh is (state
+commits…, then one exclusive-create ``_REFRESH.<seq>`` record naming
+the base version covered and the state version produced). Readers and
+refreshes only ever consume state PINNED at the last record's
+``state_version``, so a crash that committed state but not the record
+leaves invisible provisional rows — and the retry CONVERGES over
+them: its window is a superset of the crashed window, so its batch's
+group set ⊇ the junk's group set, and the keyed MERGE's
+delete-all-matches semantics supersede every junk copy (NULL-keyed
+groups, which equality MERGE can't match, are pre-deleted from the
+current state before each upsert for the same reason). Concurrent
+refreshers are NOT supported (this is a maintenance job, one per
+view — the same single-maintainer contract as Delta's OPTIMIZE): the
+record's exclusive create plus a pre-commit parent check surface most
+races as :class:`ConcurrentWriteError`; recover with
+``refresh_append_view(..., full=True)``.
+
+Public art only: Spark DataFrame API; incremental view maintenance by
+delta decomposition + affected-group recomputation is classic
+published material (Gupta & Mumick's IVM survey; Delta Live Tables /
+Materialize describe the same split publicly). The reference engine
+has no view layer at all (its scope ends at query verbs — SURVEY
+§2.1), so this is beyond-reference capability for the pipeline shape.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import re
+
+from pyspark.sql import SparkSession, functions as F
+
+from cuplyr_spark.frame import Frame
+from cuplyr_spark.sources.connectors import (
+    ConcurrentWriteError,
+    _TableFS,
+    _read_log,
+    append_snapshot,
+    delete_append_rows,
+    join_prune_filter,
+    read_append_cdf,
+    read_append_changes,
+    read_append_snapshot,
+    upsert_append_rows,
+)
+from cuplyr_spark.sources.connectors import _STAT_TYPES  # noqa: E402
+
+_VIEW_SPEC = "_VIEW"
+_REFRESH = re.compile(r"^_REFRESH\.(\d+)$")
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+# sum() result type per input type — pinned at view creation so every
+# later upsert conforms to the state schema exactly (Spark widens int
+# sums to long; float sums to double; decimals are refused up front
+# rather than silently drifting precision across merges)
+_SUM_TYPES = {
+    "tinyint": "long", "smallint": "long", "int": "long",
+    "bigint": "long", "float": "double", "double": "double",
+}
+_AGG_OPS = ("sum", "count", "min", "max", "mean")
+
+
+def _load_spec(fs: _TableFS) -> dict:
+    text = fs.read_text(_VIEW_SPEC)
+    if text is None:
+        raise FileNotFoundError(
+            f"no view at {fs.dir!r} (missing {_VIEW_SPEC} — create it "
+            "with create_append_view)"
+        )
+    return json.loads(text)
+
+
+def _latest_refresh(fs: _TableFS) -> dict | None:
+    """The newest ``_REFRESH.<seq>`` record, or None before the first
+    refresh. Records are immutable and exclusive-created, so the
+    highest sequence IS the latest completed refresh (same
+    commit-record reasoning as the table log's ``_LOG.<k>`` floor)."""
+    best = None
+    if not fs.isdir():
+        return None
+    for name in fs.listdir():
+        m = _REFRESH.match(name)
+        if m and (best is None or int(m.group(1)) > best):
+            best = int(m.group(1))
+    if best is None:
+        return None
+    return json.loads(fs.read_text(f"_REFRESH.{best}"))
+
+
+def _normalize_aggs(aggs: dict, base_schema: dict[str, str],
+                    group_by: list[str]) -> list[dict]:
+    """Validate and normalize the agg spec into
+    ``[{name, op, col, state: [(col, sparktype), ...]}, ...]``."""
+    if not aggs:
+        raise ValueError("a view needs at least one aggregate")
+    out = []
+    taken = set(group_by)
+    for name, spec in aggs.items():
+        if not _NAME_RE.match(name):
+            raise ValueError(f"aggregate name {name!r} is not a plain "
+                             "identifier")
+        if name in taken:
+            raise ValueError(f"duplicate output column {name!r}")
+        taken.add(name)
+        if isinstance(spec, str):
+            op, col = spec, None
+        else:
+            op, col = spec
+        if op not in _AGG_OPS:
+            raise ValueError(
+                f"aggregate {name!r}: op {op!r} not in {_AGG_OPS}"
+            )
+        if op == "count" and col is None:
+            state = [(name, "long")]
+        else:
+            if col is None:
+                raise ValueError(f"aggregate {name!r}: {op} needs a column")
+            ctype = base_schema.get(col)
+            if ctype is None:
+                raise ValueError(
+                    f"aggregate {name!r}: column {col!r} is not in the "
+                    f"base table schema ({sorted(base_schema)})"
+                )
+            if op == "sum":
+                if ctype not in _SUM_TYPES:
+                    raise ValueError(
+                        f"aggregate {name!r}: sum over {ctype!r} is not "
+                        "supported (integral and float types only — "
+                        "decimal sums would drift precision across "
+                        "incremental merges)"
+                    )
+                state = [(name, _SUM_TYPES[ctype])]
+            elif op == "mean":
+                if ctype not in _SUM_TYPES:
+                    raise ValueError(
+                        f"aggregate {name!r}: mean over {ctype!r} is not "
+                        "supported (integral and float types only)"
+                    )
+                state = [(f"_acc_{name}_sum", "double"),
+                         (f"_acc_{name}_cnt", "long")]
+            elif op == "count":
+                state = [(name, "long")]
+            else:  # min / max keep the input type
+                if ctype not in _STAT_TYPES:
+                    raise ValueError(
+                        f"aggregate {name!r}: {op} over {ctype!r} is not "
+                        "supported (orderable scalar types only)"
+                    )
+                state = [(name, ctype)]
+        out.append({"name": name, "op": op, "col": col, "state": state})
+    return out
+
+
+def _partial_agg(df, group_by: list[str], specs: list[dict]):
+    """One grouped pass producing the STATE columns for the rows in
+    ``df`` — used identically for full rebuilds, insert deltas and
+    affected-group recomputes (decomposability is what makes the three
+    paths share one aggregation)."""
+    exprs = []
+    for s in specs:
+        c = F.col(s["col"]) if s["col"] is not None else None
+        if s["op"] == "sum":
+            exprs.append(
+                F.sum(c).cast(s["state"][0][1]).alias(s["name"]))
+        elif s["op"] == "count":
+            exprs.append(
+                (F.count(c) if c is not None else F.count(F.lit(1)))
+                .cast("long").alias(s["name"]))
+        elif s["op"] == "min":
+            exprs.append(F.min(c).alias(s["name"]))
+        elif s["op"] == "max":
+            exprs.append(F.max(c).alias(s["name"]))
+        else:  # mean → (double sum, non-null count)
+            exprs.append(F.sum(c.cast("double"))
+                         .alias(f"_acc_{s['name']}_sum"))
+            exprs.append(F.count(c).cast("long")
+                         .alias(f"_acc_{s['name']}_cnt"))
+    return df.groupBy(*[F.col(g) for g in group_by]).agg(*exprs)
+
+
+def _nullsafe_cond(left, right, cols):
+    cond = None
+    for g in cols:
+        c = left[g].eqNullSafe(right[g])
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def _merge_state(old_df, delta_df, group_by: list[str],
+                 specs: list[dict]):
+    """Combine the pinned previous state with an insert-only delta's
+    partial aggregates — rows ONLY for groups present in the delta
+    (untouched groups keep their state rows as-is). SQL NULL algebra
+    is preserved exactly: an all-NULL sum stays NULL (not 0) unless
+    the other side contributes, and ``least``/``greatest`` skip NULLs
+    the way re-aggregating would."""
+    d, o = delta_df.alias("d"), old_df.alias("o")
+    joined = d.join(o, _nullsafe_cond(d, o, group_by), "left")
+    cols = [d[g].alias(g) for g in group_by]
+
+    def add_nullable(name):
+        a, b = o[name], d[name]
+        return (F.when(a.isNull() & b.isNull(), F.lit(None))
+                .otherwise(F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))))
+
+    for s in specs:
+        if s["op"] == "sum":
+            n, t = s["state"][0]
+            cols.append(add_nullable(n).cast(t).alias(n))
+        elif s["op"] == "count":
+            n = s["name"]
+            cols.append((F.coalesce(o[n], F.lit(0)) + d[n])
+                        .cast("long").alias(n))
+        elif s["op"] in ("min", "max"):
+            n, t = s["state"][0]
+            fold = F.least if s["op"] == "min" else F.greatest
+            cols.append(fold(o[n], d[n]).cast(t).alias(n))
+        else:  # mean accumulators
+            sn, cn = f"_acc_{s['name']}_sum", f"_acc_{s['name']}_cnt"
+            cols.append(add_nullable(sn).cast("double").alias(sn))
+            cols.append((F.coalesce(o[cn], F.lit(0)) + d[cn])
+                        .cast("long").alias(cn))
+    return joined.select(*cols)
+
+
+def _sql_lit(v) -> str:
+    import datetime
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    raise ValueError(f"cannot render {type(v).__name__} as a SQL literal")
+
+
+def _combo_pred(group_by: list[str], rows) -> str:
+    """OR-of-conjunctions predicate matching exactly the collected
+    group-key combinations (IS NULL for NULL components — the one
+    form the keyed MERGE's equality matching cannot express)."""
+    parts = []
+    for r in rows:
+        conj = []
+        for g in group_by:
+            v = r[g]
+            conj.append(f"`{g}` IS NULL" if v is None
+                        else f"`{g}` = {_sql_lit(v)}")
+        parts.append("(" + " AND ".join(conj) + ")")
+    return " OR ".join(parts)
+
+
+def create_append_view(
+    spark: SparkSession,
+    base_dir: str,
+    view_dir: str,
+    group_by: list[str] | str,
+    aggs: dict,
+    refresh: bool = True,
+) -> int | None:
+    """Define a materialized aggregate view of an append table and
+    (by default) run the first refresh. ``aggs`` maps output column
+    names to ``(op, col)`` pairs — ops ``sum | count | min | max |
+    mean``, with ``("count", None)`` counting rows and ``("count",
+    col)`` counting non-NULLs, exactly SQL's two COUNT forms. The
+    spec is IMMUTABLE once written (a changed grouping is a different
+    view — create a new one); creation is exclusive, racing creators
+    get one winner. Returns the refreshed base version (or None with
+    ``refresh=False``)."""
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by)
+    if not group_by:
+        raise ValueError("group_by must name at least one column")
+    bfs = _TableFS(base_dir, spark)
+    cur = _read_log(bfs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {base_dir!r} — the base table "
+            "must exist before its view"
+        )
+    schema = dict(map(tuple, cur.get("schema") or []))
+    missing = sorted(set(group_by) - set(schema))
+    if missing:
+        raise ValueError(
+            f"group_by columns {missing} are not in the base schema"
+        )
+    specs = _normalize_aggs(aggs, schema, group_by)
+    fs = _TableFS(view_dir, spark)
+    fs.mkdirs()
+    spec = {
+        "base": base_dir,
+        "group_by": group_by,
+        "aggs": {s["name"]: [s["op"], s["col"]] for s in specs},
+        "state": "state",
+    }
+    if not fs.write_text_exclusive(_VIEW_SPEC, json.dumps(spec), ".tmp"):
+        raise ConcurrentWriteError(
+            f"view at {view_dir!r} already exists — specs are immutable; "
+            "create a new view_dir for a different definition"
+        )
+    if refresh:
+        return refresh_append_view(spark, view_dir)
+    return None
+
+
+def _state_fs(spark, fs: _TableFS, spec: dict) -> _TableFS:
+    return _TableFS(posixpath.join(fs.dir, spec.get("state", "state")),
+                    spark)
+
+
+def _window_has_deletes(bfs: _TableFS, since: int, end: int) -> bool:
+    """Metadata-only window classification: any version whose
+    ``delete_counts`` INCREASED for some segment carried row-level
+    deletes (DELETE / UPDATE / MERGE all do; folds, purges and DV
+    maintenance only ever drop or rebase counts)."""
+    prev = _read_log(bfs, since) if since > 0 else None
+    prev_c = (prev or {}).get("delete_counts") or {}
+    for k in range(since + 1, end + 1):
+        log = _read_log(bfs, k)
+        cur_c = log.get("delete_counts") or {}
+        for seg, n in cur_c.items():
+            if int(n) > int(prev_c.get(seg, 0)):
+                return True
+        prev_c = cur_c
+    return False
+
+
+def refresh_append_view(
+    spark: SparkSession,
+    view_dir: str,
+    full: bool = False,
+    max_vanished_keys: int = 100_000,
+) -> int | None:
+    """Advance the view to the base table's published version.
+    Returns that version, or None when already current. ``full=True``
+    forces a whole-view rebuild from the base snapshot (the escape
+    hatch for a vacuumed-away CDF window or a detected concurrent
+    refresh — and the path whose cost IS a full GROUP BY).
+
+    Cost contract: insert-only windows read only the appended rows;
+    windows with row-level deletes read only the affected groups'
+    base rows (pruned through the manifest machinery when the group
+    key carries zone maps). The state mutations are keyed MERGEs /
+    row-level deletes on the state table — never a state rewrite."""
+    fs = _TableFS(view_dir, spark)
+    spec = _load_spec(fs)
+    group_by = list(spec["group_by"])
+    base_dir = spec["base"]
+    bfs = _TableFS(base_dir, spark)
+    cur = _read_log(bfs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"view base table {base_dir!r} has no published log"
+        )
+    schema = dict(map(tuple, cur.get("schema") or []))
+    specs = _normalize_aggs(
+        {k: tuple(v) for k, v in spec["aggs"].items()}, schema, group_by
+    )
+    end = cur["version"]
+    last = _latest_refresh(fs)
+    sfs = _state_fs(spark, fs, spec)
+    state_dir = sfs.dir
+    if last is not None and not full and last["base_version"] >= end:
+        return None
+
+    first = last is None or _read_log(sfs) is None
+    if full or first:
+        batch = _partial_agg(
+            read_append_snapshot(spark, base_dir, version=end).df,
+            group_by, specs,
+        )
+        if first:
+            append_snapshot(Frame(batch, ()), state_dir)
+        else:
+            # rebuild in place: DV-mark everything, append the fresh
+            # aggregate — both row-level, old versions stay
+            # time-travelable until vacuum
+            delete_append_rows(spark, state_dir, "1 = 1")
+            n_rows = batch.count()
+            if n_rows:
+                upsert_append_rows(Frame(batch, ()), state_dir,
+                                   key=group_by)
+    else:
+        since = last["base_version"]
+        pinned_state = read_append_snapshot(
+            spark, state_dir, version=last["state_version"]
+        ).df
+        if not _window_has_deletes(bfs, since, end):
+            delta = read_append_changes(spark, base_dir, since, end).df
+            dpart = _partial_agg(delta, group_by, specs)
+            batch = _merge_state(pinned_state, dpart, group_by, specs)
+        else:
+            cdf = read_append_cdf(spark, base_dir, since, end).df
+            affected = cdf.select(*group_by).distinct()
+            stats_filter = None
+            if (len(group_by) == 1
+                    and schema.get(group_by[0]) in _STAT_TYPES
+                    # join_prune_filter drops NULL keys and its residual
+                    # IN-predicate would silently exclude the NULL group
+                    # from the recompute — prune only when no affected
+                    # group is NULL-keyed
+                    and not affected.filter(
+                        F.col(group_by[0]).isNull()).limit(1).count()):
+                stats_filter = join_prune_filter(
+                    affected, group_by[0], max_keys=max_vanished_keys
+                )
+            base_now = read_append_snapshot(
+                spark, base_dir, version=end, stats_filter=stats_filter
+            ).df
+            a, b = affected.alias("a"), base_now.alias("b")
+            scoped = b.join(a, _nullsafe_cond(b, a, group_by), "left_semi")
+            batch = _partial_agg(scoped, group_by, specs)
+            av = affected.alias("av")
+            r = batch.select(*group_by).alias("r")
+            vanished = av.join(
+                r, _nullsafe_cond(av, r, group_by), "left_anti"
+            )
+            vrows = vanished.limit(max_vanished_keys + 1).collect()
+            if len(vrows) > max_vanished_keys:
+                raise ValueError(
+                    f"refresh_append_view: more than {max_vanished_keys} "
+                    "groups vanished in one window — run "
+                    "refresh_append_view(..., full=True) instead"
+                )
+            if vrows:
+                delete_append_rows(spark, state_dir,
+                                   _combo_pred(group_by, vrows))
+        # NULL-keyed groups can't be replaced by the equality MERGE —
+        # pre-delete their CURRENT state rows (including provisional
+        # junk from a crashed refresh), then the upsert re-appends them
+        null_cond = None
+        for g in group_by:
+            c = F.col(g).isNull()
+            null_cond = c if null_cond is None else null_cond | c
+        null_combos = (
+            batch.filter(null_cond).select(*group_by).distinct()
+            .limit(10_001).collect()
+        )
+        if len(null_combos) > 10_000:
+            raise ValueError(
+                "refresh_append_view: more than 10000 NULL-keyed groups "
+                "in one window — run refresh_append_view(..., full=True)"
+            )
+        if null_combos:
+            delete_append_rows(spark, state_dir,
+                               _combo_pred(group_by, null_combos))
+        if batch.limit(1).count():
+            upsert_append_rows(Frame(batch, ()), state_dir, key=group_by)
+
+    state_log = _read_log(sfs)
+    state_v = state_log["version"] if state_log else 0
+    seq = (last["seq"] + 1) if last else 1
+    record = {
+        "seq": seq,
+        "base_version": end,
+        "state_version": state_v,
+        "full": bool(full or first),
+    }
+    # pre-commit parent check: the state version we are about to pin
+    # must still be the one our commits produced (best-effort guard
+    # against a concurrent refresher — single-maintainer contract)
+    if state_log is None or sfs.read_text(f"_LOG.{state_v}") is None:
+        raise ConcurrentWriteError(
+            f"refresh_append_view: state table at {state_dir!r} changed "
+            "under the refresh — another refresher is running"
+        )
+    if not fs.write_text_exclusive(
+        f"_REFRESH.{seq}", json.dumps(record), f".tmp.{seq}"
+    ):
+        raise ConcurrentWriteError(
+            f"refresh record {seq} at {view_dir!r} was committed by "
+            "another refresher — re-run refresh_append_view (it "
+            "converges over the overlap)"
+        )
+    return end
+
+
+def read_append_view(spark: SparkSession, view_dir: str) -> Frame:
+    """The materialized result as of the LAST COMPLETED refresh —
+    group columns plus the spec's aggregate outputs (hidden
+    accumulators derived away: ``mean`` = stored sum / stored count).
+    Reads the state PINNED at the refresh record's state version, so
+    a concurrently-running (or crashed) refresh is invisible: readers
+    always see one consistent refresh boundary, never a partial
+    merge. Check freshness with :func:`append_view_status`."""
+    fs = _TableFS(view_dir, spark)
+    spec = _load_spec(fs)
+    last = _latest_refresh(fs)
+    if last is None:
+        raise FileNotFoundError(
+            f"view at {view_dir!r} has never been refreshed — run "
+            "refresh_append_view first"
+        )
+    state = read_append_snapshot(
+        spark, _state_fs(spark, fs, spec).dir,
+        version=last["state_version"],
+    ).df
+    cols = [F.col(g) for g in spec["group_by"]]
+    for name, (op, _col) in spec["aggs"].items():
+        if op == "mean":
+            cols.append(
+                (F.col(f"_acc_{name}_sum")
+                 / F.col(f"_acc_{name}_cnt")).alias(name)
+            )
+        else:
+            cols.append(F.col(name))
+    return Frame(state.select(*cols), ())
+
+
+def append_view_status(spark: SparkSession, view_dir: str) -> dict:
+    """Freshness/lineage metadata — pure manifest reads: the base's
+    published version, the version the view covers, the lag between
+    them, and the recent refresh records (feeds refresh scheduling
+    exactly like ``append_history`` feeds compaction scheduling)."""
+    fs = _TableFS(view_dir, spark)
+    spec = _load_spec(fs)
+    last = _latest_refresh(fs)
+    cur = _read_log(_TableFS(spec["base"], spark))
+    base_v = cur["version"] if cur else 0
+    refreshed = last["base_version"] if last else 0
+    records = []
+    for name in sorted(fs.listdir()):
+        m = _REFRESH.match(name)
+        if m:
+            records.append(json.loads(fs.read_text(name)))
+    records.sort(key=lambda r: r["seq"])
+    return {
+        "base": spec["base"],
+        "group_by": list(spec["group_by"]),
+        "aggs": dict(spec["aggs"]),
+        "base_version": base_v,
+        "refreshed_base_version": refreshed,
+        "lag_versions": base_v - refreshed,
+        "state_version": last["state_version"] if last else None,
+        "refreshes": records[-20:],
+    }
