@@ -3528,6 +3528,65 @@ def q_incremental_view(spark, sf_dir):
     return read_append_view(spark, v).df
 
 
+def q_append_expectations(spark, sf_dir):
+    """Write-time expectations (``connectors.set_append_expectations``
+    / ``append_snapshot(expectations=)``): the table is created with a
+    ``drop`` expectation (urgent orders only) and a ``fail``
+    expectation that clean data satisfies; two appends land and each
+    batch's violating rows are filtered BEFORE the write with the
+    counts recorded in the version's ``expectation_drops``. The final
+    table must equal the SQL filter of the input — which is the
+    oracle. A third, all-violating batch is proven to be rejected
+    whole (version unchanged) before the read."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        _TableFS,
+        _read_log,
+        append_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    d = _scratch_dir("expect_base")
+    shutil.rmtree(d, ignore_errors=True)
+    exps = {
+        "urgentish": ("o_orderpriority IN ('1-URGENT', '2-HIGH')", "drop"),
+        "positive_price": "o_totalprice > 0",
+    }
+    append_snapshot(
+        Frame(orders.df.filter("o_orderkey % 2 = 0"), ()), d,
+        expectations=exps,
+    )
+    append_snapshot(Frame(orders.df.filter("o_orderkey % 2 = 1"), ()), d)
+    v_before = _read_log(_TableFS(d, spark))["version"]
+    try:  # an all-violating batch on the FAIL expectation: rejected whole
+        append_snapshot(
+            Frame(
+                orders.df.filter("o_orderkey <= 40").selectExpr(
+                    "o_orderkey", "o_orderpriority",
+                    "-o_totalprice AS o_totalprice",
+                ),
+                (),
+            ),
+            d,
+        )
+    except ValueError:
+        pass
+    assert _read_log(_TableFS(d, spark))["version"] == v_before
+    from cuplyr_spark.sources.connectors import read_append_snapshot
+
+    live = read_append_snapshot(spark, d).df
+    return live.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("sum_cents"),
+    )
+
+
 def q_append_schema_evolution(spark, sf_dir):
     """ADDITIVE schema evolution on an append table
     (``append_snapshot(schema_mode='merge')`` — Delta's mergeSchema
@@ -4036,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_upsert_rows": q_append_upsert_rows,
         "append_cdf": q_append_cdf,
         "incremental_view": q_incremental_view,
+        "append_expectations": q_append_expectations,
         "append_schema_evolution": q_append_schema_evolution,
         "append_dv_partitioned": q_append_dv_partitioned,
         "append_read_where": q_append_read_where,
@@ -6171,6 +6231,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents
         FROM live
         GROUP BY bucket
+    """
+    out["append_expectations"] = """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderpriority
     """
     out["append_upsert_rows"] = """
         WITH batch AS (

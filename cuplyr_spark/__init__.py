@@ -121,6 +121,7 @@ from cuplyr_spark.sources.connectors import (
     read_append_snapshot,
     read_snapshot,
     rollback_snapshot,
+    set_append_expectations,
     snapshot_versions,
     table_stats,
     upsert_snapshot,
@@ -129,6 +130,7 @@ from cuplyr_spark.sources.connectors import (
 from cuplyr_spark.sources.views import (
     append_view_status,
     create_append_view,
+    maintain_append_view,
     read_append_view,
     refresh_append_view,
 )

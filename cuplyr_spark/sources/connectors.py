@@ -1606,6 +1606,43 @@ def _stat_lit_norm(typ: str, v):
     return v if type(v) in (int, float) else _stat_lit_norm
 
 
+def _in_cond(c: str, values):
+    """``c IN (...)`` as a Column. ``Column.isin`` converts every
+    element through py4j one call at a time — measured 27s for a 55k
+    IN list (join_prune_filter feeding a read) — so large lists render
+    as ONE SQL text instead (single parse, and the optimizer still
+    folds it to an InSet). Falls back to isin for small lists and for
+    value types without a SQL literal form."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    vals = list(values)
+    if len(vals) <= 64:
+        return F.col(c).isin(vals)
+
+    def lit(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, datetime.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, datetime.date):
+            return f"DATE '{v.isoformat()}'"
+        raise ValueError(f"no SQL literal form for {type(v).__name__}")
+
+    try:
+        rendered = ", ".join(lit(v) for v in vals)
+    except ValueError:
+        return F.col(c).isin(vals)
+    return F.expr(f"`{c}` IN ({rendered})")
+
+
 def _stats_filter_cond(filt: dict):
     """The SAME predicate as a Spark Column over the surviving scan —
     the residual that keeps results exact (and reaches the parquet
@@ -1617,7 +1654,7 @@ def _stats_filter_cond(filt: dict):
         for op, v in pairs:
             col = F.col(c)
             if op == "in":
-                e = col.isin(list(v))
+                e = _in_cond(c, v)
             elif op in ("==", "="):
                 e = col == F.lit(v)
             elif op == "<":
@@ -1641,6 +1678,125 @@ _SKETCH_DIR = "_sketch"
 # on the JVM (CAST AS STRING) and in Python (str()) — the two sides
 # must hash the same bytes
 _BLOOM_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+
+_EXPECT_ACTIONS = ("fail", "drop", "warn")
+
+
+def _normalize_expectations(exps: dict) -> dict:
+    """``{name: predicate}`` or ``{name: (predicate, action)}`` →
+    the JSON-shaped ``{name: [predicate, action]}`` stamped into the
+    log manifest. Actions: ``fail`` (reject the whole batch — the
+    SQL CHECK-constraint/Delta ``expect_or_fail`` default), ``drop``
+    (filter the violating rows out and record the count), ``warn``."""
+    if not isinstance(exps, dict) or not exps:
+        raise ValueError(
+            "expectations must be a non-empty {name: predicate} or "
+            "{name: (predicate, action)} dict"
+        )
+    out = {}
+    for name, spec in exps.items():
+        if isinstance(spec, str):
+            pred, action = spec, "fail"
+        else:
+            pred, action = spec
+        if not isinstance(pred, str) or not pred.strip():
+            raise ValueError(
+                f"expectation {name!r}: predicate must be a non-empty "
+                "SQL string"
+            )
+        if action not in _EXPECT_ACTIONS:
+            raise ValueError(
+                f"expectation {name!r}: action {action!r} not in "
+                f"{_EXPECT_ACTIONS}"
+            )
+        out[str(name)] = [pred, action]
+    return out
+
+
+def _resolve_expectations(arg, cur) -> dict | None:
+    """The expectations in force for a write: the manifest's, with an
+    explicitly-passed spec required to MATCH it (same
+    fixed-at-creation rule as sketch_spec — changing the contract is
+    :func:`set_append_expectations`'s job, a deliberate versioned
+    commit, not a side effect of one writer's argument)."""
+    stored = (cur or {}).get("expectations")
+    if arg is None:
+        return stored
+    norm = _normalize_expectations(arg)
+    if cur is not None and norm != stored:
+        raise ValueError(
+            f"expectations do not match the table's {stored!r} — they "
+            "are fixed at creation; change them with "
+            "set_append_expectations"
+        )
+    return norm
+
+
+def _enforce_expectations(df, exps: dict, schema=None, allow_drop=True):
+    """Validate one batch against the table's expectations in a
+    SINGLE aggregate pass over the batch (cost ∝ batch, never the
+    table), BEFORE anything is written. SQL CHECK NULL semantics: a
+    predicate evaluating to NULL passes. Returns ``(df_to_write,
+    {name: dropped_count})`` — ``fail`` violations raise with
+    per-expectation counts; ``drop`` filters (refused when
+    ``allow_drop=False`` — dropping an UPDATED row would silently
+    delete it); ``warn`` warns. Predicates referencing columns the
+    batch legitimately omits (additive evolution) see NULL, i.e.
+    pass."""
+    import warnings as _warnings
+
+    from pyspark.sql import functions as F
+
+    check = _conform_schema(df, schema) if schema else df
+    viol = {
+        name: ~F.coalesce(F.expr(pred), F.lit(True))
+        for name, (pred, _a) in exps.items()
+    }
+    counts = check.agg(*[
+        F.sum(F.when(v, 1).otherwise(0)).cast("long").alias(name)
+        for name, v in viol.items()
+    ]).first()
+    report = {name: int(counts[name] or 0) for name in exps}
+    bad = {
+        name: report[name]
+        for name, (_p, a) in exps.items()
+        if report[name] and (
+            a == "fail" or (a == "drop" and not allow_drop)
+        )
+    }
+    if bad:
+        raise ValueError(
+            "expectation(s) violated — nothing was written: "
+            + "; ".join(
+                f"{name}: {n} row(s) fail {exps[name][0]!r}"
+                + (
+                    " (drop is not applied on UPDATE — it would "
+                    "silently delete the row)"
+                    if exps[name][1] == "drop"
+                    else ""
+                )
+                for name, n in sorted(bad.items())
+            )
+        )
+    drops = {}
+    out = check
+    changed = False
+    for name, (pred, action) in exps.items():
+        if not report[name]:
+            continue
+        if action == "drop":
+            out = out.filter(F.coalesce(F.expr(pred), F.lit(True)))
+            drops[name] = report[name]
+            changed = True
+        elif action == "warn":
+            _warnings.warn(
+                f"expectation {name!r}: {report[name]} row(s) fail "
+                f"{pred!r} (action=warn — written anyway)"
+            )
+    if not changed:
+        return df, {}
+    # filtered on the conformed view; write the batch's own columns
+    return out.select(*df.columns), drops
 
 
 def _validate_sketch_spec(spec: dict, schema) -> dict:
@@ -2470,6 +2626,7 @@ def append_snapshot(
     collect_stats: bool = True,
     sketch_spec: dict | None = None,
     schema_mode: str = "strict",
+    expectations: dict | None = None,
 ) -> int:
     """Append-only publish: write ONLY this batch's rows as a new
     segment directory and publish a log manifest listing every live
@@ -2677,11 +2834,17 @@ def append_snapshot(
     if checked is None:
         return cur["version"]
     schema, pby, spec, added = checked
+    exps = _resolve_expectations(expectations, cur)
+    out_df, exp_drops = (
+        _enforce_expectations(frame.df, exps, schema)
+        if exps
+        else (frame.df, {})
+    )
     # write the data ONCE — the unique segment name never collides, so
     # only the cheap log commit below ever needs to retry
     n = (cur["version"] if cur else 0) + 1
     seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
-    writer = frame.df.write.mode("errorifexists")
+    writer = out_df.write.mode("errorifexists")
     if pby:
         writer = writer.partitionBy(*pby)
     writer.parquet(fs.join(seg))
@@ -2722,6 +2885,10 @@ def append_snapshot(
             }
         if spec is not None:
             log["sketch_spec"] = spec
+        if exps:
+            log["expectations"] = exps
+        if exp_drops:  # per-version audit field, not carried forward
+            log["expectation_drops"] = exp_drops
         if cur and cur.get("deletes"):  # deletion vectors carry through
             log["deletes"] = cur["deletes"]
         if cur and cur.get("delete_counts"):
@@ -2796,6 +2963,8 @@ def reset_append_watermark(
         log["stats"] = cur["stats"]
     if cur.get("sketch_spec"):
         log["sketch_spec"] = cur["sketch_spec"]
+    if cur.get("expectations"):
+        log["expectations"] = cur["expectations"]
     if cur.get("deletes"):  # deletion vectors carry through
         log["deletes"] = cur["deletes"]
     if cur.get("delete_counts"):
@@ -3035,6 +3204,48 @@ def explain_append_scan(
     return Frame(out, ())
 
 
+def set_append_expectations(
+    spark: SparkSession, table_dir: str, expectations: dict | None
+) -> int:
+    """Set (or with ``None`` clear) the table's write-time
+    EXPECTATIONS — named SQL predicates every future batch is
+    validated against before anything lands, the jar-free analog of
+    Delta's CHECK constraints / DLT expectations:
+    ``{"positive_price": "price > 0"}`` (action ``fail`` — the batch
+    is rejected whole), or ``{"has_id": ("id IS NOT NULL", "drop")}``
+    (violating rows are filtered out and the count recorded in that
+    version's ``expectation_drops``), or ``("...", "warn")``.
+    Validation is ONE aggregate pass over the BATCH (cost ∝ batch,
+    never the table) inside ``append_snapshot`` /
+    ``update_append_rows`` / ``upsert_append_rows`` (and therefore
+    every streaming sink built on them); a predicate evaluating to
+    NULL passes, SQL CHECK semantics.
+
+    This is a metadata-only versioned commit: no data is scanned or
+    rewritten, EXISTING rows are not re-validated (the contract
+    governs writes from this version on — Delta's ADD CONSTRAINT
+    scans history, this deliberately does not), and the change feed
+    sees nothing. Expectations can also be stamped at table creation
+    via ``append_snapshot(..., expectations=...)``."""
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    norm = (
+        _normalize_expectations(expectations)
+        if expectations is not None
+        else None
+    )
+    log = _log_with_extras(cur, cur["version"] + 1, list(cur["segments"]))
+    if norm:
+        log["expectations"] = norm
+    else:
+        log.pop("expectations", None)
+    return _write_log(fs, log)
+
+
 def read_append_changes(
     spark: SparkSession,
     table_dir: str,
@@ -3251,6 +3462,8 @@ def _log_with_extras(cur: dict, n: int, segments: list[str]) -> dict:
         log["stats"] = kept_stats
     if cur.get("sketch_spec"):
         log["sketch_spec"] = cur["sketch_spec"]
+    if cur.get("expectations"):
+        log["expectations"] = cur["expectations"]
     dmap = {
         s: v for s, v in (cur.get("deletes") or {}).items()
         if s in live and v
@@ -3266,16 +3479,21 @@ def _log_with_extras(cur: dict, n: int, segments: list[str]) -> dict:
     return log
 
 
-def _prune_by_stats(spark, fs: _TableFS, cur: dict, segs, stats_filter):
+def _prune_by_stats(
+    spark, fs: _TableFS, cur: dict, segs, stats_filter, with_cond=True
+):
     """Shared candidate pruning for the row-level writes: zone maps /
     dictionary sets, then bloom sidecars. Returns (surviving segments,
-    the exactness residual Column)."""
+    the exactness residual Column — None with ``with_cond=False``, for
+    callers whose own matching already guarantees exactness, e.g. the
+    MERGE's key semi-join, where building a huge IN residual would be
+    pure plan-construction overhead)."""
     sfilt = _normalize_stats_filter(stats_filter, cur.get("schema"))
     smap = cur.get("stats") or {}
     segs = [s for s in segs if _seg_stats_match(smap.get(s), sfilt)]
     if (cur.get("sketch_spec") or {}).get("bloom"):
         segs = _bloom_prune(spark, fs, cur, segs, sfilt)
-    return segs, _stats_filter_cond(sfilt)
+    return segs, (_stats_filter_cond(sfilt) if with_cond else None)
 
 
 def _write_dv(spark, fs: _TableFS, cur: dict, matches, pby):
@@ -3469,7 +3687,9 @@ def delete_append_rows(
             derived = _derive_stats_filter(where, cur.get("schema"))
             if derived:
                 try:
-                    segs, _ = _prune_by_stats(spark, fs, cur, segs, derived)
+                    segs, _ = _prune_by_stats(
+                        spark, fs, cur, segs, derived, with_cond=False
+                    )
                 except ValueError:
                     pass  # stats/value mismatch: keep the full scan
             # partition-column equality conjuncts prune through the
@@ -3606,7 +3826,9 @@ def update_append_rows(
             derived = _derive_stats_filter(where, cur.get("schema"))
             if derived:
                 try:
-                    segs, _ = _prune_by_stats(spark, fs, cur, segs, derived)
+                    segs, _ = _prune_by_stats(
+                        spark, fs, cur, segs, derived, with_cond=False
+                    )
                 except ValueError:
                     pass
             dpf = _derive_pfilter(
@@ -3632,6 +3854,12 @@ def update_append_rows(
         updated = Frame(
             matches.drop(_DV_SEG, _DV_FILE, _DV_POS, _DV_PART, _DV_RELP), ()
         ).mutate(**assignments)
+        exps = cur.get("expectations")
+        if exps:
+            # validated BEFORE the log commit: a failure here leaves
+            # only an orphan DV dir no log references (vacuum sweeps
+            # it); drop is refused — it would silently delete the row
+            _enforce_expectations(updated.df, exps, allow_drop=False)
         added: list = []
         if unknown:  # schema_mode="merge": grow by the assigned columns
             got = dict(map(tuple, _frame_schema_pairs(updated.df)))
@@ -4038,6 +4266,13 @@ def upsert_append_rows(
             "evolution)"
         )
     src = frame.df
+    exps = cur.get("expectations")
+    exp_drops: dict = {}
+    if exps:
+        # dropped source rows never arrive: their keys mark nothing
+        # and their values are not appended — as if the batch had
+        # been pre-filtered
+        src, exp_drops = _enforce_expectations(src, exps, schema)
     segs = list(cur["segments"])
     # manifest-level candidate pruning by the source's key set (single
     # key only — the stats_filter grammar is per-column; multi-key
@@ -4050,7 +4285,12 @@ def upsert_append_rows(
             Frame(src, ()), keys[0], max_keys=max_prune_keys
         )
         if filt is not None:
-            segs, _ = _prune_by_stats(spark, fs, cur, segs, filt)
+            # the key semi-join below IS the exact matcher — skip the
+            # residual (a 50k-key IN Column costs ~27s of py4j literal
+            # conversion alone, measured)
+            segs, _ = _prune_by_stats(
+                spark, fs, cur, segs, filt, with_cond=False
+            )
     n_appended = src.count()
     counts: dict = {}
     dv_rel = None
@@ -4116,6 +4356,8 @@ def upsert_append_rows(
             log["partitions"] = {**(log.get("partitions") or {}), seg: pdirs}
         if seg_stats is not None:
             log["stats"] = {**(log.get("stats") or {}), seg: seg_stats}
+        if exp_drops:  # per-version audit field, not carried forward
+            log["expectation_drops"] = exp_drops
         try:
             return _write_log(fs, log), n_replaced, int(n_appended)
         except ConcurrentWriteError:

@@ -294,6 +294,24 @@ def _combo_pred(group_by: list[str], rows) -> str:
     return " OR ".join(parts)
 
 
+def _delete_groups(spark, state_dir: str, group_by: list[str], rows):
+    """Delete the collected group-key combinations from the state —
+    via the stats_filter dict/IN form when a single all-non-NULL key
+    allows it (zone maps prune the state segments and the residual
+    stays one InSet, instead of a thousand-term OR that bloats the
+    plan), the OR-of-conjunctions predicate otherwise."""
+    if len(group_by) == 1 and all(r[group_by[0]] is not None for r in rows):
+        try:
+            delete_append_rows(
+                spark, state_dir,
+                {group_by[0]: ("in", [r[group_by[0]] for r in rows])},
+            )
+            return
+        except ValueError:
+            pass  # stat-ineligible key type: predicate fallback below
+    delete_append_rows(spark, state_dir, _combo_pred(group_by, rows))
+
+
 def create_append_view(
     spark: SparkSession,
     base_dir: str,
@@ -407,133 +425,163 @@ def refresh_append_view(
         return None
 
     first = last is None or _read_log(sfs) is None
-    if full or first:
-        batch = _partial_agg(
-            read_append_snapshot(spark, base_dir, version=end).df,
-            group_by, specs,
-        )
-        if first:
-            append_snapshot(Frame(batch, ()), state_dir)
+    cached = []  # refresh plans feed several jobs (count probes, the
+    # MERGE's key set + DV scan + segment write) — persist them once
+    # instead of recomputing the delta join per consumer
+
+    def _pin(df):
+        df = df.persist()
+        cached.append(df)
+        return df
+
+    try:
+        if full or first:
+            batch = _partial_agg(
+                read_append_snapshot(spark, base_dir, version=end).df,
+                group_by, specs,
+            )
+            if first:
+                append_snapshot(Frame(batch, ()), state_dir)
+            else:
+                # rebuild in place: DV-mark everything, append the fresh
+                # aggregate — both row-level, old versions stay
+                # time-travelable until vacuum
+                delete_append_rows(spark, state_dir, "1 = 1")
+                n_rows = batch.count()
+                if n_rows:
+                    upsert_append_rows(Frame(batch, ()), state_dir,
+                                       key=group_by)
         else:
-            # rebuild in place: DV-mark everything, append the fresh
-            # aggregate — both row-level, old versions stay
-            # time-travelable until vacuum
-            delete_append_rows(spark, state_dir, "1 = 1")
-            n_rows = batch.count()
-            if n_rows:
-                upsert_append_rows(Frame(batch, ()), state_dir,
-                                   key=group_by)
-    else:
-        since = last["base_version"]
-        pinned_state = read_append_snapshot(
-            spark, state_dir, version=last["state_version"]
-        ).df
-        if not _window_has_deletes(bfs, since, end):
-            delta = read_append_changes(spark, base_dir, since, end).df
-            dpart = _partial_agg(delta, group_by, specs)
-            batch = _merge_state(pinned_state, dpart, group_by, specs)
-        else:
-            cdf = read_append_cdf(spark, base_dir, since, end).df
-            affected = cdf.select(*group_by).distinct()
-            stats_filter = None
-            if (len(group_by) == 1
-                    and schema.get(group_by[0]) in _STAT_TYPES
-                    # join_prune_filter drops NULL keys and its residual
-                    # IN-predicate would silently exclude the NULL group
-                    # from the recompute — prune only when no affected
-                    # group is NULL-keyed
-                    and not affected.filter(
-                        F.col(group_by[0]).isNull()).limit(1).count()):
-                stats_filter = join_prune_filter(
-                    affected, group_by[0], max_keys=max_vanished_keys
-                )
-            base_now = read_append_snapshot(
-                spark, base_dir, version=end, stats_filter=stats_filter
+            since = last["base_version"]
+            pinned_state = read_append_snapshot(
+                spark, state_dir, version=last["state_version"]
             ).df
-            a, b = affected.alias("a"), base_now.alias("b")
-            scoped = b.join(a, _nullsafe_cond(b, a, group_by), "left_semi")
-            batch = _partial_agg(scoped, group_by, specs)
-            av = affected.alias("av")
-            r = batch.select(*group_by).alias("r")
-            vanished = av.join(
-                r, _nullsafe_cond(av, r, group_by), "left_anti"
-            )
-            vrows = vanished.limit(max_vanished_keys + 1).collect()
-            if len(vrows) > max_vanished_keys:
-                raise ValueError(
-                    f"refresh_append_view: more than {max_vanished_keys} "
-                    "groups vanished in one window — run "
-                    "refresh_append_view(..., full=True) instead"
+            if not _window_has_deletes(bfs, since, end):
+                delta = read_append_changes(spark, base_dir, since, end).df
+                dpart = _partial_agg(delta, group_by, specs)
+                batch = _pin(_merge_state(pinned_state, dpart, group_by, specs))
+            else:
+                cdf = read_append_cdf(spark, base_dir, since, end).df
+                affected = _pin(cdf.select(*group_by).distinct())
+                stats_filter = None
+                if (len(group_by) == 1
+                        and schema.get(group_by[0]) in _STAT_TYPES
+                        # join_prune_filter drops NULL keys and its residual
+                        # IN-predicate would silently exclude the NULL group
+                        # from the recompute — prune only when no affected
+                        # group is NULL-keyed
+                        and not affected.filter(
+                            F.col(group_by[0]).isNull()).limit(1).count()):
+                    stats_filter = join_prune_filter(
+                        affected, group_by[0], max_keys=max_vanished_keys
+                    )
+                base_now = read_append_snapshot(
+                    spark, base_dir, version=end, stats_filter=stats_filter
+                ).df
+                a, b = affected.alias("a"), base_now.alias("b")
+                scoped = b.join(a, _nullsafe_cond(b, a, group_by), "left_semi")
+                batch = _pin(_partial_agg(scoped, group_by, specs))
+                av = affected.alias("av")
+                r = batch.select(*group_by).alias("r")
+                vanished = av.join(
+                    r, _nullsafe_cond(av, r, group_by), "left_anti"
                 )
-            if vrows:
-                delete_append_rows(spark, state_dir,
-                                   _combo_pred(group_by, vrows))
-        # NULL-keyed groups can't be replaced by the equality MERGE —
-        # pre-delete their CURRENT state rows (including provisional
-        # junk from a crashed refresh), then the upsert re-appends them
-        null_cond = None
-        for g in group_by:
-            c = F.col(g).isNull()
-            null_cond = c if null_cond is None else null_cond | c
-        null_combos = (
-            batch.filter(null_cond).select(*group_by).distinct()
-            .limit(10_001).collect()
-        )
-        if len(null_combos) > 10_000:
-            raise ValueError(
-                "refresh_append_view: more than 10000 NULL-keyed groups "
-                "in one window — run refresh_append_view(..., full=True)"
+                vrows = vanished.limit(max_vanished_keys + 1).collect()
+                if len(vrows) > max_vanished_keys:
+                    raise ValueError(
+                        f"refresh_append_view: more than {max_vanished_keys} "
+                        "groups vanished in one window — run "
+                        "refresh_append_view(..., full=True) instead"
+                    )
+                if vrows:
+                    _delete_groups(spark, state_dir, group_by, vrows)
+            # NULL-keyed groups can't be replaced by the equality MERGE —
+            # pre-delete their CURRENT state rows (including provisional
+            # junk from a crashed refresh), then the upsert re-appends them
+            null_cond = None
+            for g in group_by:
+                c = F.col(g).isNull()
+                null_cond = c if null_cond is None else null_cond | c
+            null_combos = (
+                batch.filter(null_cond).select(*group_by).distinct()
+                .limit(10_001).collect()
             )
-        if null_combos:
-            delete_append_rows(spark, state_dir,
-                               _combo_pred(group_by, null_combos))
-        if batch.limit(1).count():
-            upsert_append_rows(Frame(batch, ()), state_dir, key=group_by)
+            if len(null_combos) > 10_000:
+                raise ValueError(
+                    "refresh_append_view: more than 10000 NULL-keyed groups "
+                    "in one window — run refresh_append_view(..., full=True)"
+                )
+            if null_combos:
+                delete_append_rows(spark, state_dir,
+                                   _combo_pred(group_by, null_combos))
+            if batch.limit(1).count():
+                upsert_append_rows(Frame(batch, ()), state_dir, key=group_by)
 
-    state_log = _read_log(sfs)
-    state_v = state_log["version"] if state_log else 0
-    seq = (last["seq"] + 1) if last else 1
-    record = {
-        "seq": seq,
-        "base_version": end,
-        "state_version": state_v,
-        "full": bool(full or first),
-    }
-    # pre-commit parent check: the state version we are about to pin
-    # must still be the one our commits produced (best-effort guard
-    # against a concurrent refresher — single-maintainer contract)
-    if state_log is None or sfs.read_text(f"_LOG.{state_v}") is None:
-        raise ConcurrentWriteError(
-            f"refresh_append_view: state table at {state_dir!r} changed "
-            "under the refresh — another refresher is running"
-        )
-    if not fs.write_text_exclusive(
-        f"_REFRESH.{seq}", json.dumps(record), f".tmp.{seq}"
-    ):
-        raise ConcurrentWriteError(
-            f"refresh record {seq} at {view_dir!r} was committed by "
-            "another refresher — re-run refresh_append_view (it "
-            "converges over the overlap)"
-        )
-    return end
+        state_log = _read_log(sfs)
+        state_v = state_log["version"] if state_log else 0
+        seq = (last["seq"] + 1) if last else 1
+        record = {
+            "seq": seq,
+            "base_version": end,
+            "state_version": state_v,
+            "full": bool(full or first),
+        }
+        # pre-commit parent check: the state version we are about to pin
+        # must still be the one our commits produced (best-effort guard
+        # against a concurrent refresher — single-maintainer contract)
+        if state_log is None or sfs.read_text(f"_LOG.{state_v}") is None:
+            raise ConcurrentWriteError(
+                f"refresh_append_view: state table at {state_dir!r} changed "
+                "under the refresh — another refresher is running"
+            )
+        if not fs.write_text_exclusive(
+            f"_REFRESH.{seq}", json.dumps(record), f".tmp.{seq}"
+        ):
+            raise ConcurrentWriteError(
+                f"refresh record {seq} at {view_dir!r} was committed by "
+                "another refresher — re-run refresh_append_view (it "
+                "converges over the overlap)"
+            )
+        return end
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
-def read_append_view(spark: SparkSession, view_dir: str) -> Frame:
+def read_append_view(
+    spark: SparkSession, view_dir: str, refresh_seq: int | None = None
+) -> Frame:
     """The materialized result as of the LAST COMPLETED refresh —
     group columns plus the spec's aggregate outputs (hidden
     accumulators derived away: ``mean`` = stored sum / stored count).
     Reads the state PINNED at the refresh record's state version, so
     a concurrently-running (or crashed) refresh is invisible: readers
     always see one consistent refresh boundary, never a partial
-    merge. Check freshness with :func:`append_view_status`."""
+    merge. Check freshness with :func:`append_view_status`.
+
+    ``refresh_seq`` time-travels to an EARLIER refresh boundary (the
+    ``seq`` of a record from ``append_view_status``'s history): the
+    view exactly as that refresh left it — valid as long as
+    :func:`maintain_append_view`'s record pruning and the state
+    vacuum retain that record and its state version (lagging readers
+    fail loudly, never see mixed boundaries)."""
     fs = _TableFS(view_dir, spark)
     spec = _load_spec(fs)
-    last = _latest_refresh(fs)
-    if last is None:
-        raise FileNotFoundError(
-            f"view at {view_dir!r} has never been refreshed — run "
-            "refresh_append_view first"
-        )
+    if refresh_seq is None:
+        last = _latest_refresh(fs)
+        if last is None:
+            raise FileNotFoundError(
+                f"view at {view_dir!r} has never been refreshed — run "
+                "refresh_append_view first"
+            )
+    else:
+        text = fs.read_text(f"_REFRESH.{refresh_seq}")
+        if text is None:
+            raise FileNotFoundError(
+                f"refresh record {refresh_seq} not found at {view_dir!r} "
+                "(never written, or pruned by maintain_append_view)"
+            )
+        last = json.loads(text)
     state = read_append_snapshot(
         spark, _state_fs(spark, fs, spec).dir,
         version=last["state_version"],
@@ -548,6 +596,100 @@ def read_append_view(spark: SparkSession, view_dir: str) -> Frame:
         else:
             cols.append(F.col(name))
     return Frame(state.select(*cols), ())
+
+
+def maintain_append_view(
+    spark: SparkSession,
+    view_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    purge_deletes: bool = True,
+    keep_last: int = 3,
+    keep_records: int = 20,
+    orphan_grace_hours: float = 24.0,
+) -> dict:
+    """State-table maintenance for a view — the OPTIMIZE/VACUUM pass
+    its append-table state needs after many refreshes (each refresh is
+    a keyed MERGE: one new segment + accreted deletion vectors):
+    bin-pack-compact the state (materializing the DVs with
+    ``purge_deletes``), RE-PIN the refresh record to the compacted
+    state version (content-identical — compaction is
+    dataChange=false — so this is a maintenance record with the SAME
+    base_version), then vacuum state history KEEPING the pinned
+    version and prune refresh records past ``keep_records``.
+
+    Never call ``vacuum_append_snapshot`` on the state directly with a
+    small ``keep_last``: readers pin the recorded state version, and a
+    raw vacuum doesn't know about it — this wrapper is the safe
+    ordering (re-pin first, vacuum second). Refuses when the state
+    carries provisional commits beyond the record (a crashed refresh's
+    junk — compacting it into the pinned lineage would expose it);
+    run ``refresh_append_view`` first, which converges over the junk.
+    Single-maintainer contract, like refresh."""
+    from cuplyr_spark.sources.connectors import (
+        compact_append_snapshot,
+        vacuum_append_snapshot,
+    )
+
+    fs = _TableFS(view_dir, spark)
+    spec = _load_spec(fs)
+    last = _latest_refresh(fs)
+    if last is None:
+        raise FileNotFoundError(
+            f"view at {view_dir!r} has never been refreshed — nothing "
+            "to maintain"
+        )
+    sfs = _state_fs(spark, fs, spec)
+    state_log = _read_log(sfs)
+    if state_log is None or state_log["version"] != last["state_version"]:
+        raise ConcurrentWriteError(
+            "maintain_append_view: the state table has commits beyond "
+            f"the last refresh record (at {last['state_version']}) — a "
+            "crashed or concurrent refresh; run refresh_append_view "
+            "first (it converges), then maintain"
+        )
+    new_v = compact_append_snapshot(
+        spark, sfs.dir,
+        target_file_bytes=target_file_bytes,
+        purge_deletes=purge_deletes,
+    )
+    if new_v is not None:
+        seq = last["seq"] + 1
+        record = {
+            "seq": seq,
+            "base_version": last["base_version"],
+            "state_version": new_v,
+            "maintenance": True,
+        }
+        if not fs.write_text_exclusive(
+            f"_REFRESH.{seq}", json.dumps(record), f".tmp.{seq}"
+        ):
+            raise ConcurrentWriteError(
+                f"refresh record {seq} at {view_dir!r} was committed by "
+                "another maintainer — re-run"
+            )
+        last = record
+    removed = vacuum_append_snapshot(
+        sfs.dir, keep_last=keep_last, spark=spark,
+        orphan_grace_hours=orphan_grace_hours,
+    )
+    pruned = []
+    floor = last["seq"] - keep_records
+    for name in fs.listdir():
+        m = _REFRESH.match(name)
+        if m and int(m.group(1)) <= floor:
+            import os as _os
+
+            if fs.remote:
+                fs._fs.delete(fs._jpath(fs.join(name)), False)
+            else:
+                _os.unlink(fs.join(name))
+            pruned.append(name)
+    return {
+        "compacted_to": new_v,
+        "pinned_state_version": last["state_version"],
+        "vacuumed_segments": removed,
+        "pruned_records": sorted(pruned),
+    }
 
 
 def append_view_status(spark: SparkSession, view_dir: str) -> dict:

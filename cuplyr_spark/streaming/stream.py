@@ -401,6 +401,7 @@ def stream_append_snapshot(
     partition_by: list[str] | str | None = None,
     collect_stats: bool = True,
     sketch_spec: dict | None = None,
+    refresh_views: list[str] | None = None,
 ):
     """Continuous APPEND ingest into a log table
     (``connectors.append_snapshot``) — the insert-only twin of
@@ -445,12 +446,24 @@ def stream_append_snapshot(
     with a spec, a sketch-sidecar row — so a long-running stream's
     table supports ``stats_filter`` pruning and
     ``connectors.table_stats`` with no extra maintenance pass; the
-    compaction schedule merges both arithmetically."""
+    compaction schedule merges both arithmetically.
+
+    ``refresh_views=[view_dir, ...]`` advances incremental
+    materialized views (``sources/views``) over this table after each
+    committed microbatch — the streaming-dashboard loop: each refresh
+    is the insert-only arithmetic merge (cost ∝ the batch) because the
+    sink only ever appends, and the view stays exactly one microbatch
+    behind the table with no rescan anywhere. Runs inside the same
+    single-writer foreachBatch slot, which is precisely the
+    single-maintainer contract refresh requires; a replayed microbatch
+    is a no-op append, and the refresh then sees no new version — the
+    exactly-once story composes."""
     from cuplyr_spark.sources.connectors import (
         append_snapshot,
         compact_append_snapshot,
         vacuum_append_snapshot,
     )
+    from cuplyr_spark.sources.views import refresh_append_view
 
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
@@ -484,6 +497,8 @@ def stream_append_snapshot(
                 table_dir, keep_last=vacuum_keep,
                 spark=batch_df.sparkSession,
             )
+        for vd in refresh_views or ():
+            refresh_append_view(batch_df.sparkSession, vd)
 
     writer = (
         stream.writeStream.foreachBatch(_append)

@@ -191,6 +191,7 @@ EXCHANGE_BUDGETS = {
     "append_upsert_rows": 1,  # r11: grouped agg over the merged scan; the DV broadcast anti-join is map-side
     "append_cdf": 1,  # r11: one grouped agg over the unioned typed feed; per-version scans + address semi-joins are broadcast/map-side
     "incremental_view": 0,  # r12: the VIEW READ is a pinned state scan + projection — refresh work happened at maintenance time (that's the point); DV applies broadcast
+    "append_expectations": 1,  # r12: one grouped agg over the expectation-filtered table read (validation ran at write time, one agg pass per batch)
     "append_schema_evolution": 2,  # r12: grouped agg over union(clean scan, DV-anti-joined scan) — the union blocks one partial-agg pushdown; DV apply broadcasts
     "append_dv_partitioned": 3,  # r12: per-segment partitioned scans unioned (clean + two DV-carrying parts) under one grouped agg; all DV anti-joins broadcast
     "append_read_where": 1,  # r12: one grouped agg over the predicate-pruned scan (derived stats_filter skips the pre-1995 segment)

@@ -619,3 +619,68 @@ def test_stream_upsert_append_mor_sink(spark, tmp_path):
     ptr = int(open(os.path.join(table, "_LATEST_LOG")).read())
     log = json.load(open(os.path.join(table, f"_LOG.{ptr}")))
     assert not log.get("deletes")
+
+
+def test_stream_append_snapshot_refreshes_views(spark, tmp_path):
+    """The streaming-dashboard loop: the append sink advances an
+    incremental view after every committed microbatch, so the view
+    tracks the table exactly (insert-only arithmetic merges, cost ∝
+    batch) and a checkpoint replay advances nothing twice."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cuplyr_spark.sources.connectors import read_append_snapshot
+    from cuplyr_spark.sources.views import (
+        append_view_status,
+        create_append_view,
+        read_append_view,
+    )
+    from cuplyr_spark.streaming.stream import stream_append_snapshot
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table, view = str(tmp_path / "tbl"), str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    pd.DataFrame({"k": [1, 2], "v": [10.0, 20.0]}).to_parquet(
+        f"{src}/b0.parquet", index=False
+    )
+
+    def run():
+        q = stream_append_snapshot(
+            spark.readStream.schema("k long, v double").option(
+                "maxFilesPerTrigger", 1
+            ).parquet(src),
+            table, checkpoint=ckpt, refresh_views=[view],
+        )
+        q.awaitTermination()
+
+    # bootstrap: table must exist before its view — first run creates
+    # it (the view dir doesn't exist yet, so pass no refresh_views)
+    q = stream_append_snapshot(
+        spark.readStream.schema("k long, v double").parquet(src),
+        table, checkpoint=ckpt,
+    )
+    q.awaitTermination()
+    create_append_view(spark, table, view, "k", {"sv": ("sum", "v"),
+                                                 "n": ("count", None)})
+    pd.DataFrame({"k": [1, 3], "v": [5.0, 30.0]}).to_parquet(
+        f"{src}/b1.parquet", index=False
+    )
+    pd.DataFrame({"k": [3], "v": [1.0]}).to_parquet(
+        f"{src}/b2.parquet", index=False
+    )
+    run()  # two microbatches, each refreshing the view
+    assert append_view_status(spark, view)["lag_versions"] == 0
+    got = {tuple(r) for r in read_append_view(spark, view).df.collect()}
+    want = {
+        tuple(r)
+        for r in read_append_snapshot(spark, table).df.groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    run()  # replay with no new input: nothing moves
+    assert {tuple(r) for r in read_append_view(spark, view).df.collect()} \
+        == got

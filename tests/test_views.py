@@ -253,9 +253,15 @@ def test_composite_group_keys(spark, dirs):
 
 @pytest.mark.parametrize("seed", [11, 23])
 def test_view_model_fuzz(spark, dirs, seed):
-    """Randomized base lifecycle (appends / deletes / updates /
-    upserts / refreshes in arbitrary interleavings) — after a final
-    refresh the view must equal the direct aggregate, every time."""
+    """Randomized lifecycle over base AND view maintenance (appends /
+    deletes / updates / upserts / base compaction / refresh / state
+    maintenance / CRASHED refreshes, arbitrarily interleaved) — after
+    a final converging refresh the view must equal the direct
+    aggregate, every time, and every intermediate read must reflect
+    exactly the last completed refresh boundary."""
+    from cuplyr_spark.sources.connectors import compact_append_snapshot
+    from cuplyr_spark.sources.views import maintain_append_view
+
     base, view = dirs
     rng = random.Random(seed)
 
@@ -269,8 +275,10 @@ def test_view_model_fuzz(spark, dirs, seed):
 
     append_snapshot(batch(20), base)
     create_append_view(spark, base, view, "g", AGGS)
-    for _ in range(8):
-        op = rng.choice(["append", "delete", "update", "refresh"])
+    for _ in range(10):
+        op = rng.choice(
+            ["append", "delete", "update", "upsert", "compact",
+             "refresh", "crashed_refresh", "maintain"])
         if op == "append":
             append_snapshot(batch(rng.randrange(1, 10)), base)
         elif op == "delete":
@@ -279,7 +287,156 @@ def test_view_model_fuzz(spark, dirs, seed):
             update_append_rows(
                 spark, base, f"x % 5 = {rng.randrange(5)}",
                 {"y": "coalesce(y, 0.0) + 1.0"})
-        else:
+        elif op == "upsert":
+            b = batch(rng.randrange(1, 6)).df.filter("g IS NOT NULL")
+            upsert_append_rows(Frame(b, ()), base, key=["g", "x"])
+        elif op == "compact":
+            compact_append_snapshot(
+                spark, base, target_file_bytes=1 << 30,
+                purge_deletes=rng.random() < 0.5)
+        elif op == "refresh":
             refresh_append_view(spark, view)
+        elif op == "crashed_refresh":
+            from cuplyr_spark.sources.views import _latest_refresh
+            pre = _latest_refresh(_TableFS(view, spark))
+            if refresh_append_view(spark, view) is not None:
+                post = _latest_refresh(_TableFS(view, spark))
+                if pre is None or post["seq"] > pre["seq"]:
+                    os.unlink(os.path.join(view, f"_REFRESH.{post['seq']}"))
+        else:
+            try:
+                maintain_append_view(
+                    spark, view, target_file_bytes=1 << 30,
+                    keep_last=2, orphan_grace_hours=0)
+            except ConcurrentWriteError:
+                pass  # provisional junk from a crashed refresh: legal
+        # a read at ANY point must be a consistent refresh boundary
+        # (never partial state) — just proving it doesn't raise and
+        # has the right shape; exactness is checked at quiesce
+        cols = read_append_view(spark, view).df.columns
+        assert cols[0] == "g" and "avy" in cols
     refresh_append_view(spark, view)
     _assert_view_exact(spark, base, view)
+
+
+def test_maintain_compacts_and_vacuums_safely(spark, dirs):
+    """After many refreshes the state accretes segments + DVs;
+    maintain_append_view compacts, RE-PINS the record to the
+    content-identical fold, vacuums keeping it, and prunes old
+    records — reads identical before and after."""
+    from cuplyr_spark.sources.views import maintain_append_view
+
+    base, view = dirs
+    append_snapshot(_mk(spark, [("a", 1, 1.0), ("b", 2, 2.0)]), base)
+    create_append_view(spark, base, view, "g", AGGS)
+    for i in range(4):
+        append_snapshot(_mk(spark, [("a", 10 + i, float(i)),
+                                    (chr(99 + i), i, None)]), base)
+        refresh_append_view(spark, view)
+    before = {tuple(r) for r in read_append_view(spark, view).df.collect()}
+    st = os.path.join(view, "state")
+    segs_before = len(read_append_snapshot.__globals__["_read_log"](
+        _TableFS(st, spark))["segments"])
+    rep = maintain_append_view(spark, view, target_file_bytes=1 << 30,
+                               keep_last=1, keep_records=2,
+                               orphan_grace_hours=0)
+    log = read_append_snapshot.__globals__["_read_log"](_TableFS(st, spark))
+    assert len(log["segments"]) == 1 and not log.get("deletes")
+    assert segs_before > 1
+    assert rep["compacted_to"] == log["version"]
+    assert rep["vacuumed_segments"]  # history reclaimed
+    # reads identical through the re-pinned record
+    after = {tuple(r) for r in read_append_view(spark, view).df.collect()}
+    assert after == before
+    _assert_view_exact(spark, base, view)
+    # refresh keeps working on the maintained state
+    append_snapshot(_mk(spark, [("a", 100, 1.0)]), base)
+    refresh_append_view(spark, view)
+    _assert_view_exact(spark, base, view)
+    # old records pruned to keep_records
+    recs = [n for n in os.listdir(view) if n.startswith("_REFRESH.")]
+    assert len(recs) <= 3
+
+
+def test_maintain_refuses_provisional_state(spark, dirs):
+    from cuplyr_spark.sources.views import maintain_append_view
+
+    base, view = dirs
+    append_snapshot(_mk(spark, [("a", 1, 1.0)]), base)
+    create_append_view(spark, base, view, "g", AGGS)
+    append_snapshot(_mk(spark, [("b", 2, 2.0)]), base)
+    refresh_append_view(spark, view)
+    os.unlink(os.path.join(view, "_REFRESH.2"))  # crash: junk beyond record
+    with pytest.raises(ConcurrentWriteError, match="refresh_append_view"):
+        maintain_append_view(spark, view)
+    refresh_append_view(spark, view)  # converges
+    assert maintain_append_view(spark, view)["pinned_state_version"] >= 1
+    _assert_view_exact(spark, base, view)
+
+
+def test_racing_refresher_detected(spark, dirs):
+    """Two refreshers completing the same window: the second hits the
+    record's exclusive create and raises instead of silently
+    double-applying."""
+    from cuplyr_spark.sources import views as V
+
+    base, view = dirs
+    append_snapshot(_mk(spark, [("a", 1, 1.0)]), base)
+    create_append_view(spark, base, view, "g", AGGS)
+    append_snapshot(_mk(spark, [("b", 2, 2.0)]), base)
+
+    real = V._latest_refresh
+    state = {"n": 0}
+
+    def racy(fs):
+        out = real(fs)
+        if fs.dir == view and state["n"] == 0:
+            state["n"] = 1
+            refresh_append_view(spark, view)  # the "other" refresher wins
+        return out
+
+    V._latest_refresh = racy
+    try:
+        with pytest.raises(ConcurrentWriteError, match="another refresher"):
+            refresh_append_view(spark, view)
+    finally:
+        V._latest_refresh = real
+    # recovery path: the winner's record is consistent
+    _assert_view_exact(spark, base, view)
+
+
+def test_view_over_partitioned_base(spark, dirs):
+    base, view = dirs
+    rows = [("a", 1, 1.0), ("a", 2, None), ("b", 3, 3.0)]
+    append_snapshot(_mk(spark, rows), base, partition_by="g")
+    create_append_view(spark, base, view, "g",
+                       {"sx": ("sum", "x"), "n": ("count", None)})
+    append_snapshot(_mk(spark, [("a", 5, 5.0), ("c", 6, 6.0)]), base)
+    refresh_append_view(spark, view)
+    delete_append_rows(spark, base, partition_filter={"g": "b"})
+    refresh_append_view(spark, view)
+    got = {tuple(r) for r in read_append_view(spark, view).df.collect()}
+    want = {
+        tuple(r)
+        for r in read_append_snapshot(spark, base).df.groupBy("g")
+        .agg(F.sum("x").alias("sx"),
+             F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and not any(r[0] == "b" for r in got)
+
+
+def test_read_view_time_travel(spark, dirs):
+    base, view = dirs
+    append_snapshot(_mk(spark, [("a", 1, 1.0)]), base)
+    create_append_view(spark, base, view, "g", {"sx": ("sum", "x")})
+    append_snapshot(_mk(spark, [("a", 10, None)]), base)
+    refresh_append_view(spark, view)
+    at1 = {tuple(r) for r in
+           read_append_view(spark, view, refresh_seq=1).df.collect()}
+    at2 = {tuple(r) for r in
+           read_append_view(spark, view, refresh_seq=2).df.collect()}
+    assert at1 == {("a", 1)} and at2 == {("a", 11)}
+    assert at2 == {tuple(r) for r in
+                   read_append_view(spark, view).df.collect()}
+    with pytest.raises(FileNotFoundError, match="refresh record 9"):
+        read_append_view(spark, view, refresh_seq=9)
