@@ -3471,6 +3471,110 @@ def q_append_upsert_rows(spark, sf_dir):
     )
 
 
+def q_append_clustered_probe(spark, sf_dir):
+    """Key-clustered append table (``append_snapshot(cluster_by=)``;
+    the liquid-clustering/sort-order analog, public Delta/Iceberg
+    art): each batch is range-shuffled and sorted on ``o_orderkey``
+    before it becomes a segment and the manifest records per-FILE zone
+    maps, so the range DELETE, the MERGE's key probe, and the final
+    range read all prune at FILE grain — ``explain_append_scan``
+    reports ``files_scan < files_total`` and ``tests/test_cluster.py``
+    pins the ``inputFiles()`` contract. At 100 TB this is what turns a
+    keyed MERGE's dominant cost (the anti-join probe scan, measured in
+    BENCH_DELTA r11) into file-grain bytes. Oracle: CASE-WHEN replay
+    of the delete + merge over plain orders."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        delete_append_rows,
+        read_append_snapshot,
+        upsert_append_rows,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = _scratch_dir("clustered")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(
+        orders.filter("o_orderkey % 2 = 0"), d, batch_id=0,
+        cluster_by="o_orderkey", cluster_files=4,
+    )
+    append_snapshot(
+        orders.filter("o_orderkey % 2 = 1"), d, batch_id=1,
+        cluster_files=4,
+    )
+    # range delete: file-pruned through the per-file zone maps
+    delete_append_rows(spark, d, {"o_orderkey": ("<", 400)})
+    # keyed MERGE: corrections for every surviving key ending in 3 —
+    # the probe scan is pruned to the key set's file slices
+    batch = orders.filter(
+        "o_orderkey % 10 = 3 and o_orderkey >= 400"
+    ).mutate(o_totalprice="o_totalprice + 250")
+    upsert_append_rows(batch, d, key="o_orderkey")
+    out = read_append_snapshot(
+        spark, d, stats_filter={"o_orderkey": (">=", 1000)}
+    )
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
+def q_append_quick_stats(spark, sf_dir):
+    """Metadata-only statistics (``connectors.append_quick_stats``;
+    Delta's optimized-metadata-query analog): live-row count and
+    column extremes answered from the MANIFEST ALONE — zero listing,
+    zero data IO (tests/test_quick_stats.py proves it by deleting the
+    data first). Orders land in two appends, a range DELETE runs
+    (count stays exact under merge-on-read — delete counts are
+    exactly additive), then a purge compaction materializes the
+    deletes so the bounds are exact again. The returned single row is
+    built entirely from the two metadata reads; the oracle recomputes
+    the same numbers from the data."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_quick_stats,
+        append_snapshot,
+        compact_append_snapshot,
+        delete_append_rows,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    d = _scratch_dir("quick_stats")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(orders.filter("o_orderkey % 2 = 0"), d, batch_id=0)
+    append_snapshot(orders.filter("o_orderkey % 2 = 1"), d, batch_id=1)
+    delete_append_rows(spark, d, {"o_totalprice": (">", 300000.0)})
+    live = append_quick_stats(spark, d)["rows"]  # exact under DVs
+    compact_append_snapshot(spark, d, purge_deletes=True)
+    st = append_quick_stats(spark, d)
+    assert st["rows"] == live and st["cols"]["o_orderkey"]["exact"]
+    return spark.createDataFrame(
+        [(
+            int(live),
+            int(st["cols"]["o_orderkey"]["min"]),
+            int(st["cols"]["o_orderkey"]["max"]),
+            float(st["cols"]["o_totalprice"]["min"]),
+            float(st["cols"]["o_totalprice"]["max"]),
+            int(st["cols"]["o_totalprice"]["null_count"]),
+        )],
+        "live_rows bigint, min_key bigint, max_key bigint, "
+        "min_price double, max_price double, price_nulls bigint",
+    )
+
+
 def q_incremental_view(spark, sf_dir):
     """Incremental materialized aggregate view
     (``sources/views.py``): orders land in two appends on a 50-bucket
@@ -4093,6 +4197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "separate_rows": q_separate_rows,
         "uncount": q_uncount,
         "append_upsert_rows": q_append_upsert_rows,
+        "append_clustered_probe": q_append_clustered_probe,
+        "append_quick_stats": q_append_quick_stats,
         "append_cdf": q_append_cdf,
         "incremental_view": q_incremental_view,
         "append_expectations": q_append_expectations,
@@ -6263,6 +6369,34 @@ def oracle_sql() -> dict[str, str]:
                max(o_orderkey) AS max_key,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
         FROM merged
+        GROUP BY o_orderstatus
+    """
+    out["append_quick_stats"] = """
+        SELECT count(*) AS live_rows,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price,
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_nulls
+        FROM orders
+        WHERE NOT (o_totalprice > 300000)
+    """
+    out["append_clustered_probe"] = """
+        WITH merged AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 3
+                        THEN o_totalprice + 250
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey >= 400
+        )
+        SELECT o_orderstatus,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM merged
+        WHERE o_orderkey >= 1000
         GROUP BY o_orderstatus
     """
     out["append_schema_evolution"] = """

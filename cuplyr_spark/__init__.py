@@ -110,6 +110,7 @@ from cuplyr_spark.pipeline.similarity import (
 )
 from cuplyr_spark.sources.connectors import (
     ConcurrentWriteError,
+    append_quick_stats,
     append_snapshot,
     delete_append_rows,
     explain_append_scan,

@@ -1264,6 +1264,145 @@ def _grow_schema_stats(smap: dict, added) -> dict:
     return out
 
 
+_FILE_REL_RE = r".*/(?:seg|fold)=[^/]+/(.*)$"
+
+
+def _validate_cluster_by(cluster_by, schema, pby) -> list[str]:
+    """Validate a ``cluster_by`` spec at table creation: every column
+    must exist, be zone-map-eligible (orderable — the range shuffle
+    sorts on it and the per-file stats compare on it), and not be a
+    partition column (constant per directory, so clustering it is a
+    no-op that would waste the shuffle)."""
+    cby = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    if not cby:
+        raise ValueError("cluster_by must name at least one column")
+    types = dict(map(tuple, schema))
+    missing = [c for c in cby if c not in types]
+    if missing:
+        raise ValueError(
+            f"cluster_by columns {missing} are not in the frame "
+            f"({sorted(types)})"
+        )
+    overlap = sorted(set(cby) & set(pby or []))
+    if overlap:
+        raise ValueError(
+            f"cluster_by columns {overlap} are partition columns — "
+            "constant within every partition directory; cluster on "
+            "non-partition columns"
+        )
+    bad = {c: types[c] for c in cby if types[c] not in _STAT_TYPES}
+    if bad:
+        raise ValueError(
+            f"cluster_by columns have non-orderable/stat-ineligible "
+            f"types {bad} — only {sorted(_STAT_TYPES)} columns can "
+            "carry file-grain zone maps"
+        )
+    return cby
+
+
+def _cluster_shape(df, cby: list[str], n_files: int | None = None):
+    """Range-cluster a batch on the table's cluster columns before it
+    becomes a segment: ONE range shuffle (``repartitionByRange``
+    samples the batch — cost ∝ the batch's bytes, never the table's)
+    plus an in-partition sort, so each written file covers a narrow,
+    near-disjoint slice of the cluster-key space and the per-file zone
+    maps recorded beside it (:func:`_file_stats`) prune at FILE grain.
+    This is the liquid-clustering write shape at the grain this
+    manifest owns: every segment is independently clustered, and the
+    table never needs a global re-sort for key probes to stay cheap."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in cby]
+    shaped = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    return shaped.sortWithinPartitions(*cby)
+
+
+def _file_stats(spark, fs: _TableFS, seg: str, schema, cby) -> dict:
+    """Per-FILE zone maps for the cluster columns of a just-written
+    segment: one column-pruned aggregate grouped by the scan's hidden
+    ``_metadata.file_path`` (cost ∝ the batch's bytes — the segment
+    was just written, so its footers are cache-warm). Entries share
+    the segment zone-map shape, so :func:`_seg_stats_match` prunes at
+    either grain with the same arithmetic. Keys are paths RELATIVE to
+    the segment directory (partition dirs included), scheme-free —
+    stable across mount points. String bounds truncate exactly like
+    segment stats (min prefix / max prefix+bump), keeping the manifest
+    small while staying sound."""
+    from pyspark.sql import functions as F
+
+    types = dict(map(tuple, schema))
+    sdf = spark.read.parquet(fs.join(seg)).select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), _FILE_REL_RE, 1
+        ).alias("__rel"),
+        *[F.col(c) for c in cby],
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cby):
+        aggs += [
+            F.min(F.col(c)).alias(f"mn{i}"),
+            F.max(F.col(c)).alias(f"mx{i}"),
+            F.sum(F.isnull(F.col(c)).cast("long")).alias(f"nu{i}"),
+        ]
+    out = {}
+    for row in sdf.groupBy("__rel").agg(*aggs).collect():
+        cols = {}
+        for i, c in enumerate(cby):
+            t = types[c]
+            mn = _stat_json(row[f"mn{i}"], t)
+            mx = _stat_json(row[f"mx{i}"], t)
+            if t == "string":
+                mn = None if mn is None else _stat_trunc_min(mn)
+                mx = None if mx is None else _stat_trunc_max(mx)
+            cols[c] = [mn, mx, int(row[f"nu{i}"] or 0)]
+        out[row["__rel"]] = {"rows": int(row["__n"]), "cols": cols}
+    return out
+
+
+def _file_prune(log: dict, segs, sfilt: dict):
+    """FILE-grain zone-map pruning inside the surviving segments of a
+    CLUSTERED table. Returns ``(segs, {seg: [relpath, ...]})``: a
+    segment present in the map is read as an explicit file list (its
+    other files provably contain no matching row); a segment none of
+    whose files can match is dropped outright; segments without
+    recorded file stats (pre-clustering, legacy) are read whole.
+    Sound by the same measured-bounds arithmetic as segment pruning —
+    the caller's residual or exact matcher still runs over whatever
+    survives, so a stale or missing entry costs IO, never rows."""
+    fsm = log.get("file_stats") or {}
+    if not fsm:
+        return list(segs), {}
+    cset = set(log.get("cluster_by") or ())
+    if not (set(sfilt) & cset):
+        return list(segs), {}
+    kept, fmap = [], {}
+    for s in segs:
+        fst = fsm.get(s)
+        if not fst:
+            kept.append(s)
+            continue
+        files = [r for r, st in fst.items() if _seg_stats_match(st, sfilt)]
+        if not files:
+            continue
+        if len(files) < len(fst):
+            fmap[s] = sorted(files)
+        kept.append(s)
+    return kept, fmap
+
+
+def _seg_paths(fs: _TableFS, seg: str, fmap: dict | None) -> list[str]:
+    """The paths a scan opens for one segment: the directory (common
+    case) or the file-pruned explicit list from :func:`_file_prune`."""
+    rels = fmap.get(seg) if fmap else None
+    if rels is None:
+        return [fs.join(seg)]
+    return [fs.join(f"{seg}/{r}") for r in rels]
+
+
 def _normalize_stats_filter(stats_filter: dict, schema) -> dict:
     """{col: value | (op, value) | [(op, value), ...]} → {col: [(op,
     value), ...]}, validated against the table schema. ``in`` takes a
@@ -1371,6 +1510,26 @@ def _seg_stats_match(st, filt: dict) -> bool:
     return True
 
 
+def _parse_pred_ast(pred: str):
+    """Parse a filter predicate for derivation. The Frame.filter
+    grammar accepts SQL-style single ``=`` equality; Python's ast does
+    not, so retry with ``=`` rewritten to ``==`` (only where it isn't
+    already part of ``== <= >= !=``) before declaring the predicate
+    underivable. Returns the expression node or None."""
+    import ast as _ast
+    import re as _re
+
+    try:
+        return _ast.parse(pred, mode="eval").body
+    except SyntaxError:
+        try:
+            return _ast.parse(
+                _re.sub(r"(?<![<>=!])=(?!=)", "==", pred), mode="eval"
+            ).body
+        except SyntaxError:
+            return None
+
+
 def _derive_stats_filter(pred: str, schema) -> dict | None:
     """Best-effort COMPILE of a free-form string predicate into the
     ``stats_filter`` dict form, so ``delete_append_rows(d, "price >
@@ -1390,9 +1549,8 @@ def _derive_stats_filter(pred: str, schema) -> dict | None:
     when nothing was derivable."""
     import ast as _ast
 
-    try:
-        tree = _ast.parse(pred, mode="eval").body
-    except SyntaxError:
+    tree = _parse_pred_ast(pred)
+    if tree is None:
         return None
     types = dict(map(tuple, schema or []))
 
@@ -1518,9 +1676,8 @@ def _derive_pfilter(pred: str, pby, schema) -> dict | None:
 
     if not pby:
         return None
-    try:
-        tree = _ast.parse(pred, mode="eval").body
-    except SyntaxError:
+    tree = _parse_pred_ast(pred)
+    if tree is None:
         return None
     types = dict(map(tuple, schema or []))
     pset = set(pby)
@@ -2362,19 +2519,25 @@ def _has_legacy_dvs(log: dict, segs) -> bool:
     )
 
 
-def _scan_with_dv(spark, fs: _TableFS, log: dict, segs):
+def _scan_with_dv(spark, fs: _TableFS, log: dict, segs, fmap=None):
     """Scan ``segs`` with the row-address columns attached and every
     EXISTING deletion vector already applied — the input the row-level
     write paths (:func:`delete_append_rows` /
     :func:`update_append_rows`) start from, so a second delete never
     re-marks rows an earlier one already removed (which keeps the
-    manifest's ``delete_counts`` exactly additive)."""
+    manifest's ``delete_counts`` exactly additive). ``fmap`` (from
+    :func:`_file_prune`) narrows clustered segments to the files whose
+    recorded key ranges can match — the probe reads file-grain bytes,
+    not segment-grain."""
     pby = log.get("partition_by") or []
     schema = log.get("schema")
     legacy = _has_legacy_dvs(log, segs)
     if not pby:
         df = _with_dv_meta(
-            _read_parquet_at(spark, schema, *[fs.join(s) for s in segs])
+            _read_parquet_at(
+                spark, schema,
+                *[p for s in segs for p in _seg_paths(fs, s, fmap)],
+            )
         )
     else:
         conf = spark.conf
@@ -2387,7 +2550,7 @@ def _scan_with_dv(spark, fs: _TableFS, log: dict, segs):
                 _conform_schema(
                     _with_dv_meta(
                         spark.read.option("basePath", fs.join(s)).parquet(
-                            fs.join(s)
+                            *_seg_paths(fs, s, fmap)
                         ),
                         pby=pby,
                         legacy=legacy,
@@ -2475,12 +2638,16 @@ def _read_segments(
     from pyspark.sql import functions as F
 
     stats_cond = None
+    fmap: dict = {}
     if stats_filter:
         sfilt = _normalize_stats_filter(stats_filter, log.get("schema"))
         smap = log.get("stats") or {}
         segs = [s for s in segs if _seg_stats_match(smap.get(s), sfilt)]
         if (log.get("sketch_spec") or {}).get("bloom"):
             segs = _bloom_prune(spark, fs, log, segs, sfilt)
+        # clustered tables additionally prune at FILE grain: surviving
+        # segments shrink to the files whose recorded ranges can match
+        segs, fmap = _file_prune(log, segs, sfilt)
         stats_cond = _stats_filter_cond(sfilt)
 
     def _empty():
@@ -2523,11 +2690,17 @@ def _read_segments(
         parts = []
         if clean:
             parts.append(
-                _read_parquet_at(spark, schema, *[fs.join(s) for s in clean])
+                _read_parquet_at(
+                    spark, schema,
+                    *[p for s in clean for p in _seg_paths(fs, s, fmap)],
+                )
             )
         if dirty:
             raw = _with_dv_meta(
-                _read_parquet_at(spark, schema, *[fs.join(s) for s in dirty])
+                _read_parquet_at(
+                    spark, schema,
+                    *[p for s in dirty for p in _seg_paths(fs, s, fmap)],
+                )
             )
             parts.append(
                 _anti_dv(raw, _dv_frames(spark, fs, log, dirty)).drop(
@@ -2586,7 +2759,11 @@ def _read_segments(
         parts, dirty_parts = [], []
         ext = list(schema) + meta
         for s in segs:
-            df = spark.read.option("basePath", fs.join(s)).parquet(fs.join(s))
+            # basePath keeps partition-column discovery working when
+            # the scan is an explicit file-pruned list
+            df = spark.read.option("basePath", fs.join(s)).parquet(
+                *_seg_paths(fs, s, fmap)
+            )
             if conds is not None:
                 df = df.filter(conds)
             if dmap.get(s):
@@ -2627,6 +2804,8 @@ def append_snapshot(
     sketch_spec: dict | None = None,
     schema_mode: str = "strict",
     expectations: dict | None = None,
+    cluster_by: list[str] | str | None = None,
+    cluster_files: int | None = None,
 ) -> int:
     """Append-only publish: write ONLY this batch's rows as a new
     segment directory and publish a log manifest listing every live
@@ -2715,6 +2894,24 @@ def append_snapshot(
     spec is stamped at table creation and inherited afterwards (pass
     it again only identically).
 
+    ``cluster_by`` (stamped at table creation and inherited, like
+    ``partition_by``) turns on KEY CLUSTERING — the liquid-clustering
+    analog at this manifest's grain: each batch is range-shuffled and
+    sorted on the cluster columns before it becomes a segment (one
+    shuffle ∝ the batch's bytes), and the manifest records per-FILE
+    zone maps for those columns. Key-addressed operations then prune
+    at FILE grain inside surviving segments: ``read_append_snapshot``
+    with a ``stats_filter``/``where`` on a cluster column opens only
+    the files whose recorded range can match, and the row-level writes
+    (``delete_append_rows``/``update_append_rows``/
+    ``upsert_append_rows``) probe file-grain bytes instead of
+    segment-grain — the dominant cost of a MERGE at 100 TB is the
+    anti-join probe scan (measured, BENCH_DELTA r11), and clustering
+    cuts exactly that. ``cluster_files`` bounds the number of files
+    per segment (default: Spark's range-partition default; AQE may
+    coalesce). Cluster columns must be stat-eligible non-partition
+    columns; compaction re-clusters folds on the same keys.
+
     Bloom columns close the pruning gap zone maps leave: an equality
     lookup on a HIGH-CARDINALITY scattered key (user/doc/event ids)
     where ranges are too wide and the ≤32-value dictionary too small.
@@ -2747,8 +2944,8 @@ def append_snapshot(
 
     def check(cur):
         """Validate against the current log; returns (schema, pby,
-        sketch spec, added columns) or None when the batch is a
-        watermark replay (no-op)."""
+        sketch spec, added columns, cluster cols) or None when the
+        batch is a watermark replay (no-op)."""
         wms = _log_watermarks(cur)
         if (
             batch_id is not None
@@ -2768,7 +2965,12 @@ def append_snapshot(
                 if sketch_spec is not None
                 else None
             )
-            return incoming, pby, spec, []
+            cby = (
+                _validate_cluster_by(cluster_by, incoming, pby)
+                if cluster_by is not None
+                else []
+            )
+            return incoming, pby, spec, [], cby
         table_pby = list(cur.get("partition_by") or [])
         if partition_by is not None and list(partition_by) != table_pby:
             raise ValueError(
@@ -2776,6 +2978,19 @@ def append_snapshot(
                 f"not match the table's {table_pby} — partitioning is "
                 "fixed at table creation"
             )
+        table_cby = list(cur.get("cluster_by") or [])
+        if cluster_by is not None:
+            want = (
+                [cluster_by]
+                if isinstance(cluster_by, str)
+                else list(cluster_by)
+            )
+            if want != table_cby:
+                raise ValueError(
+                    f"append_snapshot: cluster_by {want} does not match "
+                    f"the table's {table_cby} — clustering is fixed at "
+                    "table creation"
+                )
         table = cur.get("schema")
         if table is None:  # legacy manifest: one footer read, then stamped
             table = _frame_schema_pairs(
@@ -2827,19 +3042,23 @@ def append_snapshot(
                     f"table's {table_spec!r} — the spec is fixed at "
                     "table creation (sidecars must merge)"
                 )
-        return table, table_pby, table_spec, added
+        return table, table_pby, table_spec, added, table_cby
 
     cur = _read_log(fs)
     checked = check(cur)
     if checked is None:
         return cur["version"]
-    schema, pby, spec, added = checked
+    schema, pby, spec, added, cby = checked
     exps = _resolve_expectations(expectations, cur)
     out_df, exp_drops = (
         _enforce_expectations(frame.df, exps, schema)
         if exps
         else (frame.df, {})
     )
+    if cby:
+        # clustered table: one range shuffle of the batch so each
+        # written file covers a narrow cluster-key slice
+        out_df = _cluster_shape(out_df, cby, cluster_files)
     # write the data ONCE — the unique segment name never collides, so
     # only the cheap log commit below ever needs to retry
     n = (cur["version"] if cur else 0) + 1
@@ -2852,6 +3071,11 @@ def append_snapshot(
     seg_stats = (
         _segment_stats(frame.df.sparkSession, fs, seg, schema, pby)
         if collect_stats
+        else None
+    )
+    f_stats = (
+        _file_stats(frame.df.sparkSession, fs, seg, schema, cby)
+        if cby and collect_stats
         else None
     )
     if spec is not None:
@@ -2883,6 +3107,14 @@ def append_snapshot(
                 **cur_stats,
                 **({seg: seg_stats} if seg_stats is not None else {}),
             }
+        if cby:
+            log["cluster_by"] = cby
+            cur_files = (cur.get("file_stats") if cur else None) or {}
+            if f_stats is not None or cur_files:
+                log["file_stats"] = {
+                    **cur_files,
+                    **({seg: f_stats} if f_stats is not None else {}),
+                }
         if spec is not None:
             log["sketch_spec"] = spec
         if exps:
@@ -2912,7 +3144,7 @@ def append_snapshot(
             checked = check(cur)
             if checked is None:  # the winner WAS this batch (replay race)
                 return cur["version"]  # our segment is an orphan; vacuum
-            schema, rebased_pby, rebased_spec, added = checked
+            schema, rebased_pby, rebased_spec, added, rebased_cby = checked
             if rebased_pby != pby:  # first-append race decided a
                 raise ValueError(   # different layout than we wrote
                     f"append_snapshot: a concurrent first append fixed "
@@ -2924,6 +3156,12 @@ def append_snapshot(
                     f"append_snapshot: a concurrent first append fixed "
                     f"sketch_spec={rebased_spec!r} but this batch was "
                     f"sketched with {spec!r} — re-run the append"
+                )
+            if rebased_cby != cby:  # and the cluster layout
+                raise ValueError(
+                    f"append_snapshot: a concurrent first append fixed "
+                    f"cluster_by={rebased_cby} but this batch was "
+                    f"clustered with {cby} — re-run the append"
                 )
             n = cur["version"] + 1
     raise ConcurrentWriteError(
@@ -2948,27 +3186,10 @@ def reset_append_watermark(
         raise FileNotFoundError(
             f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
         )
-    wms = _log_watermarks(cur)
-    wms.pop(app_id or _DEFAULT_APP, None)
-    log = {
-        "version": cur["version"] + 1,
-        "segments": cur["segments"],
-        "watermarks": wms,
-        "schema": cur.get("schema"),
-    }
-    if cur.get("partition_by"):  # carry partition metadata through
-        log["partition_by"] = cur["partition_by"]
-        log["partitions"] = cur.get("partitions") or {}
-    if cur.get("stats"):  # carry zone maps through
-        log["stats"] = cur["stats"]
-    if cur.get("sketch_spec"):
-        log["sketch_spec"] = cur["sketch_spec"]
-    if cur.get("expectations"):
-        log["expectations"] = cur["expectations"]
-    if cur.get("deletes"):  # deletion vectors carry through
-        log["deletes"] = cur["deletes"]
-    if cur.get("delete_counts"):
-        log["delete_counts"] = cur["delete_counts"]
+    # every metadata family carries through; only the one watermark
+    # slot is dropped
+    log = _log_with_extras(cur, cur["version"] + 1, list(cur["segments"]))
+    log["watermarks"].pop(app_id or _DEFAULT_APP, None)
     return _write_log(fs, log)
 
 
@@ -3003,7 +3224,11 @@ def read_append_snapshot(
     identical predicate is applied as a real filter over the
     survivors, so the result is exactly ``read + filter`` at a
     fraction of the IO when appends are range-clustered (time-ordered
-    ingest, monotone ids).
+    ingest, monotone ids). On a CLUSTERED table (``append_snapshot(
+    cluster_by=)``) the same arithmetic additionally prunes at FILE
+    grain inside surviving segments — a key probe opens only the
+    files whose recorded range can match, regardless of arrival
+    order.
 
     ``where`` (a free-form string predicate) composes both: its
     implied col-op-literal conjuncts are COMPILED into a
@@ -3069,10 +3294,13 @@ def explain_append_scan(
 
     Columns: ``segment``, ``kind`` (``seg``/``fold``), ``action``
     (``scan``/``pruned``), ``pruned_by`` (``zone_map`` — min/max or
-    dictionary miss — ``bloom``, ``fully_deleted``, ``partition``, or
-    NULL for survivors), ``rows`` (manifest-recorded, NULL when the
-    table carries no stats), ``delete_count``, ``live_rows``,
-    ``dv_files``, ``partition_dirs``.
+    dictionary miss — ``bloom``, ``file_zone_map`` — every FILE of a
+    clustered segment provably misses — ``fully_deleted``,
+    ``partition``, or NULL for survivors), ``rows``
+    (manifest-recorded, NULL when the table carries no stats),
+    ``delete_count``, ``live_rows``, ``dv_files``, ``partition_dirs``,
+    and — on clustered tables — ``files_total``/``files_scan``, the
+    file-grain budget the read would actually open per segment.
 
     Decision parity is the contract (tested): a segment reported
     ``scan`` is opened by :func:`read_append_snapshot` with the same
@@ -3108,6 +3336,7 @@ def explain_append_scan(
     pfil = partition_filter if partition_filter else dpf
     segs = list(log["segments"])
     reason: dict[str, str] = {}
+    file_sel: dict = {}
     smap = log.get("stats") or {}
     # 1) zone maps / dictionaries, then bloom sidecars — same order as
     # _read_segments
@@ -3131,7 +3360,15 @@ def explain_append_scan(
                     if s not in kept:
                         reason[s] = "bloom"
                 survivors = [s for s in survivors if s in kept]
-            segs = survivors
+            # clustered tables: FILE-grain zone maps, same order as
+            # the read — a fully file-pruned segment is never opened;
+            # a partially pruned one reports its file budget below
+            kept_f, file_sel = _file_prune(log, survivors, sfilt)
+            kept_set = set(kept_f)
+            for s in survivors:
+                if s not in kept_set:
+                    reason[s] = "file_zone_map"
+            segs = kept_f
     # 2) fully-deleted segments contribute nothing
     cmap = log.get("delete_counts") or {}
     if cmap:
@@ -3179,11 +3416,19 @@ def explain_append_scan(
             segs = left
     dmap = log.get("deletes") or {}
     pmap = log.get("partitions") or {}
+    fsm = log.get("file_stats") or {}
     keep = set(segs)
     data = []
     for s in log["segments"]:
         rows = (smap.get(s) or {}).get("rows")
         dels = int(cmap.get(s, 0))
+        n_files = len(fsm[s]) if s in fsm else None
+        if s not in keep:
+            n_scan = 0 if n_files is not None else None
+        elif s in file_sel:
+            n_scan = len(file_sel[s])
+        else:
+            n_scan = n_files
         data.append((
             s,
             "fold" if s.startswith("fold=") else "seg",
@@ -3194,12 +3439,15 @@ def explain_append_scan(
             None if rows is None else int(rows) - dels,
             len(dmap.get(s) or []),
             len(pmap.get(s) or []) if pby else None,
+            n_files,
+            n_scan,
         ))
     out = spark.createDataFrame(
         data,
         "segment string, kind string, action string, pruned_by string, "
         "rows bigint, delete_count bigint, live_rows bigint, "
-        "dv_files int, partition_dirs int",
+        "dv_files int, partition_dirs int, files_total int, "
+        "files_scan int",
     )
     return Frame(out, ())
 
@@ -3307,6 +3555,7 @@ def read_append_changes(
     # full listing of every segment in the window
     added_pmap: dict = {}
     added_stats: dict = {}
+    added_fstats: dict = {}
     prev = set(_read_log(fs, since_version)["segments"]) if since_version > 0 else set()
     for k in range(since_version + 1, end + 1):
         log_k = _read_log(fs, k)  # raises if vacuumed past reader lag
@@ -3322,6 +3571,9 @@ def read_append_changes(
             st = (log_k.get("stats") or {}).get(s)
             if st is not None:
                 added_stats[s] = st
+            fst = (log_k.get("file_stats") or {}).get(s)
+            if fst is not None:
+                added_fstats[s] = fst
         new_segs.extend(added)
         prev = set(log_k["segments"])
     if not new_segs:
@@ -3353,6 +3605,10 @@ def read_append_changes(
     synth = dict(cur)
     synth["partitions"] = {**(cur.get("partitions") or {}), **added_pmap}
     synth["stats"] = {**(cur.get("stats") or {}), **added_stats}
+    if added_fstats or cur.get("file_stats"):
+        synth["file_stats"] = {
+            **(cur.get("file_stats") or {}), **added_fstats,
+        }
     if not apply_deletes:
         # CDF default: rows AS APPENDED — later row-level deletes don't
         # rewrite change history (the Delta CDF model, where a delete
@@ -3460,6 +3716,12 @@ def _log_with_extras(cur: dict, n: int, segments: list[str]) -> dict:
     kept_stats = {s: smap[s] for s in segments if s in smap}
     if kept_stats:
         log["stats"] = kept_stats
+    if cur.get("cluster_by"):
+        log["cluster_by"] = cur["cluster_by"]
+    fsm = cur.get("file_stats") or {}
+    kept_files = {s: fsm[s] for s in segments if s in fsm}
+    if kept_files:
+        log["file_stats"] = kept_files
     if cur.get("sketch_spec"):
         log["sketch_spec"] = cur["sketch_spec"]
     if cur.get("expectations"):
@@ -3483,17 +3745,20 @@ def _prune_by_stats(
     spark, fs: _TableFS, cur: dict, segs, stats_filter, with_cond=True
 ):
     """Shared candidate pruning for the row-level writes: zone maps /
-    dictionary sets, then bloom sidecars. Returns (surviving segments,
-    the exactness residual Column — None with ``with_cond=False``, for
-    callers whose own matching already guarantees exactness, e.g. the
-    MERGE's key semi-join, where building a huge IN residual would be
-    pure plan-construction overhead)."""
+    dictionary sets, then bloom sidecars, then FILE-grain zone maps on
+    clustered tables. Returns (surviving segments, the exactness
+    residual Column — None with ``with_cond=False``, for callers whose
+    own matching already guarantees exactness, e.g. the MERGE's key
+    semi-join, where building a huge IN residual would be pure
+    plan-construction overhead, and the per-segment file map for
+    :func:`_scan_with_dv`)."""
     sfilt = _normalize_stats_filter(stats_filter, cur.get("schema"))
     smap = cur.get("stats") or {}
     segs = [s for s in segs if _seg_stats_match(smap.get(s), sfilt)]
     if (cur.get("sketch_spec") or {}).get("bloom"):
         segs = _bloom_prune(spark, fs, cur, segs, sfilt)
-    return segs, (_stats_filter_cond(sfilt) if with_cond else None)
+    segs, fmap = _file_prune(cur, segs, sfilt)
+    return segs, (_stats_filter_cond(sfilt) if with_cond else None), fmap
 
 
 def _write_dv(spark, fs: _TableFS, cur: dict, matches, pby):
@@ -3668,8 +3933,9 @@ def delete_append_rows(
         )
     segs = list(cur["segments"])
     segs, pcond = _partition_scope(cur, segs, partition_filter)
+    fmap: dict = {}
     if isinstance(where, dict):
-        segs, cond = _prune_by_stats(spark, fs, cur, segs, where)
+        segs, cond, fmap = _prune_by_stats(spark, fs, cur, segs, where)
         matcher = lambda df: df.filter(cond)  # noqa: E731
     elif where is None:
         matcher = lambda df: df  # noqa: E731  (partition-only delete)
@@ -3687,7 +3953,7 @@ def delete_append_rows(
             derived = _derive_stats_filter(where, cur.get("schema"))
             if derived:
                 try:
-                    segs, _ = _prune_by_stats(
+                    segs, _, fmap = _prune_by_stats(
                         spark, fs, cur, segs, derived, with_cond=False
                     )
                 except ValueError:
@@ -3703,7 +3969,7 @@ def delete_append_rows(
         matcher = lambda df: Frame(df, ()).filter(where).df  # noqa: E731
     if not segs:
         return cur["version"], 0
-    matches = matcher(_scan_with_dv(spark, fs, cur, segs))
+    matches = matcher(_scan_with_dv(spark, fs, cur, segs, fmap=fmap))
     if pcond is not None:
         matches = matches.filter(pcond)
     if residual is not None:
@@ -3809,8 +4075,9 @@ def update_append_rows(
         )
     segs = list(cur["segments"])
     segs, pcond = _partition_scope(cur, segs, partition_filter)
+    fmap: dict = {}
     if isinstance(where, dict):
-        segs, cond = _prune_by_stats(spark, fs, cur, segs, where)
+        segs, cond, fmap = _prune_by_stats(spark, fs, cur, segs, where)
         matcher = lambda df: df.filter(cond)  # noqa: E731
     elif where is None:
         matcher = lambda df: df  # noqa: E731  (partition-only update)
@@ -3826,7 +4093,7 @@ def update_append_rows(
             derived = _derive_stats_filter(where, cur.get("schema"))
             if derived:
                 try:
-                    segs, _ = _prune_by_stats(
+                    segs, _, fmap = _prune_by_stats(
                         spark, fs, cur, segs, derived, with_cond=False
                     )
                 except ValueError:
@@ -3839,7 +4106,7 @@ def update_append_rows(
         matcher = lambda df: Frame(df, ()).filter(where).df  # noqa: E731
     if not segs:
         return cur["version"], 0
-    matches = matcher(_scan_with_dv(spark, fs, cur, segs))
+    matches = matcher(_scan_with_dv(spark, fs, cur, segs, fmap=fmap))
     if pcond is not None:
         matches = matches.filter(pcond)
     if residual is not None:
@@ -3867,9 +4134,13 @@ def update_append_rows(
             schema = list(schema) + added
         n = cur["version"] + 1
         seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
-        writer = _conform_schema(updated.df, schema).write.mode(
-            "errorifexists"
-        )
+        conformed = _conform_schema(updated.df, schema)
+        cby = list(cur.get("cluster_by") or [])
+        if cby:
+            # the updated copies keep the table's cluster layout, so
+            # the NEXT key probe file-prunes over them too
+            conformed = _cluster_shape(conformed, cby)
+        writer = conformed.write.mode("errorifexists")
         if pby:
             writer = writer.partitionBy(*pby)
         writer.parquet(fs.join(seg))
@@ -3877,6 +4148,11 @@ def update_append_rows(
         seg_stats = (
             _segment_stats(spark, fs, seg, schema, pby)
             if cur.get("stats")
+            else None
+        )
+        f_stats = (
+            _file_stats(spark, fs, seg, schema, cby)
+            if cby and cur.get("stats")
             else None
         )
         spec = cur.get("sketch_spec")
@@ -3920,6 +4196,10 @@ def update_append_rows(
                 }
             if seg_stats is not None:
                 log["stats"] = {**(log.get("stats") or {}), seg: seg_stats}
+            if f_stats is not None:
+                log["file_stats"] = {
+                    **(log.get("file_stats") or {}), seg: f_stats,
+                }
             try:
                 return _write_log(fs, log), total
             except ConcurrentWriteError:
@@ -4280,6 +4560,7 @@ def upsert_append_rows(
     # Stat-INELIGIBLE key types (decimal, binary, ...) carry no zone
     # maps, so pruning is skipped up front — _normalize_stats_filter
     # would reject them — and the plain semi-join does the matching.
+    fmap: dict = {}
     if len(keys) == 1 and dict(map(tuple, schema)).get(keys[0]) in _STAT_TYPES:
         filt = join_prune_filter(
             Frame(src, ()), keys[0], max_keys=max_prune_keys
@@ -4288,7 +4569,7 @@ def upsert_append_rows(
             # the key semi-join below IS the exact matcher — skip the
             # residual (a 50k-key IN Column costs ~27s of py4j literal
             # conversion alone, measured)
-            segs, _ = _prune_by_stats(
+            segs, _, fmap = _prune_by_stats(
                 spark, fs, cur, segs, filt, with_cond=False
             )
     n_appended = src.count()
@@ -4298,7 +4579,7 @@ def upsert_append_rows(
     if segs:
         from cuplyr_spark.frame import broadcast_guarded
 
-        scan = _scan_with_dv(spark, fs, cur, segs)
+        scan = _scan_with_dv(spark, fs, cur, segs, fmap=fmap)
         keyset = src.select(*keys).distinct()
         # plain-equality semi-join: NULL keys never match on either
         # side (insert-only rows); guarded broadcast keeps it map-side
@@ -4311,7 +4592,13 @@ def upsert_append_rows(
     n_replaced = int(sum(counts.values()))
     n = cur["version"] + 1
     seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
-    writer = _conform_schema(src, schema).write.mode("errorifexists")
+    conformed = _conform_schema(src, schema)
+    cby = list(cur.get("cluster_by") or [])
+    if cby:
+        # the merged batch keeps the table's cluster layout, so the
+        # NEXT merge's key probe file-prunes over this segment too
+        conformed = _cluster_shape(conformed, cby)
+    writer = conformed.write.mode("errorifexists")
     if pby:
         writer = writer.partitionBy(*pby)
     writer.parquet(fs.join(seg))
@@ -4319,6 +4606,11 @@ def upsert_append_rows(
     seg_stats = (
         _segment_stats(spark, fs, seg, schema, pby)
         if cur.get("stats")
+        else None
+    )
+    f_stats = (
+        _file_stats(spark, fs, seg, schema, cby)
+        if cby and cur.get("stats")
         else None
     )
     spec = cur.get("sketch_spec")
@@ -4356,6 +4648,10 @@ def upsert_append_rows(
             log["partitions"] = {**(log.get("partitions") or {}), seg: pdirs}
         if seg_stats is not None:
             log["stats"] = {**(log.get("stats") or {}), seg: seg_stats}
+        if f_stats is not None:
+            log["file_stats"] = {
+                **(log.get("file_stats") or {}), seg: f_stats,
+            }
         if exp_drops:  # per-version audit field, not carried forward
             log["expectation_drops"] = exp_drops
         try:
@@ -4762,6 +5058,7 @@ def compact_append_snapshot(
     df = _read_segments(spark, fs, cur, fold)
     n = cur["version"] + 1
     seg = f"fold={n}-{uuid.uuid4().hex[:8]}"
+    cby = list(cur.get("cluster_by") or [])
     if zorder_by:
         from cuplyr_spark.sources.readers import write_parquet_zorder
 
@@ -4774,6 +5071,15 @@ def compact_append_snapshot(
             num_files=n_target,
             partition_by=pby or None,
         )
+    elif cby:
+        # clustered table: the fold is re-clustered on the table's
+        # cluster columns (one range shuffle of the FOLDED bytes only),
+        # so file-grain pruning stays tight across compactions
+        shaped = _cluster_shape(df, cby, n_target)
+        writer = shaped.write.mode("errorifexists")
+        if pby:
+            writer = writer.partitionBy(*pby)
+        writer.parquet(fs.join(seg))
     elif pby:
         # partition layout carries through the fold. Default: coalesce
         # bounds the TASK count so files per partition stay <= n_target
@@ -4826,6 +5132,14 @@ def compact_append_snapshot(
         ) if cur.get("schema") else None
     if fold_stats is not None:
         log["stats"] = {**(log.get("stats") or {}), seg: fold_stats}
+    # file-grain zone maps for the re-clustered fold (cost ∝ fold
+    # bytes, which the fold just paid anyway); folded segments' file
+    # entries were already dropped by _log_with_extras
+    if cby and cur.get("file_stats") and cur.get("schema"):
+        log["file_stats"] = {
+            **(log.get("file_stats") or {}),
+            seg: _file_stats(spark, fs, seg, cur["schema"], cby),
+        }
     spec = cur.get("sketch_spec")
     if spec is not None:
         if fold_has_dv:
@@ -4845,6 +5159,77 @@ def compact_append_snapshot(
                 fs.join(f"{_SKETCH_DIR}/{seg}")
             )
     return _write_log(fs, log)
+
+
+def append_quick_stats(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+) -> dict:
+    """METADATA-ONLY table statistics — the optimized-metadata-query
+    analog (Delta answers ``SELECT count(*)``/``min``/``max`` from the
+    log the same way): everything here comes from the manifest alone —
+    zero filesystem listing, zero data IO — so it is safe to call
+    against a 100 TB table from a notebook, per dashboard refresh.
+
+    Returns ``{"version": v, "segments": n, "rows": exact-live-count,
+    "cols": {col: {"min": lo, "max": hi, "null_count": n-or-None,
+    "exact": bool}}}``:
+
+    - ``rows`` is EXACT under merge-on-read deletes: per-segment
+      counts are recorded at append time and the manifest's delete
+      counts are exactly additive (a delete scan reads through
+      existing DVs, so a row is never marked twice) — live rows =
+      Σ rows − Σ deletes. ``None`` when any live segment predates
+      stats collection (fall back to ``read_append_snapshot(...)
+      .count()``).
+    - per-column ``min``/``max`` are merged zone maps: always SOUND
+      bounds, and flagged ``exact`` when they are the true extremes —
+      which requires a delete-free table (a delete may have removed
+      the extreme row; bounds stay sound, exactness is lost until a
+      purge compaction) and, for strings, bounds short enough to be
+      untruncated. ``null_count`` follows the same rule (``None``
+      under deletes — deleted rows may have been NULL).
+    - values are in the zone maps' JSON domain (dates/timestamps as
+      zero-padded ISO strings; see ``_stat_json``).
+
+    Partition columns carry no zone maps (their values live in the
+    manifest partition map) and are omitted from ``cols``."""
+    fs = _TableFS(table_dir, spark)
+    log = _read_log(fs, version)
+    if log is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    segs = list(log["segments"])
+    smap = log.get("stats") or {}
+    cmap = log.get("delete_counts") or {}
+    deleted = sum(int(cmap.get(s, 0)) for s in segs)
+    merged = _merge_segment_stats([smap.get(s) for s in segs])
+    out: dict = {
+        "version": log["version"],
+        "segments": len(segs),
+        "rows": None if merged is None else int(merged["rows"]) - deleted,
+        "cols": {},
+    }
+    if merged is None:
+        return out
+    types = dict(map(tuple, log.get("schema") or []))
+    for c, entry in sorted(merged["cols"].items()):
+        mn, mx, nulls = entry[0], entry[1], entry[2]
+        exact = deleted == 0 and mn is not None and mx is not None
+        if exact and types.get(c) == "string":
+            # a 64-char bound may be a truncated prefix (min) or a
+            # bumped prefix (max) — indistinguishable post-hoc, so
+            # only shorter bounds are provably the real extremes
+            exact = len(mn) < _STAT_STR_CAP and len(mx) < _STAT_STR_CAP
+        out["cols"][c] = {
+            "min": mn,
+            "max": mx,
+            "null_count": int(nulls) if deleted == 0 else None,
+            "exact": bool(exact),
+        }
+    return out
 
 
 def append_history(

@@ -31,6 +31,8 @@ resurrected delete, no double row — despite folds landing mid-write
 the documented recovery).
 
 Usage: python scripts/stress_concurrent_deletes.py [N] [K] [--no-maint]
+       [--clustered]  (key-clustered table: every write path adds the
+                       range shuffle + per-file zone maps under race)
 """
 
 from __future__ import annotations
@@ -69,7 +71,7 @@ def _retry(fn):
             time.sleep(0.05)
 
 
-def rowlevel_worker(table, wid, k, out, evolve=True):
+def rowlevel_worker(table, wid, k, out, evolve=True, clustered=False):
     import pandas as pd
 
     from cuplyr_spark import from_pandas
@@ -92,10 +94,16 @@ def rowlevel_worker(table, wid, k, out, evolve=True):
         )
         if evolve and wid == 0 and b >= 1:
             pdf["w"] = [b] * ROWS  # worker 0 evolves the schema live
+        # clustered mode: every writer names the SAME spec, so the
+        # first-append race resolves to an identical layout on rebase
+        # and every later append validates against the table's
+        ckw = (
+            {"cluster_by": ["id"], "cluster_files": 2} if clustered else {}
+        )
         _, r0 = _retry(
             lambda: append_snapshot(
                 from_pandas(spark, pdf), table, batch_id=b,
-                app_id=f"w{wid}", schema_mode=mode,
+                app_id=f"w{wid}", schema_mode=mode, **ckw,
             )
         )
         _, r1 = _retry(
@@ -154,13 +162,16 @@ def main():
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     maint = "--no-maint" not in sys.argv
     evolve = "--no-evolve" not in sys.argv
+    clustered = "--clustered" in sys.argv
     root = tempfile.mkdtemp(prefix="dvstress_")
     table = root + "/t"
     done_flag = root + "/_STRESS_DONE"
     ctx = mp.get_context("spawn")
     out = ctx.Queue()
     procs = [
-        ctx.Process(target=rowlevel_worker, args=(table, w, k, out, evolve))
+        ctx.Process(
+            target=rowlevel_worker, args=(table, w, k, out, evolve, clustered)
+        )
         for w in range(n)
     ]
     if maint:
@@ -219,8 +230,18 @@ def main():
     )[:5]
     ok = not missing and not extra and not wrong
     m = next((r for r in results if r[1] == 99), None)
+    if clustered:
+        # every live raw segment of a clustered table must carry file
+        # stats (folds recompute theirs; orphaned entries never linger)
+        from cuplyr_spark.sources.connectors import _TableFS, _read_log
+
+        log = _read_log(_TableFS(table, spark))
+        assert log.get("cluster_by") == ["id"], log.get("cluster_by")
+        fsm = log.get("file_stats") or {}
+        uncovered = [s2 for s2 in log["segments"] if s2 not in fsm]
+        assert not uncovered, f"segments without file stats: {uncovered}"
     print(json.dumps({
-        "workers": n, "batches": k, "rows": len(got),
+        "workers": n, "batches": k, "clustered": clustered, "rows": len(got),
         "expected_rows": len(expected),
         "worker_retries": sum(r[3] for r in results if r[1] != 99),
         "folds": m[3] if m else None,

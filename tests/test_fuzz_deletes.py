@@ -47,10 +47,24 @@ def _table_state(spark, d) -> dict[int, tuple[int, int]]:
 
 
 @pytest.mark.parametrize(
-    "seed,partitioned",
-    [(11, False), (23, False), (47, False), (61, True), (83, True)],
+    "seed,partitioned,clustered",
+    [
+        (11, False, False),
+        (23, False, False),
+        (47, False, False),
+        (61, True, False),
+        (83, True, False),
+        # clustered tables: every op below additionally exercises the
+        # file-grain zone maps (write-side range shuffles, per-file
+        # stats on every new segment, file-pruned probe scans and
+        # reads) against the same in-memory model
+        (101, False, True),
+        (127, True, True),
+    ],
 )
-def test_dv_lifecycle_matches_model(spark, tmp_path, seed, partitioned):
+def test_dv_lifecycle_matches_model(
+    spark, tmp_path, seed, partitioned, clustered
+):
     rng = random.Random(seed)
     d = str(tmp_path / f"fuzz{seed}")
     shutil.rmtree(d, ignore_errors=True)
@@ -71,7 +85,8 @@ def test_dv_lifecycle_matches_model(spark, tmp_path, seed, partitioned):
     # the table must exist before row-level ops
     rows = fresh_rows(rng.randrange(20, 60))
     append_snapshot(
-        Frame(_mkdf(spark, rows), ()), d, batch_id=batch, partition_by=pby
+        Frame(_mkdf(spark, rows), ()), d, batch_id=batch, partition_by=pby,
+        **({"cluster_by": "id", "cluster_files": 3} if clustered else {}),
     )
     batch += 1
     model.update({i: (g, v) for i, g, v in rows})

@@ -195,6 +195,8 @@ EXCHANGE_BUDGETS = {
     "append_schema_evolution": 2,  # r12: grouped agg over union(clean scan, DV-anti-joined scan) — the union blocks one partial-agg pushdown; DV apply broadcasts
     "append_dv_partitioned": 3,  # r12: per-segment partitioned scans unioned (clean + two DV-carrying parts) under one grouped agg; all DV anti-joins broadcast
     "append_read_where": 1,  # r12: one grouped agg over the predicate-pruned scan (derived stats_filter skips the pre-1995 segment)
+    "append_clustered_probe": 1,  # r12: grouped agg over the file-pruned DV-anti-joined scan; DV apply broadcasts, write-side range shuffles ran eagerly
+    "append_quick_stats": 0,  # r12: a createDataFrame literal — the numbers came from manifest metadata, no scan exists to shuffle
 }
 
 # Queries whose plan legitimately contains an unpartitioned window over

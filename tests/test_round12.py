@@ -376,8 +376,8 @@ def test_string_predicate_delete_prunes_segments(spark, tmp_path):
     orig = C._scan_with_dv
     try:
         C._scan_with_dv = (
-            lambda spark, fs, log, segs: seen.append(list(segs))
-            or orig(spark, fs, log, segs)
+            lambda spark, fs, log, segs, **kw: seen.append(list(segs))
+            or orig(spark, fs, log, segs, **kw)
         )
         v, n = delete_append_rows(spark, d, "id >= 1050 and id % 2 == 0")
     finally:
@@ -608,8 +608,8 @@ def test_string_predicate_prunes_partition_map(spark, tmp_path):
     orig = C._scan_with_dv
     try:
         C._scan_with_dv = (
-            lambda spark, fs, log, segs: seen.append(list(segs))
-            or orig(spark, fs, log, segs)
+            lambda spark, fs, log, segs, **kw: seen.append(list(segs))
+            or orig(spark, fs, log, segs, **kw)
         )
         # zone maps can't see p (partition column, no stats recorded);
         # only the partition-map derivation can prune here — id ranges
