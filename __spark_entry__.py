@@ -3575,6 +3575,49 @@ def q_append_quick_stats(spark, sf_dir):
     )
 
 
+def q_append_restore(spark, sf_dir):
+    """Metadata-only RESTORE (``connectors.restore_append_snapshot``;
+    Delta RESTORE TO VERSION AS OF): orders land in two appends, a
+    price-range DELETE publishes v3, and the restore publishes v4
+    whose content is v2's — no data read or written, history linear,
+    the audit field recorded. The post-restore read must equal plain
+    orders (the delete undone); exercised through the same
+    grouped-aggregate shape as the other storage queries."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_history,
+        append_snapshot,
+        delete_append_rows,
+        read_append_snapshot,
+        restore_append_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = _scratch_dir("restore")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(orders.filter("o_orderkey % 2 = 0"), d, batch_id=0)
+    append_snapshot(orders.filter("o_orderkey % 2 = 1"), d, batch_id=1)
+    delete_append_rows(spark, d, {"o_totalprice": (">", 200000.0)})
+    v = restore_append_snapshot(spark, d, 2)
+    hist = {h["version"]: h for h in append_history(d, spark=spark)}
+    assert v == 4 and hist[4]["restored_from"] == 2
+    out = read_append_snapshot(spark, d)
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
 def q_incremental_view(spark, sf_dir):
     """Incremental materialized aggregate view
     (``sources/views.py``): orders land in two appends on a 50-bucket
@@ -4199,6 +4242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_upsert_rows": q_append_upsert_rows,
         "append_clustered_probe": q_append_clustered_probe,
         "append_quick_stats": q_append_quick_stats,
+        "append_restore": q_append_restore,
         "append_cdf": q_append_cdf,
         "incremental_view": q_incremental_view,
         "append_expectations": q_append_expectations,
@@ -6369,6 +6413,15 @@ def oracle_sql() -> dict[str, str]:
                max(o_orderkey) AS max_key,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
         FROM merged
+        GROUP BY o_orderstatus
+    """
+    out["append_restore"] = """
+        SELECT o_orderstatus,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM orders
         GROUP BY o_orderstatus
     """
     out["append_quick_stats"] = """

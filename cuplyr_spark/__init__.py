@@ -121,6 +121,7 @@ from cuplyr_spark.sources.connectors import (
     read_append_changes,
     read_append_snapshot,
     read_snapshot,
+    restore_append_snapshot,
     rollback_snapshot,
     set_append_expectations,
     snapshot_versions,

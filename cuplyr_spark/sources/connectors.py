@@ -5161,6 +5161,106 @@ def compact_append_snapshot(
     return _write_log(fs, log)
 
 
+def restore_append_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    keep_watermarks: bool = False,
+) -> int:
+    """RESTORE an append table to an earlier log version (the Delta
+    ``RESTORE TABLE ... TO VERSION AS OF`` analog): publishes a NEW
+    log version whose content — segments, partition map, zone maps,
+    file stats, deletion vectors, delete counts, schema, cluster/
+    sketch/expectation specs — is the target version's, METADATA-ONLY
+    (no data read or written; the referenced directories are
+    immutable and still on disk until vacuum). History stays linear:
+    time travel to the in-between versions keeps working, the new
+    version carries ``restored_from`` for audit
+    (:func:`append_history`), and a later vacuum keeps the restored
+    segments because the new head references them.
+
+    Before publishing, every segment and DV directory the target
+    references is checked to still exist — restoring past a vacuum
+    raises :class:`FileNotFoundError` instead of publishing a
+    manifest whose reads would die (or, worse for DVs, silently
+    resurrect deleted rows).
+
+    Watermarks (the per-writer exactly-once batch ids): by default
+    the TARGET's are restored too — the true state restore, so the
+    fixed pipeline can re-process the batches the restore dropped
+    (their ids are above the restored watermark again).
+    ``keep_watermarks=True`` instead keeps the CURRENT high-water
+    marks: replayed batches from the bad window stay swallowed, for
+    the "drop the data but hold the stream position" shape.
+
+    INCREMENTAL-CONSUMER HAZARD (document before you restore, same as
+    Delta CDF + RESTORE): ``read_append_changes`` /
+    ``tail_append_changes`` diff manifests version-to-version, so a
+    restore that re-adds segments a consumer already saw (e.g.
+    restoring past a compaction fold) re-surfaces them as new in the
+    window that crosses the restore. Reset lagging cursors to the
+    restore's published version. Materialized views handle this
+    themselves: ``refresh_append_view`` detects a restore in its
+    window and takes the full-rebuild path for that one refresh.
+
+    A concurrent writer winning the log-commit race surfaces as
+    :class:`ConcurrentWriteError` — a restore must never silently
+    clobber a commit it did not see; re-check the table state and
+    re-run. Returns the published version (current version when
+    ``version`` already is the head — nothing to do)."""
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    if version == cur["version"]:
+        return cur["version"]
+    if version > cur["version"]:
+        raise ValueError(
+            f"restore target {version} is ahead of the published "
+            f"version {cur['version']}"
+        )
+    target = _read_log(fs, version)
+    if target is None:
+        raise FileNotFoundError(
+            f"log version {version} not found at {table_dir!r} — "
+            "vacuumed past the restore point"
+        )
+    missing = [s for s in target["segments"] if not fs.exists(s)]
+    missing += [
+        d
+        for d in sorted(
+            {dv for dvs in (target.get("deletes") or {}).values() for dv in dvs}
+        )
+        if not fs.exists(d)
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"restore to version {version} references reclaimed paths "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''} — "
+            "vacuum already swept the restore point"
+        )
+    log = {
+        k: v
+        for k, v in target.items()
+        # per-version audit fields describe the TARGET's own commit,
+        # not this restore
+        if k not in ("version", "watermarks", "expectation_drops")
+    }
+    log["version"] = cur["version"] + 1
+    log["watermarks"] = _log_watermarks(cur if keep_watermarks else target)
+    log["restored_from"] = version
+    try:
+        return _write_log(fs, log)
+    except ConcurrentWriteError:
+        raise ConcurrentWriteError(
+            f"restore of {table_dir!r} lost the log-commit race — a "
+            "writer published concurrently; re-check the table state "
+            "and re-run the restore"
+        ) from None
+
+
 def append_quick_stats(
     spark: SparkSession,
     table_dir: str,
@@ -5276,6 +5376,7 @@ def append_history(
                 "rows_deleted": sum(
                     int(c) for c in (log.get("delete_counts") or {}).values()
                 ),
+                "restored_from": log.get("restored_from"),
             }
         )
         prev = set(segs)

@@ -425,6 +425,17 @@ def refresh_append_view(
         return None
 
     first = last is None or _read_log(sfs) is None
+    if last is not None and not first and not full:
+        # a RESTORE in the window breaks the version-to-version diff
+        # both incremental paths rely on (re-added segments would
+        # double-merge; dropped ones would never subtract) — take the
+        # full rebuild for this one refresh, exactly like the
+        # vacuumed-window escape hatch
+        for k in range(last["base_version"] + 1, end + 1):
+            log_k = _read_log(bfs, k)
+            if log_k is not None and log_k.get("restored_from") is not None:
+                full = True
+                break
     cached = []  # refresh plans feed several jobs (count probes, the
     # MERGE's key set + DV scan + segment write) — persist them once
     # instead of recomputing the delta join per consumer

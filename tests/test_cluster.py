@@ -344,3 +344,54 @@ def test_streaming_sink_inherits_clustering(spark, tmp_path):
     assert [(r.k, r.v) for r in fr.df.collect()] == [(1500, 3000.0)]
     # the probe opens one file of the streamed segment, none of seed's
     assert len(_files(fr)) == 1
+
+
+def test_multi_column_cluster(spark, tmp_path):
+    """cluster_by=[a, b]: lexicographic range clustering; file stats
+    recorded per column; a probe on the LEADING column file-prunes."""
+    d = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 50).alias("a"),
+        F.col("id").alias("b"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    append_snapshot(Frame(df, ()), d, cluster_by=["a", "b"], cluster_files=5)
+    log = _read_log(_TableFS(d, spark))
+    assert log["cluster_by"] == ["a", "b"]
+    for st in log["file_stats"][log["segments"][0]].values():
+        assert set(st["cols"]) == {"a", "b"}
+    fr = read_append_snapshot(spark, d, stats_filter={"a": ("==", 7)})
+    assert fr.df.count() == 80
+    assert len(_files(fr)) < 5  # leading-column probe skips files
+    # trailing-column probe: sound (exact rows) even if pruning is weak
+    fr2 = read_append_snapshot(spark, d, stats_filter={"b": ("==", 1234)})
+    assert [(r.a, r.b) for r in fr2.df.select("a", "b").collect()] == [
+        (1234 % 50, 1234)
+    ]
+
+
+def test_cluster_with_schema_evolution(spark, tmp_path):
+    """Additive evolution on a clustered table: the new column rides
+    along; cluster columns and file pruning are unaffected; the
+    evolved segment gets file stats like any other."""
+    d = str(tmp_path / "t")
+    append_snapshot(_mk(spark, 0, 2000), d, cluster_by="k", cluster_files=2)
+    evolved = Frame(
+        spark.range(2000, 4000).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+            F.lit("x").alias("tag"),
+            F.lit(1).alias("extra"),
+        ),
+        (),
+    )
+    append_snapshot(evolved, d, schema_mode="merge", cluster_files=2)
+    log = _read_log(_TableFS(d, spark))
+    assert sorted(log["file_stats"]) == sorted(log["segments"])
+    fr = read_append_snapshot(spark, d, stats_filter={"k": ("==", 100)})
+    rows = fr.df.collect()
+    assert len(rows) == 1 and rows[0].extra is None  # pre-evolution NULL
+    assert len(_files(fr)) == 1
+    fr2 = read_append_snapshot(spark, d, stats_filter={"k": ("==", 3000)})
+    assert fr2.df.collect()[0].extra == 1
+    assert len(_files(fr2)) == 1

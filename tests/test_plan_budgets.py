@@ -197,6 +197,7 @@ EXCHANGE_BUDGETS = {
     "append_read_where": 1,  # r12: one grouped agg over the predicate-pruned scan (derived stats_filter skips the pre-1995 segment)
     "append_clustered_probe": 1,  # r12: grouped agg over the file-pruned DV-anti-joined scan; DV apply broadcasts, write-side range shuffles ran eagerly
     "append_quick_stats": 0,  # r12: a createDataFrame literal — the numbers came from manifest metadata, no scan exists to shuffle
+    "append_restore": 1,  # r12: one grouped agg over the restored multi-path scan (the restore itself is a metadata publish)
 }
 
 # Queries whose plan legitimately contains an unpartitioned window over
