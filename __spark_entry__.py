@@ -3618,6 +3618,55 @@ def q_append_restore(spark, sf_dir):
     )
 
 
+def q_append_unique_ingest(spark, sf_dir):
+    """Write-time UNIQUE-key constraint
+    (``append_snapshot(unique_key=)``): the ingest-dedup guarantee
+    neither Delta nor Iceberg enforces natively. Orders land with
+    ``unique_key="o_orderkey"``; a second, OVERLAPPING batch (every
+    key divisible by 3 — half of them already present) runs with
+    ``on_conflict="drop"`` (insert-ignore): existing keys are skipped
+    via one pruned probe of the candidate segments, new keys land.
+    The table must equal the SQL set union — and the kept rows must
+    be the ORIGINALS (ignore, not upsert), which the oracle encodes
+    by selecting plain orders rows. Clustered on the key so the probe
+    is file-pruned."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = _scratch_dir("unique_ingest")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(
+        orders.filter("o_orderkey % 2 = 0"), d, batch_id=0,
+        unique_key="o_orderkey", cluster_by="o_orderkey",
+        cluster_files=4,
+    )
+    append_snapshot(
+        orders.filter("o_orderkey % 3 = 0").mutate(
+            o_totalprice="o_totalprice + 999"  # must NOT land for dups
+        ),
+        d, batch_id=1, on_conflict="drop", cluster_files=4,
+    )
+    out = read_append_snapshot(spark, d)
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
 def q_incremental_view(spark, sf_dir):
     """Incremental materialized aggregate view
     (``sources/views.py``): orders land in two appends on a 50-bucket
@@ -4243,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_clustered_probe": q_append_clustered_probe,
         "append_quick_stats": q_append_quick_stats,
         "append_restore": q_append_restore,
+        "append_unique_ingest": q_append_unique_ingest,
         "append_cdf": q_append_cdf,
         "incremental_view": q_incremental_view,
         "append_expectations": q_append_expectations,
@@ -6406,6 +6456,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM batch)
             UNION ALL
             SELECT * FROM batch
+        )
+        SELECT o_orderstatus,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        FROM merged
+        GROUP BY o_orderstatus
+    """
+    out["append_unique_ingest"] = """
+        WITH merged AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + 999
+            FROM orders
+            WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
         )
         SELECT o_orderstatus,
                count(*) AS n,

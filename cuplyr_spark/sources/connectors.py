@@ -1364,8 +1364,9 @@ def _file_stats(spark, fs: _TableFS, seg: str, schema, cby) -> dict:
 
 
 def _file_prune(log: dict, segs, sfilt: dict):
-    """FILE-grain zone-map pruning inside the surviving segments of a
-    CLUSTERED table. Returns ``(segs, {seg: [relpath, ...]})``: a
+    """FILE-grain zone-map pruning inside surviving segments that
+    carry per-file stats (cluster_by writes; z-ordered compaction
+    folds). Returns ``(segs, {seg: [relpath, ...]})``: a
     segment present in the map is read as an explicit file list (its
     other files provably contain no matching row); a segment none of
     whose files can match is dropped outright; segments without
@@ -1376,13 +1377,17 @@ def _file_prune(log: dict, segs, sfilt: dict):
     fsm = log.get("file_stats") or {}
     if not fsm:
         return list(segs), {}
-    cset = set(log.get("cluster_by") or ())
-    if not (set(sfilt) & cset):
-        return list(segs), {}
+    fcols = set(sfilt)
     kept, fmap = [], {}
     for s in segs:
         fst = fsm.get(s)
-        if not fst:
+        # relevance comes from the segment's own recorded entries (a
+        # z-ordered fold measures its zorder columns, a clustered
+        # segment its cluster columns) — a segment measuring none of
+        # the filtered columns is read whole, zero per-file work
+        if not fst or not any(
+            fcols & set(st.get("cols") or ()) for st in fst.values()
+        ):
             kept.append(s)
             continue
         files = [r for r, st in fst.items() if _seg_stats_match(st, sfilt)]
@@ -2610,6 +2615,95 @@ def _normalize_pfilter(partition_filter: dict) -> dict[str, set]:
     return out
 
 
+def _probe_existing_keys(spark, fs: _TableFS, cur: dict, keyset, ukey,
+                         segs=None):
+    """The keys of ``keyset`` (already distinct, NULL-free) that exist
+    in the table's live rows — the shared probe for the write-time
+    UNIQUE constraint. Candidate segments prune through the full
+    manifest stack (zone maps / dictionaries / blooms / file grain)
+    when the single key column is stat-eligible, so on a clustered or
+    bloom-equipped table the probe reads the key band's bytes, not
+    the corpus. Returns a DataFrame of conflicting key tuples."""
+    from cuplyr_spark.frame import Frame
+
+    segs = list(cur["segments"]) if segs is None else list(segs)
+    fmap: dict = {}
+    types = dict(map(tuple, cur.get("schema") or []))
+    if len(ukey) == 1 and types.get(ukey[0]) in _STAT_TYPES and segs:
+        filt = join_prune_filter(Frame(keyset, ()), ukey[0])
+        if filt is not None:
+            segs, _, fmap = _prune_by_stats(
+                spark, fs, cur, segs, filt, with_cond=False
+            )
+    if not segs:
+        return keyset.limit(0)
+    scan = _scan_with_dv(spark, fs, cur, segs, fmap=fmap).select(*ukey)
+    return keyset.join(scan, on=list(ukey), how="left_semi")
+
+
+def _enforce_unique(spark, fs: _TableFS, cur, df, ukey, on_conflict):
+    """Write-time UNIQUE-key enforcement for ``append_snapshot``:
+    NULL-keyed rows are exempt (SQL UNIQUE semantics — every NULL is
+    distinct), in-batch duplicates and batch-vs-table conflicts
+    either reject the batch whole (``on_conflict="error"``, with an
+    example key in the message) or drop to insert-ignore
+    (``on_conflict="drop"``: one arbitrary in-batch winner per key,
+    existing-key rows filtered out). Cost: one aggregate ∝ the batch
+    plus one pruned probe of the candidate segments. Returns the
+    (possibly filtered) batch."""
+    from pyspark.sql import functions as F
+
+    from cuplyr_spark.frame import broadcast_guarded
+
+    if not set(ukey) <= set(df.columns):
+        # a schema_mode="merge" batch omitting a key column appends
+        # NULL keys for it — exempt rows under SQL UNIQUE semantics,
+        # so there is nothing to check
+        return df
+    notnull = None
+    for c in ukey:
+        cond = F.col(c).isNotNull()
+        notnull = cond if notnull is None else (notnull & cond)
+    keyed, nulled = df.filter(notnull), df.filter(~notnull)
+    if on_conflict == "error":
+        dup = (
+            keyed.groupBy(*[F.col(c) for c in ukey])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .first()
+        )
+        if dup is not None:
+            raise ValueError(
+                f"append_snapshot: batch violates the table's UNIQUE "
+                f"({', '.join(ukey)}) constraint within itself — e.g. "
+                f"key {tuple(dup[c] for c in ukey)} appears "
+                f"{dup['__n']} times (on_conflict='drop' keeps one "
+                "arbitrary row per key instead)"
+            )
+    else:
+        keyed = keyed.dropDuplicates(list(ukey))
+    if cur and cur["segments"]:
+        keyset = keyed.select(*ukey).distinct()
+        hits = _probe_existing_keys(spark, fs, cur, keyset, ukey)
+        if on_conflict == "error":
+            ex = hits.first()
+            if ex is not None:
+                raise ValueError(
+                    f"append_snapshot: batch violates the table's "
+                    f"UNIQUE ({', '.join(ukey)}) constraint — e.g. key "
+                    f"{tuple(ex[c] for c in ukey)} already exists "
+                    "(on_conflict='drop' skips existing keys instead; "
+                    "upsert_append_rows replaces them)"
+                )
+        else:
+            keyed = keyed.join(
+                broadcast_guarded(hits, what="unique-key conflict set"),
+                on=list(ukey),
+                how="left_anti",
+            )
+    return keyed.unionByName(nulled)
+
+
 def _read_segments(
     spark, fs: _TableFS, log: dict, segs, partition_filter=None,
     stats_filter=None,
@@ -2806,6 +2900,8 @@ def append_snapshot(
     expectations: dict | None = None,
     cluster_by: list[str] | str | None = None,
     cluster_files: int | None = None,
+    unique_key: list[str] | str | None = None,
+    on_conflict: str = "error",
 ) -> int:
     """Append-only publish: write ONLY this batch's rows as a new
     segment directory and publish a log manifest listing every live
@@ -2912,6 +3008,25 @@ def append_snapshot(
     coalesce). Cluster columns must be stat-eligible non-partition
     columns; compaction re-clusters folds on the same keys.
 
+    ``unique_key`` (stamped at table creation and inherited, like
+    ``partition_by``) declares a write-time UNIQUE constraint — the
+    guarantee neither Delta nor Iceberg enforces natively, and the one
+    an event-id-deduped ingest actually wants: every append checks the
+    batch against itself (one aggregate ∝ batch) and against the
+    table (one probe of the candidate segments, pruned through zone
+    maps / dictionaries / blooms / file grain — pair with
+    ``cluster_by`` or a keyed bloom so the probe reads the key band,
+    not the corpus). ``on_conflict="error"`` (default) rejects the
+    batch whole with an example key; ``"drop"`` is insert-ignore
+    (one arbitrary in-batch winner per key, existing keys skipped).
+    NULL keys are exempt, SQL UNIQUE semantics. A concurrent append
+    landing between probe and commit is re-probed during the rebase
+    and surfaces as :class:`ConcurrentWriteError` rather than a
+    silent violation. On constrained tables ``upsert_append_rows``
+    requires its merge key to equal the constraint (and a key-distinct
+    batch), and ``update_append_rows`` refuses assignments to
+    constraint columns — the loud guards that keep the invariant.
+
     Bloom columns close the pruning gap zone maps leave: an equality
     lookup on a HIGH-CARDINALITY scattered key (user/doc/event ids)
     where ranges are too wide and the ≤32-value dictionary too small.
@@ -2970,7 +3085,24 @@ def append_snapshot(
                 if cluster_by is not None
                 else []
             )
-            return incoming, pby, spec, [], cby
+            ukey = []
+            if unique_key is not None:
+                ukey = (
+                    [unique_key]
+                    if isinstance(unique_key, str)
+                    else list(unique_key)
+                )
+                if not ukey:
+                    raise ValueError(
+                        "unique_key must name at least one column"
+                    )
+                have = {n for n, _ in incoming}
+                miss = [c for c in ukey if c not in have]
+                if miss:
+                    raise ValueError(
+                        f"unique_key columns {miss} not in the frame"
+                    )
+            return incoming, pby, spec, [], cby, ukey
         table_pby = list(cur.get("partition_by") or [])
         if partition_by is not None and list(partition_by) != table_pby:
             raise ValueError(
@@ -2990,6 +3122,19 @@ def append_snapshot(
                     f"append_snapshot: cluster_by {want} does not match "
                     f"the table's {table_cby} — clustering is fixed at "
                     "table creation"
+                )
+        table_ukey = list(cur.get("unique_key") or [])
+        if unique_key is not None:
+            want_u = (
+                [unique_key]
+                if isinstance(unique_key, str)
+                else list(unique_key)
+            )
+            if want_u != table_ukey:
+                raise ValueError(
+                    f"append_snapshot: unique_key {want_u} does not "
+                    f"match the table's {table_ukey} — the constraint "
+                    "is fixed at table creation"
                 )
         table = cur.get("schema")
         if table is None:  # legacy manifest: one footer read, then stamped
@@ -3042,19 +3187,27 @@ def append_snapshot(
                     f"table's {table_spec!r} — the spec is fixed at "
                     "table creation (sidecars must merge)"
                 )
-        return table, table_pby, table_spec, added, table_cby
+        return table, table_pby, table_spec, added, table_cby, table_ukey
 
+    if on_conflict not in ("error", "drop"):
+        raise ValueError(
+            f"on_conflict must be 'error' or 'drop', got {on_conflict!r}"
+        )
     cur = _read_log(fs)
     checked = check(cur)
     if checked is None:
         return cur["version"]
-    schema, pby, spec, added, cby = checked
+    schema, pby, spec, added, cby, ukey = checked
     exps = _resolve_expectations(expectations, cur)
     out_df, exp_drops = (
         _enforce_expectations(frame.df, exps, schema)
         if exps
         else (frame.df, {})
     )
+    if ukey:
+        out_df = _enforce_unique(
+            frame.df.sparkSession, fs, cur, out_df, ukey, on_conflict
+        )
     if cby:
         # clustered table: one range shuffle of the batch so each
         # written file covers a narrow cluster-key slice
@@ -3109,12 +3262,16 @@ def append_snapshot(
             }
         if cby:
             log["cluster_by"] = cby
-            cur_files = (cur.get("file_stats") if cur else None) or {}
-            if f_stats is not None or cur_files:
-                log["file_stats"] = {
-                    **cur_files,
-                    **({seg: f_stats} if f_stats is not None else {}),
-                }
+        if ukey:
+            log["unique_key"] = ukey
+        # file stats carry independently of clustering — z-ordered
+        # compaction folds record them on unclustered tables too
+        cur_files = (cur.get("file_stats") if cur else None) or {}
+        if f_stats is not None or cur_files:
+            log["file_stats"] = {
+                **cur_files,
+                **({seg: f_stats} if f_stats is not None else {}),
+            }
         if spec is not None:
             log["sketch_spec"] = spec
         if exps:
@@ -3141,10 +3298,12 @@ def append_snapshot(
                 committed=lambda: _log_committed_floor(fs),
             )
             cur = _read_log(fs, m)
+            prev_segs = set(log["segments"]) - {seg}
             checked = check(cur)
             if checked is None:  # the winner WAS this batch (replay race)
                 return cur["version"]  # our segment is an orphan; vacuum
-            schema, rebased_pby, rebased_spec, added, rebased_cby = checked
+            (schema, rebased_pby, rebased_spec, added, rebased_cby,
+             rebased_ukey) = checked
             if rebased_pby != pby:  # first-append race decided a
                 raise ValueError(   # different layout than we wrote
                     f"append_snapshot: a concurrent first append fixed "
@@ -3163,6 +3322,41 @@ def append_snapshot(
                     f"cluster_by={rebased_cby} but this batch was "
                     f"clustered with {cby} — re-run the append"
                 )
+            if rebased_ukey != ukey:
+                raise ValueError(
+                    f"append_snapshot: a concurrent first append fixed "
+                    f"unique_key={rebased_ukey} but this batch was "
+                    f"checked against {ukey} — re-run the append"
+                )
+            if ukey:
+                # the uniqueness probe ran against the snapshot we
+                # read; a winner's NEW segments were never probed — a
+                # silent violation would slip through the rebase
+                new_segs = [
+                    s for s in cur["segments"] if s not in prev_segs
+                ]
+                if new_segs:
+                    ours = (
+                        _read_parquet_at(
+                            frame.df.sparkSession, schema, fs.join(seg)
+                        )
+                        .select(*ukey)
+                        .na.drop()
+                        .distinct()
+                    )
+                    hit = _probe_existing_keys(
+                        frame.df.sparkSession, fs, cur, ours, ukey,
+                        segs=new_segs,
+                    ).first()
+                    if hit is not None:
+                        raise ConcurrentWriteError(
+                            f"append to {table_dir!r}: a concurrent "
+                            f"append committed key "
+                            f"{tuple(hit[c] for c in ukey)} this batch "
+                            "also carries — UNIQUE constraint cannot "
+                            "rebase; re-run the append (the staged "
+                            "segment is an orphan vacuum sweeps)"
+                        )
             n = cur["version"] + 1
     raise ConcurrentWriteError(
         f"append to {table_dir!r} lost 6 straight log-commit races — "
@@ -3661,28 +3855,40 @@ def join_prune_filter(
     subsequent join keeps the result exact either way, so the filter
     is purely an IO reducer.
 
-    Returns ``None`` — meaning "no pruning, pass ``stats_filter=None``
-    through" — when the dim side exceeds ``max_keys`` (collecting an
-    unbounded key set to the driver is the one thing this must never
-    do; the plain join is the correct fallback) . NULL keys are
-    dropped (an equality join never matches them; use ``eqNullSafe``
-    joins on the unpruned read if you need NULL↔NULL). Usage::
+    Past ``max_keys`` (collecting an unbounded key set to the driver
+    is the one thing this must never do) the filter degrades to the
+    key RANGE — one tiny aggregate, two driver values — which still
+    prunes everything outside ``[min, max]``: exactly the
+    time-ordered-ingest shape where a multi-million-key corrections
+    batch spans a narrow recent band of a years-deep table. The range
+    residual admits non-member rows, so use this (as the docstring
+    example does) with a join/semi-join that is the exact matcher —
+    which every internal caller (MERGE, DELETE-by-keys, the
+    uniqueness probe) is. Returns ``None`` only when even the range
+    is unknowable (all-NULL keys). NULL keys are dropped (an equality
+    join never matches them; use ``eqNullSafe`` joins on the unpruned
+    read if you need NULL↔NULL). Usage::
 
         keys = join_prune_filter(small_dim, "c_custkey", "o_custkey")
         fact = read_append_snapshot(spark, d, stats_filter=keys)
         out  = fact.inner_join(small_dim, by={"o_custkey": "c_custkey"})
     """
+    from pyspark.sql import functions as F
+
     df = frame.df if isinstance(frame, Frame) else frame
     rows = df.select(col).distinct().limit(max_keys + 1).collect()
     if len(rows) > max_keys:
+        b = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()
+        if b["mn"] is None:
+            return None  # all-NULL keys: nothing derivable
         warnings.warn(
             f"join_prune_filter: more than {max_keys} distinct keys in "
-            f"{col!r} — skipping manifest pruning (the plain join is the "
-            "correct fallback at this cardinality; raise max_keys if the "
-            "driver can hold the set)",
+            f"{col!r} — degrading from the exact key set to the key "
+            f"RANGE [{b['mn']!r}, {b['mx']!r}] (still prunes everything "
+            "outside the band; the join stays the exact matcher)",
             stacklevel=2,
         )
-        return None
+        return {fact_col or col: [(">=", b["mn"]), ("<=", b["mx"])]}
     keys = sorted(r[0] for r in rows if r[0] is not None)
     return {fact_col or col: ("in", keys)}
 
@@ -3718,6 +3924,8 @@ def _log_with_extras(cur: dict, n: int, segments: list[str]) -> dict:
         log["stats"] = kept_stats
     if cur.get("cluster_by"):
         log["cluster_by"] = cur["cluster_by"]
+    if cur.get("unique_key"):
+        log["unique_key"] = cur["unique_key"]
     fsm = cur.get("file_stats") or {}
     kept_files = {s: fsm[s] for s in segments if s in fsm}
     if kept_files:
@@ -4066,6 +4274,14 @@ def update_append_rows(
             f"update_append_rows: columns {unknown} are not in the table "
             f"schema — append tables are fixed-schema (existing columns: "
             f"{sorted(known)}; pass schema_mode='merge' to add them)"
+        )
+    ukey_hit = sorted(set(assignments) & set(cur.get("unique_key") or []))
+    if ukey_hit:
+        raise ValueError(
+            f"update_append_rows: columns {ukey_hit} carry the table's "
+            "UNIQUE constraint — an update could collide keys silently; "
+            "delete + append (or a keyed upsert) expresses a key change "
+            "explicitly"
         )
     if where is None and partition_filter is None:
         raise ValueError(
@@ -4509,6 +4725,33 @@ def upsert_append_rows(
             f"upsert_append_rows: key columns {missing} are not in the "
             f"table schema ({sorted(known)})"
         )
+    table_ukey = list(cur.get("unique_key") or [])
+    if table_ukey:
+        # constrained table: the merge key must BE the constraint (a
+        # different key appends rows whose constraint keys may clash)
+        # and the batch must be key-distinct (both copies would land)
+        if sorted(keys) != sorted(table_ukey):
+            raise ValueError(
+                f"upsert_append_rows: table carries UNIQUE "
+                f"({', '.join(table_ukey)}) — the merge key {keys} "
+                "must equal the constraint to preserve it"
+            )
+        from pyspark.sql import functions as F
+
+        dup = (
+            frame.df.na.drop(subset=keys)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .first()
+        )
+        if dup is not None:
+            raise ValueError(
+                f"upsert_append_rows: batch repeats key "
+                f"{tuple(dup[c] for c in keys)} {dup['__n']} times — "
+                "both copies would land and violate the table's "
+                "UNIQUE constraint; dedupe the batch first"
+            )
     if schema_mode not in ("strict", "merge"):
         raise ValueError(
             f"schema_mode must be 'strict' or 'merge', got {schema_mode!r}"
@@ -5132,13 +5375,24 @@ def compact_append_snapshot(
         ) if cur.get("schema") else None
     if fold_stats is not None:
         log["stats"] = {**(log.get("stats") or {}), seg: fold_stats}
-    # file-grain zone maps for the re-clustered fold (cost ∝ fold
-    # bytes, which the fold just paid anyway); folded segments' file
-    # entries were already dropped by _log_with_extras
-    if cby and cur.get("file_stats") and cur.get("schema"):
+    # file-grain zone maps for the fold (cost ∝ fold bytes, which the
+    # fold just paid anyway): the cluster columns on a clustered
+    # table, else the z-order columns — the fold's per-file ranges on
+    # them are tight by construction, so key probes file-prune
+    # z-ordered tables exactly like clustered ones. Folded segments'
+    # entries were already dropped by _log_with_extras.
+    types = dict(map(tuple, cur.get("schema") or []))
+    fcols = cby or [
+        c
+        for c in (zorder_by or [])
+        if types.get(c) in _STAT_TYPES and c not in pby
+    ]
+    if fcols and cur.get("schema") and (
+        cur.get("file_stats") or cby or zorder_by
+    ):
         log["file_stats"] = {
             **(log.get("file_stats") or {}),
-            seg: _file_stats(spark, fs, seg, cur["schema"], cby),
+            seg: _file_stats(spark, fs, seg, cur["schema"], fcols),
         }
     spec = cur.get("sketch_spec")
     if spec is not None:

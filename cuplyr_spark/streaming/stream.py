@@ -402,6 +402,7 @@ def stream_append_snapshot(
     collect_stats: bool = True,
     sketch_spec: dict | None = None,
     refresh_views: list[str] | None = None,
+    on_conflict: str = "error",
 ):
     """Continuous APPEND ingest into a log table
     (``connectors.append_snapshot``) — the insert-only twin of
@@ -481,6 +482,7 @@ def stream_append_snapshot(
             Frame(batch_df, ()), table_dir, batch_id=batch_id,
             app_id=app_id, partition_by=partition_by,
             collect_stats=collect_stats, sketch_spec=sketch_spec,
+            on_conflict=on_conflict,
         )
         if compact_every is not None and batch_id % compact_every == (
             compact_every - 1

@@ -395,3 +395,35 @@ def test_cluster_with_schema_evolution(spark, tmp_path):
     fr2 = read_append_snapshot(spark, d, stats_filter={"k": ("==", 3000)})
     assert fr2.df.collect()[0].extra == 1
     assert len(_files(fr2)) == 1
+
+
+def test_zorder_fold_gets_file_grain_pruning(spark, tmp_path):
+    """An UNCLUSTERED table compacted with zorder_by: the fold records
+    per-file zone maps for the z-order columns, so point probes
+    file-prune the fold — and the entries survive later appends (the
+    carry is independent of cluster_by)."""
+    d = str(tmp_path / "t")
+    for i in range(4):
+        append_snapshot(_mk(spark, i * 1000, (i + 1) * 1000), d)
+    log0 = _read_log(_TableFS(d, spark))
+    assert "file_stats" not in log0 and "cluster_by" not in log0
+    v = compact_append_snapshot(
+        spark, d, target_file_bytes=12 * 1024, zorder_by=["k"]
+    )
+    assert v is not None
+    log = _read_log(_TableFS(d, spark))
+    (fold,) = log["segments"]
+    assert "cluster_by" not in log
+    fst = log["file_stats"][fold]
+    assert len(fst) > 1
+    assert all(set(st["cols"]) == {"k"} for st in fst.values())
+    fr = read_append_snapshot(spark, d, stats_filter={"k": ("==", 1500)})
+    assert [(r.k,) for r in fr.df.select("k").collect()] == [(1500,)]
+    assert len(_files(fr)) < len(fst)
+    # a later append must not drop the fold's entries
+    append_snapshot(_mk(spark, 4000, 5000), d)
+    log2 = _read_log(_TableFS(d, spark))
+    assert fold in log2["file_stats"]
+    fr2 = read_append_snapshot(spark, d, stats_filter={"k": ("==", 1500)})
+    assert fr2.df.count() == 1
+    assert len(_files(fr2)) < len(fst) + 1  # fold still file-pruned

@@ -198,6 +198,7 @@ EXCHANGE_BUDGETS = {
     "append_clustered_probe": 1,  # r12: grouped agg over the file-pruned DV-anti-joined scan; DV apply broadcasts, write-side range shuffles ran eagerly
     "append_quick_stats": 0,  # r12: a createDataFrame literal — the numbers came from manifest metadata, no scan exists to shuffle
     "append_restore": 1,  # r12: one grouped agg over the restored multi-path scan (the restore itself is a metadata publish)
+    "append_unique_ingest": 1,  # r12: grouped agg over the deduped table; the unique probe + anti-join ran eagerly at write time
 }
 
 # Queries whose plan legitimately contains an unpartitioned window over

@@ -828,6 +828,14 @@ def test_join_prune_filter_guards_and_nulls(spark, tmp_path):
     )
     # NULL keys dropped (equality joins never match them)
     assert join_prune_filter(dim, "key") == {"key": ("in", [1, 2])}
-    # over the cap: explicit None (caller passes stats_filter=None)
-    with pytest.warns(UserWarning, match="distinct keys"):
-        assert join_prune_filter(dim, "key", max_keys=1) is None
+    # over the cap: degrade to the key RANGE (still prunes outside the
+    # band; the caller's join stays the exact matcher)
+    with pytest.warns(UserWarning, match="degrading"):
+        assert join_prune_filter(dim, "key", max_keys=1) == {
+            "key": [(">=", 1), ("<=", 2)]
+        }
+    # all-NULL keys: the empty in-list (nothing can match a key probe)
+    nulls = from_pandas(
+        spark, pd.DataFrame({"key": pd.array([None, None], dtype="Int64")})
+    )
+    assert join_prune_filter(nulls, "key") == {"key": ("in", [])}
