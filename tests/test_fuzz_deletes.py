@@ -1,7 +1,10 @@
 """Model-based fuzz of the deletion-vector lifecycle: a random
-sequence of append / delete / update / upsert / compact / vacuum ops
-runs against BOTH the real append table and an in-memory pandas model;
-after every op the table must equal the model exactly.
+sequence of append / delete / update / upsert / compact / vacuum /
+RESTORE ops runs against BOTH the real append table and an in-memory
+pandas model (model states snapshotted per published version, so a
+restore must land exactly on the saved state of its target — or
+refuse with FileNotFoundError when vacuum already swept it); after
+every op the table must equal the model exactly.
 
 This is the property test commit-protocol code needs: any divergence
 between the DV read path (broadcast anti-join, fully-deleted-segment
@@ -19,11 +22,14 @@ from pyspark.sql import functions as F
 
 from cuplyr_spark.frame import Frame
 from cuplyr_spark.sources.connectors import (
+    _TableFS,
+    _read_log,
     append_snapshot,
     compact_append_snapshot,
     delete_append_rows,
     merge_append_dvs,
     read_append_snapshot,
+    restore_append_snapshot,
     update_append_rows,
     upsert_append_rows,
     vacuum_append_snapshot,
@@ -90,11 +96,15 @@ def test_dv_lifecycle_matches_model(
     )
     batch += 1
     model.update({i: (g, v) for i, g, v in rows})
+    # model snapshots per PUBLISHED version: the restore op below must
+    # land exactly on the saved state of the version it targets
+    fs = _TableFS(d, spark)
+    saved = {_read_log(fs)["version"]: dict(model)}
 
     for step in range(N_OPS):
         op = rng.choice(
             ["append", "delete", "update", "upsert", "compact", "vacuum",
-             "merge_dvs"]
+             "merge_dvs", "restore"]
         )
         if op == "append":
             rows = fresh_rows(rng.randrange(5, 40))
@@ -148,10 +158,22 @@ def test_dv_lifecycle_matches_model(
             # DV maintenance is dataChange=false: the model is
             # untouched by construction
             merge_append_dvs(spark, d)
+        elif op == "restore":
+            cur_v = _read_log(fs)["version"]
+            candidates = [k for k in saved if k < cur_v]
+            if candidates:
+                k = rng.choice(candidates)
+                try:
+                    restore_append_snapshot(spark, d, k)
+                except FileNotFoundError:
+                    pass  # vacuumed past the target: documented refusal
+                else:
+                    model = dict(saved[k])
         else:
             vacuum_append_snapshot(
                 d, keep_last=rng.randrange(1, 4), orphan_grace_hours=0
             )
+        saved[_read_log(fs)["version"]] = dict(model)
         got = _table_state(spark, d)
         assert got == model, (
             f"seed={seed} step={step} op={op}: table diverged from model "
