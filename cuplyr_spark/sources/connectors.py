@@ -4916,6 +4916,24 @@ def upsert_append_rows(
     )
 
 
+def _window_restores(fs: _TableFS, since: int, end: int) -> list[tuple]:
+    """(version, restored_from) pairs inside ``(since, end]`` — the
+    manifest walk that tells an incremental consumer its window
+    crosses a RESTORE (whose version-to-version diff re-surfaces
+    segments the consumer may already have processed). Missing
+    (vacuumed) manifests contribute nothing — the subsequent delta
+    read fails loudly on them anyway."""
+    out = []
+    for k in range(since + 1, end + 1):
+        try:
+            log_k = _read_log(fs, k)
+        except FileNotFoundError:
+            continue
+        if log_k is not None and log_k.get("restored_from") is not None:
+            out.append((k, log_k["restored_from"]))
+    return out
+
+
 def tail_append_changes(
     spark: SparkSession,
     table_dir: str,
@@ -4926,6 +4944,7 @@ def tail_append_changes(
     stats_filter: dict | None = None,
     apply_deletes: bool = False,
     where: str | None = None,
+    on_restore: str = "error",
 ) -> tuple[int, int]:
     """EXACTLY-ONCE batch-incremental consumer for an append table —
     the checkpointed driver around :func:`read_append_changes`, and
@@ -4968,7 +4987,22 @@ def tail_append_changes(
     still advances over the FULL log (the filter names what this
     consumer processes, not where it is). ``stats_filter`` scopes it
     by the zone maps the same way (e.g. a consumer tailing only a key
-    range of a time-ordered table)."""
+    range of a time-ordered table).
+
+    ``on_restore`` decides what happens when the window crosses a
+    :func:`restore_append_snapshot` (whose version diff re-surfaces
+    segments this consumer may already have processed):
+    ``"error"`` (default) raises with the restore version instead of
+    silently double-delivering; ``"bootstrap"`` reprocesses the
+    PUBLISHED SNAPSHOT exactly like a fresh consumer (the correct
+    reset when ``process`` replaces downstream state per call);
+    ``"ignore"`` reads the raw diff (only correct when the downstream
+    dedupes)."""
+    if on_restore not in ("error", "bootstrap", "ignore"):
+        raise ValueError(
+            f"on_restore must be 'error', 'bootstrap' or 'ignore', "
+            f"got {on_restore!r}"
+        )
     if "/" in consumer_id or not consumer_id.strip():
         raise ValueError(
             f"consumer_id {consumer_id!r} must be a non-empty name "
@@ -4999,6 +5033,27 @@ def tail_append_changes(
     start = int(cursor_text)
     if up_to <= start:
         return (start, start)
+    if on_restore != "ignore":
+        hits = _window_restores(_TableFS(table_dir, spark), start, up_to)
+        if hits and on_restore == "error":
+            raise ValueError(
+                f"tail_append_changes: the window ({start}, {up_to}] "
+                f"crosses restore(s) {hits} — the delta may re-surface "
+                "already-processed segments. Re-run with "
+                "on_restore='bootstrap' to reprocess the snapshot, or "
+                "'ignore' if the downstream dedupes."
+            )
+        if hits:  # on_restore == "bootstrap": reset through the snapshot
+            changes = read_append_snapshot(
+                spark, table_dir, version=up_to,
+                partition_filter=partition_filter,
+                stats_filter=stats_filter, where=where,
+            )
+            process(changes, up_to)
+            fs.write_text_atomic(
+                name, str(up_to), f".cur.{consumer_id}.{up_to}"
+            )
+            return (start, up_to)
     changes = read_append_changes(
         spark, table_dir, since_version=start, version=up_to,
         partition_filter=partition_filter, stats_filter=stats_filter,
@@ -5066,6 +5121,18 @@ def tail_append_cdf(
     start = int(cursor_text)
     if up_to <= start:
         return (start, start)
+    # a RESTORE in the window breaks the version diff (re-added
+    # segments would re-emit as inserts this consumer already saw) —
+    # same rule as tail_append_changes(on_restore="error"); a mirror
+    # must reset (fresh cursor_dir or consumer_id = snapshot reload)
+    hits = _window_restores(fs, start, up_to)
+    if hits:
+        raise ValueError(
+            f"tail_append_cdf: the window ({start}, {up_to}] crosses "
+            f"restore(s) {hits} — the typed diff would re-emit rows "
+            "this consumer already applied. Reset the mirror: reload "
+            "from the snapshot under a fresh consumer_id."
+        )
     changes = read_append_cdf(spark, table_dir, since_version=start, version=up_to)
     process(changes, up_to)
     cfs.write_text_atomic(name, str(up_to), f".cur.{consumer_id}.{up_to}")
@@ -5475,12 +5542,13 @@ def restore_append_snapshot(
             f"restore target {version} is ahead of the published "
             f"version {cur['version']}"
         )
-    target = _read_log(fs, version)
-    if target is None:
+    try:
+        target = _read_log(fs, version)
+    except FileNotFoundError:
         raise FileNotFoundError(
             f"log version {version} not found at {table_dir!r} — "
             "vacuumed past the restore point"
-        )
+        ) from None
     missing = [s for s in target["segments"] if not fs.exists(s)]
     missing += [
         d

@@ -429,10 +429,15 @@ def refresh_append_view(
         # a RESTORE in the window breaks the version-to-version diff
         # both incremental paths rely on (re-added segments would
         # double-merge; dropped ones would never subtract) — take the
-        # full rebuild for this one refresh, exactly like the
-        # vacuumed-window escape hatch
+        # full rebuild for this one refresh. A VACUUMED window (the
+        # manifest walk raises) takes the same path: the rebuild reads
+        # only the published snapshot, no history needed.
         for k in range(last["base_version"] + 1, end + 1):
-            log_k = _read_log(bfs, k)
+            try:
+                log_k = _read_log(bfs, k)
+            except FileNotFoundError:
+                full = True
+                break
             if log_k is not None and log_k.get("restored_from") is not None:
                 full = True
                 break

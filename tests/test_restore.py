@@ -156,3 +156,49 @@ def test_view_refresh_survives_base_restore(spark, tmp_path):
         for m in range(5)
     }
     assert got == want
+
+
+def test_tail_consumers_detect_restore(spark, tmp_path):
+    """Incremental consumers whose window crosses a restore must not
+    silently re-deliver: tail_append_changes raises by default,
+    reprocesses the snapshot with on_restore='bootstrap', and reads
+    the raw diff with 'ignore'; tail_append_cdf always raises (a
+    mirror must reset)."""
+    from cuplyr_spark.sources.connectors import (
+        compact_append_snapshot,
+        tail_append_cdf,
+        tail_append_changes,
+    )
+
+    d = str(tmp_path / "t")
+    cdir = str(tmp_path / "cur")
+    seen: list = []
+
+    def proc(fr, v):
+        seen.append((v, fr.df.count()))
+
+    append_snapshot(_mk(spark, 0, 100), d, batch_id=0)        # v1
+    tail_append_changes(spark, d, cdir, proc)                 # bootstrap
+    append_snapshot(_mk(spark, 100, 200), d, batch_id=1)      # v2
+    # fold v1+v2 so the restore below re-adds segments the consumer
+    # already processed — the exact double-delivery hazard
+    compact_append_snapshot(spark, d, target_file_bytes=1 << 30)  # v3
+    restore_append_snapshot(spark, d, 2)                      # v4
+    with pytest.raises(ValueError, match="crosses restore"):
+        tail_append_changes(spark, d, cdir, proc)
+    # bootstrap: reprocess the snapshot, cursor advances
+    fr, to = tail_append_changes(
+        spark, d, cdir, proc, on_restore="bootstrap"
+    )
+    assert to == 4 and seen[-1] == (4, 200)
+    # subsequent windows are clean again
+    append_snapshot(_mk(spark, 200, 250), d, batch_id=2)      # v5
+    fr, to = tail_append_changes(spark, d, cdir, proc)
+    assert to == 5 and seen[-1] == (5, 50)
+    # the typed-CDF consumer refuses outright
+    cdir2 = str(tmp_path / "cur2")
+    seen2: list = []
+    tail_append_cdf(spark, d, cdir2, lambda f, v: seen2.append(v))
+    restore_append_snapshot(spark, d, 4)                      # v6
+    with pytest.raises(ValueError, match="reset the mirror|Reset the mirror"):
+        tail_append_cdf(spark, d, cdir2, lambda f, v: seen2.append(v))
