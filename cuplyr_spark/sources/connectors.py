@@ -1264,7 +1264,17 @@ def _grow_schema_stats(smap: dict, added) -> dict:
     return out
 
 
-_FILE_REL_RE = r".*/(?:seg|fold)=[^/]+/(.*)$"
+def _file_rel_re(seg: str) -> str:
+    """Regex extracting a file path RELATIVE to one specific segment
+    directory. Anchors on the segment's exact (escaped) directory
+    name — a generic ``(?:seg|fold)=[^/]+`` pattern would greedily
+    anchor on the LAST matching component, so a partition column
+    literally named ``seg`` or ``fold`` (paths like
+    ``seg=3-ab/seg=5/part.parquet``) would mis-key ``file_stats`` and
+    make :func:`_seg_paths` build nonexistent file paths."""
+    import re as _re
+
+    return r".*/" + _re.escape(seg) + r"/(.*)$"
 
 
 def _validate_cluster_by(cluster_by, schema, pby) -> list[str]:
@@ -1337,7 +1347,7 @@ def _file_stats(spark, fs: _TableFS, seg: str, schema, cby) -> dict:
     types = dict(map(tuple, schema))
     sdf = spark.read.parquet(fs.join(seg)).select(
         F.regexp_extract(
-            F.col("_metadata.file_path"), _FILE_REL_RE, 1
+            F.col("_metadata.file_path"), _file_rel_re(seg), 1
         ).alias("__rel"),
         *[F.col(c) for c in cby],
     )
@@ -1515,22 +1525,56 @@ def _seg_stats_match(st, filt: dict) -> bool:
     return True
 
 
+def _rewrite_sql_eq(pred: str) -> str:
+    """Rewrite SQL-style single ``=`` equality to Python ``==``,
+    QUOTE-AWARE: a character scan tracks single-/double-quoted string
+    literals (with backslash escapes) and only rewrites ``=`` outside
+    them — a naive regex would corrupt ``status = 'a=b'`` into
+    ``status == 'a==b'`` and the derived prune would silently skip
+    the matching segment (unsound). ``=`` already part of ``== <= >=
+    !=`` is left alone."""
+    out: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(pred)
+    while i < n:
+        ch = pred[i]
+        if quote is not None:
+            out.append(ch)
+            if ch == "\\" and i + 1 < n:
+                out.append(pred[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "=":
+            prev = pred[i - 1] if i else ""
+            nxt = pred[i + 1] if i + 1 < n else ""
+            if prev not in "<>=!" and nxt != "=":
+                out.append("==")
+                i += 1
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _parse_pred_ast(pred: str):
     """Parse a filter predicate for derivation. The Frame.filter
     grammar accepts SQL-style single ``=`` equality; Python's ast does
-    not, so retry with ``=`` rewritten to ``==`` (only where it isn't
-    already part of ``== <= >= !=``) before declaring the predicate
+    not, so retry with ``=`` rewritten to ``==`` via the quote-aware
+    :func:`_rewrite_sql_eq` before declaring the predicate
     underivable. Returns the expression node or None."""
     import ast as _ast
-    import re as _re
 
     try:
         return _ast.parse(pred, mode="eval").body
     except SyntaxError:
         try:
-            return _ast.parse(
-                _re.sub(r"(?<![<>=!])=(?!=)", "==", pred), mode="eval"
-            ).body
+            return _ast.parse(_rewrite_sql_eq(pred), mode="eval").body
         except SyntaxError:
             return None
 
@@ -2373,26 +2417,36 @@ def _with_dv_meta(df, pby=None, legacy: bool = False):
     old-layout ``dv=`` files (written before the v2 addressing; purge
     or DV maintenance retires them).
 
-    The SEGMENT part (regex; greedy prefix binds the LAST
-    ``seg=``/``fold=`` component, so a table nested under another
-    table's segment dir resolves its own) is recorded for DV scoping
-    and vacuum/audit only — Catalyst prunes it wherever unused, which
-    is every read; only a DELETE's matched rows evaluate it."""
+    The SEGMENT part (regex) is recorded for DV scoping and
+    vacuum/audit only — Catalyst prunes it wherever unused, which is
+    every read; only a DELETE's matched rows evaluate it. The pattern
+    anchors the segment as the component EXACTLY ``len(pby)+1`` levels
+    above the file (this layer always writes ``seg/p1=v/.../file``),
+    never "the last ``seg=``-looking component" — a greedy match would
+    mis-key both the segment and the legacy within-segment path when a
+    PARTITION COLUMN is literally named ``seg``/``fold`` (dirs like
+    ``seg=3-ab/seg=5/part.parquet``), silently resurrecting deleted
+    rows; fixed depth also keeps a table nested under another table's
+    segment dir resolving its own segment."""
     from pyspark.sql import functions as F
 
     fp = F.col("_metadata.file_path")
+    depth = len(pby) + 1 if pby else 1  # partition dirs + file name
+    seg_re = (
+        r"^.*/((?:seg|fold)=[^/]+)" + r"/[^/]+" * depth + r"$"
+    )
     df = (
-        df.withColumn(
-            _DV_SEG, F.regexp_extract(fp, r".*/((?:seg|fold)=[^/]+)/", 1)
-        )
+        df.withColumn(_DV_SEG, F.regexp_extract(fp, seg_re, 1))
         .withColumn(_DV_FILE, F.col("_metadata.file_name"))
         .withColumn(_DV_POS, F.col("_metadata.row_index"))
     )
     if pby:
         df = df.withColumn(_DV_PART, _dv_part_expr(pby))
     if legacy:
+        # path within the segment = the last `depth` components
+        relp_re = r"/((?:[^/]+/){" + str(depth - 1) + r"}[^/]+)$"
         df = df.withColumn(
-            _DV_RELP, F.regexp_extract(fp, r".*/(?:seg|fold)=[^/]+/(.*)$", 1)
+            _DV_RELP, F.regexp_extract(fp, relp_re, 1)
         )
     return df
 
@@ -4524,7 +4578,9 @@ def read_append_cdf(
             )
             seg_of = F.regexp_extract(
                 F.col("_metadata.file_path"),
-                r".*/((?:seg|fold)=[^/]+)/",
+                # fixed-depth anchor (file directly under the segment
+                # in the unpartitioned layout) — see _with_dv_meta
+                r"^.*/((?:seg|fold)=[^/]+)/[^/]+$",
                 1,
             )
             vmap = F.create_map(
@@ -5574,13 +5630,46 @@ def restore_append_snapshot(
     log["watermarks"] = _log_watermarks(cur if keep_watermarks else target)
     log["restored_from"] = version
     try:
-        return _write_log(fs, log)
+        n = _write_log(fs, log)
     except ConcurrentWriteError:
         raise ConcurrentWriteError(
             f"restore of {table_dir!r} lost the log-commit race — a "
             "writer published concurrently; re-check the table state "
             "and re-run the restore"
         ) from None
+    # TOCTOU re-verify: a vacuum that was already running against the
+    # PRE-restore head can sweep target-only paths between the
+    # existence check above and the publish (it never saw this head).
+    # Re-check after winning the commit; on loss, roll the table
+    # forward to the pre-restore content (whose paths that vacuum
+    # honored) and fail loudly, instead of leaving a published head
+    # whose reads die — or whose vanished DVs silently resurrect
+    # deleted rows.
+    gone = [s for s in target["segments"] if not fs.exists(s)]
+    gone += [
+        d
+        for d in sorted(
+            {dv for dvs in (target.get("deletes") or {}).values() for dv in dvs}
+        )
+        if not fs.exists(d)
+    ]
+    if gone:
+        redo = {
+            k: v
+            for k, v in cur.items()
+            if k not in ("version", "expectation_drops")
+        }
+        redo["version"] = n + 1
+        redo["restored_from"] = cur["version"]
+        _write_log(fs, redo)
+        raise FileNotFoundError(
+            f"restore to version {version} raced a concurrent vacuum — "
+            f"paths {gone[:5]}{'...' if len(gone) > 5 else ''} were "
+            f"reclaimed after the pre-publish check; the table was "
+            f"rolled forward to the pre-restore content (version "
+            f"{redo['version']})"
+        )
+    return n
 
 
 def append_quick_stats(

@@ -402,6 +402,7 @@ def stream_append_snapshot(
     collect_stats: bool = True,
     sketch_spec: dict | None = None,
     refresh_views: list[str] | None = None,
+    unique_key: list[str] | str | None = None,
     on_conflict: str = "error",
 ):
     """Continuous APPEND ingest into a log table
@@ -466,6 +467,23 @@ def stream_append_snapshot(
     )
     from cuplyr_spark.sources.views import refresh_append_view
 
+    if on_conflict != "error" and unique_key is None:
+        # without a key the constraint machinery never engages: on a
+        # fresh table_dir on_conflict="drop" would be silently inert
+        # (no dedup at all) while reading like working ingest-dedup —
+        # engage only when the TARGET table already carries a key
+        from cuplyr_spark.sources.connectors import _TableFS, _read_log
+
+        cur = _read_log(_TableFS(table_dir, stream.sparkSession))
+        if cur is None or not cur.get("unique_key"):
+            raise ValueError(
+                f"on_conflict={on_conflict!r} without unique_key= and "
+                f"the target table carries no unique key — the "
+                "constraint would never engage (no dedup would "
+                "happen); pass unique_key= to create the constrained "
+                "table"
+            )
+
     if compact_every is not None and compact_every < 1:
         raise ValueError("compact_every must be >= 1")
     if zorder_by is not None and compact_every is None:
@@ -482,7 +500,7 @@ def stream_append_snapshot(
             Frame(batch_df, ()), table_dir, batch_id=batch_id,
             app_id=app_id, partition_by=partition_by,
             collect_stats=collect_stats, sketch_spec=sketch_spec,
-            on_conflict=on_conflict,
+            unique_key=unique_key, on_conflict=on_conflict,
         )
         if compact_every is not None and batch_id % compact_every == (
             compact_every - 1
