@@ -3939,6 +3939,84 @@ def q_append_read_where(spark, sf_dir):
     )
 
 
+def q_append_decimal_prune(spark, sf_dir):
+    """Decimal columns in the stats stack: zone-map bounds for
+    ``decimal(p,s)`` are recorded as exact UNSCALED INTEGERS (scale is
+    a constant of the column type), so money columns — the most common
+    warehouse filter key — prune segments exactly like integers
+    instead of falling through to a full scan. Exercised end-to-end:
+    segments keyed by price range, a DELETE whose decimal predicate
+    prunes through the zone maps, then a ``where=`` read with a
+    fractional decimal literal deriving the stats filter. Oracle:
+    plain WHERE over the same cast."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        delete_append_rows,
+        read_append_snapshot,
+    )
+
+    odf = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    d = _scratch_dir("decimal_prune")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(Frame(odf.filter("price < 150000")), d, batch_id=0)
+    append_snapshot(Frame(odf.filter("price >= 150000")), d, batch_id=1)
+    # decimal-predicate DELETE: the low segment is excluded by its
+    # zone maps ([min,max] < 400000), so only the high segment scans
+    delete_append_rows(spark, d, "price >= 400000")
+    out = read_append_snapshot(spark, d, where="price >= 200000.50")
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        (
+            F.sum((F.col("price") * 100).cast("long")).cast("double")
+            / 100
+        ).alias("total"),
+    )
+
+
+def q_append_type_widening(spark, sf_dir):
+    """Type-widening schema evolution (``schema_mode="merge"``, the
+    public Delta type-widening set): the table starts with an INT key
+    column; a later batch lands it as BIGINT and the manifest widens —
+    zero data movement, old segments read through the widened schema
+    (Spark's parquet reader upcasts int32 natively) and their
+    zone-map bounds stay valid as-is. The read spans both eras and a
+    stats-deriving predicate still prunes. Oracle: plain WHERE over
+    the unioned eras with the same final types."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+    )
+
+    odf = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = _scratch_dir("type_widening")
+    shutil.rmtree(d, ignore_errors=True)
+    lo = odf.filter("o_orderkey < 700").withColumn(
+        "o_orderkey", F.col("o_orderkey").cast("int")
+    )
+    append_snapshot(Frame(lo), d, batch_id=0)
+    hi = odf.filter("o_orderkey >= 700")  # bigint: widens the table
+    append_snapshot(Frame(hi), d, batch_id=1, schema_mode="merge")
+    out = read_append_snapshot(
+        spark, d, where="o_orderkey >= 700 and o_totalprice > 100000"
+    )
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
 def q_separate_rows(spark, sf_dir):
     """tidyr ``separate_rows`` (``Frame.separate_rows``): a delimited
     string column explodes into one row per element — map-side
@@ -4299,6 +4377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_schema_evolution": q_append_schema_evolution,
         "append_dv_partitioned": q_append_dv_partitioned,
         "append_read_where": q_append_read_where,
+        "append_decimal_prune": q_append_decimal_prune,
+        "append_type_widening": q_append_type_widening,
         "sidecar_table_stats": q_sidecar_table_stats,
         "dictionary_prune": q_dictionary_prune,
         "bloom_point_lookup": q_bloom_point_lookup,
@@ -6564,6 +6644,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_orderdate >= DATE '1996-06-15'
           AND o_totalprice > 150000
           AND o_orderkey % 3 = 0
+        GROUP BY o_orderstatus
+    """
+    out["append_type_widening"] = """
+        SELECT o_orderstatus,
+               count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               min(o_orderkey) AS min_key
+        FROM orders
+        WHERE o_orderkey >= 700 AND o_totalprice > 100000
+        GROUP BY o_orderstatus
+    """
+    out["append_decimal_prune"] = """
+        WITH t AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS price
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               count(*) AS n,
+               min(o_orderkey) AS min_key,
+               CAST(sum(CAST(price * 100 AS BIGINT)) AS DOUBLE) / 100
+                   AS total
+        FROM t
+        WHERE price >= 200000.50 AND price < 400000
         GROUP BY o_orderstatus
     """
     out["separate_rows"] = """

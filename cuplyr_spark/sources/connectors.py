@@ -963,40 +963,220 @@ def _log_committed_floor(fs: _TableFS) -> int:
     return best
 
 
-def _read_log(fs: _TableFS, version: int | None = None) -> dict | None:
-    """The published log manifest (or a pinned earlier one): ``{
-    "version": n, "segments": [dir, ...], "max_batch_id": m|None,
-    "watermarks": {app_id: max_batch_id, ...}, "schema":
-    [[name, type], ...] }``. ``watermarks``/``schema`` are stamped
-    since the app-keyed exactly-once rework; older manifests lack
-    them and are normalized by :func:`_log_watermarks` /
-    the footer fallback in :func:`append_snapshot`.
+# Delta-log cadence: every _CHECKPOINT_EVERY-th commit additionally
+# folds the cumulative table state into an immutable _CHECKPOINT.<n>,
+# bounding every reader's delta-chain walk. The public Delta-log
+# design (delta actions + periodic checkpoint), rebuilt jar-free.
+_CHECKPOINT_EVERY = 10
 
-    The published version is ``max(pointer, highest _LOG.* on disk)``
-    — the immutable manifests are the commit records, so a transient
-    pointer regression (stale-writer TOCTOU) never hides a commit
-    from readers; the next writer's :func:`_advance_ptr` heals the
-    pointer file itself."""
+# Per-SEGMENT-keyed manifest families: diffed entry-by-entry in delta
+# records (cost ∝ the commit's touched segments). Every other key is
+# small (schema, watermarks, specs) and replaced whole when it changes.
+_DELTA_MAP_KEYS = ("stats", "file_stats", "deletes", "delete_counts",
+                   "partitions")
+
+_MISS = object()
+
+
+def _changed(a, b) -> bool:
+    """Value changed between manifests — identity first (carried-over
+    sub-objects are the same object; the equality walk never runs for
+    the untouched bulk of the table)."""
+    return a is not b and a != b
+
+
+def _log_delta(prev: dict, new: dict) -> dict | None:
+    """The delta record turning state ``prev`` (version n-1) into
+    ``new`` (version n) — what a commit serializes instead of the full
+    manifest, so commit bytes are ∝ the change, never ∝ the table.
+    Segment-keyed families diff per entry; the ``segments`` list diffs
+    as ordered add/remove; small keys replace whole. Returns None when
+    the new segment order is not reconstructible as
+    "survivors-in-prev-order + additions" (never happens on the write
+    paths here, which all append; full-form is the sound fallback)."""
+    ps = prev.get("segments") or []
+    ns = new.get("segments") or []
+    pset, nset = set(ps), set(ns)
+    add = [s for s in ns if s not in pset]
+    rm = [s for s in ps if s not in nset]
+    if [s for s in ps if s in nset] + add != ns:
+        return None
+    d: dict = {"delta": 1, "version": new["version"]}
+    if add:
+        d["seg_add"] = add
+    if rm:
+        d["seg_rm"] = rm
+    map_set: dict = {}
+    map_rm: dict = {}
+    for k in _DELTA_MAP_KEYS:
+        pm = prev.get(k) or {}
+        nm = new.get(k) or {}
+        ups = {s: v for s, v in nm.items() if _changed(pm.get(s, _MISS), v)}
+        rms = [s for s in pm if s not in nm]
+        if ups:
+            map_set[k] = ups
+        if rms:
+            map_rm[k] = rms
+    if map_set:
+        d["map_set"] = map_set
+    if map_rm:
+        d["map_rm"] = map_rm
+    skip = {"version", "segments", *_DELTA_MAP_KEYS}
+    sets = {
+        k: v
+        for k, v in new.items()
+        if k not in skip and _changed(prev.get(k, _MISS), v)
+    }
+    if "restored_from" in new:
+        # always explicit in the raw record: _window_restores probes
+        # records without reconstruction, and a restore-after-restore
+        # to the same target must not compress away
+        sets["restored_from"] = new["restored_from"]
+    unsets = [k for k in prev if k not in skip and k not in new]
+    if sets:
+        d["set"] = sets
+    if unsets:
+        d["unset"] = unsets
+    return d
+
+
+def _apply_log_delta(state: dict, rec: dict) -> dict:
+    """Apply one delta record to a materialized state — the reader
+    half of :func:`_log_delta`."""
+    out = dict(state)
+    rm = set(rec.get("seg_rm") or ())
+    segs = [s for s in (state.get("segments") or []) if s not in rm]
+    out["segments"] = segs + list(rec.get("seg_add") or ())
+    for k, ups in (rec.get("map_set") or {}).items():
+        m = dict(out.get(k) or {})
+        m.update(ups)
+        out[k] = m
+    for k, rms in (rec.get("map_rm") or {}).items():
+        m = dict(out.get(k) or {})
+        for s in rms:
+            m.pop(s, None)
+        if m:
+            out[k] = m
+        else:  # writers drop emptied families rather than keep {}
+            out.pop(k, None)
+    for k, v in (rec.get("set") or {}).items():
+        out[k] = v
+    for k in rec.get("unset") or ():
+        out.pop(k, None)
+    out["version"] = rec["version"]
+    return out
+
+
+def _read_log_rec(fs: _TableFS, k: int) -> dict:
+    """The raw ``_LOG.<k>`` record — full-form manifest (pre-delta
+    tables, version 1, non-linear publishes) or a delta record."""
     import json as _json
 
+    text = fs.read_text(f"_LOG.{k}")
+    if text is None:
+        raise FileNotFoundError(f"log version {k} not found in {fs.dir!r}")
+    return _json.loads(text)
+
+
+def _reconstruct_log(fs: _TableFS, version: int) -> dict:
+    """Materialize the full table state at ``version``: walk back from
+    the target collecting delta records until a base — an immutable
+    ``_CHECKPOINT.<k>`` or a full-form ``_LOG.<k>`` — then apply the
+    chain forward. The walk is bounded by the checkpoint cadence
+    (≤ ~2×``_CHECKPOINT_EVERY`` small reads even across a crashed
+    checkpoint write), never by the version count or the table size."""
+    import json as _json
+
+    chain: list[dict] = []
+    k = version
+    state = None
+    while k >= 1:
+        text = fs.read_text(f"_CHECKPOINT.{k}")
+        if text is not None:
+            state = _json.loads(text)
+            break
+        rec = _read_log_rec(fs, k)
+        if not rec.get("delta"):
+            state = rec
+            break
+        chain.append(rec)
+        k -= 1
+    if state is None:
+        raise FileNotFoundError(
+            f"log version {version} in {fs.dir!r} has no reachable "
+            "base manifest (delta chain walked past version 1)"
+        )
+    for rec in reversed(chain):
+        state = _apply_log_delta(state, rec)
+    return state
+
+
+def _log_head_version(fs: _TableFS) -> int:
+    """The published head version WITHOUT listing the table directory
+    (the directory holds every segment, so a listing is O(segments)):
+    start from the pointer and probe ``_LOG.<v+1>`` existence forward —
+    normally exactly one miss. Commit records are written densely, so
+    forward probing finds any commit a transiently-regressed pointer
+    hides. Falls back to the full listing only when the pointer is
+    missing, corrupt, or dangling (vacuum hole / torn write)."""
+    text = fs.read_text(_LOG_PTR)
+    try:
+        ptr = int(text.strip()) if text is not None else 0
+    except ValueError:
+        ptr = 0
+    if ptr > 0 and fs.exists(f"_LOG.{ptr}"):
+        v = ptr
+        while fs.exists(f"_LOG.{v + 1}"):
+            v += 1
+        return v
+    return _log_committed_floor(fs)
+
+
+def _read_log(fs: _TableFS, version: int | None = None) -> dict | None:
+    """The published log manifest (or a pinned earlier one),
+    MATERIALIZED: ``{"version": n, "segments": [dir, ...],
+    "max_batch_id": m|None, "watermarks": {app_id: max_batch_id, ...},
+    "schema": [[name, type], ...], ...}`` — reconstructed from the
+    nearest checkpoint/full manifest plus the delta records above it
+    (:func:`_reconstruct_log`), so callers keep the full-state
+    contract while commits stay ∝ their change.
+
+    The published version resolves pointer-first with forward probing
+    (:func:`_log_head_version`) — the immutable manifests are the
+    commit records, so a transient pointer regression (stale-writer
+    TOCTOU) never hides a commit from readers; the next writer's
+    :func:`_advance_ptr` heals the pointer file itself."""
     if version is None:
-        text = fs.read_text(_LOG_PTR)
-        try:
-            ptr = int(text.strip()) if text is not None else 0
-        except ValueError:
-            # torn/corrupt pointer: the immutable _LOG.<k> records are
-            # the real commit log — heal the read from the floor, same
-            # rule as latest_snapshot_version
-            ptr = 0
-        version = max(ptr, _log_committed_floor(fs))
+        version = _log_head_version(fs)
         if version == 0:
             return None
-    text = fs.read_text(f"_LOG.{version}")
-    if text is None:
-        raise FileNotFoundError(
-            f"log version {version} not found in {fs.dir!r}"
-        )
-    return _json.loads(text)
+    return _reconstruct_log(fs, version)
+
+
+def _iter_log_states(fs: _TableFS, lo: int, hi: int):
+    """Yield ``(k, full-state)`` for versions ``lo..hi`` ascending,
+    reconstructing ``lo`` once and rolling deltas forward — O(window)
+    total instead of O(window × chain) repeated walks. Incremental
+    consumers (CDF, history, vacuum) iterate versions this way."""
+    if lo > hi:
+        return
+    state = _reconstruct_log(fs, lo)
+    yield lo, state
+    for k in range(lo + 1, hi + 1):
+        rec = _read_log_rec(fs, k)
+        state = _apply_log_delta(state, rec) if rec.get("delta") else rec
+        yield k, state
+
+
+def _log_states_for(fs: _TableFS, versions: list[int]):
+    """``(v, full-state)`` for an explicit (sorted) version list —
+    rolled forward when contiguous (the normal retained-history
+    shape), per-version reconstruction otherwise."""
+    if versions and versions == list(range(versions[0], versions[-1] + 1)):
+        yield from _iter_log_states(fs, versions[0], versions[-1])
+    else:
+        for v in versions:
+            yield v, _reconstruct_log(fs, v)
 
 
 def _log_watermarks(log: dict | None) -> dict[str, int]:
@@ -1011,7 +1191,7 @@ def _log_watermarks(log: dict | None) -> dict[str, int]:
     return wms
 
 
-def _write_log(fs: _TableFS, log: dict) -> int:
+def _write_log(fs: _TableFS, log: dict, prev: dict | None = None) -> int:
     """Publish a log manifest: immutable ``_LOG.<n>`` by atomic
     EXCLUSIVE-create — ``_LOG.<n>`` is the commit record, so two
     writers racing to publish version n get exactly one winner, the
@@ -1020,24 +1200,94 @@ def _write_log(fs: _TableFS, log: dict) -> int:
     :class:`ConcurrentWriteError` for the loser; ``append_snapshot``
     retries it internally (re-reading the new log), heavier
     operations surface it. ``max_batch_id`` mirrors the default app's
-    watermark for pre-rework readers."""
+    watermark for pre-rework readers.
+
+    ``prev`` — the materialized state of version n-1 exactly as
+    :func:`_read_log` returned it — switches the serialized record to
+    DELTA form (:func:`_log_delta`): commit bytes ∝ the change, not
+    the table. Every ``_CHECKPOINT_EVERY``-th delta commit also folds
+    the full state into an immutable ``_CHECKPOINT.<n>``, bounding
+    reader reconstruction; the checkpoint is derived data written
+    AFTER the commit record, so a crash between the two costs only a
+    slightly longer walk until the next cadence hit. Without ``prev``
+    (version 1, restores of legacy tables, callers predating the
+    delta layer) the full manifest is written — readers accept both
+    forms at any version, so pre-delta tables keep reading and their
+    next commits simply start the delta chain."""
     import json as _json
 
     n = log["version"]
     log["max_batch_id"] = (log.get("watermarks") or {}).get(_DEFAULT_APP)
-    if not fs.write_text_exclusive(f"_LOG.{n}", _json.dumps(log), f".tmp.{n}"):
+    payload = log
+    if prev is not None and prev.get("version") == n - 1 and n > 1:
+        d = _log_delta(prev, log)
+        # belt-and-braces: a delta is used only if applying it to prev
+        # reproduces the full state bit-for-bit (identity-fast compare
+        # — shared sub-objects short-circuit); anything surprising
+        # degrades to the always-sound full form
+        if d is not None and _apply_log_delta(prev, d) == log:
+            payload = d
+    if not fs.write_text_exclusive(
+        f"_LOG.{n}", _json.dumps(payload), f".tmp.{n}"
+    ):
         raise ConcurrentWriteError(
             f"log version {n} at {fs.dir!r} was committed by another "
             "writer — re-read the log and retry"
         )
     _advance_ptr(
-        fs, _LOG_PTR, n, "ptr", committed=lambda: _log_committed_floor(fs)
+        fs, _LOG_PTR, n, "ptr",
+        committed=lambda: _log_probe_committed(fs, n),
     )
+    if payload is not log and n % _CHECKPOINT_EVERY == 0:
+        _write_checkpoint(fs, log)
     return n
+
+
+def _log_probe_committed(fs: _TableFS, start: int) -> int:
+    """Highest version proven committed, by forward existence probes
+    from a version KNOWN committed — replaces the per-commit directory
+    listing (O(segments) entries at scale) with O(lag) stat calls,
+    normally one."""
+    v = start
+    while fs.exists(f"_LOG.{v + 1}"):
+        v += 1
+    return v
+
+
+def _write_checkpoint(fs: _TableFS, state: dict) -> None:
+    """Fold the materialized state into ``_CHECKPOINT.<n>`` —
+    exclusive-create (racing maintainers: one winner, content
+    identical either way), best-effort: the checkpoint is pure derived
+    data, so a failure only lengthens reconstruction walks."""
+    import json as _json
+
+    n = state["version"]
+    try:
+        fs.write_text_exclusive(
+            f"_CHECKPOINT.{n}", _json.dumps(state), f".ck.{n}"
+        )
+    except Exception:
+        pass
 
 
 def _frame_schema_pairs(df) -> list[list[str]]:
     return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+# Safe type widenings (old → new) for schema_mode="merge" — the public
+# Delta type-widening set that is exact and natively readable: Spark's
+# parquet reader upcasts an int32/float file column under a
+# bigint/double read schema, and the recorded zone-map bounds
+# (ints/floats) stay valid without rewriting. Orderable only; never
+# narrowing, never string↔number, never decimal (scale changes move
+# the unscaled-int stats domain).
+_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+}
 
 
 def _partition_dirs(fs: _TableFS, seg: str, depth: int) -> list[str]:
@@ -1073,13 +1323,27 @@ def _partition_values(reldir: str) -> dict[str, str | None]:
 # -- manifest-level column statistics (zone maps) ------------------------
 
 # Stat-eligible column types: totally ordered, JSON-serializable with
-# exact round-trip. Decimals are excluded (JSON floats would make the
-# recorded bounds inexact and pruning unsound); complex types have no
-# useful min/max.
+# exact round-trip. decimal(p,s) is eligible through _stat_eligible —
+# its bounds are recorded as exact UNSCALED INTEGERS (the scale is a
+# constant of the column type), never JSON floats, so decimal pruning
+# is as sound as integer pruning. Complex types have no useful
+# min/max.
 _STAT_TYPES = {
     "tinyint", "smallint", "int", "bigint", "float", "double",
     "boolean", "string", "date", "timestamp", "timestamp_ntz",
 }
+
+
+def _stat_eligible(typ) -> bool:
+    """Can a column of this type carry zone-map stats?"""
+    return typ in _STAT_TYPES or (
+        isinstance(typ, str) and typ.startswith("decimal(")
+    )
+
+
+def _dec_scale(typ: str) -> int:
+    """The scale of a ``decimal(p,s)`` simpleString."""
+    return int(typ[typ.rindex(",") + 1:-1])
 _STAT_STR_CAP = 64
 _STAT_OPS = {"==", "=", "<", "<=", ">", ">=", "in"}
 # dictionary zone maps: record the EXACT value set of a column when it
@@ -1110,7 +1374,9 @@ def _stat_trunc_max(s: str) -> str | None:
 def _stat_json(v, typ: str):
     """One JSON-comparable form per stat type. Dates/timestamps as
     zero-padded ISO strings, which compare lexicographically in value
-    order; numbers and bools native."""
+    order; decimals as exact unscaled integers (scale is a constant of
+    the column type, so they compare in value order); numbers and
+    bools native."""
     if v is None:
         return None
     if typ in ("date", "timestamp", "timestamp_ntz"):
@@ -1121,6 +1387,8 @@ def _stat_json(v, typ: str):
         return bool(v)
     if typ == "string":
         return v
+    if typ.startswith("decimal("):
+        return int(v.scaleb(_dec_scale(typ)))
     return int(v)
 
 
@@ -1149,7 +1417,7 @@ def _segment_stats(spark, fs: _TableFS, seg: str, schema, pby) -> dict:
     types = dict(map(tuple, schema))
     cols = [
         n for n, t in schema
-        if t in _STAT_TYPES and n not in set(pby or [])
+        if _stat_eligible(t) and n not in set(pby or [])
     ]
     # pinned to the TABLE schema: a schema_mode="merge" batch missing
     # a table column still gets exact stats for it ([None, None, rows])
@@ -1258,7 +1526,7 @@ def _grow_schema_stats(smap: dict, added) -> dict:
         st = copy.deepcopy(st)
         cols = st.setdefault("cols", {})
         for name, typ in added:
-            if typ in _STAT_TYPES and name not in cols:
+            if _stat_eligible(typ) and name not in cols:
                 cols[name] = [None, None, int(st["rows"])]
         out[s] = st
     return out
@@ -1300,12 +1568,12 @@ def _validate_cluster_by(cluster_by, schema, pby) -> list[str]:
             "constant within every partition directory; cluster on "
             "non-partition columns"
         )
-    bad = {c: types[c] for c in cby if types[c] not in _STAT_TYPES}
+    bad = {c: types[c] for c in cby if not _stat_eligible(types[c])}
     if bad:
         raise ValueError(
             f"cluster_by columns have non-orderable/stat-ineligible "
-            f"types {bad} — only {sorted(_STAT_TYPES)} columns can "
-            "carry file-grain zone maps"
+            f"types {bad} — only {sorted(_STAT_TYPES)} and "
+            "decimal(p,s) columns can carry file-grain zone maps"
         )
     return cby
 
@@ -1418,10 +1686,20 @@ def _seg_paths(fs: _TableFS, seg: str, fmap: dict | None) -> list[str]:
     return [fs.join(f"{seg}/{r}") for r in rels]
 
 
+class _NormalizedFilter(dict):
+    """A stats_filter whose values are ALREADY in the recorded-stats
+    domain (predicate derivation normalizes as it validates).
+    Normalization is not idempotent for decimals (an unscaled int
+    must not be scaled again), so :func:`_normalize_stats_filter`
+    passes these through."""
+
+
 def _normalize_stats_filter(stats_filter: dict, schema) -> dict:
     """{col: value | (op, value) | [(op, value), ...]} → {col: [(op,
     value), ...]}, validated against the table schema. ``in`` takes a
     list/tuple/set of values."""
+    if isinstance(stats_filter, _NormalizedFilter):
+        return stats_filter
     types = dict(map(tuple, schema or []))
     out = {}
     for c, conds in stats_filter.items():
@@ -1431,11 +1709,12 @@ def _normalize_stats_filter(stats_filter: dict, schema) -> dict:
                     f"stats_filter: {c!r} is not a column of the table "
                     f"({sorted(types)})"
                 )
-            if types[c] not in _STAT_TYPES:
+            if not _stat_eligible(types[c]):
                 raise ValueError(
                     f"stats_filter: column {c!r} has type {types[c]!r} — "
-                    f"only {sorted(_STAT_TYPES)} columns carry zone-map "
-                    "stats and support stats_filter"
+                    f"only {sorted(_STAT_TYPES)} and decimal(p,s) "
+                    "columns carry zone-map stats and support "
+                    "stats_filter"
                 )
         if isinstance(conds, tuple) and len(conds) == 2:
             conds = [conds]  # a bare (op, value); op validated below
@@ -1460,11 +1739,41 @@ def _normalize_stats_filter(stats_filter: dict, schema) -> dict:
                         "stats_filter: 'in' takes a list/tuple/set of "
                         "values"
                     )
-                norm.append((op, [_stat_norm_value(x) for x in v]))
+                norm.append(
+                    (op, [_stat_norm_value2(types.get(c), x) for x in v])
+                )
             else:
-                norm.append((op, _stat_norm_value(v)))
+                norm.append((op, _stat_norm_value2(types.get(c), v)))
         out[c] = norm
     return out
+
+
+def _stat_norm_value2(typ, v):
+    """Column-type-aware filter-value normalization: decimal columns
+    normalize into the unscaled-integer domain the stats were recorded
+    in (int, Decimal, or exact string literals — a FLOAT is refused
+    loudly: the filter comparison would run in double space while the
+    prune compares exactly, and that mismatch is how silent
+    mispruning starts); everything else through
+    :func:`_stat_norm_value`."""
+    if isinstance(typ, str) and typ.startswith("decimal("):
+        import decimal
+
+        if type(v) is float:
+            raise ValueError(
+                f"stats_filter: float {v!r} on a {typ} column — pass "
+                "an int, decimal.Decimal, or exact string literal "
+                "(float comparison semantics differ from the exact "
+                "decimal domain)"
+            )
+        normed = _stat_lit_norm(typ, v)
+        if normed is _stat_lit_norm:
+            raise ValueError(
+                f"stats_filter: value {v!r} is not representable at "
+                f"the scale of the {typ} column"
+            )
+        return normed
+    return _stat_norm_value(v)
 
 
 def _range_excludes(mn, mx, op: str, v) -> bool:
@@ -1658,7 +1967,7 @@ def _derive_stats_filter(pred: str, schema) -> dict | None:
                 continue
         else:
             continue
-        if types.get(col) not in _STAT_TYPES:
+        if not _stat_eligible(types.get(col)):
             continue
         op, vals = cond[0], cond[1] if cond[0] == "in" else [cond[1]]
         normed = [_stat_lit_norm(types[col], v) for v in vals]
@@ -1667,7 +1976,7 @@ def _derive_stats_filter(pred: str, schema) -> dict | None:
         out.setdefault(col, []).append(
             (op, normed if op == "in" else normed[0])
         )
-    return out or None
+    return _NormalizedFilter(out) if out else None
 
 
 _PDIR_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
@@ -1807,6 +2116,31 @@ def _stat_lit_norm(typ: str, v):
             return _stat_lit_norm
     if typ == "boolean":
         return _stat_lit_norm
+    if typ.startswith("decimal("):
+        import decimal
+
+        s = _dec_scale(typ)
+        if type(v) is int:
+            return v * 10 ** s
+        if isinstance(v, decimal.Decimal):
+            d = v
+        elif type(v) is float:
+            # a float literal in a string predicate stands for the
+            # SOURCE decimal token (Spark SQL parses 1.5 as
+            # DECIMAL(2,1)); str() recovers it exactly for every
+            # shortest-repr round-trip
+            d = decimal.Decimal(str(v))
+        elif isinstance(v, str):
+            try:
+                d = decimal.Decimal(v)
+            except decimal.InvalidOperation:
+                return _stat_lit_norm
+        else:
+            return _stat_lit_norm
+        scaled = d.scaleb(s)
+        if scaled != scaled.to_integral_value():
+            return _stat_lit_norm  # finer than the column scale
+        return int(scaled)
     # numeric column: int/float literals only (bool is an int subclass
     # but was already excluded by const())
     return v if type(v) in (int, float) else _stat_lit_norm
@@ -1828,12 +2162,16 @@ def _in_cond(c: str, values):
         return F.col(c).isin(vals)
 
     def lit(v):
+        import decimal
+
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, int):
             return str(v)
         if isinstance(v, float):
             return repr(v)
+        if isinstance(v, decimal.Decimal):
+            return str(v)  # SQL parses an exact decimal literal
         if isinstance(v, str):
             return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
         if isinstance(v, datetime.datetime):
@@ -1849,15 +2187,31 @@ def _in_cond(c: str, values):
     return F.expr(f"`{c}` IN ({rendered})")
 
 
-def _stats_filter_cond(filt: dict):
+def _stats_filter_cond(filt: dict, schema=None):
     """The SAME predicate as a Spark Column over the surviving scan —
     the residual that keeps results exact (and reaches the parquet
-    row-group stats via ordinary pushdown)."""
+    row-group stats via ordinary pushdown). ``schema`` re-renders
+    decimal columns' normalized unscaled-integer values as exact
+    Decimal literals, so the residual compares in the decimal
+    domain."""
+    import decimal
+
     from pyspark.sql import functions as F
+
+    types = dict(map(tuple, schema or []))
+
+    def val(c, v):
+        t = types.get(c)
+        if isinstance(t, str) and t.startswith("decimal("):
+            return decimal.Decimal(v).scaleb(-_dec_scale(t))
+        return v
 
     cond = None
     for c, pairs in filt.items():
-        for op, v in pairs:
+        for op, raw in pairs:
+            v = (
+                [val(c, x) for x in raw] if op == "in" else val(c, raw)
+            )
             col = F.col(c)
             if op == "in":
                 e = _in_cond(c, v)
@@ -2683,7 +3037,7 @@ def _probe_existing_keys(spark, fs: _TableFS, cur: dict, keyset, ukey,
     segs = list(cur["segments"]) if segs is None else list(segs)
     fmap: dict = {}
     types = dict(map(tuple, cur.get("schema") or []))
-    if len(ukey) == 1 and types.get(ukey[0]) in _STAT_TYPES and segs:
+    if len(ukey) == 1 and _stat_eligible(types.get(ukey[0])) and segs:
         filt = join_prune_filter(Frame(keyset, ()), ukey[0])
         if filt is not None:
             segs, _, fmap = _prune_by_stats(
@@ -2796,7 +3150,7 @@ def _read_segments(
         # clustered tables additionally prune at FILE grain: surviving
         # segments shrink to the files whose recorded ranges can match
         segs, fmap = _file_prune(log, segs, sfilt)
-        stats_cond = _stats_filter_cond(sfilt)
+        stats_cond = _stats_filter_cond(sfilt, log.get("schema"))
 
     def _empty():
         return spark.createDataFrame([], _schema_ddl(log.get("schema")))
@@ -3156,7 +3510,7 @@ def append_snapshot(
                     raise ValueError(
                         f"unique_key columns {miss} not in the frame"
                     )
-            return incoming, pby, spec, [], cby, ukey
+            return incoming, pby, spec, [], cby, ukey, []
         table_pby = list(cur.get("partition_by") or [])
         if partition_by is not None and list(partition_by) != table_pby:
             raise ValueError(
@@ -3223,6 +3577,31 @@ def append_snapshot(
             for c in have
             if c in got and have[c] != got[c]
         }
+        upcast_batch: list = []
+        if drift and schema_mode == "merge":
+            # TYPE-WIDENING evolution (the public Delta type-widening
+            # set): a merge batch may WIDEN a column (int→bigint,
+            # float→double, ...) — the manifest records the widened
+            # type and old segments read through the widened schema
+            # (Spark's parquet reader upcasts natively; zone-map
+            # bounds are already ints/floats, valid as-is). A batch
+            # NARROWER than the table is upcast to the table type
+            # (always exact, never evolution). Anything else —
+            # narrowing the table, string↔number, decimal changes —
+            # still refuses loudly.
+            widen, rest = {}, {}
+            for c, (t, g) in drift.items():
+                if (t, g) in _WIDENINGS and c not in (table_pby or []):
+                    widen[c] = g
+                elif (g, t) in _WIDENINGS:
+                    upcast_batch.append((c, t))
+                else:
+                    rest[c] = (t, g)
+            drift = rest
+            if widen:
+                table = [
+                    [n, widen.get(n, t)] for n, t in table
+                ]
         if drift:
             raise ValueError(
                 "append_snapshot: column type mismatch "
@@ -3230,8 +3609,10 @@ def append_snapshot(
                     f"{c}: table={t!r} vs append={g!r}"
                     for c, (t, g) in sorted(drift.items())
                 )
-                + " — a type CHANGE is never additive; cast the batch "
-                "or use the copy-on-write path for schema evolution"
+                + " — only the safe widenings (int-chain, "
+                "float→double) evolve under schema_mode='merge'; cast "
+                "the batch or use the copy-on-write path for other "
+                "schema changes"
             )
         table_spec = cur.get("sketch_spec")
         if sketch_spec is not None:
@@ -3241,7 +3622,10 @@ def append_snapshot(
                     f"table's {table_spec!r} — the spec is fixed at "
                     "table creation (sidecars must merge)"
                 )
-        return table, table_pby, table_spec, added, table_cby, table_ukey
+        return (
+            table, table_pby, table_spec, added, table_cby, table_ukey,
+            upcast_batch,
+        )
 
     if on_conflict not in ("error", "drop"):
         raise ValueError(
@@ -3251,12 +3635,18 @@ def append_snapshot(
     checked = check(cur)
     if checked is None:
         return cur["version"]
-    schema, pby, spec, added, cby, ukey = checked
+    schema, pby, spec, added, cby, ukey, upcasts = checked
+    batch_df = frame.df
+    if upcasts:
+        from pyspark.sql import functions as F
+
+        for c, t in upcasts:  # narrow batch → table type (exact)
+            batch_df = batch_df.withColumn(c, F.col(c).cast(t))
     exps = _resolve_expectations(expectations, cur)
     out_df, exp_drops = (
-        _enforce_expectations(frame.df, exps, schema)
+        _enforce_expectations(batch_df, exps, schema)
         if exps
-        else (frame.df, {})
+        else (batch_df, {})
     )
     if ukey:
         out_df = _enforce_unique(
@@ -3337,7 +3727,7 @@ def append_snapshot(
         if cur and cur.get("delete_counts"):
             log["delete_counts"] = cur["delete_counts"]
         try:
-            return _write_log(fs, log)
+            return _write_log(fs, log, prev=cur)
         except ConcurrentWriteError:
             # rebase on the winner's log. _LOG.<k> files are written
             # atomically BEFORE the pointer swap, so the newest one
@@ -3349,7 +3739,7 @@ def append_snapshot(
                 m += 1
             _advance_ptr(
                 fs, _LOG_PTR, m, "ptr",
-                committed=lambda: _log_committed_floor(fs),
+                committed=lambda: _log_probe_committed(fs, m),
             )
             cur = _read_log(fs, m)
             prev_segs = set(log["segments"]) - {seg}
@@ -3438,7 +3828,7 @@ def reset_append_watermark(
     # slot is dropped
     log = _log_with_extras(cur, cur["version"] + 1, list(cur["segments"]))
     log["watermarks"].pop(app_id or _DEFAULT_APP, None)
-    return _write_log(fs, log)
+    return _write_log(fs, log, prev=cur)
 
 
 def read_append_snapshot(
@@ -3739,7 +4129,7 @@ def set_append_expectations(
         log["expectations"] = norm
     else:
         log.pop("expectations", None)
-    return _write_log(fs, log)
+    return _write_log(fs, log, prev=cur)
 
 
 def read_append_changes(
@@ -3805,8 +4195,9 @@ def read_append_changes(
     added_stats: dict = {}
     added_fstats: dict = {}
     prev = set(_read_log(fs, since_version)["segments"]) if since_version > 0 else set()
-    for k in range(since_version + 1, end + 1):
-        log_k = _read_log(fs, k)  # raises if vacuumed past reader lag
+    # one reconstruction + rolled deltas — raises if vacuumed past
+    # the reader's lag
+    for k, log_k in _iter_log_states(fs, since_version + 1, end):
         added = [
             s
             for s in log_k["segments"]
@@ -4020,7 +4411,9 @@ def _prune_by_stats(
     if (cur.get("sketch_spec") or {}).get("bloom"):
         segs = _bloom_prune(spark, fs, cur, segs, sfilt)
     segs, fmap = _file_prune(cur, segs, sfilt)
-    return segs, (_stats_filter_cond(sfilt) if with_cond else None), fmap
+    return segs, (
+        _stats_filter_cond(sfilt, cur.get("schema")) if with_cond else None
+    ), fmap
 
 
 def _write_dv(spark, fs: _TableFS, cur: dict, matches, pby):
@@ -4253,14 +4646,14 @@ def delete_append_rows(
             cmap[s] = int(cmap.get(s, 0)) + int(counts[s])
         log["deletes"], log["delete_counts"] = dmap, cmap
         try:
-            return _write_log(fs, log), total
+            return _write_log(fs, log, prev=cur), total
         except ConcurrentWriteError:
             m = n
             while fs.exists(f"_LOG.{m + 1}"):
                 m += 1
             _advance_ptr(
                 fs, _LOG_PTR, m, "ptr",
-                committed=lambda: _log_committed_floor(fs),
+                committed=lambda: _log_probe_committed(fs, m),
             )
             new = _read_log(fs, m)
             _dv_conflict_check(cur, new, touched)
@@ -4471,14 +4864,14 @@ def update_append_rows(
                     **(log.get("file_stats") or {}), seg: f_stats,
                 }
             try:
-                return _write_log(fs, log), total
+                return _write_log(fs, log, prev=cur), total
             except ConcurrentWriteError:
                 m = n
                 while fs.exists(f"_LOG.{m + 1}"):
                     m += 1
                 _advance_ptr(
                     fs, _LOG_PTR, m, "ptr",
-                    committed=lambda: _log_committed_floor(fs),
+                    committed=lambda: _log_probe_committed(fs, m),
                 )
                 new = _read_log(fs, m)
                 _dv_conflict_check(cur, new, touched)
@@ -4594,8 +4987,7 @@ def read_append_cdf(
             )
         pending, pending_schema = [], None
 
-    for k in range(since_version + 1, end + 1):
-        log_k = _read_log(fs, k)
+    for k, log_k in _iter_log_states(fs, since_version + 1, end):
         pby = log_k.get("partition_by") or []
         added = [
             s
@@ -4860,7 +5252,7 @@ def upsert_append_rows(
     # maps, so pruning is skipped up front — _normalize_stats_filter
     # would reject them — and the plain semi-join does the matching.
     fmap: dict = {}
-    if len(keys) == 1 and dict(map(tuple, schema)).get(keys[0]) in _STAT_TYPES:
+    if len(keys) == 1 and _stat_eligible(dict(map(tuple, schema)).get(keys[0])):
         filt = join_prune_filter(
             Frame(src, ()), keys[0], max_keys=max_prune_keys
         )
@@ -4954,14 +5346,14 @@ def upsert_append_rows(
         if exp_drops:  # per-version audit field, not carried forward
             log["expectation_drops"] = exp_drops
         try:
-            return _write_log(fs, log), n_replaced, int(n_appended)
+            return _write_log(fs, log, prev=cur), n_replaced, int(n_appended)
         except ConcurrentWriteError:
             m = n
             while fs.exists(f"_LOG.{m + 1}"):
                 m += 1
             _advance_ptr(
                 fs, _LOG_PTR, m, "ptr",
-                committed=lambda: _log_committed_floor(fs),
+                committed=lambda: _log_probe_committed(fs, m),
             )
             new = _read_log(fs, m)
             _dv_conflict_check(cur, new, touched)
@@ -4982,11 +5374,17 @@ def _window_restores(fs: _TableFS, since: int, end: int) -> list[tuple]:
     out = []
     for k in range(since + 1, end + 1):
         try:
-            log_k = _read_log(fs, k)
+            rec = _read_log_rec(fs, k)
         except FileNotFoundError:
             continue
-        if log_k is not None and log_k.get("restored_from") is not None:
-            out.append((k, log_k["restored_from"]))
+        # restored_from lives in the raw record either way — top-level
+        # in full form, inside "set" in delta form — so the probe needs
+        # no state reconstruction at all
+        rf = rec.get("restored_from")
+        if rf is None:
+            rf = (rec.get("set") or {}).get("restored_from")
+        if rf is not None:
+            out.append((k, rf))
     return out
 
 
@@ -5288,14 +5686,14 @@ def merge_append_dvs(
                 new_dmap[s] = kept + [merged[is_v2]]
         log["deletes"] = new_dmap
         try:
-            return _write_log(fs, log)
+            return _write_log(fs, log, prev=cur)
         except ConcurrentWriteError:
             m = n
             while fs.exists(f"_LOG.{m + 1}"):
                 m += 1
             _advance_ptr(
                 fs, _LOG_PTR, m, "ptr",
-                committed=lambda: _log_committed_floor(fs),
+                committed=lambda: _log_probe_committed(fs, m),
             )
             new = _read_log(fs, m)
             _dv_conflict_check(cur, new, touched)
@@ -5535,7 +5933,7 @@ def compact_append_snapshot(
             ).coalesce(1).write.mode("errorifexists").parquet(
                 fs.join(f"{_SKETCH_DIR}/{seg}")
             )
-    return _write_log(fs, log)
+    return _write_log(fs, log, prev=cur)
 
 
 def restore_append_snapshot(
@@ -5630,7 +6028,7 @@ def restore_append_snapshot(
     log["watermarks"] = _log_watermarks(cur if keep_watermarks else target)
     log["restored_from"] = version
     try:
-        n = _write_log(fs, log)
+        n = _write_log(fs, log, prev=cur)
     except ConcurrentWriteError:
         raise ConcurrentWriteError(
             f"restore of {table_dir!r} lost the log-commit race — a "
@@ -5661,7 +6059,7 @@ def restore_append_snapshot(
         }
         redo["version"] = n + 1
         redo["restored_from"] = cur["version"]
-        _write_log(fs, redo)
+        _write_log(fs, redo, prev=log)
         raise FileNotFoundError(
             f"restore to version {version} raced a concurrent vacuum — "
             f"paths {gone[:5]}{'...' if len(gone) > 5 else ''} were "
@@ -5734,6 +6132,19 @@ def append_quick_stats(
             # bumped prefix (max) — indistinguishable post-hoc, so
             # only shorter bounds are provably the real extremes
             exact = len(mn) < _STAT_STR_CAP and len(mx) < _STAT_STR_CAP
+        t = types.get(c) or ""
+        if t.startswith("decimal("):
+            # bounds are recorded as unscaled ints; report in value
+            # space (string form keeps the JSON exact)
+            sc = _dec_scale(t)
+            import decimal
+
+            mn = None if mn is None else str(
+                decimal.Decimal(mn).scaleb(-sc)
+            )
+            mx = None if mx is None else str(
+                decimal.Decimal(mx).scaleb(-sc)
+            )
         out["cols"][c] = {
             "min": mn,
             "max": mx,
@@ -5771,8 +6182,7 @@ def append_history(
     )
     out = []
     prev: set | None = None
-    for v in versions:
-        log = _read_log(fs, v)
+    for v, log in _log_states_for(fs, versions):
         segs = log["segments"]
         new = [s for s in segs if prev is None or s not in prev]
         out.append(
@@ -5837,12 +6247,24 @@ def vacuum_append_snapshot(
     keep = set(versions[-keep_last:])
     if published is not None:
         keep.add(published)
+    # Delta-chain retention: every KEPT version must stay
+    # reconstructible after the logs below it are swept, so any kept
+    # version whose walk would cross a doomed version gets its state
+    # folded into an immutable _CHECKPOINT first (written BEFORE any
+    # deletion — a crash between the two leaves extra files, never a
+    # broken chain).
+    for v in sorted(keep):
+        if v - 1 in keep or v not in versions:
+            continue  # predecessor retained: chain continues through it
+        if fs.read_text(f"_CHECKPOINT.{v}") is not None:
+            continue
+        if _read_log_rec(fs, v).get("delta"):
+            _write_checkpoint(fs, _reconstruct_log(fs, v))
     referenced: set = set()
     ever_logged: set = set()
     referenced_dv: set = set()
     ever_logged_dv: set = set()
-    for v in versions:
-        log_v = _read_log(fs, v)
+    for v, log_v in _log_states_for(fs, versions):
         segs = log_v["segments"]
         dvs = {d for files in (log_v.get("deletes") or {}).values() for d in files}
         ever_logged.update(segs)
@@ -5895,4 +6317,14 @@ def vacuum_append_snapshot(
                 fs._fs.delete(fs._jpath(target), False)
             else:
                 os.remove(target)
+    # checkpoints are derived data: sweep the ones whose version is no
+    # longer retained (their base role is taken by a kept checkpoint)
+    for name in fs.listdir():
+        if name.startswith("_CHECKPOINT.") and name[12:].isdigit():
+            if int(name[12:]) not in keep:
+                target = fs.join(name)
+                if fs.remote:
+                    fs._fs.delete(fs._jpath(target), False)
+                else:
+                    os.remove(target)
     return doomed_segs

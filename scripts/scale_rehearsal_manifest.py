@@ -1,0 +1,101 @@
+"""Manifest-scale rehearsal: commit bytes and head-read (plan) time
+must stay FLAT as the table grows to 100k segments.
+
+Before the checkpointing rework every ``_LOG.<n>`` re-serialized ALL
+segments with their zone maps (O(table) bytes per commit, parsed whole
+on the driver per read). Now a commit writes only its delta and every
+``_CHECKPOINT_EVERY``-th commit folds the state — so per-commit bytes
+track the BATCH and the head read walks ≤ one cadence of small
+records plus one checkpoint.
+
+This rehearses the MANIFEST layer only (fabricated segment entries,
+no parquet) — the quantity under test is metadata bytes/time, which
+is independent of the data files. Run:
+
+    python scripts/scale_rehearsal_manifest.py
+
+Prints one JSON line per scale: median/max commit bytes, head-read
+seconds, and the full-state size the old design would have paid per
+commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from cuplyr_spark.sources.connectors import (  # noqa: E402
+    _TableFS,
+    _read_log,
+    _write_log,
+)
+
+
+def _fake_stats(seg: str, base: int) -> dict:
+    return {
+        "rows": 100_000,
+        "cols": {
+            "id": [base, base + 99_999, 0],
+            "v": [0.0, 1.0, 12],
+            "ts": ["2026-01-01T00:00:00", "2026-01-02T00:00:00", 0],
+        },
+    }
+
+
+def run(n_segments: int, batch: int) -> dict:
+    d = tempfile.mkdtemp(prefix="manifest_rehearsal_")
+    try:
+        fs = _TableFS(d)
+        cur = None
+        commit_bytes: list[int] = []
+        commit_secs: list[float] = []
+        v = 0
+        total = 0
+        while total < n_segments:
+            v += 1
+            segs = [f"seg={v}-{i:06x}" for i in range(batch)]
+            stats = {s: _fake_stats(s, total * 100_000) for s in segs}
+            log = {
+                "version": v,
+                "segments": (list(cur["segments"]) if cur else []) + segs,
+                "schema": [["id", "bigint"], ["v", "double"],
+                           ["ts", "timestamp"]],
+                "watermarks": {"__default__": v - 1},
+                "stats": {**((cur or {}).get("stats") or {}), **stats},
+            }
+            t0 = time.perf_counter()
+            _write_log(fs, log, prev=cur)
+            commit_secs.append(time.perf_counter() - t0)
+            commit_bytes.append(os.path.getsize(fs.join(f"_LOG.{v}")))
+            cur = log
+            total += batch
+        t0 = time.perf_counter()
+        head = _read_log(fs)
+        head_read = time.perf_counter() - t0
+        assert len(head["segments"]) == total
+        return {
+            "segments": total,
+            "commits": v,
+            "batch": batch,
+            "commit_bytes_median": int(statistics.median(commit_bytes)),
+            "commit_bytes_max": max(commit_bytes),
+            "commit_sec_median": round(statistics.median(commit_secs), 5),
+            "head_read_sec": round(head_read, 4),
+            "full_state_bytes": len(json.dumps(head)),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    for n, batch in ((1_000, 50), (10_000, 100), (100_000, 500)):
+        print(json.dumps(run(n, batch)), flush=True)

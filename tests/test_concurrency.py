@@ -161,7 +161,11 @@ def _fake_competing_log(d, version, extra=None, watermarks=None):
     interleaving (winner died mid-publish); the loser must both heal
     the pointer and rebase."""
     fs = _TableFS(d)
-    cur = json.loads(fs.read_text(f"_LOG.{version - 1}"))
+    # materialize the predecessor (may be a delta record); the forged
+    # competitor commits FULL-form — a legal record at any version
+    from cuplyr_spark.sources.connectors import _read_log
+
+    cur = _read_log(fs, version - 1)
     log = dict(cur)
     log["version"] = version
     log["segments"] = list(cur["segments"]) + (extra or [])

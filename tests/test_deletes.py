@@ -51,8 +51,11 @@ def _mk(spark, tmp_path, name, two_batches=True, **kw):
 
 
 def _log(d, v):
-    with open(os.path.join(d, f"_LOG.{v}")) as f:
-        return json.load(f)
+    # manifests are delta records since the checkpointing rework:
+    # materialize through the reader
+    from cuplyr_spark.sources.connectors import _read_log, _TableFS
+
+    return _read_log(_TableFS(d), v)
 
 
 def test_delete_basic_and_time_travel(spark, tmp_path):
@@ -269,7 +272,7 @@ def test_delete_concurrent_append_rebases(spark, tmp_path, monkeypatch):
     real = C._write_log
     fired = {}
 
-    def racing(fs, log):
+    def racing(fs, log, prev=None):
         if "delete_counts" in log and not fired:
             fired["x"] = True
             extra = spark.range(100, 105).select(
@@ -278,7 +281,7 @@ def test_delete_concurrent_append_rebases(spark, tmp_path, monkeypatch):
                 (F.col("id") * 2).alias("v"),
             )
             append_snapshot(Frame(extra, ()), d, batch_id=7)
-        return real(fs, log)
+        return real(fs, log, prev=prev)
 
     monkeypatch.setattr(C, "_write_log", racing)
     v, n = delete_append_rows(spark, d, {"id": ("<", 10)})
@@ -296,11 +299,11 @@ def test_delete_concurrent_fold_raises(spark, tmp_path, monkeypatch):
     real = C._write_log
     fired = {}
 
-    def racing(fs, log):
+    def racing(fs, log, prev=None):
         if "delete_counts" in log and not fired:
             fired["x"] = True
             compact_append_snapshot(spark, d, target_file_bytes=1 << 30)
-        return real(fs, log)
+        return real(fs, log, prev=prev)
 
     monkeypatch.setattr(C, "_write_log", racing)
     with pytest.raises(ConcurrentWriteError, match="compacted away"):

@@ -36,8 +36,11 @@ from cuplyr_spark.sources.connectors import (
 
 
 def _log(d, v):
-    with open(os.path.join(d, f"_LOG.{v}")) as f:
-        return json.load(f)
+    # manifests are delta records since the checkpointing rework:
+    # materialize through the reader
+    from cuplyr_spark.sources.connectors import _read_log, _TableFS
+
+    return _read_log(_TableFS(d), v)
 
 
 def _latest(d):

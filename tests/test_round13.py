@@ -139,15 +139,14 @@ def test_restore_vacuum_race_rolls_forward(spark, tmp_path, monkeypatch):
     # version 3 (head) references only the fold; versions 1-2 reference
     # the raw segments — exactly the restore-past-compaction shape
     compact_append_snapshot(spark, d, 1 << 30)
-    with open(os.path.join(d, "_LOG.1")) as f:
-        target_segs = json.load(f)["segments"]
-    with open(os.path.join(d, "_LOG.3")) as f:
-        head = json.load(f)
+    fs = C._TableFS(d)
+    target_segs = C._read_log(fs, 1)["segments"]
+    head = C._read_log(fs, 3)
     victim = [s for s in target_segs if s not in head["segments"]][0]
 
     real_write_log = C._write_log
 
-    def racing_write_log(fs, log):
+    def racing_write_log(fs, log, prev=None):
         # simulate a vacuum sweeping the target's segment AFTER the
         # existence pre-check but BEFORE the publish — then let the
         # publish proceed
@@ -155,7 +154,7 @@ def test_restore_vacuum_race_rolls_forward(spark, tmp_path, monkeypatch):
             os.path.join(d, victim)
         ):
             shutil.rmtree(os.path.join(d, victim))
-        return real_write_log(fs, log)
+        return real_write_log(fs, log, prev=prev)
 
     monkeypatch.setattr(C, "_write_log", racing_write_log)
     with pytest.raises(FileNotFoundError, match="rolled forward"):
@@ -165,10 +164,7 @@ def test_restore_vacuum_race_rolls_forward(spark, tmp_path, monkeypatch):
     # head is the roll-forward: same live content as pre-restore
     got = read_append_snapshot(spark, d).collect()
     assert sorted(got["id"].tolist()) == [0, 1]
-    with open(os.path.join(d, "_LATEST_LOG")) as f:
-        v = int(f.read().strip())
-    with open(os.path.join(d, f"_LOG.{v}")) as f:
-        final = json.load(f)
+    final = C._read_log(C._TableFS(d))
     assert final["restored_from"] == head["version"]
     assert all(os.path.isdir(os.path.join(d, s)) for s in final["segments"])
 
@@ -214,7 +210,193 @@ def test_stream_unique_key_creates_constrained_table(spark, tmp_path):
     got = read_append_snapshot(spark, table).collect().sort_values("k")
     # within-batch dup (k=2) and cross-batch dup (k=2 again) dropped
     assert got["k"].tolist() == [1, 2, 3]
-    with open(os.path.join(table, "_LATEST_LOG")) as f:
-        v = int(f.read().strip())
-    with open(os.path.join(table, f"_LOG.{v}")) as f:
-        assert json.load(f)["unique_key"] == ["k"]
+    assert C._read_log(C._TableFS(table))["unique_key"] == ["k"]
+
+
+# -- decimal columns in the stats stack ------------------------------------
+
+
+def test_decimal_zone_maps_prune_and_stay_exact(spark, tmp_path):
+    """decimal(p,s) bounds are recorded as exact unscaled ints; a
+    where= read with a fractional decimal literal derives the prune —
+    shown the zone-map-test way: the non-matching segment is
+    physically deleted and the read still runs."""
+    import shutil
+
+    from decimal import Decimal
+
+    d = str(tmp_path / "dec")
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") / 100).cast("decimal(10,2)").alias("price"),
+    )
+    append_snapshot(Frame(df.filter("id < 50"), ()), d, batch_id=0)
+    append_snapshot(Frame(df.filter("id >= 50"), ()), d, batch_id=1)
+    log = C._read_log(C._TableFS(d))
+    lo_seg = log["segments"][0]
+    # bounds recorded as unscaled ints (0.00..0.49 -> 0..49)
+    assert log["stats"][lo_seg]["cols"]["price"][:2] == [0, 49]
+
+    shutil.rmtree(os.path.join(d, lo_seg))  # would fail if scanned
+    got = read_append_snapshot(spark, d, where="price > 0.80").collect()
+    assert len(got) == 19 and str(got["price"].min()) == "0.81"
+
+    # dict form with Decimal / int / exact string all derive
+    got2 = read_append_snapshot(
+        spark, d, stats_filter={"price": (">=", Decimal("0.90"))}
+    ).collect()
+    assert len(got2) == 10
+    got3 = read_append_snapshot(
+        spark, d, stats_filter={"price": (">=", "0.90")}
+    ).collect()
+    assert len(got3) == 10
+    # floats are refused loudly (double-space vs exact-domain mismatch)
+    with pytest.raises(ValueError, match="float"):
+        read_append_snapshot(spark, d, stats_filter={"price": (">", 0.5)})
+
+
+def test_decimal_delete_prunes_through_zone_maps(spark, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "decdel")
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") / 4).cast("decimal(8,2)").alias("amt"),
+    )
+    append_snapshot(Frame(df.filter("id < 50"), ()), d, batch_id=0)
+    append_snapshot(Frame(df.filter("id >= 50"), ()), d, batch_id=1)
+    log = C._read_log(C._TableFS(d))
+    lo_seg = log["segments"][0]
+    shutil.rmtree(os.path.join(d, lo_seg))  # delete must never open it
+    _, n = delete_append_rows(spark, d, "amt >= 20.25")
+    assert n == 19
+    # literal finer than the column scale: underivable -> full scan,
+    # which now fails loudly on the missing dir (sound, not silent)
+    assert C._derive_stats_filter(
+        "amt > 1.005", [["amt", "decimal(8,2)"]]
+    ) is None
+
+
+def test_decimal_cluster_by_file_stats(spark, tmp_path):
+    d = str(tmp_path / "deccl")
+    df = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") / 100).cast("decimal(10,2)").alias("price"),
+    )
+    append_snapshot(
+        Frame(df, ()), d, batch_id=0, cluster_by="price", cluster_files=4
+    )
+    log = C._read_log(C._TableFS(d))
+    seg = log["segments"][0]
+    fst = log["file_stats"][seg]
+    assert len(fst) == 4
+    # per-file unscaled-int ranges are near-disjoint slices
+    ranges = sorted(st["cols"]["price"][:2] for st in fst.values())
+    assert ranges[0][0] == 0 and ranges[-1][1] == 399
+    got = read_append_snapshot(
+        spark, d, stats_filter={"price": (">", "3.50")}
+    )
+    assert got.df.count() == 49
+
+
+def test_decimal_quick_stats_value_space(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import append_quick_stats
+
+    d = str(tmp_path / "decqs")
+    df = spark.range(10).select(
+        (F.col("id") / 8).cast("decimal(6,3)").alias("x")
+    )
+    append_snapshot(Frame(df, ()), d, batch_id=0)
+    st = append_quick_stats(spark, d)
+    assert st["cols"]["x"]["min"] == "0.000"
+    assert st["cols"]["x"]["max"] == "1.125"
+    assert st["cols"]["x"]["exact"] is True
+
+
+# -- type-widening schema evolution ----------------------------------------
+
+
+def test_type_widening_reads_and_prunes(spark, tmp_path):
+    d = str(tmp_path / "widen")
+    df1 = spark.range(10).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("float").alias("v"),
+    )
+    append_snapshot(Frame(df1, ()), d, batch_id=0)
+    df2 = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    append_snapshot(Frame(df2, ()), d, batch_id=1, schema_mode="merge")
+    log = C._read_log(C._TableFS(d))
+    assert log["schema"] == [["k", "bigint"], ["v", "double"]]
+    got = read_append_snapshot(spark, d).collect()
+    assert len(got) == 20 and int(got["k"].sum()) == 190
+    # derived prune still sound across both eras
+    got2 = read_append_snapshot(spark, d, where="k >= 15").collect()
+    assert sorted(got2["k"].tolist()) == list(range(15, 20))
+
+
+def test_type_widening_narrow_batch_upcasts(spark, tmp_path):
+    d = str(tmp_path / "upcast")
+    append_snapshot(
+        Frame(spark.range(5).select(F.col("id").alias("k")), ()),
+        d, batch_id=0,
+    )
+    # a smallint batch lands on the bigint table: cast up, no widening
+    append_snapshot(
+        Frame(
+            spark.range(5, 8).select(
+                F.col("id").cast("smallint").alias("k")
+            ),
+            (),
+        ),
+        d, batch_id=1, schema_mode="merge",
+    )
+    log = C._read_log(C._TableFS(d))
+    assert log["schema"] == [["k", "bigint"]]
+    assert len(read_append_snapshot(spark, d).collect()) == 8
+
+
+def test_type_narrowing_and_incompatible_refused(spark, tmp_path):
+    d = str(tmp_path / "narrow")
+    append_snapshot(
+        Frame(spark.range(5).select(F.col("id").alias("k")), ()),
+        d, batch_id=0,
+    )
+    # strict mode refuses ANY drift
+    with pytest.raises(ValueError, match="type mismatch"):
+        append_snapshot(
+            Frame(
+                spark.range(3).select(F.col("id").cast("int").alias("k")),
+                (),
+            ),
+            d, batch_id=1,
+        )
+    # merge mode still refuses string<->number
+    with pytest.raises(ValueError, match="type mismatch"):
+        append_snapshot(
+            Frame(
+                spark.range(3).select(
+                    F.col("id").cast("string").alias("k")
+                ),
+                (),
+            ),
+            d, batch_id=1, schema_mode="merge",
+        )
+
+
+def test_cdf_window_spans_widening(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import read_append_cdf
+
+    d = str(tmp_path / "wcdf")
+    append_snapshot(
+        Frame(spark.range(4).select(F.col("id").cast("int").alias("k")), ()),
+        d, batch_id=0,
+    )
+    append_snapshot(
+        Frame(spark.range(4, 9).select(F.col("id").alias("k")), ()),
+        d, batch_id=1, schema_mode="merge",
+    )
+    cdf = read_append_cdf(spark, d, since_version=0).collect()
+    assert sorted(cdf["k"].tolist()) == list(range(9))
+    assert set(cdf["_change_type"]) == {"insert"}

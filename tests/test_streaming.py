@@ -614,10 +614,9 @@ def test_stream_upsert_append_mor_sink(spark, tmp_path):
     got = read_append_snapshot(spark, table).collect().sort_values("k")
     assert got["v"].tolist() == ["a", "B", "c"]
     # purge-compaction on the cadence: no deletion vectors left behind
-    import json
+    from cuplyr_spark.sources.connectors import _read_log, _TableFS
 
-    ptr = int(open(os.path.join(table, "_LATEST_LOG")).read())
-    log = json.load(open(os.path.join(table, f"_LOG.{ptr}")))
+    log = _read_log(_TableFS(table))
     assert not log.get("deletes")
 
 

@@ -170,7 +170,7 @@ def test_concurrent_conflicting_append_raises(spark, tmp_path):
     orig = C._write_log
     fired = {"n": 0}
 
-    def racing(fs, log):
+    def racing(fs, log, prev=None):
         if fired["n"] == 0 and fs.dir.endswith("/t"):
             fired["n"] += 1
             # the racing writer lands key 7 first (bypasses the spy
@@ -180,7 +180,7 @@ def test_concurrent_conflicting_append_raises(spark, tmp_path):
                 append_snapshot(_mk(spark, [(7, "theirs")]), d)
             finally:
                 C._write_log = racing
-        return orig(fs, log)
+        return orig(fs, log, prev=prev)
 
     C._write_log = racing
     try:
@@ -205,7 +205,7 @@ def test_non_conflicting_concurrent_append_rebases(spark, tmp_path):
     orig = C._write_log
     fired = {"n": 0}
 
-    def racing(fs, log):
+    def racing(fs, log, prev=None):
         if fired["n"] == 0 and fs.dir.endswith("/t"):
             fired["n"] += 1
             C._write_log = orig
@@ -213,7 +213,7 @@ def test_non_conflicting_concurrent_append_rebases(spark, tmp_path):
                 append_snapshot(_mk(spark, [(7, "theirs")]), d)
             finally:
                 C._write_log = racing
-        return orig(fs, log)
+        return orig(fs, log, prev=prev)
 
     C._write_log = racing
     try:
