@@ -3724,6 +3724,59 @@ def q_incremental_view(spark, sf_dir):
     return read_append_view(spark, v).df
 
 
+def q_incremental_view_distinct(spark, sf_dir):
+    """``n_distinct`` in incremental views (``sources/views.py``):
+    the sketch-backed mode keeps a Datasketches HLL sketch as the
+    per-group state — insert windows UNION sketches losslessly,
+    delete windows recompute affected groups exactly — and the
+    exact mode (``n_distinct_exact``) routes every window through the
+    affected-group recompute so the count is always hash-exact. Both
+    run over three refreshes (append → insert-merge append → delete)
+    and must equal a from-scratch COUNT(DISTINCT) over the final
+    state. The sketch op counts a LOW-cardinality column
+    (o_orderpriority, 5 values — within the sketch's exact coupon
+    regime at every scale factor), the exact op the customer key at
+    any cardinality; the oracle is the plain GROUP BY."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        delete_append_rows,
+    )
+    from cuplyr_spark.sources.views import (
+        create_append_view,
+        read_append_view,
+        refresh_append_view,
+    )
+
+    base = _t(spark, sf_dir, "orders").df.select(
+        (F.col("o_orderkey") % 20).alias("bucket"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("cust"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    d = _scratch_dir("view_nd_base")
+    v = _scratch_dir("view_nd_def")
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(v, ignore_errors=True)
+    append_snapshot(Frame(base.filter("okey % 2 = 0"), ()), d, batch_id=0)
+    create_append_view(
+        spark, d, v, "bucket",
+        {
+            "nd_prio": ("n_distinct", "prio"),
+            "nd_cust": ("n_distinct_exact", "cust"),
+            "n": ("count", None),
+        },
+    )
+    refresh_append_view(spark, v)
+    append_snapshot(Frame(base.filter("okey % 2 = 1"), ()), d, batch_id=1)
+    refresh_append_view(spark, v)  # insert-only: sketch union
+    delete_append_rows(spark, d, "cents > 30000000")
+    refresh_append_view(spark, v)  # deletes: affected-group recompute
+    return read_append_view(spark, v).df
+
+
 def q_append_expectations(spark, sf_dir):
     """Write-time expectations (``connectors.set_append_expectations``
     / ``append_snapshot(expectations=)``): the table is created with a
@@ -4373,6 +4426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_unique_ingest": q_append_unique_ingest,
         "append_cdf": q_append_cdf,
         "incremental_view": q_incremental_view,
+        "incremental_view_distinct": q_incremental_view_distinct,
         "append_expectations": q_append_expectations,
         "append_schema_evolution": q_append_schema_evolution,
         "append_dv_partitioned": q_append_dv_partitioned,
@@ -6509,6 +6563,22 @@ def oracle_sql() -> dict[str, str]:
                min(cents) AS min_cents,
                max(cents) AS max_cents,
                CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents
+        FROM live
+        GROUP BY bucket
+    """
+    out["incremental_view_distinct"] = """
+        WITH base AS (
+            SELECT o_orderkey % 20 AS bucket,
+                   o_orderpriority AS prio,
+                   o_custkey AS cust,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        live AS (SELECT * FROM base WHERE cents <= 30000000)
+        SELECT bucket,
+               CAST(count(DISTINCT prio) AS BIGINT) AS nd_prio,
+               CAST(count(DISTINCT cust) AS BIGINT) AS nd_cust,
+               count(*) AS n
         FROM live
         GROUP BY bucket
     """

@@ -67,6 +67,12 @@ HEADLINE = [
     # combined hash agg + TakeOrderedAndProject) — tracks the sketch
     # layer's high-fan-out aggregation path round-over-round.
     "heavy_hitter_tokens",
+    # r13: wall-track the STORAGE READ paths (until now only
+    # plan-budgeted, so a read-path regression had no time signal).
+    # Plan build writes the table once; each timed execution is the
+    # read a 100 TB consumer pays per query.
+    "append_clustered_probe",   # key-clustered file-pruned range read
+    "append_dv_partitioned",    # DV-carrying partitioned read (anti-join tax)
 ]
 
 
@@ -118,6 +124,58 @@ def calibrate() -> dict:
     }
 
 
+def _setup_view_refresh_action(spark):
+    """ACTION-mode bench entry: incremental materialized-view refresh.
+    The refresh is a side-effecting maintenance call, not a reusable
+    plan, so it is timed as append-batch + refresh per iteration — the
+    steady-state cost a streaming dashboard pays per microbatch (∝ the
+    batch, never the base table). Setup (one-time, untimed): the base
+    table with the bulk of the rows plus the view; each iteration then
+    appends one fixed 20k-row slice and advances the view through the
+    insert-only arithmetic-merge path."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.sources.connectors import append_snapshot
+    from cuplyr_spark.sources.views import (
+        create_append_view,
+        refresh_append_view,
+    )
+
+    base_dir = "/tmp/cuplyr_bench_view_base"
+    view_dir = "/tmp/cuplyr_bench_view_def"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    shutil.rmtree(view_dir, ignore_errors=True)
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    src = orders.select(
+        (F.col("o_orderkey") % 64).alias("bucket"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    append_snapshot(Frame(src, ()), base_dir, batch_id=0)
+    create_append_view(
+        spark, base_dir, view_dir, "bucket",
+        {"sum_cents": ("sum", "cents"), "n": ("count", None)},
+    )
+    refresh_append_view(spark, view_dir)
+    batch = Frame(src.limit(20_000), ())
+    state = {"i": 1}
+
+    def run():
+        append_snapshot(batch, base_dir, batch_id=state["i"])
+        state["i"] += 1
+        refresh_append_view(spark, view_dir)
+
+    return run
+
+
+# side-effecting maintenance paths timed per-call (no reusable plan)
+ACTIONS = {
+    "view_refresh_incremental": _setup_view_refresh_action,
+}
+
+
 def main() -> None:
     calibration = calibrate()
     spark = get_session(app_name="cuplyr_spark_bench")
@@ -142,14 +200,29 @@ def main() -> None:
     # the per-repeat medians. Noise here only ever inflates timings,
     # so the min over temporally-separated windows rejects any burst
     # shorter than a full suite pass without paying the interleave tax.
+    actions = {}
+    for name, setup in ACTIONS.items():
+        actions[name] = setup(spark)
+        actions[name]()  # warm-up call (JIT, shuffles, log caches)
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     per_repeat = max(1, ITERS // repeats)
-    medians: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    medians: dict[str, list[float]] = {
+        name: [] for name in (*HEADLINE, *ACTIONS)
+    }
     for _ in range(repeats):
         for name in HEADLINE:
             block = [execute(plans[name]) for _ in range(per_repeat)]
             medians[name].append(statistics.median(block))
-    timings = {name: round(min(medians[name]), 4) for name in HEADLINE}
+        for name, run in actions.items():
+            block = []
+            for _ in range(per_repeat):
+                t0 = time.perf_counter()
+                run()
+                block.append(time.perf_counter() - t0)
+            medians[name].append(statistics.median(block))
+    timings = {
+        name: round(min(vals), 4) for name, vals in medians.items()
+    }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

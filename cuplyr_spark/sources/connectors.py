@@ -115,6 +115,58 @@ class ConcurrentWriteError(RuntimeError):
     can recompute the merge."""
 
 
+# Conditional-put backends for the exclusive-create commit primitive,
+# keyed by URI scheme. Object stores that support atomic
+# create-if-absent natively (S3 grew `If-None-Match: *` conditional
+# PUTs in 2024; GCS has `x-goods-if-generation-match: 0`; Azure
+# `If-None-Match: *`) can commit WITHOUT the Hadoop rename dance,
+# whose S3A copy+delete is not atomic. Register one per scheme and
+# every log/commit-record create routes through it; unregistered
+# schemes keep the rename path with its documented caveat.
+_EXCLUSIVE_PUT_BACKENDS: dict = {}
+
+
+def register_exclusive_put(scheme: str, fn) -> None:
+    """Register ``fn(url: str, text: str) -> bool`` as the atomic
+    create-if-absent primitive for ``scheme`` tables (True = created,
+    False = already exists — the CAS loser). The backend must be
+    ATOMIC against concurrent puts of the same key; a check-then-put
+    emulation reintroduces exactly the race this hook closes. Pass
+    ``None`` to unregister."""
+    if fn is None:
+        _EXCLUSIVE_PUT_BACKENDS.pop(scheme.lower(), None)
+    else:
+        _EXCLUSIVE_PUT_BACKENDS[scheme.lower()] = fn
+
+
+def http_if_none_match_put(url: str, text: str, timeout: float = 30.0) -> bool:
+    """Reference conditional-put backend for S3-compatible HTTP
+    endpoints: one PUT with ``If-None-Match: *`` — the store itself
+    arbitrates the race and answers 412 Precondition Failed to every
+    loser. Usable directly as ``register_exclusive_put("s3a",
+    lambda url, text: http_if_none_match_put(presign(url), text))``
+    with whatever auth/presign wrapper the deployment uses."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=text.encode("utf-8"),
+        method="PUT",
+        headers={
+            "If-None-Match": "*",
+            "Content-Type": "application/json",
+        },
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout):
+            return True
+    except urllib.error.HTTPError as e:
+        if e.code == 412:
+            return False
+        raise
+
+
 class _TableFS:
     """Manifest/listing IO for one table_dir, routed through the SAME
     filesystem Spark writes the parquet to.
@@ -279,10 +331,19 @@ class _TableFS:
         already exists. This is the optimistic-concurrency CAS
         primitive: two writers racing to create the same version
         marker get exactly one winner. Local: ``os.link`` (atomic
-        exclusive on POSIX). Hadoop: ``FileContext.rename`` WITHOUT
-        the OVERWRITE option (atomic exclusive on HDFS; S3A's
-        copy+delete rename is not atomic — multi-writer tables on raw
-        S3 need external coordination, as Delta does)."""
+        exclusive on POSIX). Remote: a registered conditional-put
+        backend for the scheme when one exists
+        (:func:`register_exclusive_put` — one If-None-Match PUT, the
+        store arbitrates), else ``FileContext.rename`` WITHOUT the
+        OVERWRITE option (atomic exclusive on HDFS; S3A's copy+delete
+        rename is not atomic — multi-writer tables on raw S3 either
+        register the conditional-put hook or need external
+        coordination, as pre-conditional-write Delta did)."""
+        if self.remote:
+            scheme = self.dir.split("://", 1)[0].lower()
+            backend = _EXCLUSIVE_PUT_BACKENDS.get(scheme)
+            if backend is not None:
+                return bool(backend(self.join(name), text))
         if not self.remote:
             tmp = self.join(name) + tmp_suffix
             with open(tmp, "w") as f:
@@ -3746,8 +3807,10 @@ def append_snapshot(
             checked = check(cur)
             if checked is None:  # the winner WAS this batch (replay race)
                 return cur["version"]  # our segment is an orphan; vacuum
+            # rebased upcasts are moot: the segment is already on disk
+            # (narrower files read through the table schema natively)
             (schema, rebased_pby, rebased_spec, added, rebased_cby,
-             rebased_ukey) = checked
+             rebased_ukey, _rebased_upcasts) = checked
             if rebased_pby != pby:  # first-append race decided a
                 raise ValueError(   # different layout than we wrote
                     f"append_snapshot: a concurrent first append fixed "
@@ -4962,29 +5025,71 @@ def read_append_cdf(
             )
         else:
             # one multi-path relation over every added segment in the
-            # run; _commit_version from the adding segment's name via
-            # the scan's _metadata — one regex + O(1) map lookup per
-            # INSERTED row (∝ the window's changes, not the table)
+            # run; _commit_version from the adding segment's name —
+            # one O(1) map lookup per INSERTED row (∝ the window's
+            # changes, not the table)
             segmap = {s: k for k, added, _ in pending for s in added}
-            raw = _read_parquet_at(
-                spark, pending_schema, *[fs.join(s) for s in segmap]
-            )
-            seg_of = F.regexp_extract(
-                F.col("_metadata.file_path"),
-                # fixed-depth anchor (file directly under the segment
-                # in the unpartitioned layout) — see _with_dv_meta
-                r"^.*/((?:seg|fold)=[^/]+)/[^/]+$",
-                1,
-            )
-            vmap = F.create_map(
-                *[F.lit(x) for kv in segmap.items() for x in kv]
-            )
-            parts.append(
-                raw.withColumn("_change_type", F.lit("insert")).withColumn(
-                    "_commit_version",
-                    F.element_at(vmap, seg_of).cast("long"),
+            pby = pending[0][2].get("partition_by") or []
+            if pby:
+                # partitioned layout: root the discovery at the TABLE
+                # dir so the segment level itself surfaces as a
+                # (string) partition column — the version key — and
+                # the hive dirs below it resolve as usual; inference
+                # off + conform casts them back to the manifest types
+                conf = spark.conf
+                key = (
+                    "spark.sql.sources."
+                    "partitionColumnTypeInference.enabled"
                 )
-            )
+                prev_conf = conf.get(key)
+                conf.set(key, "false")
+                try:
+                    raw = spark.read.option("basePath", fs.dir).parquet(
+                        *[fs.join(s) for s in segmap]
+                    )
+                finally:
+                    conf.set(key, prev_conf)
+                vmap = F.create_map(
+                    *[
+                        F.lit(x)
+                        for s, k in segmap.items()
+                        for x in (s.split("=", 1)[1], k)
+                    ]
+                )
+                raw = raw.withColumn(
+                    "_commit_version",
+                    F.element_at(vmap, F.col("seg")).cast("long"),
+                )
+                conformed = _conform_schema(
+                    raw,
+                    list(pending_schema) + [["_commit_version", "bigint"]],
+                )
+                parts.append(
+                    conformed.withColumn("_change_type", F.lit("insert"))
+                )
+            else:
+                raw = _read_parquet_at(
+                    spark, pending_schema, *[fs.join(s) for s in segmap]
+                )
+                seg_of = F.regexp_extract(
+                    F.col("_metadata.file_path"),
+                    # fixed-depth anchor (file directly under the
+                    # segment in the unpartitioned layout) — see
+                    # _with_dv_meta
+                    r"^.*/((?:seg|fold)=[^/]+)/[^/]+$",
+                    1,
+                )
+                vmap = F.create_map(
+                    *[F.lit(x) for kv in segmap.items() for x in kv]
+                )
+                parts.append(
+                    raw.withColumn(
+                        "_change_type", F.lit("insert")
+                    ).withColumn(
+                        "_commit_version",
+                        F.element_at(vmap, seg_of).cast("long"),
+                    )
+                )
         pending, pending_schema = [], None
 
     for k, log_k in _iter_log_states(fs, since_version + 1, end):
@@ -5005,19 +5110,27 @@ def read_append_cdf(
             d for d in sorted(dvs_k - prev_dvs) if not _dv_is_maintenance(d)
         ]
         if added:
-            if (
+            # partitioned tables batch through the basePath-rooted
+            # discovery; the fallbacks are a partition column literally
+            # named like the segment level (duplicate discovery key)
+            # and legacy manifests without a recorded schema (conform
+            # needs one)
+            batchable = not new_dvs and not (
                 pby
-                or new_dvs
-                or (pending and log_k.get("schema") != pending_schema)
+                and (
+                    log_k.get("schema") is None
+                    or "seg" in pby
+                    or "fold" in pby
+                )
+            )
+            if not batchable or (
+                pending and log_k.get("schema") != pending_schema
             ):
                 flush_inserts()
-            if pby or new_dvs:
-                pending.append((k, added, log_k))
-                pending_schema = log_k.get("schema")
-                flush_inserts()  # not batchable: emit as a lone version
-            else:
-                pending.append((k, added, log_k))
-                pending_schema = log_k.get("schema")
+            pending.append((k, added, log_k))
+            pending_schema = log_k.get("schema")
+            if not batchable:
+                flush_inserts()  # emit as a lone version
         if new_dvs:
             flush_inserts()
             schema = log_k.get("schema")

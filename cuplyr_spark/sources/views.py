@@ -95,7 +95,22 @@ _SUM_TYPES = {
     "tinyint": "long", "smallint": "long", "int": "long",
     "bigint": "long", "float": "double", "double": "double",
 }
-_AGG_OPS = ("sum", "count", "min", "max", "mean")
+_AGG_OPS = (
+    "sum", "count", "min", "max", "mean", "n_distinct",
+    "n_distinct_exact",
+)
+
+# n_distinct state is a Datasketches HLL sketch (Spark's built-in
+# hll_sketch_agg/hll_union — JVM-side, fixed-size binary state):
+# insert windows UNION sketches losslessly, delete windows recompute
+# affected groups exactly (sketches cannot subtract — the existing
+# affected-group path already does exact recomputation). The estimate
+# carries the sketch's ~1.6%/sqrt(2^lgk) relative error; use
+# n_distinct_exact for hash-exact counts, which routes EVERY window
+# through the affected-group recompute (cost ∝ affected groups' base
+# rows, not the delta).
+_HLL_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+_HLL_CAST = {"tinyint": "int", "smallint": "int"}
 
 
 def _load_spec(fs: _TableFS) -> dict:
@@ -148,6 +163,7 @@ def _normalize_aggs(aggs: dict, base_schema: dict[str, str],
             raise ValueError(
                 f"aggregate {name!r}: op {op!r} not in {_AGG_OPS}"
             )
+        ctype = None
         if op == "count" and col is None:
             state = [(name, "long")]
         else:
@@ -178,6 +194,24 @@ def _normalize_aggs(aggs: dict, base_schema: dict[str, str],
                          (f"_acc_{name}_cnt", "long")]
             elif op == "count":
                 state = [(name, "long")]
+            elif op == "n_distinct":
+                if ctype not in _HLL_TYPES:
+                    raise ValueError(
+                        f"aggregate {name!r}: n_distinct over {ctype!r} "
+                        f"is not supported (HLL state takes "
+                        f"{sorted(_HLL_TYPES)}; use n_distinct_exact "
+                        "for other types)"
+                    )
+                state = [(f"_acc_{name}_hll", "binary")]
+            elif op == "n_distinct_exact":
+                if ctype not in _STAT_TYPES and not ctype.startswith(
+                    "decimal("
+                ):
+                    raise ValueError(
+                        f"aggregate {name!r}: n_distinct_exact over "
+                        f"{ctype!r} is not supported (scalar types only)"
+                    )
+                state = [(name, "long")]
             else:  # min / max keep the input type
                 if ctype not in _STAT_TYPES:
                     raise ValueError(
@@ -185,7 +219,12 @@ def _normalize_aggs(aggs: dict, base_schema: dict[str, str],
                         "supported (orderable scalar types only)"
                     )
                 state = [(name, ctype)]
-        out.append({"name": name, "op": op, "col": col, "state": state})
+        out.append(
+            {
+                "name": name, "op": op, "col": col, "state": state,
+                "ctype": ctype,
+            }
+        )
     return out
 
 
@@ -208,6 +247,16 @@ def _partial_agg(df, group_by: list[str], specs: list[dict]):
             exprs.append(F.min(c).alias(s["name"]))
         elif s["op"] == "max":
             exprs.append(F.max(c).alias(s["name"]))
+        elif s["op"] == "n_distinct":
+            cast_to = _HLL_CAST.get(s.get("ctype") or "")
+            hc = c.cast(cast_to) if cast_to else c
+            exprs.append(
+                F.hll_sketch_agg(hc).alias(s["state"][0][0])
+            )
+        elif s["op"] == "n_distinct_exact":
+            exprs.append(
+                F.countDistinct(c).cast("long").alias(s["name"])
+            )
         else:  # mean → (double sum, non-null count)
             exprs.append(F.sum(c.cast("double"))
                          .alias(f"_acc_{s['name']}_sum"))
@@ -253,6 +302,21 @@ def _merge_state(old_df, delta_df, group_by: list[str],
             n, t = s["state"][0]
             fold = F.least if s["op"] == "min" else F.greatest
             cols.append(fold(o[n], d[n]).cast(t).alias(n))
+        elif s["op"] == "n_distinct":
+            n = s["state"][0][0]
+            a, b = o[n], d[n]
+            cols.append(
+                F.when(a.isNull(), b)
+                .when(b.isNull(), a)
+                .otherwise(F.hll_union(a, b))
+                .alias(n)
+            )
+        elif s["op"] == "n_distinct_exact":
+            raise AssertionError(
+                "exact distinct state is not mergeable — the refresh "
+                "must route windows through the affected-group "
+                "recompute (bug if reached)"
+            )
         else:  # mean accumulators
             sn, cn = f"_acc_{s['name']}_sum", f"_acc_{s['name']}_cnt"
             cols.append(add_nullable(sn).cast("double").alias(sn))
@@ -472,7 +536,10 @@ def refresh_append_view(
             pinned_state = read_append_snapshot(
                 spark, state_dir, version=last["state_version"]
             ).df
-            if not _window_has_deletes(bfs, since, end):
+            has_exact = any(
+                s["op"] == "n_distinct_exact" for s in specs
+            )
+            if not _window_has_deletes(bfs, since, end) and not has_exact:
                 delta = read_append_changes(spark, base_dir, since, end).df
                 dpart = _partial_agg(delta, group_by, specs)
                 batch = _pin(_merge_state(pinned_state, dpart, group_by, specs))
@@ -608,6 +675,13 @@ def read_append_view(
             cols.append(
                 (F.col(f"_acc_{name}_sum")
                  / F.col(f"_acc_{name}_cnt")).alias(name)
+            )
+        elif op == "n_distinct":
+            cols.append(
+                F.coalesce(
+                    F.hll_sketch_estimate(F.col(f"_acc_{name}_hll")),
+                    F.lit(0),
+                ).cast("long").alias(name)
             )
         else:
             cols.append(F.col(name))

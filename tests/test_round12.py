@@ -361,7 +361,11 @@ def test_derive_stats_filter_grammar():
     assert f("id > v") is None
     assert f("id > 'x'") is None  # literal/column type mismatch
     assert f("b == True") is None  # booleans excluded
-    assert f("dec > 1") is None  # stat-ineligible column type
+    # decimals derive into the unscaled-int stats domain (r13);
+    # literals finer than the column scale stay underivable
+    assert f("dec > 1") == {"dec": [(">", 100)]}
+    assert f("dec == 1.25") == {"dec": [("==", 125)]}
+    assert f("dec > 1.005") is None
     assert f("not a predicate ===") is None
     # partial derivation keeps the derivable conjunct
     assert f("id > 100 and foo(v) < 2") == {"id": [(">", 100)]}

@@ -400,3 +400,146 @@ def test_cdf_window_spans_widening(spark, tmp_path):
     cdf = read_append_cdf(spark, d, since_version=0).collect()
     assert sorted(cdf["k"].tolist()) == list(range(9))
     assert set(cdf["_change_type"]) == {"insert"}
+
+
+# -- CDF insert batching for partitioned tables -----------------------------
+
+
+def test_cdf_batches_partitioned_insert_versions(spark, tmp_path):
+    """r12 scoped insert batching to unpartitioned tables; the
+    basePath-rooted discovery extends it — one relation for a 3-insert
+    partitioned window, partition values/types intact."""
+    from cuplyr_spark.sources.connectors import read_append_cdf
+
+    d = str(tmp_path / "cdfp")
+    for i in range(3):
+        df = spark.range(i * 10, i * 10 + 10).select(
+            F.col("id"),
+            (F.col("id") % 3).cast("string").alias("p"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        append_snapshot(Frame(df, ()), d, batch_id=i, partition_by="p")
+    cdf = read_append_cdf(spark, d, since_version=0).df
+    plan = cdf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1  # one relation, 3 versions
+    agg = {
+        r["_commit_version"]: (r["n"], r["lo"], r["hi"])
+        for r in cdf.groupBy("_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+        )
+        .collect()
+    }
+    assert agg == {1: (10, 0, 9), 2: (10, 10, 19), 3: (10, 20, 29)}
+    assert dict(cdf.dtypes)["p"] == "string"
+
+
+def test_cdf_partitioned_seg_named_column_falls_back(spark, tmp_path):
+    """A partition column literally named 'seg' cannot batch (it would
+    collide with the segment discovery level) — the per-version path
+    still emits every insert exactly once."""
+    from cuplyr_spark.sources.connectors import read_append_cdf
+
+    d = str(tmp_path / "cdfs")
+    for i in range(3):
+        df = spark.range(i * 4, i * 4 + 4).select(
+            F.col("id"), (F.col("id") % 2).alias("seg")
+        )
+        append_snapshot(Frame(df, ()), d, batch_id=i, partition_by="seg")
+    cdf = read_append_cdf(spark, d, since_version=0).df.toPandas()
+    assert len(cdf) == 12
+    assert sorted(cdf["_commit_version"].unique().tolist()) == [1, 2, 3]
+
+
+# -- conditional-put commit hook --------------------------------------------
+
+
+def test_conditional_put_hook_arbitrates_commit_race(spark, tmp_path):
+    """Object stores with atomic create-if-absent (If-None-Match PUTs)
+    register a conditional-put backend per scheme; the commit primitive
+    then routes through it instead of the Hadoop rename (whose S3A
+    variant is not atomic). Exercised with a fake store backend on a
+    file:// table: two writers race one version, the store arbitrates,
+    the loser rebases — no silent clobber, no duplicate."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    calls = {"n": 0}
+    d = "file://" + str(tmp_path / "t")
+
+    def backend(url, text):
+        path = urlparse(url).path
+        if calls["n"] == 0 and "/_LOG.2" in path:
+            calls["n"] += 1
+            # a competitor lands version 2 first, through the same
+            # conditional-put arbitration
+            append_snapshot(
+                Frame(
+                    spark.createDataFrame([(7, "theirs")],
+                                          "id long, v string"),
+                    (),
+                ),
+                d, batch_id=7, app_id="competitor",
+            )
+        try:
+            fd = _os.open(path, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with _os.fdopen(fd, "w") as f:
+            f.write(text)
+        return True
+
+    C.register_exclusive_put("file", backend)
+    try:
+        append_snapshot(
+            Frame(
+                spark.createDataFrame([(1, "a")], "id long, v string"), ()
+            ),
+            d, batch_id=0,
+        )
+        append_snapshot(
+            Frame(
+                spark.createDataFrame([(2, "ours")], "id long, v string"),
+                (),
+            ),
+            d, batch_id=1,
+        )
+    finally:
+        C.register_exclusive_put("file", None)
+    got = read_append_snapshot(spark, d).collect()
+    assert sorted(got["id"].tolist()) == [1, 2, 7]
+    head = C._read_log(C._TableFS(d, spark))
+    assert head["version"] == 3  # loser rebased past the competitor
+    assert calls["n"] == 1
+
+
+def test_http_if_none_match_put_contract():
+    """The reference HTTP backend translates 412 to the CAS-loser
+    False and re-raises anything else."""
+    import io
+    import urllib.error
+    from unittest import mock
+
+    from cuplyr_spark.sources.connectors import http_if_none_match_put
+
+    with mock.patch("urllib.request.urlopen") as m:
+        m.return_value.__enter__ = lambda s: s
+        m.return_value.__exit__ = lambda s, *a: False
+        assert http_if_none_match_put("http://x/y", "t") is True
+        req = m.call_args[0][0]
+        assert req.get_method() == "PUT"
+        assert req.get_header("If-none-match") == "*"
+
+    err412 = urllib.error.HTTPError(
+        "http://x/y", 412, "Precondition Failed", {}, io.BytesIO(b"")
+    )
+    with mock.patch("urllib.request.urlopen", side_effect=err412):
+        assert http_if_none_match_put("http://x/y", "t") is False
+    err500 = urllib.error.HTTPError(
+        "http://x/y", 500, "boom", {}, io.BytesIO(b"")
+    )
+    with mock.patch("urllib.request.urlopen", side_effect=err500):
+        with pytest.raises(urllib.error.HTTPError):
+            http_if_none_match_put("http://x/y", "t")

@@ -440,3 +440,124 @@ def test_read_view_time_travel(spark, dirs):
                    read_append_view(spark, view).df.collect()}
     with pytest.raises(FileNotFoundError, match="refresh record 9"):
         read_append_view(spark, view, refresh_seq=9)
+
+
+# -- n_distinct (sketch-backed) and n_distinct_exact -----------------------
+
+
+def _nd_truth(spark, base_dir, col="u"):
+    from pyspark.sql import functions as F
+
+    from cuplyr_spark.sources.connectors import read_append_snapshot
+
+    df = read_append_snapshot(spark, base_dir).df
+    return {
+        r["g"]: r["nd"]
+        for r in df.groupBy("g")
+        .agg(F.countDistinct(col).alias("nd"))
+        .collect()
+    }
+
+
+def _mk_nd(spark, lo, hi, mod=37):
+    from pyspark.sql import functions as F
+
+    return Frame(
+        spark.range(lo, hi).select(
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") % mod).alias("u"),
+            F.col("id").alias("x"),
+        )
+    )
+
+
+def test_view_n_distinct_three_refreshes_match_scratch(spark, tmp_path):
+    """Sketch union on the insert window, exact recompute on the
+    delete window, and the exact-mode twin hash-exact throughout."""
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        delete_append_rows,
+    )
+    from cuplyr_spark.sources.views import (
+        create_append_view,
+        read_append_view,
+        refresh_append_view,
+    )
+
+    base = str(tmp_path / "b")
+    vh = str(tmp_path / "vh")
+    ve = str(tmp_path / "ve")
+    append_snapshot(_mk_nd(spark, 0, 200), base, batch_id=0)
+    create_append_view(
+        spark, base, vh, "g", {"nd": ("n_distinct", "u")}
+    )
+    create_append_view(
+        spark, base, ve, "g", {"nd": ("n_distinct_exact", "u")}
+    )
+    for step in range(3):
+        if step == 1:
+            append_snapshot(_mk_nd(spark, 200, 450), base, batch_id=1)
+        elif step == 2:
+            delete_append_rows(spark, base, "x >= 300 and x < 400")
+        refresh_append_view(spark, vh)
+        refresh_append_view(spark, ve)
+        truth = _nd_truth(spark, base)
+        for vd in (vh, ve):
+            got = {
+                r["g"]: r["nd"]
+                for r in read_append_view(spark, vd).df.collect()
+            }
+            assert got == truth, (vd, step)
+
+
+def test_view_n_distinct_error_bound_at_high_cardinality(spark, tmp_path):
+    """Past the sketch's exact coupon regime the estimate must stay
+    within the lgk=12 error bound (~3 sigma ≈ 5%)."""
+    from pyspark.sql import functions as F
+
+    from cuplyr_spark.sources.connectors import append_snapshot
+    from cuplyr_spark.sources.views import (
+        create_append_view,
+        read_append_view,
+        refresh_append_view,
+    )
+
+    base = str(tmp_path / "bb")
+    v = str(tmp_path / "vv")
+    big = Frame(
+        spark.range(100_000).select(
+            F.lit(0).alias("g"), F.col("id").alias("u")
+        )
+    )
+    append_snapshot(big, base, batch_id=0)
+    create_append_view(spark, base, v, "g", {"nd": ("n_distinct", "u")})
+    refresh_append_view(spark, v)
+    est = read_append_view(spark, v).df.collect()[0]["nd"]
+    assert abs(est - 100_000) / 100_000 < 0.05
+
+
+def test_view_n_distinct_type_validation(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cuplyr_spark.sources.connectors import append_snapshot
+    from cuplyr_spark.sources.views import create_append_view
+
+    base = str(tmp_path / "bt")
+    append_snapshot(
+        Frame(
+            spark.range(5).select(
+                F.lit(0).alias("g"), (F.col("id") * 1.5).alias("u")
+            )
+        ),
+        base, batch_id=0,
+    )
+    with pytest.raises(ValueError, match="n_distinct over"):
+        create_append_view(
+            spark, base, str(tmp_path / "vx"), "g",
+            {"nd": ("n_distinct", "u")},  # double: not HLL-supported
+        )
+    # exact mode takes it
+    create_append_view(
+        spark, base, str(tmp_path / "vy"), "g",
+        {"nd": ("n_distinct_exact", "u")},
+    )
