@@ -4070,6 +4070,52 @@ def q_append_type_widening(spark, sf_dir):
     )
 
 
+def q_append_partition_range(spark, sf_dir):
+    """Range predicates on partition columns: a date-partitioned
+    ingest answers ``day >= X and day < Y`` by pruning partition
+    DIRECTORIES through the manifest partition map (date/string
+    renderings are order-preserving in directory-string space; int
+    partitions refuse loudly) — the canonical 100 TB access pattern
+    (time-partitioned fact table, time-range query). The where=
+    derivation compiles the range conjuncts automatically. Oracle:
+    plain WHERE over the same truncation."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+    )
+
+    odf = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("month"),
+    )
+    d = _scratch_dir("partition_range")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(
+        Frame(odf.filter("month < '1995-01-01'")), d, batch_id=0,
+        partition_by="month",
+    )
+    append_snapshot(
+        Frame(odf.filter("month >= '1995-01-01'")), d, batch_id=1
+    )
+    out = read_append_snapshot(
+        spark, d,
+        where="month >= '1995-06-01' and month < '1997-01-01' "
+        "and o_totalprice > 120000",
+    )
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.date_format(F.min("month"), "yyyy-MM-dd").alias("first_month"),
+        F.date_format(F.max("month"), "yyyy-MM-dd").alias("last_month"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
 def q_separate_rows(spark, sf_dir):
     """tidyr ``separate_rows`` (``Frame.separate_rows``): a delimited
     string column explodes into one row per element — map-side
@@ -4433,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_read_where": q_append_read_where,
         "append_decimal_prune": q_append_decimal_prune,
         "append_type_widening": q_append_type_widening,
+        "append_partition_range": q_append_partition_range,
         "sidecar_table_stats": q_sidecar_table_stats,
         "dictionary_prune": q_dictionary_prune,
         "bloom_point_lookup": q_bloom_point_lookup,
@@ -6714,6 +6761,23 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_orderdate >= DATE '1996-06-15'
           AND o_totalprice > 150000
           AND o_orderkey % 3 = 0
+        GROUP BY o_orderstatus
+    """
+    out["append_partition_range"] = """
+        WITH t AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   CAST(date_trunc('month', o_orderdate) AS DATE)
+                       AS month
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               count(*) AS n,
+               strftime(min(month), '%Y-%m-%d') AS first_month,
+               strftime(max(month), '%Y-%m-%d') AS last_month,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM t
+        WHERE month >= DATE '1995-06-01' AND month < DATE '1997-01-01'
+          AND o_totalprice > 120000
         GROUP BY o_orderstatus
     """
     out["append_type_widening"] = """

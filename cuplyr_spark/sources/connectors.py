@@ -1229,6 +1229,50 @@ def _iter_log_states(fs: _TableFS, lo: int, hi: int):
         yield k, state
 
 
+def append_version_as_of(
+    table_dir: str, as_of, spark: SparkSession | None = None
+) -> int:
+    """The newest log version whose commit timestamp is ``<= as_of``
+    (float epoch seconds, a datetime, or an ISO string) — the
+    TIMESTAMP-AS-OF resolver (Delta's, with the same writer-clock
+    caveat). Pass the result as ``version=`` to any reader. Walks raw
+    records head-down (O(retained versions) tiny reads, bounded by
+    vacuum); records from before timestamps were stamped match any
+    ``as_of``. Raises when even the oldest retained version is newer
+    than ``as_of`` (vacuumed past it)."""
+    import datetime
+
+    if isinstance(as_of, str):
+        as_of = datetime.datetime.fromisoformat(as_of).timestamp()
+    elif isinstance(as_of, datetime.datetime):
+        as_of = as_of.timestamp()
+    fs = _TableFS(table_dir, spark)
+    head = _log_head_version(fs)
+    if head == 0:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    oldest = None
+    for v in range(head, 0, -1):
+        try:
+            rec = _read_log_rec(fs, v)
+        except FileNotFoundError:
+            break  # vacuumed below here
+        # top-level in full form, inside "set" in delta form (always
+        # present there: the stamp changes every commit)
+        ts = rec.get("ts")
+        if ts is None:
+            ts = (rec.get("set") or {}).get("ts")
+        oldest = (v, ts)
+        if ts is None or ts <= as_of:
+            return v
+    raise ValueError(
+        f"no retained version of {table_dir!r} is as old as "
+        f"{as_of!r} — the oldest retained commit is version "
+        f"{oldest[0]} at ts {oldest[1]} (vacuum swept earlier history)"
+    )
+
+
 def _log_states_for(fs: _TableFS, versions: list[int]):
     """``(v, full-state)`` for an explicit (sorted) version list —
     rolled forward when contiguous (the normal retained-history
@@ -1276,9 +1320,13 @@ def _write_log(fs: _TableFS, log: dict, prev: dict | None = None) -> int:
     forms at any version, so pre-delta tables keep reading and their
     next commits simply start the delta chain."""
     import json as _json
+    import time as _time
 
     n = log["version"]
     log["max_batch_id"] = (log.get("watermarks") or {}).get(_DEFAULT_APP)
+    # commit wall-clock, for TIMESTAMP-AS-OF resolution and history —
+    # writer-local clock, same caveat as Delta's file-mtime timestamps
+    log["ts"] = round(_time.time(), 3)
     payload = log
     if prev is not None and prev.get("version") == n - 1 and n > 1:
         d = _log_delta(prev, log)
@@ -1349,6 +1397,24 @@ _WIDENINGS = {
     ("float", "double"),
     ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
 }
+
+
+def _widens(a, b) -> bool:
+    """Is ``a → b`` a safe widening? The fixed numeric set, plus
+    SAME-SCALE decimal precision growth — exact (the unscaled-integer
+    stats domain is unchanged, and Spark's parquet reader upcasts
+    decimal precision natively). Scale changes stay refused: they move
+    the recorded stats domain."""
+    if (a, b) in _WIDENINGS:
+        return True
+    if (
+        isinstance(a, str) and a.startswith("decimal(")
+        and isinstance(b, str) and b.startswith("decimal(")
+    ):
+        pa, sa = map(int, a[8:-1].split(","))
+        pb, sb = map(int, b[8:-1].split(","))
+        return sa == sb and pb >= pa
+    return False
 
 
 def _partition_dirs(fs: _TableFS, seg: str, depth: int) -> list[str]:
@@ -2118,11 +2184,14 @@ def _derive_pfilter(pred: str, pby, schema) -> dict | None:
             conjuncts.append(n)
 
     walk(tree)
+    _RFLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+    _ROPS = {_ast.Lt: "<", _ast.LtE: "<=", _ast.Gt: ">", _ast.GtE: ">="}
     out: dict = {}
     for c in conjuncts:
         if not (isinstance(c, _ast.Compare) and len(c.ops) == 1):
             continue
         op, left, right = c.ops[0], c.left, c.comparators[0]
+        rng = None
         if isinstance(op, _ast.Eq):
             if isinstance(left, _ast.Name) and const(right) is not const:
                 col, vals = left.id, [const(right)]
@@ -2137,10 +2206,42 @@ def _derive_pfilter(pred: str, pby, schema) -> dict | None:
             if const in vals or not vals:
                 continue
             col = left.id
+        elif type(op) in _ROPS:
+            # RANGE conjunct: sound only where the directory rendering
+            # preserves value order (date/string; gated below)
+            if isinstance(left, _ast.Name) and const(right) is not const:
+                col, rng = left.id, (_ROPS[type(op)], const(right))
+            elif isinstance(right, _ast.Name) and const(left) is not const:
+                col, rng = (
+                    right.id,
+                    (_RFLIP[_ROPS[type(op)]], const(left)),
+                )
+            else:
+                continue
         else:
             continue
-        if col not in pset or col in out or col not in types:
-            continue  # repeated col: keep first; unknown col: skip
+        if col not in pset or col not in types:
+            continue
+        if rng is not None:
+            if types[col] not in _PRANGE_TYPES:
+                continue
+            rendered = _pdir_lit(types[col], rng[1])
+            if rendered is _pdir_lit or rendered is None:
+                continue
+            prev = out.get(col)
+            conds = (
+                list(prev)
+                if isinstance(prev, list)
+                and prev
+                and isinstance(prev[0], tuple)
+                else []
+            )
+            if prev is not None and not conds:
+                continue  # mixed with an earlier equality: keep it
+            out[col] = conds + [(rng[0], rendered)]
+            continue
+        if col in out:
+            continue  # repeated equality col: keep first
         normed = [_pdir_lit(types[col], v) for v in vals]
         if any(x is _pdir_lit for x in normed):
             continue  # rendering not provably canonical: skip
@@ -3071,17 +3172,134 @@ def _pdir_str(v) -> str | None:
     )
 
 
-def _normalize_pfilter(partition_filter: dict) -> dict[str, set]:
-    """{col: value-or-list} → {col: set of string forms} — partition
-    dir values are strings, so comparison happens in string space,
-    with each value rendered the way Spark writes directory names
-    (:func:`_pdir_str`)."""
+_PRANGE_OPS = {"<", "<=", ">", ">="}
+# Partition-column types whose canonical directory rendering is
+# ORDER-PRESERVING in string space, making range conds sound: ISO
+# dates, and strings themselves (lexicographic IS the predicate's own
+# order under binary collation). Ints are NOT ("9" > "10"), timestamps
+# render timezone- and fraction-dependently — both refuse loudly.
+_PRANGE_TYPES = {"date", "string"}
+
+
+def _normalize_pfilter(
+    partition_filter: dict, types: dict | None = None
+) -> dict:
+    """{col: value | list-of-values | (op, value) | [(op, value), ...]}
+    → {col: (eq-set-or-None, [(range-op, rendered-str), ...])} —
+    partition dir values are strings, so every comparison happens in
+    string space, with each value rendered the way Spark writes
+    directory names (:func:`_pdir_str`). Range ops (``< <= > >=``) are
+    accepted only on date/string partition columns
+    (:data:`_PRANGE_TYPES` — the types whose rendering preserves value
+    order); a 2-tuple whose first element is an operator name is a
+    condition (a literal partition VALUE equal to an operator name
+    needs the list form, same convention as ``stats_filter``)."""
+    ops = _PRANGE_OPS | {"==", "in"}
+
+    def is_cond(x):
+        return isinstance(x, tuple) and len(x) == 2 and x[0] in ops
+
     out = {}
-    for col, vals in partition_filter.items():
-        if not isinstance(vals, (list, tuple, set)):
-            vals = [vals]
-        out[col] = {_pdir_str(v) for v in vals}
+    for col, spec in partition_filter.items():
+        if is_cond(spec):
+            items = [spec]
+        elif isinstance(spec, list) and spec and all(
+            is_cond(x) for x in spec
+        ):
+            items = spec
+        elif isinstance(spec, (list, tuple, set)):
+            items = [("in", list(spec))]
+        else:
+            items = [("in", [spec])]
+        eq: set | None = None
+        conds: list = []
+        for op, v in items:
+            if op == "==" or op == "in":
+                vals = {
+                    _pdir_str(x)
+                    for x in (
+                        v if op == "in" and isinstance(v, (list, tuple, set))
+                        else [v]
+                    )
+                }
+                eq = vals if eq is None else (eq & vals)
+                continue
+            t = (types or {}).get(col)
+            if t not in _PRANGE_TYPES:
+                raise ValueError(
+                    f"partition_filter: range condition on {col!r} "
+                    f"(type {t!r}) — only {sorted(_PRANGE_TYPES)} "
+                    "partition columns compare order-preservingly in "
+                    "directory-string space"
+                )
+            import datetime
+
+            if (
+                t == "date"
+                and isinstance(v, datetime.date)
+                and not isinstance(v, datetime.datetime)
+            ):
+                rendered = v.isoformat()
+            else:
+                rendered = _pdir_lit(t, v)
+            if rendered is _pdir_lit or rendered is None:
+                raise ValueError(
+                    f"partition_filter: value {v!r} has no canonical "
+                    f"{t} directory rendering"
+                )
+            conds.append((op, rendered))
+        out[col] = (eq, conds)
     return out
+
+
+def _pf_match(vals: dict, pf: dict) -> bool:
+    """Does one parsed partition-directory value dict satisfy the
+    normalized filter? NULL partitions never satisfy a range."""
+    for c, (eq, conds) in pf.items():
+        v = vals.get(c)
+        if eq is not None and v not in eq:
+            return False
+        for op, b in conds:
+            if v is None:
+                return False
+            if op == "<" and not v < b:
+                return False
+            if op == "<=" and not v <= b:
+                return False
+            if op == ">" and not v > b:
+                return False
+            if op == ">=" and not v >= b:
+                return False
+    return True
+
+
+def _pf_cond(pf: dict, col_of):
+    """The normalized filter as a Spark Column predicate over
+    STRING-space partition columns (``col_of(name)`` supplies the
+    string-typed Column). Catalyst turns it into directory pruning on
+    discovered scans; on conformed scans it is the exactness
+    residual."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for c, (eq, conds) in pf.items():
+        col = col_of(c)
+        this = None
+        if eq is not None:
+            nn = [v for v in eq if v is not None]
+            e = col.isin(nn) if nn else F.lit(False)
+            if None in eq:
+                e = e | col.isNull()
+            this = e
+        for op, b in conds:
+            e = {
+                "<": col < b, "<=": col <= b,
+                ">": col > b, ">=": col >= b,
+            }[op]
+            this = e if this is None else this & e
+        if this is not None:
+            cond = this if cond is None else cond & this
+    return cond
 
 
 def _probe_existing_keys(spark, fs: _TableFS, cur: dict, keyset, ukey,
@@ -3275,7 +3493,13 @@ def _read_segments(
             df = df.unionByName(p)
         return df.filter(stats_cond) if stats_cond is not None else df
     pmap = log.get("partitions") or {}
-    pf = _normalize_pfilter(partition_filter) if partition_filter else None
+    pf = (
+        _normalize_pfilter(
+            partition_filter, dict(map(tuple, log.get("schema") or []))
+        )
+        if partition_filter
+        else None
+    )
     if pf:
         unknown = set(pf) - set(pby)
         if unknown:
@@ -3288,29 +3512,20 @@ def _read_segments(
             rels = pmap.get(s)
             if rels is None:  # legacy manifest without the map: keep
                 return True
-            for rel in rels:
-                vals = _partition_values(rel)
-                if all(vals.get(c) in want for c, want in pf.items()):
-                    return True
-            return False
+            return any(
+                _pf_match(_partition_values(rel), pf) for rel in rels
+            )
 
         segs = [s for s in segs if seg_matches(s)]
     schema = log.get("schema")
     if not segs:
         # filters pruned everything: an empty frame at the table schema
         return _empty()
-    conds = None
-    if pf:
-        # predicate on the RAW discovered partition columns (strings,
-        # inference off) — sits directly over each scan, so Catalyst
-        # plans it as directory pruning (PartitionFilters), not a
-        # post-cast residual filter
-        for c, want in pf.items():
-            nn = [v for v in want if v is not None]
-            cond = F.col(c).isin(nn) if nn else F.lit(False)
-            if None in want:
-                cond = cond | F.col(c).isNull()
-            conds = cond if conds is None else conds & cond
+    # predicate on the RAW discovered partition columns (strings,
+    # inference off) — sits directly over each scan, so Catalyst
+    # plans it as directory pruning (PartitionFilters), not a
+    # post-cast residual filter
+    conds = _pf_cond(pf, F.col) if pf else None
     conf = spark.conf
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     prev = conf.get(key)
@@ -3652,9 +3867,9 @@ def append_snapshot(
             # still refuses loudly.
             widen, rest = {}, {}
             for c, (t, g) in drift.items():
-                if (t, g) in _WIDENINGS and c not in (table_pby or []):
+                if _widens(t, g) and c not in (table_pby or []):
                     widen[c] = g
-                elif (g, t) in _WIDENINGS:
+                elif _widens(g, t):
                     upcast_batch.append((c, t))
                 else:
                     rest[c] = (t, g)
@@ -3901,9 +4116,13 @@ def read_append_snapshot(
     partition_filter: dict | None = None,
     stats_filter: dict | None = None,
     where: str | None = None,
+    as_of=None,
 ) -> Frame:
-    """Read the published log version (default) or a pinned earlier one
-    (time travel): one multi-path parquet scan over the live segments —
+    """Read the published log version (default), a pinned earlier one
+    (``version=``, time travel), or the version live at a wall-clock
+    instant (``as_of=`` epoch/datetime/ISO string —
+    :func:`append_version_as_of`): one multi-path parquet scan over
+    the live segments —
     Spark plans it as a single datasource relation, so filter pushdown
     and column pruning apply across every segment at once (partitioned
     tables read per-segment with partition discovery and union, same
@@ -3939,6 +4158,10 @@ def read_append_snapshot(
     where="price > 100 and cat == 'a'")`` is exactly
     ``read + filter`` with the dict form's IO profile. An underivable
     predicate just reads everything and filters."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of=, not both")
+        version = append_version_as_of(table_dir, as_of, spark)
     fs = _TableFS(table_dir, spark)
     log = _read_log(fs, version)
     if log is None:
@@ -4084,7 +4307,9 @@ def explain_append_scan(
     # 3) manifest partition map
     if pfil:
         try:
-            pf = _normalize_pfilter(pfil)
+            pf = _normalize_pfilter(
+                pfil, dict(map(tuple, log.get("schema") or []))
+            )
         except ValueError:
             if partition_filter:
                 raise
@@ -4104,10 +4329,7 @@ def explain_append_scan(
                     left.append(s)  # legacy manifest: keep, like the read
                     continue
                 hit = any(
-                    all(
-                        _partition_values(rel).get(c) in want
-                        for c, want in pf.items()
-                    )
+                    _pf_match(_partition_values(rel), pf)
                     for rel in rels
                 )
                 if hit:
@@ -4550,7 +4772,9 @@ def _partition_scope(cur: dict, segs, partition_filter):
         raise ValueError(
             "partition_filter on an unpartitioned append table"
         )
-    pf = _normalize_pfilter(partition_filter)
+    pf = _normalize_pfilter(
+        partition_filter, dict(map(tuple, cur.get("schema") or []))
+    )
     unknown = set(pf) - set(pby)
     if unknown:
         raise ValueError(
@@ -4563,24 +4787,12 @@ def _partition_scope(cur: dict, segs, partition_filter):
         rels = pmap.get(seg)
         if rels is None:
             return True  # legacy manifest without the map: keep
-        for rel in rels:
-            vals = _partition_values(rel)
-            if all(vals.get(c) in want for c, want in pf.items()):
-                return True
-        return False
+        return any(_pf_match(_partition_values(rel), pf) for rel in rels)
 
     segs = [s for s in segs if seg_matches(s)]
-    cond = None
-    for c, want in pf.items():
-        nn = [v for v in want if v is not None]
-        # compare in string space — partition values were recorded as
-        # directory strings, and the conformed column casts back
-        this = (
-            F.col(c).cast("string").isin(nn) if nn else F.lit(False)
-        )
-        if None in want:
-            this = this | F.col(c).isNull()
-        cond = this if cond is None else cond & this
+    # compare in string space — partition values were recorded as
+    # directory strings, and the conformed column casts back
+    cond = _pf_cond(pf, lambda c: F.col(c).cast("string"))
     return segs, cond
 
 
@@ -5320,10 +5532,15 @@ def upsert_append_rows(
     incoming_pairs = _frame_schema_pairs(frame.df)
     incoming = {name for name, _ in incoming_pairs}
     added: list = []
+    upcasts: list = []
+    widened: dict = {}
     if schema_mode == "merge":
-        # additive evolution per append_snapshot: extra batch columns
-        # grow the manifest schema, omitted columns are NULL-filled by
-        # the conform below; type CHANGES still refuse loudly
+        # additive + widening evolution per append_snapshot: extra
+        # batch columns grow the manifest schema, omitted columns are
+        # NULL-filled by the conform below, safe widenings
+        # (_WIDENINGS) update the manifest type (old segments read
+        # through it natively), narrower batches upcast; anything
+        # else still refuses loudly
         have = dict(map(tuple, schema))
         got = dict(incoming_pairs)
         drift = {
@@ -5332,13 +5549,27 @@ def upsert_append_rows(
             if c in got and have[c] != got[c]
         }
         if drift:
+            rest = {}
+            pby_set = set(cur.get("partition_by") or [])
+            for c, (t, g) in drift.items():
+                if _widens(t, g) and c not in pby_set:
+                    widened[c] = g
+                elif _widens(g, t):
+                    upcasts.append((c, t))
+                else:
+                    rest[c] = (t, g)
+            drift = rest
+            if widened:
+                schema = [[n, widened.get(n, t)] for n, t in schema]
+        if drift:
             raise ValueError(
                 "upsert_append_rows: column type mismatch "
                 + ", ".join(
                     f"{c}: table={t!r} vs batch={g!r}"
                     for c, (t, g) in sorted(drift.items())
                 )
-                + " — a type CHANGE is never additive"
+                + " — only the safe widenings (int-chain, "
+                "float→double) evolve under schema_mode='merge'"
             )
         added = [[c, t] for c, t in incoming_pairs if c not in have]
         schema = list(schema) + added
@@ -5350,6 +5581,11 @@ def upsert_append_rows(
             "evolution)"
         )
     src = frame.df
+    if upcasts:
+        from pyspark.sql import functions as F
+
+        for c, t in upcasts:  # narrow batch → table type (exact)
+            src = src.withColumn(c, F.col(c).cast(t))
     exps = cur.get("expectations")
     exp_drops: dict = {}
     if exps:
@@ -5441,6 +5677,24 @@ def upsert_append_rows(
             ]
             if log.get("stats"):
                 log["stats"] = _grow_schema_stats(log["stats"], added)
+        if widened:
+            # stamp the widened types, re-validated against the state
+            # a rebase may have refreshed (a concurrent writer widening
+            # FURTHER is fine — our narrower segment reads through it)
+            new_schema = []
+            for c, t in log.get("schema") or []:
+                g = widened.get(c)
+                if g is None or t == g or _widens(g, t):
+                    new_schema.append([c, t])
+                elif _widens(t, g):
+                    new_schema.append([c, g])
+                else:
+                    raise ConcurrentWriteError(
+                        f"upsert on {table_dir!r}: concurrent writer "
+                        f"changed {c!r} to {t!r}, incompatible with "
+                        f"this batch's widening to {g!r} — re-run"
+                    )
+            log["schema"] = new_schema
         if dv_rel is not None:
             dmap = dict(log.get("deletes") or {})
             cmap = dict(log.get("delete_counts") or {})
@@ -6311,6 +6565,7 @@ def append_history(
                     int(c) for c in (log.get("delete_counts") or {}).values()
                 ),
                 "restored_from": log.get("restored_from"),
+                "ts": log.get("ts"),
             }
         )
         prev = set(segs)
@@ -6322,12 +6577,17 @@ def vacuum_append_snapshot(
     keep_last: int = 2,
     spark: SparkSession | None = None,
     orphan_grace_hours: float = 24.0,
-) -> list[str]:
+    dry_run: bool = False,
+) -> list[str] | dict:
     """Prune append-table history: keep the newest ``keep_last`` log
     versions plus (always) the published one, delete every other
     ``_LOG.*`` file and every segment directory no kept log references
     (raw ``seg=`` and compaction ``fold=`` alike). Returns the deleted
-    segment dirs, ascending.
+    segment dirs, ascending. ``dry_run=True`` deletes NOTHING and
+    returns the full would-delete report instead — ``{"segments":
+    [...], "dvs": [...], "log_versions": [...], "checkpoints": [...],
+    "keep_versions": [...]}`` — the operator's pre-flight check before
+    committing to a retention change.
 
     NEVER-LOGGED segments (referenced by NO log still on disk) are
     either crash debris or — now that appends are concurrency-safe —
@@ -6371,7 +6631,7 @@ def vacuum_append_snapshot(
             continue  # predecessor retained: chain continues through it
         if fs.read_text(f"_CHECKPOINT.{v}") is not None:
             continue
-        if _read_log_rec(fs, v).get("delta"):
+        if not dry_run and _read_log_rec(fs, v).get("delta"):
             _write_checkpoint(fs, _reconstruct_log(fs, v))
     referenced: set = set()
     ever_logged: set = set()
@@ -6407,6 +6667,29 @@ def vacuum_append_snapshot(
         and name not in referenced
         and ripe(name, ever_logged)
     )
+    if dry_run:
+        doomed_dvs = []
+        if fs.exists(_DELETE_DIR):
+            doomed_dvs = sorted(
+                f"{_DELETE_DIR}/{name}"
+                for name in fs.subdirs(_DELETE_DIR)
+                if f"{_DELETE_DIR}/{name}" not in referenced_dv
+                and ripe(f"{_DELETE_DIR}/{name}", ever_logged_dv)
+            )
+        doomed_ckpts = sorted(
+            name
+            for name in fs.listdir()
+            if name.startswith("_CHECKPOINT.")
+            and name[12:].isdigit()
+            and int(name[12:]) not in keep
+        )
+        return {
+            "segments": doomed_segs,
+            "dvs": doomed_dvs,
+            "log_versions": sorted(v for v in versions if v not in keep),
+            "checkpoints": doomed_ckpts,
+            "keep_versions": sorted(keep),
+        }
     for seg in doomed_segs:
         for target in (fs.join(seg), fs.join(f"{_SKETCH_DIR}/{seg}")):
             if fs.remote:

@@ -176,14 +176,21 @@ def _normalize_aggs(aggs: dict, base_schema: dict[str, str],
                     f"base table schema ({sorted(base_schema)})"
                 )
             if op == "sum":
-                if ctype not in _SUM_TYPES:
+                if ctype.startswith("decimal("):
+                    # exact: the state widens to decimal(38,s), whose
+                    # additions are exact decimal arithmetic — no
+                    # precision drift across incremental merges (the
+                    # old refusal predates the widened state)
+                    from cuplyr_spark.sources.connectors import _dec_scale
+
+                    state = [(name, f"decimal(38,{_dec_scale(ctype)})")]
+                elif ctype not in _SUM_TYPES:
                     raise ValueError(
                         f"aggregate {name!r}: sum over {ctype!r} is not "
-                        "supported (integral and float types only — "
-                        "decimal sums would drift precision across "
-                        "incremental merges)"
+                        "supported (integral, float, and decimal types)"
                     )
-                state = [(name, _SUM_TYPES[ctype])]
+                else:
+                    state = [(name, _SUM_TYPES[ctype])]
             elif op == "mean":
                 if ctype not in _SUM_TYPES:
                     raise ValueError(
@@ -526,6 +533,10 @@ def refresh_append_view(
                 # rebuild in place: DV-mark everything, append the fresh
                 # aggregate — both row-level, old versions stay
                 # time-travelable until vacuum
+                # the state table carries a 100%-deleted version until
+                # maintenance compacts it away — schedule
+                # maintain_append_view after full rebuilds (fine at
+                # view scale; the DV is metadata, not a rewrite)
                 delete_append_rows(spark, state_dir, "1 = 1")
                 n_rows = batch.count()
                 if n_rows:

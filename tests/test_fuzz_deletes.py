@@ -323,3 +323,122 @@ def test_evolution_lifecycle_matches_model(spark, tmp_path, seed):
             f"extra={sorted(set(got) - set(model))[:5]}, "
             f"wrong={[i for i in got if i in model and got[i] != model[i]][:5]})"
         )
+
+
+@pytest.mark.parametrize("seed", [11, 43])
+def test_widening_lifecycle_matches_model(spark, tmp_path, seed):
+    """Model-based fuzz of TYPE-WIDENING evolution interleaved with the
+    row-level lifecycle: the table starts at (id int, g long, v float);
+    mid-sequence appends widen id→bigint and v→double (independently,
+    at random steps), later batches randomly arrive narrow (upcast) or
+    wide; deletes/updates/upserts/compaction run across the widening
+    boundaries. Values stay integral (< 2^24) so float/double storage
+    is exact and the pure-Python model compares bit-for-bit."""
+    import random as _random
+
+    from cuplyr_spark.sources.connectors import upsert_append_rows
+
+    rng = _random.Random(seed)
+    d = str(tmp_path / f"wfuzz{seed}")
+    shutil.rmtree(d, ignore_errors=True)
+    model: dict[int, tuple[int, float]] = {}
+    next_id = 0
+    batch = 0
+    wide_id = False
+    wide_v = False
+
+    def mk(rows, wid, wv):
+        ddl = (
+            f"id {'bigint' if wid else 'int'}, g long, "
+            f"v {'double' if wv else 'float'}"
+        )
+        return spark.createDataFrame(
+            [(int(i), int(g), float(v)) for i, g, v in rows], ddl
+        )
+
+    def fresh(n):
+        nonlocal next_id
+        rows = [
+            (i, rng.randrange(5), float(rng.randrange(10_000)))
+            for i in range(next_id, next_id + n)
+        ]
+        next_id += n
+        return rows
+
+    rows = fresh(rng.randrange(20, 40))
+    append_snapshot(Frame(mk(rows, False, False), ()), d, batch_id=batch)
+    batch += 1
+    model.update({r[0]: (r[1], r[2]) for r in rows})
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "delete", "update", "compact", "upsert"]
+        )
+        if op == "append":
+            nonlocal_wid = wide_id or rng.random() < 0.3
+            nonlocal_wv = wide_v or rng.random() < 0.3
+            wide_id, wide_v = nonlocal_wid, nonlocal_wv
+            # batches randomly arrive narrower than the table: upcast
+            bw_id = wide_id and rng.random() < 0.8
+            bw_v = wide_v and rng.random() < 0.8
+            rows = fresh(rng.randrange(5, 25))
+            append_snapshot(
+                Frame(mk(rows, bw_id, bw_v), ()), d, batch_id=batch,
+                schema_mode="merge",
+            )
+            batch += 1
+            model.update({r[0]: (r[1], r[2]) for r in rows})
+        elif op == "delete":
+            m = rng.randrange(2, 7)
+            r = rng.randrange(m)
+            delete_append_rows(spark, d, f"id % {m} == {r}")
+            for i in list(model):
+                if i % m == r:
+                    del model[i]
+        elif op == "update":
+            add = rng.randrange(1, 100)
+            r = rng.randrange(5)
+            update_append_rows(spark, d, f"g == {r}", {"v": f"v + {add}"})
+            for i, (g, v) in model.items():
+                if g == r:
+                    model[i] = (g, v + add)
+        elif op == "upsert":
+            live = sorted(model)
+            if live:
+                picks = rng.sample(live, min(len(live), 4))
+                rows = [
+                    (i, rng.randrange(5), float(rng.randrange(10_000)))
+                    for i in picks
+                ]
+                upsert_append_rows(
+                    Frame(mk(rows, wide_id, wide_v), ()), d, "id",
+                    schema_mode="merge",
+                )
+                model.update({r[0]: (r[1], r[2]) for r in rows})
+        else:
+            compact_append_snapshot(
+                spark, d,
+                target_file_bytes=rng.choice([1 << 10, 1 << 30]),
+                purge_deletes=rng.random() < 0.5,
+            )
+        got = {
+            r["id"]: (r["g"], float(r["v"]))
+            for r in read_append_snapshot(spark, d).df.collect()
+        }
+        assert got == model, (
+            f"seed={seed} step={step} op={op} wide=({wide_id},{wide_v}): "
+            f"diverged (missing={sorted(set(model) - set(got))[:5]}, "
+            f"extra={sorted(set(got) - set(model))[:5]}, "
+            f"wrong={[i for i in got if i in model and got[i] != model[i]][:5]})"
+        )
+        # derived pruning stays sound across the widening
+        if rng.random() < 0.3 and model:
+            cut = rng.randrange(10_000)
+            want = sorted(i for i, (g, v) in model.items() if v >= cut)
+            got_f = sorted(
+                r["id"]
+                for r in read_append_snapshot(
+                    spark, d, where=f"v >= {cut}"
+                ).df.collect()
+            )
+            assert got_f == want, f"seed={seed} step={step}: prune diverged"

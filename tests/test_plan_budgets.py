@@ -199,6 +199,10 @@ EXCHANGE_BUDGETS = {
     "append_quick_stats": 0,  # r12: a createDataFrame literal — the numbers came from manifest metadata, no scan exists to shuffle
     "append_restore": 1,  # r12: one grouped agg over the restored multi-path scan (the restore itself is a metadata publish)
     "append_unique_ingest": 1,  # r12: grouped agg over the deduped table; the unique probe + anti-join ran eagerly at write time
+    "append_decimal_prune": 1,  # r13: grouped agg over the decimal-zone-map-pruned DV-carrying scan; DV apply broadcasts
+    "append_type_widening": 1,  # r13: grouped agg over the two-era multi-path scan read through the widened schema
+    "incremental_view_distinct": 0,  # r13: the view read is a pinned state scan + hll estimate projection; refresh work ran at maintenance time
+    "append_partition_range": 1,  # r13: grouped agg over the partition-range-pruned directory scan
 }
 
 # Queries whose plan legitimately contains an unpartitioned window over

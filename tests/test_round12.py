@@ -485,15 +485,18 @@ def test_stream_append_log_partitioned(spark, tmp_path):
 
 def test_pdir_string_forms(spark, tmp_path):
     # booleans render lowercase like the partition directories do
-    assert _normalize_pfilter({"b": True}) == {"b": {"true"}}
-    assert _normalize_pfilter({"b": [False, None]}) == {"b": {"false", None}}
+    # (r13: normalized form is (eq-set, range-conds))
+    assert _normalize_pfilter({"b": True}) == {"b": ({"true"}, [])}
+    assert _normalize_pfilter({"b": [False, None]}) == {
+        "b": ({"false", None}, [])
+    }
     import datetime
 
     assert _normalize_pfilter(
         {"t": datetime.datetime(2024, 1, 7, 12, 30)}
-    ) == {"t": {"2024-01-07 12:30:00"}}
+    ) == {"t": ({"2024-01-07 12:30:00"}, [])}
     assert _normalize_pfilter({"d": datetime.date(2024, 1, 7)}) == {
-        "d": {"2024-01-07"}
+        "d": ({"2024-01-07"}, [])
     }
     with pytest.raises(ValueError, match="directory string"):
         _normalize_pfilter({"x": 1.5})
@@ -596,7 +599,10 @@ def test_derive_pfilter_grammar():
     assert f("p == 1", ["p"]) is None
     assert f("k == '3'", ["k"]) is None
     assert f("p == '1' or p == '2'", ["p"]) is None
-    assert f("p > '1'", ["p"]) is None  # only equality/in derive
+    # r13: string/date partition ranges derive (order-preserving
+    # rendering); int partition ranges stay underivable ('9' > '10')
+    assert f("p > '1'", ["p"]) == {"p": [(">", "1")]}
+    assert f("k > 3", ["k"]) is None
     assert f("id == 5", ["p"]) is None  # not a partition column
     assert f("p == '1'", []) is None
 

@@ -543,3 +543,193 @@ def test_http_if_none_match_put_contract():
     with mock.patch("urllib.request.urlopen", side_effect=err500):
         with pytest.raises(urllib.error.HTTPError):
             http_if_none_match_put("http://x/y", "t")
+
+
+# -- range predicates on partition columns -----------------------------------
+
+
+def test_partition_range_prunes_segments_and_dirs(spark, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "prange")
+    df = spark.range(90).select(
+        F.col("id"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), F.col("id").cast("int")
+        ).alias("day"),
+    )
+    append_snapshot(Frame(df.filter("id < 30"), ()), d, batch_id=0,
+                    partition_by="day")
+    append_snapshot(Frame(df.filter("id >= 30 and id < 60"), ()), d,
+                    batch_id=1)
+    append_snapshot(Frame(df.filter("id >= 60"), ()), d, batch_id=2)
+    log = C._read_log(C._TableFS(d))
+    # derivation: range conjuncts on a date partition column compile
+    got = C._derive_pfilter(
+        "day >= '2024-03-01' and day < '2024-03-15'", ["day"],
+        log["schema"],
+    )
+    assert got == {"day": [(">=", "2024-03-01"), ("<", "2024-03-15")]}
+    # spy: early segments physically gone; the range read never opens
+    for s in log["segments"][:2]:
+        shutil.rmtree(os.path.join(d, s))
+    out = read_append_snapshot(
+        spark, d, where="day >= '2024-03-05'"
+    ).collect()
+    assert len(out) == 26 and str(out["day"].min()) == "2024-03-05"
+    # dict cond form with both bounds
+    out2 = read_append_snapshot(
+        spark, d,
+        partition_filter={"day": [(">", "2024-03-10"), ("<=", "2024-03-20")]},
+    ).collect()
+    assert len(out2) == 10
+    # partition-scoped row-level delete through a range
+    _, n = delete_append_rows(
+        spark, d, partition_filter={"day": (">=", "2024-03-25")}
+    )
+    assert n == 6
+
+
+def test_partition_range_refused_on_int_columns(spark, tmp_path):
+    """Int partition dirs don't order lexicographically ('9' > '10') —
+    the dict form refuses loudly, the derived form contributes
+    nothing (full scan, sound)."""
+    d = str(tmp_path / "pint")
+    df = spark.range(20).select(F.col("id"), (F.col("id") % 12).alias("p"))
+    append_snapshot(Frame(df, ()), d, batch_id=0, partition_by="p")
+    with pytest.raises(ValueError, match="range condition"):
+        read_append_snapshot(spark, d, partition_filter={"p": (">", 3)})
+    log = C._read_log(C._TableFS(d))
+    assert C._derive_pfilter("p > 3", ["p"], log["schema"]) is None
+    got = read_append_snapshot(spark, d, where="p > 3").collect()
+    assert len(got) == 12
+
+
+# -- timestamp time travel and vacuum dry-run --------------------------------
+
+
+def test_as_of_timestamp_resolution(spark, tmp_path):
+    import time
+
+    from cuplyr_spark.sources.connectors import (
+        append_history,
+        append_version_as_of,
+    )
+
+    d = str(tmp_path / "asof")
+    marks = []
+    for i in range(4):
+        append_snapshot(
+            Frame(spark.createDataFrame([(i,)], "id long"), ()),
+            d, batch_id=i,
+        )
+        marks.append(time.time())
+        time.sleep(0.05)
+    assert append_version_as_of(d, marks[1]) == 2
+    got = read_append_snapshot(spark, d, as_of=marks[2]).collect()
+    assert sorted(got["id"].tolist()) == [0, 1, 2]
+    hist = append_history(d, spark)
+    ts = [h["ts"] for h in hist]
+    assert all(t is not None for t in ts) and ts == sorted(ts)
+    with pytest.raises(ValueError, match="oldest retained"):
+        append_version_as_of(d, marks[0] - 1000)
+    with pytest.raises(ValueError, match="not both"):
+        read_append_snapshot(spark, d, version=1, as_of=marks[0])
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import (
+        compact_append_snapshot,
+        vacuum_append_snapshot,
+    )
+
+    d = str(tmp_path / "vdry")
+    for i in range(4):
+        append_snapshot(
+            Frame(spark.createDataFrame([(i,)], "id long"), ()),
+            d, batch_id=i,
+        )
+    compact_append_snapshot(spark, d, 1 << 30)  # v5: fold, segs orphan
+    report = vacuum_append_snapshot(
+        d, keep_last=1, spark=spark, dry_run=True
+    )
+    assert len(report["segments"]) == 4  # raw segs only the old logs hold
+    assert report["log_versions"] == [1, 2, 3, 4]
+    assert report["keep_versions"] == [5]
+    # nothing was deleted
+    assert all(os.path.isdir(os.path.join(d, s)) for s in report["segments"])
+    assert all(
+        os.path.exists(os.path.join(d, f"_LOG.{v}"))
+        for v in report["log_versions"]
+    )
+    # the real pass deletes exactly the reported set
+    deleted = vacuum_append_snapshot(d, keep_last=1, spark=spark)
+    assert deleted == report["segments"]
+    assert len(read_append_snapshot(spark, d).collect()) == 4
+
+
+def test_upsert_type_widening(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import upsert_append_rows
+
+    d = str(tmp_path / "wup")
+    df1 = spark.range(10).select(
+        F.col("id").cast("int").alias("k"), F.lit(1.0).alias("v")
+    )
+    append_snapshot(Frame(df1, ()), d, batch_id=0)
+    up = spark.range(5, 13).select(
+        F.col("id").alias("k"), F.lit(9.0).alias("v")
+    )
+    _, nr, na = upsert_append_rows(
+        Frame(up, ()), d, "k", schema_mode="merge"
+    )
+    assert (nr, na) == (5, 8)
+    log = C._read_log(C._TableFS(d))
+    assert log["schema"] == [["k", "bigint"], ["v", "double"]]
+    got = read_append_snapshot(spark, d).collect().sort_values("k")
+    assert len(got) == 13 and got["v"].tail(8).eq(9.0).all()
+    # merge mode still refuses incompatible changes
+    bad = spark.range(2).select(
+        F.col("id").cast("string").alias("k"), F.lit(0.0).alias("v")
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        upsert_append_rows(Frame(bad, ()), d, "k", schema_mode="merge")
+
+
+def test_decimal_precision_widening(spark, tmp_path):
+    """Same-scale decimal precision growth is exact (unchanged
+    unscaled-int stats domain; the reader upcasts natively): append
+    and upsert widen the manifest, scale changes still refuse."""
+    from decimal import Decimal
+
+    from cuplyr_spark.sources.connectors import upsert_append_rows
+
+    d = str(tmp_path / "dprec")
+    df1 = spark.range(6).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 4).cast("decimal(8,2)").alias("amt"),
+    )
+    append_snapshot(Frame(df1, ()), d, batch_id=0)
+    # narrower-precision batch upcasts on upsert
+    up = spark.range(4, 8).select(
+        F.col("id").alias("k"), F.lit(Decimal("9.50")).alias("amt")
+    )
+    upsert_append_rows(Frame(up, ()), d, "k", schema_mode="merge")
+    assert C._read_log(C._TableFS(d))["schema"][1] == ["amt", "decimal(8,2)"]
+    # wider-precision batch widens the manifest
+    big = spark.range(8, 10).select(
+        F.col("id").alias("k"),
+        F.lit(Decimal("123456789.25")).cast("decimal(12,2)").alias("amt"),
+    )
+    append_snapshot(Frame(big, ()), d, batch_id=1, schema_mode="merge")
+    assert C._read_log(C._TableFS(d))["schema"][1] == [
+        "amt", "decimal(12,2)"
+    ]
+    got = read_append_snapshot(spark, d, where="amt >= 9.50").collect()
+    assert len(got) == 6  # 4 upserted 9.50s + 2 wide rows
+    # scale change refuses
+    bad = spark.range(2).select(
+        F.col("id").alias("k"),
+        F.lit(Decimal("1.555")).cast("decimal(12,3)").alias("amt"),
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        append_snapshot(Frame(bad, ()), d, batch_id=2, schema_mode="merge")

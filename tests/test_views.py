@@ -190,15 +190,18 @@ def test_spec_validation_and_immutability(spark, dirs):
     create_append_view(spark, base, view, "g", {"sx": ("sum", "x")})
     with pytest.raises(ConcurrentWriteError, match="immutable"):
         create_append_view(spark, base, view, "g", {"sx": ("max", "x")})
-    # decimal sums refuse up front
+    # r13: decimal sums are supported (exact decimal(38,s) state);
+    # non-numeric sums still refuse up front
     dec = Frame(
         spark.createDataFrame([("a",)], "g string").select(
             "g", F.lit("1.5").cast("decimal(10,2)").alias("d")), ())
     base2 = base + "_dec"
     append_snapshot(dec, base2)
-    with pytest.raises(ValueError, match="decimal"):
-        create_append_view(spark, base2, view + "_dec", "g",
-                           {"s": ("sum", "d")})
+    create_append_view(spark, base2, view + "_dec", "g",
+                       {"s": ("sum", "d")})
+    with pytest.raises(ValueError, match="sum over"):
+        create_append_view(spark, base2, view + "_str", "g",
+                           {"s": ("sum", "g")})
 
 
 def test_status_reports_lag(spark, dirs):
@@ -560,4 +563,58 @@ def test_view_n_distinct_type_validation(spark, tmp_path):
     create_append_view(
         spark, base, str(tmp_path / "vy"), "g",
         {"nd": ("n_distinct_exact", "u")},
+    )
+
+
+def test_view_decimal_sum_exact_across_merges(spark, tmp_path):
+    """sum over decimal(p,s): the state widens to decimal(38,s) whose
+    additions are exact — three refresh shapes all equal the
+    from-scratch SUM bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        delete_append_rows,
+        read_append_snapshot,
+    )
+    from cuplyr_spark.sources.views import (
+        create_append_view,
+        read_append_view,
+        refresh_append_view,
+    )
+
+    base = str(tmp_path / "b")
+    vd = str(tmp_path / "v")
+
+    def mk(lo, hi):
+        return Frame(
+            spark.range(lo, hi).select(
+                (F.col("id") % 4).alias("g"),
+                (F.col("id") / 100).cast("decimal(10,2)").alias("amt"),
+            )
+        )
+
+    append_snapshot(mk(0, 100), base, batch_id=0)
+    create_append_view(
+        spark, base, vd, "g", {"total": ("sum", "amt")}
+    )
+    refresh_append_view(spark, vd)
+    append_snapshot(mk(100, 250), base, batch_id=1)
+    refresh_append_view(spark, vd)  # insert window: decimal addition
+    delete_append_rows(spark, base, "amt >= 2.00")
+    refresh_append_view(spark, vd)  # affected-group recompute
+    truth = {
+        r["g"]: r["t"]
+        for r in read_append_snapshot(spark, base)
+        .df.groupBy("g")
+        .agg(F.sum("amt").alias("t"))
+        .collect()
+    }
+    got = {
+        r["g"]: r["total"]
+        for r in read_append_view(spark, vd).df.collect()
+    }
+    assert got == truth
+    assert dict(read_append_view(spark, vd).df.dtypes)["total"] == (
+        "decimal(38,2)"
     )
