@@ -2492,6 +2492,23 @@ def q_unigram_logprob(spark, sf_dir):
     return TX.with_unigram_logprob(docs).df
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style importance scoring
+    (``pipeline/text.with_importance_logratio``; Data Selection via
+    Importance Resampling, Xie et al. 2023): per-doc unigram
+    log-likelihood ratio between a TARGET model (trained on the
+    deterministic exemplar subset ``doc_id % 7 == 0``) and the raw
+    self-trained model — the "reshape the pool toward the target"
+    selection signal. Integer micro-nat components per model, exact
+    integer ratio, floats only in the final divisions — bit-identical
+    in the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    target = TX.train_unigram_model(
+        Frame(docs.df.filter("doc_id % 7 = 0"), ())
+    )
+    return TX.with_importance_logratio(docs, target).df
+
+
 def q_substring_dedup_spans(spark, sf_dir):
     """Exact-substring duplicate spans (Lee et al.): per-document
     token ranges whose every 5-token rolling window also occurs in
@@ -4432,6 +4449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_spans": q_substring_dedup_spans,
         "substring_dedup_trim": q_substring_dedup_trim,
         "unigram_logprob": q_unigram_logprob,
+        "dsir_importance": q_dsir_importance,
         "embedding_quantize": q_embedding_quantize,
         "quantized_cosine_topk": q_quantized_cosine_topk,
         "arrange_collated": q_arrange_collated,
@@ -6046,6 +6064,49 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(per.n_tokens, 0) AS n_tokens,
                    CAST(per.ll AS DOUBLE) / 1e6 AS logprob,
                    round(CAST(per.ll AS DOUBLE) / 1e6 / per.n_tokens, 6) AS avg_logprob
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+        """,
+        "dsir_importance": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), toks_f AS (
+              SELECT doc_id, tok FROM toks WHERE tok <> ''
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf
+              FROM toks_f GROUP BY doc_id, tok
+            ), cnt_r AS (
+              SELECT tok, CAST(sum(tf) AS BIGINT) AS c
+              FROM tf GROUP BY tok
+            ), cnt_t AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS c
+              FROM toks_f WHERE doc_id % 7 = 0 GROUP BY tok
+            ), scal_r AS (
+              SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM cnt_r
+            ), scal_t AS (
+              SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM cnt_t
+            ), comp AS (
+              SELECT tf.doc_id, tf.tf,
+                     CAST(floor(tf.tf * ln(CAST(COALESCE(cnt_t.c, 0) + 1
+                              AS DOUBLE) / scal_t.denom) * 1e6 + 0.5)
+                          AS BIGINT)
+                   - CAST(floor(tf.tf * ln(CAST(cnt_r.c + 1 AS DOUBLE)
+                              / scal_r.denom) * 1e6 + 0.5)
+                          AS BIGINT) AS dn
+              FROM tf
+              JOIN cnt_r USING (tok)
+              LEFT JOIN cnt_t USING (tok)
+              CROSS JOIN scal_r CROSS JOIN scal_t
+            ), per AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                     CAST(sum(dn) AS BIGINT) AS dll
+              FROM comp GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(per.n_tokens, 0) AS n_tokens,
+                   CAST(per.dll AS DOUBLE) / 1e6 AS importance,
+                   CAST(floor(CAST(per.dll AS DOUBLE) / per.n_tokens + 0.5)
+                        AS BIGINT) / 1e6 AS avg_importance
             FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
         """,
         "substring_dedup_spans": """

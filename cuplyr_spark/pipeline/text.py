@@ -723,6 +723,121 @@ def dedup_by_url(
     return Frame(per_url.select(id_col, "url_norm", "n_copies"), ())
 
 
+def with_importance_logratio(
+    frame: Frame,
+    target_model: Frame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    raw_model: Frame | None = None,
+) -> Frame:
+    """DSIR-style importance scoring (Data Selection via Importance
+    Resampling, Xie et al. 2023 — public art): the per-document
+    unigram log-likelihood RATIO between a TARGET-domain model and the
+    raw/source model — the "make my corpus look like the target"
+    selection signal; sample ∝ exp(importance) or take the top-k.
+
+    Models are the staged ``(tok, c)`` Frames of
+    :func:`train_unigram_model` — train the target model on the
+    exemplar corpus ONCE, stage to parquet, score every later batch
+    against it. ``raw_model=None`` self-trains on ``frame`` (the
+    common shape: raw pool scores itself as the denominator).
+
+    Cross-engine determinism matches :func:`with_unigram_logprob`:
+    each (doc, term) contribution per model rounds to integer
+    micro-nats, the per-doc reduction and the ratio are exact integer
+    sums/differences — order-independent, bit-identical in the DuckDB
+    oracle; floats reappear only in the final divisions.
+
+    Scale shape: ONE tf shuffle shared by both models (the raw
+    occurrences never ride a shuffle twice); each model joins at tf
+    grain against a vocab-sized count table; the two (T, V)
+    normalizers are driver literals. OOV-under-a-model tokens take
+    that model's add-one floor.
+
+    Adds ``n_tokens`` (long), ``importance`` (double — the log-ratio,
+    positive = more target-like), ``avg_importance`` (per-token mean,
+    rounded to 6)."""
+    toks = frame.df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+
+    def norm_counts(m: Frame):
+        missing = [c for c in ("tok", "c") if c not in m.df.columns]
+        if missing:
+            raise ValueError(f"unigram model lacks columns {missing}")
+        return m.df.groupBy("tok").agg(
+            F.sum(F.col("c").cast("long")).alias("c")
+        )
+
+    tgt = norm_counts(target_model)
+    raw = (
+        norm_counts(raw_model)
+        if raw_model is not None
+        else tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    )
+
+    def denom_of(counts) -> float:
+        row = counts.agg(
+            F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+        ).collect()[0]
+        return float(int(row["t"] or 0) + int(row["v"] or 0))
+
+    d_t, d_r = denom_of(tgt), denom_of(raw)
+
+    def nats(c_col, denom) -> "Column":
+        return F.floor(
+            F.col("tf")
+            * F.log((F.coalesce(c_col, F.lit(0)) + 1).cast("double") / denom)
+            * 1e6
+            + 0.5
+        ).cast("long")
+
+    joined = (
+        tf.join(tgt.withColumnRenamed("c", "__ct"), "tok", "left")
+        .join(raw.withColumnRenamed("c", "__cr"), "tok", "left")
+    )
+    per_doc = (
+        joined.select(
+            F.col(id_col),
+            F.col("tf"),
+            (nats(F.col("__ct"), d_t) - nats(F.col("__cr"), d_r)).alias(
+                "__dn"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("__dn").alias("__dll"))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("__dll").cast("double") / 1e6).alias("importance"),
+            # per-token mean rounded AT the micro-nat grain:
+            # floor(dll/n + 0.5) of two exact int64s is the same IEEE
+            # division in every engine — decimal round(x, 6) is not
+            # (its double→decimal conversion can flip the last digit
+            # at ...5 boundaries; bit one doc at sf0.1)
+            (
+                F.floor(
+                    F.col("__dll").cast("double") / F.col("n_tokens")
+                    + F.lit(0.5)
+                ).cast("long")
+                / 1e6
+            ).alias("avg_importance"),
+        )
+    )
+    out = (
+        frame.df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "importance",
+            "avg_importance",
+        )
+    )
+    return Frame(out, ())
+
+
 def train_unigram_model(
     frame: Frame, text_col: str = "text"
 ) -> Frame:

@@ -1259,3 +1259,39 @@ def test_unigram_model_duplicate_tok_rows(spark):
     for d in (0, 1):
         assert clean.loc[d, "n_tokens"] == dup.loc[d, "n_tokens"]
         assert abs(clean.loc[d, "logprob"] - dup.loc[d, "logprob"]) < 1e-9
+
+
+def test_importance_logratio_staged_vs_self(spark):
+    """DSIR importance: a doc drawn from the target distribution
+    scores higher than an off-target doc; staged raw model reproduces
+    the self-trained default bit-for-bit."""
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.pipeline.text import (
+        train_unigram_model,
+        with_importance_logratio,
+    )
+
+    docs = Frame(
+        spark.createDataFrame(
+            [
+                (0, "the cat sat on the mat"),
+                (1, "the dog sat on the log"),
+                (2, "quantum flux capacitor array"),
+                (3, "the cat and the dog"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    target = train_unigram_model(
+        Frame(docs.df.filter("doc_id in (0, 1)"), ())
+    )
+    got = with_importance_logratio(docs, target).collect()
+    by_id = dict(zip(got["doc_id"], got["importance"]))
+    # target-like docs beat the off-target one
+    assert by_id[0] > by_id[2] and by_id[3] > by_id[2]
+    # staged raw model == self-trained default
+    raw = train_unigram_model(docs)
+    got2 = with_importance_logratio(docs, target, raw_model=raw).collect()
+    assert got.sort_values("doc_id")["importance"].tolist() == (
+        got2.sort_values("doc_id")["importance"].tolist()
+    )
