@@ -2025,11 +2025,12 @@ def _derive_stats_filter(pred: str, schema) -> dict | None:
     equivalent to it.
 
     Recognized: top-level conjunctions (``and``) of
-    ``col <op> literal`` / ``literal <op> col`` (ops ``== < <= > >=``)
-    and ``col in [literals]``, on stat-eligible columns. Anything
-    else — OR branches, arithmetic, function calls, col-op-col,
-    non-literal sides — contributes nothing (the enclosing conjunct is
-    skipped; an OR at the top level skips the whole predicate), which
+    ``col <op> literal`` / ``literal <op> col`` (ops ``== < <= > >=``),
+    ``col in [literals]``, and SAME-COLUMN equality disjunctions
+    (``k == 1 or k == 3`` / ``k in [..] or k == 5`` → one implied IN),
+    on stat-eligible columns. Anything else — mixed-column ORs,
+    arithmetic, function calls, col-op-col, non-literal sides —
+    contributes nothing (the enclosing conjunct is skipped), which
     degrades to the full scan, never to a wrong prune. Returns None
     when nothing was derivable."""
     import ast as _ast
@@ -2068,9 +2069,47 @@ def _derive_stats_filter(pred: str, schema) -> dict | None:
         else:
             conjuncts.append(n)
 
+    def eq_disjunct(d):
+        """(col, [values]) for a `col == lit` / `col in [lits]`
+        disjunct, else None."""
+        if not (isinstance(d, _ast.Compare) and len(d.ops) == 1):
+            return None
+        o, l, r = d.ops[0], d.left, d.comparators[0]
+        if isinstance(o, _ast.Eq):
+            if isinstance(l, _ast.Name) and const(r) is not const:
+                return l.id, [const(r)]
+            if isinstance(r, _ast.Name) and const(l) is not const:
+                return r.id, [const(l)]
+            return None
+        if (
+            isinstance(o, _ast.In)
+            and isinstance(l, _ast.Name)
+            and isinstance(r, (_ast.List, _ast.Tuple, _ast.Set))
+        ):
+            vs = [const(e) for e in r.elts]
+            if const in vs or not vs:
+                return None
+            return l.id, vs
+        return None
+
     walk(tree)
     out: dict = {}
     for c in conjuncts:
+        if isinstance(c, _ast.BoolOp) and isinstance(c.op, _ast.Or):
+            # same-column equality disjunction → one implied IN
+            col, vals = None, []
+            for d in c.values:
+                got = eq_disjunct(d)
+                if got is None or (col is not None and got[0] != col):
+                    col = None
+                    break
+                col = got[0]
+                vals.extend(got[1])
+            if col is not None and _stat_eligible(types.get(col)):
+                normed = [_stat_lit_norm(types[col], v) for v in vals]
+                if not any(v is _stat_lit_norm for v in normed):
+                    out.setdefault(col, []).append(("in", normed))
+            continue
         if not (isinstance(c, _ast.Compare) and len(c.ops) == 1):
             continue
         op_node, left, right = c.ops[0], c.left, c.comparators[0]
@@ -2183,11 +2222,52 @@ def _derive_pfilter(pred: str, pby, schema) -> dict | None:
         else:
             conjuncts.append(n)
 
+    def eq_disjunct(d):
+        if not (isinstance(d, _ast.Compare) and len(d.ops) == 1):
+            return None
+        o, l, r = d.ops[0], d.left, d.comparators[0]
+        if isinstance(o, _ast.Eq):
+            if isinstance(l, _ast.Name) and const(r) is not const:
+                return l.id, [const(r)]
+            if isinstance(r, _ast.Name) and const(l) is not const:
+                return r.id, [const(l)]
+            return None
+        if (
+            isinstance(o, _ast.In)
+            and isinstance(l, _ast.Name)
+            and isinstance(r, (_ast.List, _ast.Tuple, _ast.Set))
+        ):
+            vs = [const(e) for e in r.elts]
+            if const in vs or not vs:
+                return None
+            return l.id, vs
+        return None
+
     walk(tree)
     _RFLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
     _ROPS = {_ast.Lt: "<", _ast.LtE: "<=", _ast.Gt: ">", _ast.GtE: ">="}
     out: dict = {}
     for c in conjuncts:
+        if isinstance(c, _ast.BoolOp) and isinstance(c.op, _ast.Or):
+            # same-partition-column equality disjunction → implied IN
+            col, vals = None, []
+            for d in c.values:
+                got = eq_disjunct(d)
+                if got is None or (col is not None and got[0] != col):
+                    col = None
+                    break
+                col = got[0]
+                vals.extend(got[1])
+            if (
+                col is not None
+                and col in pset
+                and col in types
+                and col not in out
+            ):
+                normed = [_pdir_lit(types[col], v) for v in vals]
+                if not any(x is _pdir_lit for x in normed):
+                    out[col] = normed
+            continue
         if not (isinstance(c, _ast.Compare) and len(c.ops) == 1):
             continue
         op, left, right = c.ops[0], c.left, c.comparators[0]

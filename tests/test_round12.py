@@ -598,7 +598,8 @@ def test_derive_pfilter_grammar():
     # string_col == 1 matches '01' in Spark but '1' != '01' in dirs
     assert f("p == 1", ["p"]) is None
     assert f("k == '3'", ["k"]) is None
-    assert f("p == '1' or p == '2'", ["p"]) is None
+    # r13: same-column equality ORs derive an implied IN
+    assert f("p == '1' or p == '2'", ["p"]) == {"p": ["1", "2"]}
     # r13: string/date partition ranges derive (order-preserving
     # rendering); int partition ranges stay underivable ('9' > '10')
     assert f("p > '1'", ["p"]) == {"p": [(">", "1")]}

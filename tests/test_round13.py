@@ -733,3 +733,39 @@ def test_decimal_precision_widening(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="type mismatch"):
         append_snapshot(Frame(bad, ()), d, batch_id=2, schema_mode="merge")
+
+
+# -- OR-of-equalities derivation ---------------------------------------------
+
+
+def test_or_equality_derivation(spark, tmp_path):
+    """Same-column equality disjunctions compile to an implied IN —
+    the `k == 1 or k == 3` shape that previously derived nothing;
+    mixed-column or non-equality ORs still degrade to the full scan
+    (sound)."""
+    import shutil
+
+    schema = [["k", "bigint"], ["p", "string"], ["v", "double"]]
+    assert _derive_stats_filter("k == 1 or k == 3", schema) == {
+        "k": [("in", [1, 3])]
+    }
+    assert _derive_stats_filter(
+        "(k == 1 or k in [3, 5]) and v > 2", schema
+    ) == {"k": [("in", [1, 3, 5])], "v": [(">", 2)]}
+    assert _derive_stats_filter("k == 1 or v == 3", schema) is None
+    assert _derive_stats_filter("k == 1 or v > 3", schema) is None
+    assert C._derive_pfilter("p == 'a' or p == 'c'", ["p"], schema) == {
+        "p": ["a", "c"]
+    }
+    assert C._derive_pfilter("p == 'a' or k == 1", ["p"], schema) is None
+
+    d = str(tmp_path / "oreq")
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+    append_snapshot(Frame(df.filter("id < 50"), ()), d, batch_id=0)
+    append_snapshot(Frame(df.filter("id >= 50"), ()), d, batch_id=1)
+    log = C._read_log(C._TableFS(d))
+    shutil.rmtree(os.path.join(d, log["segments"][0]))  # spy
+    got = read_append_snapshot(spark, d, where="id == 60 or id == 70")
+    assert sorted(got.collect()["id"].tolist()) == [60, 70]
+    _, n = delete_append_rows(spark, d, "id == 55 or id in [65, 75]")
+    assert n == 3
