@@ -91,7 +91,8 @@ def plan_size_bytes(df: DataFrame) -> int | None:
 
 
 def broadcast_guarded(
-    df: DataFrame, max_bytes: int | None = None, what: str = "broadcast"
+    df: DataFrame, max_bytes: int | None = None, what: str = "broadcast",
+    known_bytes: int | None = None,
 ) -> DataFrame:
     """Size-guarded ``F.broadcast`` — THE broadcast path for every
     internal pipeline join (query sets, probe tables, decontamination
@@ -109,10 +110,19 @@ def broadcast_guarded(
     can't PROVE small at the source should not ship.
 
     ``max_bytes=0`` disables the check (the ``force=True`` of the
-    DataFrame-level path)."""
+    DataFrame-level path).
+
+    ``known_bytes`` replaces the Catalyst estimate when the CALLER
+    holds a better bound — e.g. an exact ``count()`` of the relation
+    times a per-row width. Catalyst's analyzed-plan stats for a
+    partial aggregate / distinct over a derived batch are routinely
+    inflated by orders of magnitude (the view-refresh MERGE probe's
+    20k-row key set was estimated at ~1.19 GB), and a steady-state
+    plan should not depend on AQE rescuing a dropped hint at
+    runtime."""
     limit = Frame.BROADCAST_MAX_BYTES if max_bytes is None else max_bytes
     if limit and limit > 0:
-        est = plan_size_bytes(df)
+        est = known_bytes if known_bytes is not None else plan_size_bytes(df)
         if est is not None and est > limit:
             warnings.warn(
                 f"{what}: hint dropped — this side is estimated at "

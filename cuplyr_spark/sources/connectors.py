@@ -143,7 +143,13 @@ def http_if_none_match_put(url: str, text: str, timeout: float = 30.0) -> bool:
     """Reference conditional-put backend for S3-compatible HTTP
     endpoints: one PUT with ``If-None-Match: *`` — the store itself
     arbitrates the race and answers 412 Precondition Failed to every
-    loser. Usable directly as ``register_exclusive_put("s3a",
+    loser. 409 Conflict is treated the same way: S3 answers 409
+    ``ConditionalRequestConflict`` when two conditional PUTs of the
+    same key race each other (rather than hitting an existing
+    object), and Azure answers 409 ``BlobAlreadyExists`` — all three
+    codes mean "you are the CAS loser", which the commit protocol
+    handles by rebasing, never by surfacing an exception. Usable
+    directly as ``register_exclusive_put("s3a",
     lambda url, text: http_if_none_match_put(presign(url), text))``
     with whatever auth/presign wrapper the deployment uses."""
     import urllib.error
@@ -162,7 +168,7 @@ def http_if_none_match_put(url: str, text: str, timeout: float = 30.0) -> bool:
         with urllib.request.urlopen(req, timeout=timeout):
             return True
     except urllib.error.HTTPError as e:
-        if e.code == 412:
+        if e.code in (409, 412):
             return False
         raise
 
@@ -1093,6 +1099,13 @@ def _log_delta(prev: dict, new: dict) -> dict | None:
         # records without reconstruction, and a restore-after-restore
         # to the same target must not compress away
         sets["restored_from"] = new["restored_from"]
+    if "ts" in new:
+        # always explicit too: append_version_as_of probes raw records
+        # and treats a ts-less delta as pre-timestamp ("matches any
+        # as_of") — two metadata-only commits inside one millisecond
+        # would otherwise compress the stamp away and time travel
+        # could resolve to a version newer than requested
+        sets["ts"] = new["ts"]
     unsets = [k for k in prev if k not in skip and k not in new]
     if sets:
         d["set"] = sets
@@ -1166,6 +1179,23 @@ def _reconstruct_log(fs: _TableFS, version: int) -> dict:
         raise FileNotFoundError(
             f"log version {version} in {fs.dir!r} has no reachable "
             "base manifest (delta chain walked past version 1)"
+        )
+    if len(chain) > 2 * _CHECKPOINT_EVERY:
+        # One crashed checkpoint write costs one extra cadence of walk
+        # — expected and silent. A walk past TWO cadences means the
+        # store has rejected every recent checkpoint (_write_checkpoint
+        # is deliberately best-effort and swallows the errors), so the
+        # chain is growing unboundedly and every fresh reader pays
+        # O(versions-since-last-base); surface it instead of degrading
+        # silently forever.
+        warnings.warn(
+            f"append log at {fs.dir!r}: reconstruction of version "
+            f"{version} walked {len(chain)} delta records without "
+            f"hitting a checkpoint (cadence is {_CHECKPOINT_EVERY}) — "
+            "checkpoint writes appear to be persistently failing on "
+            "this store; reads stay correct but slow down linearly "
+            "until one lands (check store permissions/quotas)",
+            stacklevel=3,
         )
     for rec in reversed(chain):
         state = _apply_log_delta(state, rec)
@@ -1471,6 +1501,32 @@ def _stat_eligible(typ) -> bool:
 def _dec_scale(typ: str) -> int:
     """The scale of a ``decimal(p,s)`` simpleString."""
     return int(typ[typ.rindex(",") + 1:-1])
+
+
+# Conservative per-value broadcast-relation widths by simpleString
+# type, for row-count-derived size bounds (broadcast_guarded's
+# known_bytes). Variable-width types get generous allowances; anything
+# unknown assumes 64 bytes.
+_TYPE_WIDTH_BYTES = {
+    "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "float": 4,
+    "date": 4, "bigint": 8, "double": 8, "timestamp": 8,
+    "timestamp_ntz": 8, "string": 64, "binary": 128,
+}
+
+
+def _est_row_bytes(types) -> int:
+    """Estimated broadcast bytes per row for columns of ``types``
+    (simpleStrings) — 16 bytes of per-row overhead plus per-type
+    widths. Paired with an EXACT row count this beats Catalyst's
+    analyzed-plan stats, which ignore aggregation/distinct reduction
+    and routinely inflate a 20k-row key set to gigabytes."""
+    total = 16
+    for t in types:
+        if isinstance(t, str) and t.startswith("decimal("):
+            total += 16
+        else:
+            total += _TYPE_WIDTH_BYTES.get(t, 64)
+    return total
 _STAT_STR_CAP = 64
 _STAT_OPS = {"==", "=", "<", "<=", ">", ">=", "in"}
 # dictionary zone maps: record the EXACT value set of a column when it
@@ -2287,8 +2343,9 @@ def _derive_pfilter(pred: str, pby, schema) -> dict | None:
                 continue
             col = left.id
         elif type(op) in _ROPS:
-            # RANGE conjunct: sound only where the directory rendering
-            # preserves value order (date/string; gated below)
+            # RANGE conjunct: sound where the directory rendering
+            # preserves value order (date/string) or the column is an
+            # int type (typed comparison; gated below)
             if isinstance(left, _ast.Name) and const(right) is not const:
                 col, rng = left.id, (_ROPS[type(op)], const(right))
             elif isinstance(right, _ast.Name) and const(left) is not const:
@@ -2303,11 +2360,19 @@ def _derive_pfilter(pred: str, pby, schema) -> dict | None:
         if col not in pset or col not in types:
             continue
         if rng is not None:
-            if types[col] not in _PRANGE_TYPES:
+            if types[col] in _PRANGE_INT_TYPES:
+                # typed int range: pass the raw int through — the
+                # normalizer compares directory values parsed, not in
+                # string space ("9" > "10")
+                if isinstance(rng[1], bool) or not isinstance(rng[1], int):
+                    continue
+                rendered = rng[1]
+            elif types[col] not in _PRANGE_TYPES:
                 continue
-            rendered = _pdir_lit(types[col], rng[1])
-            if rendered is _pdir_lit or rendered is None:
-                continue
+            else:
+                rendered = _pdir_lit(types[col], rng[1])
+                if rendered is _pdir_lit or rendered is None:
+                    continue
             prev = out.get(col)
             conds = (
                 list(prev)
@@ -3256,23 +3321,35 @@ _PRANGE_OPS = {"<", "<=", ">", ">="}
 # Partition-column types whose canonical directory rendering is
 # ORDER-PRESERVING in string space, making range conds sound: ISO
 # dates, and strings themselves (lexicographic IS the predicate's own
-# order under binary collation). Ints are NOT ("9" > "10"), timestamps
-# render timezone- and fraction-dependently — both refuse loudly.
+# order under binary collation). Ints are NOT ("9" > "10") — they
+# compare TYPED instead (directory values parse back to exact ints,
+# :data:`_PRANGE_INT_TYPES` below). Timestamps render timezone- and
+# fraction-dependently and still refuse loudly.
 _PRANGE_TYPES = {"date", "string"}
+# Integer partition columns take range conditions through TYPED
+# comparison: every directory value written for an int column parses
+# back to the exact int (Spark renders them as plain base-10), so
+# parse-then-compare is sound where string-space comparison is not.
+# year=/month=/hour= int partitions are the most common time layout
+# in the wild; refusing them was the r13 gap this closes.
+_PRANGE_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
 def _normalize_pfilter(
     partition_filter: dict, types: dict | None = None
 ) -> dict:
     """{col: value | list-of-values | (op, value) | [(op, value), ...]}
-    → {col: (eq-set-or-None, [(range-op, rendered-str), ...])} —
-    partition dir values are strings, so every comparison happens in
-    string space, with each value rendered the way Spark writes
-    directory names (:func:`_pdir_str`). Range ops (``< <= > >=``) are
-    accepted only on date/string partition columns
-    (:data:`_PRANGE_TYPES` — the types whose rendering preserves value
-    order); a 2-tuple whose first element is an operator name is a
-    condition (a literal partition VALUE equal to an operator name
+    → {col: (eq-set-or-None, [(range-op, rendered-str, typed-int-or-
+    None), ...])} — partition dir values are strings; equality
+    compares in string space with each value rendered the way Spark
+    writes directory names (:func:`_pdir_str`). Range ops
+    (``< <= > >=``) are accepted on date/string partition columns
+    (:data:`_PRANGE_TYPES` — rendering preserves value order, compare
+    as strings: typed slot None) and on integer partition columns
+    (:data:`_PRANGE_INT_TYPES` — "9" > "10" in string space, so the
+    typed slot carries the int and directory values parse back before
+    comparing). A 2-tuple whose first element is an operator name is
+    a condition (a literal partition VALUE equal to an operator name
     needs the list form, same convention as ``stats_filter``)."""
     ops = _PRANGE_OPS | {"==", "in"}
 
@@ -3305,12 +3382,22 @@ def _normalize_pfilter(
                 eq = vals if eq is None else (eq & vals)
                 continue
             t = (types or {}).get(col)
+            if t in _PRANGE_INT_TYPES:
+                if isinstance(v, bool) or not isinstance(v, int):
+                    raise ValueError(
+                        f"partition_filter: range condition on int "
+                        f"partition column {col!r} needs an int bound, "
+                        f"got {v!r} ({type(v).__name__})"
+                    )
+                conds.append((op, str(v), int(v)))
+                continue
             if t not in _PRANGE_TYPES:
                 raise ValueError(
                     f"partition_filter: range condition on {col!r} "
                     f"(type {t!r}) — only {sorted(_PRANGE_TYPES)} "
-                    "partition columns compare order-preservingly in "
-                    "directory-string space"
+                    "(string-ordered) and "
+                    f"{sorted(_PRANGE_INT_TYPES)} (typed) partition "
+                    "columns support range pruning"
                 )
             import datetime
 
@@ -3327,28 +3414,46 @@ def _normalize_pfilter(
                     f"partition_filter: value {v!r} has no canonical "
                     f"{t} directory rendering"
                 )
-            conds.append((op, rendered))
+            conds.append((op, rendered, None))
         out[col] = (eq, conds)
     return out
 
 
 def _pf_match(vals: dict, pf: dict) -> bool:
     """Does one parsed partition-directory value dict satisfy the
-    normalized filter? NULL partitions never satisfy a range."""
+    normalized filter? NULL partitions never satisfy a range. Typed
+    (int) conditions parse the directory value back before comparing;
+    an unparseable value on an int partition column refuses loudly —
+    silently keeping OR dropping a directory the predicate cannot
+    order against would be unsound either way."""
     for c, (eq, conds) in pf.items():
         v = vals.get(c)
         if eq is not None and v not in eq:
             return False
-        for op, b in conds:
+        for op, b, typed in conds:
             if v is None:
                 return False
-            if op == "<" and not v < b:
+            if typed is not None:
+                try:
+                    cmp_v: object = int(v)
+                except ValueError:
+                    raise ValueError(
+                        f"partition_filter: directory value {v!r} of "
+                        f"int partition column {c!r} does not parse as "
+                        "an integer — the typed range cannot order "
+                        "against it (mixed/hand-written partition "
+                        "layout?)"
+                    ) from None
+                b = typed
+            else:
+                cmp_v = v
+            if op == "<" and not cmp_v < b:
                 return False
-            if op == "<=" and not v <= b:
+            if op == "<=" and not cmp_v <= b:
                 return False
-            if op == ">" and not v > b:
+            if op == ">" and not cmp_v > b:
                 return False
-            if op == ">=" and not v >= b:
+            if op == ">=" and not cmp_v >= b:
                 return False
     return True
 
@@ -3371,10 +3476,12 @@ def _pf_cond(pf: dict, col_of):
             if None in eq:
                 e = e | col.isNull()
             this = e
-        for op, b in conds:
+        for op, b, typed in conds:
+            cc = col.cast("bigint") if typed is not None else col
+            bb = typed if typed is not None else b
             e = {
-                "<": col < b, "<=": col <= b,
-                ">": col > b, ">=": col >= b,
+                "<": cc < bb, "<=": cc <= bb,
+                ">": cc > bb, ">=": cc >= bb,
             }[op]
             this = e if this is None else this & e
         if this is not None:
@@ -5702,9 +5809,18 @@ def upsert_append_rows(
         scan = _scan_with_dv(spark, fs, cur, segs, fmap=fmap)
         keyset = src.select(*keys).distinct()
         # plain-equality semi-join: NULL keys never match on either
-        # side (insert-only rows); guarded broadcast keeps it map-side
+        # side (insert-only rows); guarded broadcast keeps it map-side.
+        # The guard is sized from the EXACT batch count already in
+        # hand (distinct keys ≤ batch rows) × a per-type row width —
+        # Catalyst's analyzed-plan estimate of a distinct over a
+        # derived batch is inflated by orders of magnitude and would
+        # drop the hint, leaving the steady-state MERGE probe plan
+        # hanging on an AQE rescue (view-refresh hit exactly this)
+        tmap = dict(map(tuple, schema))
+        kb = int(n_appended) * _est_row_bytes(tmap.get(k) for k in keys)
         matched = scan.join(
-            broadcast_guarded(keyset, what="upsert_append_rows key set"),
+            broadcast_guarded(keyset, what="upsert_append_rows key set",
+                              known_bytes=kb),
             on=keys,
             how="left_semi",
         )
@@ -6713,6 +6829,33 @@ def vacuum_append_snapshot(
             continue
         if not dry_run and _read_log_rec(fs, v).get("delta"):
             _write_checkpoint(fs, _reconstruct_log(fs, v))
+            if fs.read_text(f"_CHECKPOINT.{v}") is None:
+                # The retention fold is NOT best-effort like the
+                # cadence checkpoints in _write_log: sweeping the
+                # records below v without a VERIFIED base would make
+                # the kept version unreconstructible (every read of it
+                # would raise FileNotFoundError). A failed — not just
+                # crashed — checkpoint write (transient object-store
+                # error; _write_checkpoint swallows it by design) must
+                # therefore keep v's whole delta chain alive instead.
+                k = v
+                while (
+                    k >= 1
+                    and fs.read_text(f"_CHECKPOINT.{k}") is None
+                    and _read_log_rec(fs, k).get("delta")
+                ):
+                    keep.add(k)
+                    k -= 1
+                if k >= 1:
+                    keep.add(k)  # the full-form / checkpointed base
+                warnings.warn(
+                    f"vacuum_append_snapshot: checkpoint write for kept "
+                    f"version {v} at {table_dir!r} did not land — "
+                    f"retaining its delta chain down to version "
+                    f"{max(k, 1)} instead of sweeping it (re-run vacuum "
+                    "once the store accepts writes to fold it away)",
+                    stacklevel=2,
+                )
     referenced: set = set()
     ever_logged: set = set()
     referenced_dv: set = set()

@@ -180,7 +180,12 @@ def _normalize_aggs(aggs: dict, base_schema: dict[str, str],
                     # exact: the state widens to decimal(38,s), whose
                     # additions are exact decimal arithmetic — no
                     # precision drift across incremental merges (the
-                    # old refusal predates the widened state)
+                    # old refusal predates the widened state). Bound:
+                    # a running sum past 38-s digits overflows the
+                    # widened state; the incremental merge detects
+                    # that (NULL-from-non-NULL ⇒ raise_error in
+                    # _merge_state) rather than committing a silent
+                    # NULL, matching non-ANSI Spark's overflow rule
                     from cuplyr_spark.sources.connectors import _dec_scale
 
                     state = [(name, f"decimal(38,{_dec_scale(ctype)})")]
@@ -300,7 +305,28 @@ def _merge_state(old_df, delta_df, group_by: list[str],
     for s in specs:
         if s["op"] == "sum":
             n, t = s["state"][0]
-            cols.append(add_nullable(n).cast(t).alias(n))
+            merged = add_nullable(n).cast(t)
+            if t.startswith("decimal("):
+                # decimal(38,s) addition is exact UNTIL it overflows,
+                # and under Spark's default non-ANSI mode an overflow
+                # yields NULL silently — a long-lived view would flip
+                # the group's sum to NULL with no error. Guard: a NULL
+                # result from non-NULL inputs can only be overflow ⇒
+                # fail the refresh loudly instead of committing it.
+                a, b = o[n], d[n]
+                merged = F.when(
+                    (a.isNotNull() | b.isNotNull()) & merged.isNull(),
+                    F.raise_error(F.lit(
+                        f"refresh_append_view: decimal sum state {n!r} "
+                        f"overflowed {t} while merging an incremental "
+                        "window — the group's running sum no longer "
+                        "fits 38 digits; rebuild with "
+                        "refresh_append_view(..., full=True) (it will "
+                        "overflow there too unless the data shrank — "
+                        "consider summing at a coarser grain)"
+                    )).cast(t),
+                ).otherwise(merged)
+            cols.append(merged.alias(n))
         elif s["op"] == "count":
             n = s["name"]
             cols.append((F.coalesce(o[n], F.lit(0)) + d[n])

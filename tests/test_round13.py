@@ -590,17 +590,22 @@ def test_partition_range_prunes_segments_and_dirs(spark, tmp_path):
     assert n == 6
 
 
-def test_partition_range_refused_on_int_columns(spark, tmp_path):
+def test_partition_range_int_columns_compare_typed(spark, tmp_path):
     """Int partition dirs don't order lexicographically ('9' > '10') —
-    the dict form refuses loudly, the derived form contributes
-    nothing (full scan, sound)."""
+    round 14 lifts the r13 refusal by comparing TYPED: directory
+    values parse back to exact ints before ordering. Spy-level
+    pruning assertions live in test_round14.py."""
     d = str(tmp_path / "pint")
     df = spark.range(20).select(F.col("id"), (F.col("id") % 12).alias("p"))
     append_snapshot(Frame(df, ()), d, batch_id=0, partition_by="p")
-    with pytest.raises(ValueError, match="range condition"):
-        read_append_snapshot(spark, d, partition_filter={"p": (">", 3)})
+    got = read_append_snapshot(
+        spark, d, partition_filter={"p": (">", 3)}
+    ).collect()
+    assert len(got) == 12
     log = C._read_log(C._TableFS(d))
-    assert C._derive_pfilter("p > 3", ["p"], log["schema"]) is None
+    assert C._derive_pfilter("p > 3", ["p"], log["schema"]) == {
+        "p": [(">", 3)]
+    }
     got = read_append_snapshot(spark, d, where="p > 3").collect()
     assert len(got) == 12
 
