@@ -165,6 +165,7 @@ def test_long_uncheckpointed_walk_warns_but_stays_correct(
             for i in range(22):
                 append_snapshot(_mk(spark, [(f"r{i}", i)]), tdir)
     fs = C._TableFS(tdir)
+    C._LOG_STATE_CACHE.clear()  # a FRESH reader pays (and flags) the walk
     with pytest.warns(UserWarning, match="walked"):
         log = C._read_log(fs)
     assert log["version"] == 22 and len(log["segments"]) == 22
@@ -233,6 +234,54 @@ def test_broadcast_guarded_known_bytes_overrides_estimate(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# -- in-process log-state cache (verdict #2) --------------------------------
+
+
+def test_log_state_cache_reuses_and_rolls_forward(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    for i in range(3):
+        append_snapshot(_mk(spark, [(f"r{i}", i)]), tdir)
+    fs = C._TableFS(tdir)
+    C._LOG_STATE_CACHE.clear()
+    s1 = C._read_log(fs)
+    assert (fs.dir, 3) in C._LOG_STATE_CACHE
+    # second read of the unchanged table: the SAME materialized object
+    assert C._read_log(fs) is s1
+    # one more commit: the next read rolls one delta onto the cached
+    # state instead of re-walking to the base
+    append_snapshot(_mk(spark, [("r3", 3)]), tdir)
+    s4 = C._read_log(fs)
+    assert s4["version"] == 4 and len(s4["segments"]) == 4
+    # cached result must equal a cold reconstruction exactly
+    C._LOG_STATE_CACHE.clear()
+    assert C._read_log(fs) == s4
+
+
+def test_log_state_cache_never_serves_recreated_table(spark, tmp_path):
+    import shutil
+
+    tdir = str(tmp_path / "t")
+    for i in range(3):
+        append_snapshot(_mk(spark, [(f"old{i}", i)]), tdir)
+    fs = C._TableFS(tdir)
+    assert C._read_log(fs)["version"] == 3
+    # same path, new table, same version numbers — the stat fingerprint
+    # of the commit records must invalidate every cached state
+    shutil.rmtree(tdir)
+    for i in range(3):
+        append_snapshot(_mk(spark, [(f"new{i}", 100 + i)]), tdir)
+    got = {tuple(r) for r in read_append_snapshot(spark, tdir).df.collect()}
+    assert got == {(f"new{i}", 100 + i) for i in range(3)}
+
+
+def test_log_state_cache_bounded(spark, tmp_path):
+    C._LOG_STATE_CACHE.clear()
+    tdir = str(tmp_path / "t")
+    for i in range(C._LOG_STATE_CACHE_MAX + 4):
+        append_snapshot(_mk(spark, [(f"r{i}", i)]), tdir)
+    assert len(C._LOG_STATE_CACHE) <= C._LOG_STATE_CACHE_MAX
 
 
 # -- int-typed partition-range pruning (verdict #3) ------------------------
