@@ -2509,6 +2509,23 @@ def q_dsir_importance(spark, sf_dir):
     return TX.with_importance_logratio(docs, target).df
 
 
+def q_dsir_selected_set(spark, sf_dir):
+    """The DSIR selection LOOP end-to-end
+    (``pipeline/text.select_topk_importance``): score every document
+    against the exemplar-trained target model, then keep the 400 most
+    target-like — importance DESC, doc_id tiebreak, unscored docs
+    last. The selected SET (not just the scores) is the contract:
+    both engines must pick the same 400 documents. Plan: the scoring
+    shuffles plus ONE TakeOrderedAndProject (per-partition top-k heap
+    + driver merge — no global sort ever materializes, the 100 TB
+    shape for "select the best k of the pool")."""
+    docs = _t(spark, sf_dir, "documents")
+    target = TX.train_unigram_model(
+        Frame(docs.df.filter("doc_id % 7 = 0"), ())
+    )
+    return TX.select_topk_importance(docs, target, k=400).df
+
+
 def q_substring_dedup_spans(spark, sf_dir):
     """Exact-substring duplicate spans (Lee et al.): per-document
     token ranges whose every 5-token rolling window also occurs in
@@ -4133,6 +4150,44 @@ def q_append_partition_range(spark, sf_dir):
     )
 
 
+def q_append_partition_range_int(spark, sf_dir):
+    """Typed range pruning on an INT partition column (r14): a
+    ``year=``-style int layout answers ``yr >= A and yr < B`` by
+    parsing directory values back to exact ints before ordering —
+    "9" > "10" in string space, which is why r13 refused int ranges
+    outright. The where= derivation compiles the range conjuncts
+    automatically; date/string columns keep the order-preserving
+    string compare. Oracle: plain WHERE over the same extraction."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+    )
+
+    odf = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.month(F.col("o_orderdate")).alias("mo"),
+    )
+    d = _scratch_dir("partition_range_int")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(
+        Frame(odf.filter("mo < 7")), d, batch_id=0, partition_by="mo"
+    )
+    append_snapshot(Frame(odf.filter("mo >= 7")), d, batch_id=1)
+    out = read_append_snapshot(
+        spark, d, where="mo >= 9 and mo < 12 and o_totalprice > 120000"
+    )
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("mo").alias("first_mo"),
+        F.max("mo").alias("last_mo"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
 def q_separate_rows(spark, sf_dir):
     """tidyr ``separate_rows`` (``Frame.separate_rows``): a delimited
     string column explodes into one row per element — map-side
@@ -4450,6 +4505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_trim": q_substring_dedup_trim,
         "unigram_logprob": q_unigram_logprob,
         "dsir_importance": q_dsir_importance,
+        "dsir_selected_set": q_dsir_selected_set,
         "embedding_quantize": q_embedding_quantize,
         "quantized_cosine_topk": q_quantized_cosine_topk,
         "arrange_collated": q_arrange_collated,
@@ -4498,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_decimal_prune": q_append_decimal_prune,
         "append_type_widening": q_append_type_widening,
         "append_partition_range": q_append_partition_range,
+        "append_partition_range_int": q_append_partition_range_int,
         "sidecar_table_stats": q_sidecar_table_stats,
         "dictionary_prune": q_dictionary_prune,
         "bloom_point_lookup": q_bloom_point_lookup,
@@ -6109,6 +6166,51 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) / 1e6 AS avg_importance
             FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
         """,
+        "dsir_selected_set": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), toks_f AS (
+              SELECT doc_id, tok FROM toks WHERE tok <> ''
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf
+              FROM toks_f GROUP BY doc_id, tok
+            ), cnt_r AS (
+              SELECT tok, CAST(sum(tf) AS BIGINT) AS c
+              FROM tf GROUP BY tok
+            ), cnt_t AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS c
+              FROM toks_f WHERE doc_id % 7 = 0 GROUP BY tok
+            ), scal_r AS (
+              SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM cnt_r
+            ), scal_t AS (
+              SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM cnt_t
+            ), comp AS (
+              SELECT tf.doc_id, tf.tf,
+                     CAST(floor(tf.tf * ln(CAST(COALESCE(cnt_t.c, 0) + 1
+                              AS DOUBLE) / scal_t.denom) * 1e6 + 0.5)
+                          AS BIGINT)
+                   - CAST(floor(tf.tf * ln(CAST(cnt_r.c + 1 AS DOUBLE)
+                              / scal_r.denom) * 1e6 + 0.5)
+                          AS BIGINT) AS dn
+              FROM tf
+              JOIN cnt_r USING (tok)
+              LEFT JOIN cnt_t USING (tok)
+              CROSS JOIN scal_r CROSS JOIN scal_t
+            ), per AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                     CAST(sum(dn) AS BIGINT) AS dll
+              FROM comp GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(per.n_tokens, 0) AS n_tokens,
+                   CAST(per.dll AS DOUBLE) / 1e6 AS importance,
+                   CAST(floor(CAST(per.dll AS DOUBLE) / per.n_tokens + 0.5)
+                        AS BIGINT) / 1e6 AS avg_importance
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+            ORDER BY importance DESC NULLS LAST, d.doc_id
+            LIMIT 400
+        """,
         "substring_dedup_spans": """
             WITH g AS (
               SELECT doc_id, pos,
@@ -6839,6 +6941,21 @@ def oracle_sql() -> dict[str, str]:
         FROM t
         WHERE month >= DATE '1995-06-01' AND month < DATE '1997-01-01'
           AND o_totalprice > 120000
+        GROUP BY o_orderstatus
+    """
+    out["append_partition_range_int"] = """
+        WITH t AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   CAST(month(o_orderdate) AS INT) AS mo
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               count(*) AS n,
+               min(mo) AS first_mo,
+               max(mo) AS last_mo,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM t
+        WHERE mo >= 9 AND mo < 12 AND o_totalprice > 120000
         GROUP BY o_orderstatus
     """
     out["append_type_widening"] = """

@@ -838,6 +838,43 @@ def with_importance_logratio(
     return Frame(out, ())
 
 
+def select_topk_importance(
+    frame: Frame,
+    target_model: Frame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    raw_model: Frame | None = None,
+) -> Frame:
+    """The DSIR SELECTION loop end-to-end (score → select), not just
+    the score: keep the ``k`` most target-like documents by
+    :func:`with_importance_logratio`'s log-ratio, ties broken by
+    ``id_col`` ascending — fully deterministic, so the selected SET
+    (not merely the scores) is contract-pinnable against an oracle.
+    Unscored documents (empty text → NULL importance) sort last and
+    are selected only when fewer than ``k`` scored docs exist.
+
+    The ordering key is exact: ``importance`` is the integer
+    micro-nat sum divided by 1e6, and int64 sums in this range are
+    exactly representable as doubles, so the double order IS the
+    integer order in every engine.
+
+    Scale shape: the score plan's shuffles plus ONE top-k —
+    Spark plans orderBy+limit as TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), never a global sort; k rows is a
+    driver-safe result by construction (the caller picks k)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    scored = with_importance_logratio(
+        frame, target_model, text_col=text_col, id_col=id_col,
+        raw_model=raw_model,
+    ).df
+    out = scored.orderBy(
+        F.col("importance").desc_nulls_last(), F.col(id_col)
+    ).limit(int(k))
+    return Frame(out, ())
+
+
 def train_unigram_model(
     frame: Frame, text_col: str = "text"
 ) -> Frame:

@@ -203,7 +203,9 @@ EXCHANGE_BUDGETS = {
     "append_type_widening": 1,  # r13: grouped agg over the two-era multi-path scan read through the widened schema
     "incremental_view_distinct": 0,  # r13: the view read is a pinned state scan + hll estimate projection; refresh work ran at maintenance time
     "append_partition_range": 1,  # r13: grouped agg over the partition-range-pruned directory scan
+    "append_partition_range_int": 1,  # r14: grouped agg over the TYPED-range-pruned int-partitioned scan (dir values parse to ints before ordering)
     "dsir_importance": 5,  # r13: ONE tf shuffle + two vocab-grain count aggs + doc-grain reduce + the left join back to ids — occurrences ride a shuffle once; both model joins run at tf grain
+    "dsir_selected_set": 5,  # r14: the dsir_importance plan + TakeOrderedAndProject — the top-k selection adds ZERO exchanges (per-partition heap + driver merge, no global sort)
 }
 
 # Queries whose plan legitimately contains an unpartitioned window over
