@@ -2492,6 +2492,21 @@ def q_unigram_logprob(spark, sf_dir):
     return TX.with_unigram_logprob(docs).df
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing
+    (``pipeline/text.with_perplexity_bucket``; Wenzek et al. 2020):
+    every document lands in head/middle/tail (bucket 1..3) by its
+    unigram-LM per-token score against exact rank-derived boundary
+    cuts — boundary i is the score at rank ceil(i*n/3) ordered
+    (score DESC, doc_id). Deployment shape: thresholds staged once
+    (CCNet's fixed Wikipedia cuts), every shard buckets MAP-SIDE —
+    the returned plan has no global ordering; the staging sort ran
+    eagerly over slim (score, id) pairs. Integer micro-nat scoring
+    keeps the assignment bit-identical in the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.with_perplexity_bucket(docs, n_buckets=3).df
+
+
 def q_dsir_importance(spark, sf_dir):
     """DSIR-style importance scoring
     (``pipeline/text.with_importance_logratio``; Data Selection via
@@ -4506,6 +4521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "dsir_importance": q_dsir_importance,
         "dsir_selected_set": q_dsir_selected_set,
+        "perplexity_buckets": q_perplexity_buckets,
         "embedding_quantize": q_embedding_quantize,
         "quantized_cosine_topk": q_quantized_cosine_topk,
         "arrange_collated": q_arrange_collated,
@@ -6165,6 +6181,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(CAST(per.dll AS DOUBLE) / per.n_tokens + 0.5)
                         AS BIGINT) / 1e6 AS avg_importance
             FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+        """,
+        "perplexity_buckets": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), toks_f AS (
+              SELECT doc_id, tok FROM toks WHERE tok <> ''
+            ), tf AS (
+              SELECT doc_id, tok, count(*) AS tf
+              FROM toks_f GROUP BY doc_id, tok
+            ), cnt AS (
+              SELECT tok, CAST(sum(tf) AS BIGINT) AS c
+              FROM tf GROUP BY tok
+            ), scal AS (
+              SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM cnt
+            ), comp AS (
+              SELECT tf.doc_id, tf.tf,
+                     CAST(floor(tf.tf * ln(CAST(cnt.c + 1 AS DOUBLE)
+                              / scal.denom) * 1e6 + 0.5) AS BIGINT) AS nats
+              FROM tf JOIN cnt USING (tok) CROSS JOIN scal
+            ), per AS (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                     CAST(sum(nats) AS BIGINT) AS ll
+              FROM comp GROUP BY doc_id
+            ), scored AS (
+              SELECT doc_id, n_tokens,
+                     CAST(floor(CAST(ll AS DOUBLE) / n_tokens + 0.5)
+                          AS BIGINT) / 1e6 AS avg_logprob
+              FROM per WHERE n_tokens > 0
+            ), ranked AS (
+              SELECT doc_id, avg_logprob,
+                     row_number() OVER (ORDER BY avg_logprob DESC, doc_id)
+                         AS rn,
+                     count(*) OVER () AS n
+              FROM scored
+            ), thr AS (
+              SELECT avg_logprob AS t FROM ranked
+              WHERE rn = CAST(ceil(n / 3.0) AS BIGINT)
+              UNION ALL
+              SELECT avg_logprob FROM ranked
+              WHERE rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   s.avg_logprob AS avg_logprob,
+                   CASE WHEN s.doc_id IS NULL THEN NULL
+                        ELSE CAST(1 + (SELECT count(*) FROM thr
+                                       WHERE s.avg_logprob < thr.t) AS INT)
+                   END AS bucket
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN scored s USING (doc_id)
         """,
         "dsir_selected_set": """
             WITH toks AS (

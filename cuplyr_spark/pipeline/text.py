@@ -991,3 +991,161 @@ def with_unigram_logprob(
         )
     )
     return Frame(out, ())
+
+
+def _avg_micro_nats(ll_col: Column, n_col: Column) -> Column:
+    """Per-token mean of an integer micro-nat sum, rounded AT the
+    micro-nat grain: ``floor(ll/n + 0.5)`` of two exact int64s is the
+    same IEEE division in every engine (the dsir tie rule) — decimal
+    ``round(x, 6)`` is not."""
+    return (
+        F.floor(ll_col.cast("double") / n_col + F.lit(0.5)).cast("long")
+        / 1e6
+    )
+
+
+def _doc_micro_nats(frame: Frame, text_col: str, id_col: str,
+                    model: Frame | None):
+    """(doc, n_tokens, ll-micro-nats) for every SCORED doc — the
+    shared integer-exact core of :func:`with_unigram_logprob`,
+    re-derived here at raw grain for the bucketing ops (which need
+    the unrounded int64, not the rounded float output)."""
+    toks = frame.df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    if model is None:
+        counts = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+        join_how = "inner"
+    else:
+        counts = model.df.groupBy("tok").agg(
+            F.sum(F.col("c").cast("long")).alias("c")
+        )
+        join_how = "left"
+    row = counts.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    denom = float(int(row["t"] or 0) + int(row["v"] or 0))
+    comp = F.floor(
+        F.col("tf")
+        * F.log((F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / denom)
+        * 1e6
+        + 0.5
+    ).cast("long")
+    return (
+        tf.join(counts, "tok", join_how)
+        .select(F.col(id_col), F.col("tf"), comp.alias("__nats"))
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("__nats").alias("__ll"))
+    )
+
+
+def perplexity_thresholds(
+    frame: Frame,
+    model: Frame | None = None,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[float]:
+    """The ``n_buckets-1`` boundary scores of CCNet-style perplexity
+    bucketing (Wenzek et al. 2020 — public art: score a corpus with a
+    reference LM, split into head/middle/tail by perplexity), computed
+    EXACTLY and deterministically: scored docs ordered by (per-token
+    micro-nat mean DESC, id ASC), boundary i is the score of the doc
+    at rank ``ceil(i*n/B)``. Duplicate boundary values are kept (two
+    coinciding boundaries advance the bucket twice — consistent on
+    both engines).
+
+    This is the STAGING step, run once per reference corpus and
+    passed to :func:`with_perplexity_bucket` as ``thresholds=`` —
+    exactly CCNet's procedure (their thresholds come from the
+    Wikipedia-LM score distribution, then every CommonCrawl shard
+    buckets map-side against the fixed cuts). Cost: one slim global
+    sort over (score, id) pairs at doc grain — fine at staging
+    cadence or on a sample; the per-shard scoring NEVER pays it."""
+    import math
+
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    per = _doc_micro_nats(frame, text_col, id_col, model)
+    scored = per.filter(F.col("n_tokens") > 0).select(
+        _avg_micro_nats(F.col("__ll"), F.col("n_tokens")).alias("__avg"),
+        F.col(id_col),
+    )
+    n = scored.count()
+    if n == 0:
+        return []
+    ranks = sorted(
+        {math.ceil(i * n / n_buckets) for i in range(1, n_buckets)}
+    )
+    w = Window.orderBy(F.col("__avg").desc(), F.col(id_col))
+    rows = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn").isin(ranks))
+        .orderBy("__rn")
+        .collect()
+    )
+    by_rank = {r["__rn"]: float(r["__avg"]) for r in rows}
+    # per-boundary lookup (NOT the deduped rank set): coinciding
+    # boundaries at tiny n repeat their value, advancing the bucket
+    # twice — the documented, engine-consistent rule
+    return [by_rank[math.ceil(i * n / n_buckets)]
+            for i in range(1, n_buckets)]
+
+
+def with_perplexity_bucket(
+    frame: Frame,
+    model: Frame | None = None,
+    n_buckets: int = 3,
+    thresholds: list[float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Frame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): assign
+    every document a quality bucket 1..B — bucket 1 ("head") holds
+    the most reference-like text (highest LM log-probability / lowest
+    perplexity), bucket B ("tail") the least — by comparing its
+    per-token micro-nat mean against fixed boundary scores. Unscored
+    docs (empty text) get a NULL bucket.
+
+    ``thresholds=`` takes the staged cuts of
+    :func:`perplexity_thresholds` (CCNet's deployment shape: fixed
+    Wikipedia-derived cuts, every shard buckets MAP-SIDE — zero
+    shuffles beyond the scoring plan, no global ordering anywhere in
+    the per-shard job). With ``thresholds=None`` the cuts are
+    computed inline from ``frame`` itself (self-bucketing — the
+    staging sort runs eagerly, the returned plan is still map-side).
+
+    bucket(d) = 1 + |{i : score_d < t_i}| — a doc equal to a boundary
+    stays in the upper bucket; duplicate boundary values advance
+    twice. Integer-exact scoring makes the assignment bit-identical
+    cross-engine (the dsir determinism contract)."""
+    if thresholds is None:
+        thresholds = perplexity_thresholds(
+            frame, model=model, n_buckets=n_buckets,
+            text_col=text_col, id_col=id_col,
+        )
+    per = _doc_micro_nats(frame, text_col, id_col, model)
+    avg = _avg_micro_nats(F.col("__ll"), F.col("n_tokens"))
+    bucket = F.lit(1)
+    for t in thresholds:
+        bucket = bucket + F.when(avg < F.lit(float(t)), 1).otherwise(0)
+    per_doc = per.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        avg.alias("avg_logprob"),
+        bucket.cast("int").alias("bucket"),
+    )
+    out = (
+        frame.df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "avg_logprob",
+            "bucket",
+        )
+    )
+    return Frame(out, ())

@@ -1295,3 +1295,71 @@ def test_importance_logratio_staged_vs_self(spark):
     assert got.sort_values("doc_id")["importance"].tolist() == (
         got2.sort_values("doc_id")["importance"].tolist()
     )
+
+
+def test_select_topk_importance_deterministic_set(spark):
+    """r14: the DSIR selection loop — top-k by importance with id
+    tiebreak; unscored docs last; k larger than the pool returns all."""
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.pipeline.text import (
+        select_topk_importance,
+        train_unigram_model,
+    )
+
+    docs = Frame(
+        spark.createDataFrame(
+            [
+                (0, "the cat sat on the mat"),
+                (1, "the dog sat on the log"),
+                (2, "quantum flux capacitor array"),
+                (3, "the cat and the dog"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    target = train_unigram_model(Frame(docs.df.filter("doc_id in (0, 1)"), ()))
+    top2 = select_topk_importance(docs, target, k=2).collect()
+    # the two most target-like docs; the empty doc never selected early
+    assert 2 not in set(top2["doc_id"]) and 4 not in set(top2["doc_id"])
+    assert list(top2.columns) == ["doc_id", "n_tokens", "importance",
+                                  "avg_importance"]
+    everything = select_topk_importance(docs, target, k=100).collect()
+    assert len(everything) == 5  # unscored doc included when k allows
+    assert everything["doc_id"].iloc[-1] == 4  # NULLs last
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        select_topk_importance(docs, target, k=0)
+
+
+def test_perplexity_buckets_rank_exact(spark):
+    """r14: CCNet-style bucketing — staged thresholds reproduce the
+    inline self-bucketing exactly, bucket 1 holds the most
+    target-like text, empty docs get NULL buckets."""
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.pipeline.text import (
+        perplexity_thresholds,
+        with_perplexity_bucket,
+    )
+
+    rows = [(i, "the cat sat on the mat") for i in range(4)]
+    rows += [(10 + i, "the dog ran") for i in range(4)]
+    rows += [(20 + i, "zz qq xx vv kk jj ww yy") for i in range(4)]
+    rows += [(99, "")]
+    docs = Frame(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = with_perplexity_bucket(docs, n_buckets=3).collect()
+    by_id = dict(zip(got["doc_id"], got["bucket"]))
+    import math
+
+    assert math.isnan(by_id[99]) or by_id[99] is None  # unscored
+    # the gibberish docs land in the worst bucket, common text in 1
+    assert all(by_id[20 + i] == 3 for i in range(4))
+    assert all(by_id[i] == 1 for i in range(4))
+    # staged thresholds == inline
+    cuts = perplexity_thresholds(docs, n_buckets=3)
+    assert len(cuts) == 2 and cuts[0] >= cuts[1]
+    got2 = with_perplexity_bucket(docs, thresholds=cuts).collect()
+    assert got.sort_values("doc_id")["bucket"].fillna(-1).tolist() == (
+        got2.sort_values("doc_id")["bucket"].fillna(-1).tolist()
+    )
