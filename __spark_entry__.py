@@ -849,6 +849,22 @@ def q_dedup_cluster_labels(spark, sf_dir):
     return D.dedup_clusters(pairs).df
 
 
+def q_near_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup representative selection (r14; the
+    FineWeb/RefinedWeb keep-best rule): ``near_dedup(keep_by=
+    "quality")`` keeps the HIGHEST-quality member of each MinHash/LSH
+    cluster (ties by min id) instead of an arbitrary one — dedup
+    should drop the WORST copy of a duplicated page. The argmax is a
+    window over cluster MEMBERS only (partitioned by cluster id,
+    bounded by the LSH pair set) — never the corpus. Oracle: the
+    recursive-CTE transitive closure + the quality formula + the same
+    per-cluster row_number rule."""
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
+    scored = TX.with_quality_score(docs)
+    out = D.near_dedup(scored, keep_by="quality")
+    return out.df.select("doc_id", "quality")
+
+
 def q_media_metadata(spark, sf_dir):
     """Multimodal plumbing end-to-end: binary media column (utf-8 bytes
     of text, the container-safe fixture) -> JVM-side metadata struct
@@ -4446,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_cluster_labels": q_dedup_cluster_labels,
+        "near_dedup_keep_best": q_near_dedup_keep_best,
         "media_metadata": q_media_metadata,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
@@ -5620,6 +5637,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, least(a, min(b)) AS cluster_id
             FROM reach GROUP BY a
+        """,
+        "near_dedup_keep_best": f"""
+            WITH RECURSIVE sig AS ({_minhash_oracle()}),
+            bands AS (
+              SELECT doc_id, 0 AS band, CAST(concat('0x', substr(md5(concat_ws('_', mh_0, mh_1)), 1, 15)) AS BIGINT) AS bh FROM sig
+              UNION ALL SELECT doc_id, 1, CAST(concat('0x', substr(md5(concat_ws('_', mh_2, mh_3)), 1, 15)) AS BIGINT) FROM sig
+              UNION ALL SELECT doc_id, 2, CAST(concat('0x', substr(md5(concat_ws('_', mh_4, mh_5)), 1, 15)) AS BIGINT) FROM sig
+              UNION ALL SELECT doc_id, 3, CAST(concat('0x', substr(md5(concat_ws('_', mh_6, mh_7)), 1, 15)) AS BIGINT) FROM sig
+            ), keep AS (
+              SELECT band, bh FROM bands GROUP BY band, bh
+              HAVING count(*) BETWEEN 2 AND 10000
+            ), kept AS (
+              SELECT b.* FROM bands b JOIN keep k USING (band, bh)
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM kept a JOIN kept b ON a.band = b.band AND a.bh = b.bh
+                                      AND a.doc_id < b.doc_id
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ), labels AS (
+              SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+              FROM reach GROUP BY a
+            ), q AS (
+              SELECT doc_id,
+                     round(0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+                           + 0.4 * least(CAST(len(list_filter(string_split(text, ' '),
+                                x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+                                / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5, 1.0)
+                           + 0.1 * (1.0 - least(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+                                / CAST(length(text) AS DOUBLE) * 10, 1.0)), 6) AS quality
+              FROM documents
+            ), ranked AS (
+              SELECT l.doc_id,
+                     row_number() OVER (PARTITION BY l.cluster_id
+                                        ORDER BY q.quality DESC NULLS LAST,
+                                                 l.doc_id) AS rn
+              FROM labels l JOIN q USING (doc_id)
+            )
+            SELECT q.doc_id, q.quality
+            FROM q
+            WHERE q.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
         """,
         "embedding_near_dup": f"""
             WITH keep AS (

@@ -792,25 +792,59 @@ def near_dedup(
     shingle_k: int = 3,
     max_bucket_size: int | None = 10_000,
     max_iter: int = 25,
+    keep_by: str | None = None,
 ) -> Frame:
     """End-to-end fuzzy dedup: MinHash -> LSH candidate pairs ->
-    connected components -> keep one representative (the min-id member)
-    per near-dup cluster, all other rows unchanged.
+    connected components -> keep one representative per near-dup
+    cluster, all other rows unchanged.
+
+    The representative is the min-id member by default; ``keep_by=``
+    names a column of ``frame`` and keeps the HIGHEST-valued member
+    instead (ties by min id, NULL scores last) — the quality-aware
+    selection the FineWeb/RefinedWeb pipelines use so dedup removes
+    the WORST copy of a duplicated page, not an arbitrary one.
+    Compose with ``with_quality_score`` / ``with_perplexity_bucket``
+    / any scorer that adds a numeric column.
 
     The one-call composition of ``minhash_signatures`` /
     ``minhash_lsh_pairs`` / ``dedup_clusters`` a pipeline actually
     runs. Non-representatives are removed with a single anti-join on
     the id — the loser set is bounded by the pair set, which the LSH
     bucket cap already keeps skew-safe, and the corpus itself is never
-    shuffled (the anti-join build side is (id) only).
+    shuffled (the anti-join build side is (id) only; the ``keep_by``
+    argmax is a window over CLUSTER MEMBERS only, partitioned by
+    cluster id — never a global window, never the corpus).
     """
     pairs = minhash_lsh_pairs(
         frame, text_col, id_col, n_hashes, bands, shingle_k, max_bucket_size
     )
     labels = dedup_clusters(pairs, max_iter=max_iter)
-    losers = labels.df.filter(F.col("cluster_id") != F.col("doc_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
+    if keep_by is None:
+        losers = labels.df.filter(
+            F.col("cluster_id") != F.col("doc_id")
+        ).select(F.col("doc_id").alias(id_col))
+    else:
+        if keep_by not in frame.df.columns:
+            raise ValueError(
+                f"keep_by column {keep_by!r} is not in the frame "
+                f"({frame.df.columns})"
+            )
+        from pyspark.sql import Window
+
+        scored = labels.df.join(
+            frame.df.select(
+                F.col(id_col).alias("doc_id"), F.col(keep_by).alias("__kb")
+            ),
+            "doc_id",
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("__kb").desc_nulls_last(), F.col("doc_id")
+        )
+        losers = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("doc_id").alias(id_col))
+        )
     return Frame(
         frame.df.join(losers, on=id_col, how="left_anti"), frame.group_vars()
     )

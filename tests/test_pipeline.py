@@ -1363,3 +1363,33 @@ def test_perplexity_buckets_rank_exact(spark):
     assert got.sort_values("doc_id")["bucket"].fillna(-1).tolist() == (
         got2.sort_values("doc_id")["bucket"].fillna(-1).tolist()
     )
+
+
+def test_near_dedup_keep_by_quality(spark):
+    """r14: keep_by keeps the highest-scored cluster member (ties min
+    id) instead of the min-id one; unknown columns refuse loudly."""
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.pipeline.dedup import near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base + " one", 0.2),
+        (2, base + " two", 0.9),   # best copy: must survive
+        (3, base + " три", 0.5),
+        (10, "completely unrelated text about spark manifests", 0.1),
+    ]
+    docs = Frame(
+        spark.createDataFrame(rows, "doc_id long, text string, q double")
+    )
+    kept_default = near_dedup(docs).collect()
+    kept_best = near_dedup(docs, keep_by="q").collect()
+    # default keeps min id of the near-dup cluster; keep_by keeps doc 2
+    assert 1 in set(kept_default["doc_id"])
+    assert 2 in set(kept_best["doc_id"])
+    assert {1, 3} & set(kept_best["doc_id"]) == set()
+    # the unrelated doc always survives both ways
+    assert 10 in set(kept_best["doc_id"]) and 10 in set(kept_default["doc_id"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_by"):
+        near_dedup(docs, keep_by="nope")

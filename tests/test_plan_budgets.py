@@ -207,6 +207,7 @@ EXCHANGE_BUDGETS = {
     "dsir_importance": 5,  # r13: ONE tf shuffle + two vocab-grain count aggs + doc-grain reduce + the left join back to ids — occurrences ride a shuffle once; both model joins run at tf grain
     "dsir_selected_set": 5,  # r14: the dsir_importance plan + TakeOrderedAndProject — the top-k selection adds ZERO exchanges (per-partition heap + driver merge, no global sort)
     "perplexity_buckets": 4,  # r14: the unigram_logprob template (tf agg + count agg + term join + doc agg); bucket assignment is map-side against driver-literal thresholds — the staging sort ran eagerly over slim (score,id) pairs
+    "near_dedup_keep_best": 5,  # r14: labels read from the CC localCheckpoint; the keep-best argmax is a cluster-partitioned window over members only (labels⋈scores + window + the losers anti-join; quality itself is column math on the corpus scan)
 }
 
 # Queries whose plan legitimately contains an unpartitioned window over
