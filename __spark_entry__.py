@@ -677,6 +677,33 @@ def q_mixture_resample(spark, sf_dir):
     )
 
 
+def q_mixture_resample_tokens(spark, sf_dir):
+    """Token-mass mixture resampling (r14): the same deterministic
+    hash-membership downsampling, but targets are TOKEN shares ("30%
+    of tokens from web") — how LLM training mixtures are actually
+    specified. Per-group keep rates size the EXPECTED kept token mass
+    onto the targets; membership stays per-id stable (exact-knapsack
+    selection would lose that). Tiny per-group sum aggregate
+    broadcast back — the corpus never shuffles."""
+    from cuplyr_spark.pipeline.sampling import resample_to_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    weighted = Frame(
+        docs.df.withColumn(
+            "n_toks", F.size(F.split(F.col("text"), " ")).cast("long")
+        ),
+        (),
+    )
+    return (
+        resample_to_mixture(
+            weighted, "source", {"src0": 0.3, "src1": 0.2, "src2": 0.5},
+            weight_col="n_toks",
+        )
+        .select("doc_id", "source", "n_toks")
+        .df
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-doc top-3 TF-IDF terms (smoothed idf): map-side token
     explode, one term-grain agg, idf broadcast back, keyed-window
@@ -4450,6 +4477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_hashed": q_decontaminate_hashed,
         "paragraph_dedup": q_paragraph_dedup,
         "mixture_resample": q_mixture_resample,
+        "mixture_resample_tokens": q_mixture_resample_tokens,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -5269,6 +5297,31 @@ def oracle_sql() -> dict[str, str]:
               FROM t, m
             )
             SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 10000) < r.thresh
+        """,
+        "mixture_resample_tokens": """
+            WITH c AS (
+              SELECT source,
+                     CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS cnt
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT source, cnt,
+                     CAST(CASE source WHEN 'src0' THEN 0.3
+                                      WHEN 'src1' THEN 0.2
+                                      WHEN 'src2' THEN 0.5 END AS DOUBLE) AS tgt
+              FROM c WHERE source IN ('src0', 'src1', 'src2')
+            ), m AS (
+              SELECT min(cnt / tgt) AS T FROM t
+            ), r AS (
+              SELECT source,
+                     CAST(least(floor(tgt * T / cnt * 10000 + 1e-9), 10000)
+                       AS BIGINT) AS thresh
+              FROM t, m
+            )
+            SELECT d.doc_id, d.source,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
             FROM documents d JOIN r ON d.source = r.source
             WHERE (CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
                      AS BIGINT) % 10000) < r.thresh

@@ -100,6 +100,7 @@ def resample_to_mixture(
     targets: dict[str, float],
     id_col: str = "doc_id",
     salt: str = "",
+    weight_col: str | None = None,
 ) -> Frame:
     """Deterministically down-sample groups to hit a target mixture
     (domain-weighting a training corpus: "20% code, 30% web, ...").
@@ -111,20 +112,41 @@ def resample_to_mixture(
     ``id_col``, so the sample is stable across runs and engines and
     only shrinks monotonically as targets tighten.
 
-    Fully declarative: a tiny per-group count aggregate re-joined by
-    broadcast — the corpus itself never shuffles.
+    ``weight_col=`` switches the mixture from ROW proportions to
+    WEIGHT-MASS proportions — pass a token-count column and the
+    targets become TOKEN shares, which is how LLM training mixtures
+    are actually specified ("30% of tokens from web"). The kept set
+    stays hash-deterministic per id; per-group keep RATES are sized
+    so the expected kept token mass lands on the targets (hash
+    membership is independent of document length, so realized shares
+    concentrate on the targets at corpus scale — exact-knapsack
+    selection would make membership depend on other rows and lose
+    the stable-membership property this function exists for).
+
+    Fully declarative: a tiny per-group count/sum aggregate re-joined
+    by broadcast — the corpus itself never shuffles.
     """
     total = sum(targets.values())
     if abs(total - 1.0) > 1e-6:
         raise ValueError(f"mixture targets must sum to 1, got {total}")
     if any(w <= 0 for w in targets.values()):
         raise ValueError("mixture targets must be positive")
+    if weight_col is not None and weight_col not in frame.df.columns:
+        raise ValueError(
+            f"weight_col {weight_col!r} is not in the frame "
+            f"({frame.df.columns})"
+        )
+    mass = (
+        F.count("*")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("double"))
+    )
     tmap = F.create_map(
         *[F.lit(x) for kv in targets.items() for x in (kv[0], float(kv[1]))]
     )
     counts = (
         frame.df.groupBy(group_col)
-        .agg(F.count("*").alias("__cnt"))
+        .agg(mass.alias("__cnt"))
         .withColumn("__tgt", tmap[F.col(group_col)])
         .filter(F.col("__tgt").isNotNull())
     )

@@ -1393,3 +1393,40 @@ def test_near_dedup_keep_by_quality(spark):
 
     with _pytest.raises(ValueError, match="keep_by"):
         near_dedup(docs, keep_by="nope")
+
+
+def test_resample_to_mixture_token_mass(spark):
+    """r14: weight_col switches mixture targets from row shares to
+    token-mass shares; the binding group keeps every row."""
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.pipeline.sampling import resample_to_mixture
+
+    rows = []
+    for i in range(200):
+        rows.append((i, "a", "tok " * 10))          # 2000+ tokens total
+    for i in range(200, 240):
+        rows.append((i, "b", "tok " * 50))          # few docs, heavy
+    docs = Frame(
+        spark.createDataFrame(rows, "doc_id long, src string, text string")
+    )
+    from pyspark.sql import functions as SF
+
+    weighted = Frame(
+        docs.df.withColumn(
+            "n_toks", SF.size(SF.split(SF.col("text"), " ")).cast("long")
+        ),
+        (),
+    )
+    out = resample_to_mixture(
+        weighted, "src", {"a": 0.5, "b": 0.5}, weight_col="n_toks"
+    ).collect()
+    mass = out.groupby("src")["n_toks"].sum()
+    # b is the binding group (needs 50% from ~50% of the mass): all kept
+    assert (out["src"] == "b").sum() == 40
+    # realized token share within sampling tolerance of the target
+    share_a = mass["a"] / mass.sum()
+    assert 0.35 < share_a < 0.65, share_a
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="weight_col"):
+        resample_to_mixture(weighted, "src", {"a": 1.0}, weight_col="nope")

@@ -88,6 +88,7 @@ EXCHANGE_BUDGETS = {
     "decontaminate_hashed": 3,  # + exact-verify join of prefilter survivors (bench grams not broadcast in this variant)
     "paragraph_dedup": 2,       # para-keyed window (both windows share it) + id-keyed rebuild agg; rejoin broadcasts at test sf
     "mixture_resample": 3,      # tiny count agg + global min + re-agg; corpus side map-only
+    "mixture_resample_tokens": 3,  # r14: same shape with sum(weight) instead of count(*); corpus side map-only
     "minhash_signatures": 1,    # repartition spread for the md5 fold
     "simhash": 0,
     "ngram_jaccard_pairs": 3,  # r4: LSH bucket-cap window guard; self-join broadcasts at test sf (dup subtree), SMJ+reuse at scale
