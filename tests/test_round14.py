@@ -376,3 +376,39 @@ def test_upsert_keyset_broadcast_no_hint_drop(spark, tmp_path):
         upsert_append_rows(Frame(batch, ()), tdir, key="g")
     drops = [w for w in rec if "hint dropped" in str(w.message)]
     assert not drops, [str(w.message) for w in drops]
+
+
+def test_int_partition_range_fuzz_soundness(spark, tmp_path):
+    """Property: for random typed int bounds, a partition_filter read
+    equals the full scan filtered in Spark — pruning may skip work,
+    never rows. Crosses the 1/2-digit boundary where string-space
+    comparison inverts."""
+    import random
+
+    rnd = random.Random(1414)
+    d = str(tmp_path / "pfuzz")
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 23).alias("p")
+    )
+    append_snapshot(Frame(df.filter("p < 8"), ()), d, batch_id=0,
+                    partition_by="p")
+    append_snapshot(Frame(df.filter("p >= 8 and p < 16"), ()), d, batch_id=1)
+    append_snapshot(Frame(df.filter("p >= 16"), ()), d, batch_id=2)
+    full = read_append_snapshot(spark, d).df
+    ops = ["<", "<=", ">", ">="]
+    for _ in range(12):
+        op = rnd.choice(ops)
+        v = rnd.randint(-2, 25)
+        got = read_append_snapshot(
+            spark, d, partition_filter={"p": (op, v)}
+        ).collect()
+        want = full.filter(f"p {op} {v}").toPandas()
+        assert sorted(got["id"].tolist()) == sorted(want["id"].tolist()), (
+            op, v
+        )
+    # two-sided conjunction
+    got = read_append_snapshot(
+        spark, d, partition_filter={"p": [(">=", 7), ("<", 17)]}
+    ).collect()
+    want = full.filter("p >= 7 and p < 17").toPandas()
+    assert sorted(got["id"].tolist()) == sorted(want["id"].tolist())
