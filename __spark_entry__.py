@@ -4246,6 +4246,52 @@ def q_append_partition_range_int(spark, sf_dir):
     )
 
 
+def q_append_rename_column(spark, sf_dir):
+    """Metadata-only column RENAME (r14; Delta's ALTER TABLE RENAME
+    COLUMN, jar-free): two eras of segments — pre-rename files carry
+    ``o_totalprice`` in their footers, post-rename files ``price`` —
+    read as ONE relation per era (scan count ∝ renames, never ∝
+    segments) with era names aliased back to the head schema. The
+    where= predicate on the renamed column stays exact across eras:
+    stats under the old name never prune (missing ⇒ keep), the
+    residual filter guards exactness. Oracle: plain SQL over the
+    union with the rename applied."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        read_append_snapshot,
+        rename_append_column,
+    )
+
+    odf = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = _scratch_dir("rename_column")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(
+        Frame(odf.filter("o_orderkey % 2 = 0")), d, batch_id=0
+    )
+    rename_append_column(d, "o_totalprice", "price", spark)
+    append_snapshot(
+        Frame(
+            odf.filter("o_orderkey % 2 = 1").withColumnRenamed(
+                "o_totalprice", "price"
+            )
+        ),
+        d, batch_id=1,
+    )
+    out = read_append_snapshot(spark, d, where="price > 120000")
+    return out.df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        (
+            F.sum(F.round(F.col("price") * 100).cast("long")).cast("double")
+            / 100
+        ).alias("price_sum"),
+    )
+
+
 def q_separate_rows(spark, sf_dir):
     """tidyr ``separate_rows`` (``Frame.separate_rows``): a delimited
     string column explodes into one row per element — map-side
@@ -4616,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_type_widening": q_append_type_widening,
         "append_partition_range": q_append_partition_range,
         "append_partition_range_int": q_append_partition_range_int,
+        "append_rename_column": q_append_rename_column,
         "sidecar_table_stats": q_sidecar_table_stats,
         "dictionary_prune": q_dictionary_prune,
         "bloom_point_lookup": q_bloom_point_lookup,
@@ -7124,6 +7171,20 @@ def oracle_sql() -> dict[str, str]:
         FROM t
         WHERE month >= DATE '1995-06-01' AND month < DATE '1997-01-01'
           AND o_totalprice > 120000
+        GROUP BY o_orderstatus
+    """
+    out["append_rename_column"] = """
+        WITH t AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(round(price * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS price_sum
+        FROM t
+        WHERE price > 120000
         GROUP BY o_orderstatus
     """
     out["append_partition_range_int"] = """

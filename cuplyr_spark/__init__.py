@@ -121,6 +121,8 @@ from cuplyr_spark.sources.connectors import (
     read_append_changes,
     read_append_snapshot,
     read_snapshot,
+    rename_append_column,
+    drop_append_column,
     restore_append_snapshot,
     rollback_snapshot,
     set_append_expectations,

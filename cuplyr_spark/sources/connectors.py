@@ -692,19 +692,69 @@ def read_snapshot(
     return read_parquet(spark, fs.join(f"v={version}"))
 
 
-def _conform_schema(df, unified):
+def _conform_schema(df, unified, aliases: dict | None = None):
     """Project ``df`` onto the unified (name, type) list: present
     columns cast to the promoted type, absent ones NULL-filled — the
-    bind_rows fill rule applied at the table boundary."""
+    bind_rows fill rule applied at the table boundary.
+
+    ``aliases`` ({target-name: source-name-in-df}) reads a target
+    column from a DIFFERENTLY-NAMED physical column — the column-
+    rename translation for segments written before a
+    :func:`rename_append_column` (their parquet footers carry the
+    era's name). A missing source still NULL-fills (the segment
+    predates the column entirely)."""
     from pyspark.sql import functions as F
 
     cols = []
     for name, dtype in unified:
-        if name in df.columns:
-            cols.append(F.col(name).cast(dtype).alias(name))
+        src = (aliases or {}).get(name, name)
+        if src in df.columns:
+            cols.append(F.col(src).cast(dtype).alias(name))
         else:
             cols.append(F.lit(None).cast(dtype).alias(name))
     return df.select(*cols)
+
+
+def _seg_version(seg: str) -> int:
+    """The log version that created a segment — encoded in its name
+    (``seg=<n>-<uuid>`` / ``fold=<n>-<uuid>``), which is what lets
+    reads resolve each segment's COLUMN-NAME ERA without any
+    per-segment metadata lookup."""
+    head = seg.split("=", 1)[1]
+    return int(head.split("-", 1)[0])
+
+
+def _era_aliases(renames, seg_version: int, schema) -> dict:
+    """{head-name: name-at-segment-creation} for schema columns whose
+    name CHANGED after the segment was written — walking the rename
+    chain newest-first (a→b at v5, b→c at v9: a v3 segment reads
+    head 'c' from physical 'a'). Empty dict for post-rename segments
+    (the common case: zero overhead)."""
+    if not renames:
+        return {}
+    out = {}
+    ordered = sorted(renames, key=lambda r: -int(r["at"]))
+    for name, _ in schema or []:
+        cur = name
+        for r in ordered:
+            if int(r["at"]) > seg_version and r["to"] == cur:
+                cur = r["from"]
+        if cur != name:
+            out[name] = cur
+    return out
+
+
+def _era_groups(renames, segs, schema):
+    """Group segments by their column-name era: ``[(aliases, [seg,
+    ...]), ...]`` — one multi-path relation per era keeps the scan
+    count ∝ renames (a handful), never ∝ segments."""
+    if not renames:
+        return [({}, list(segs))]
+    groups: dict = {}
+    for s in segs:
+        al = _era_aliases(renames, _seg_version(s), schema)
+        groups.setdefault(tuple(sorted(al.items())), []).append(s)
+    return [(dict(k), v) for k, v in groups.items()]
 
 
 def upsert_snapshot(
@@ -3322,13 +3372,27 @@ def _scan_with_dv(spark, fs: _TableFS, log: dict, segs, fmap=None):
     pby = log.get("partition_by") or []
     schema = log.get("schema")
     legacy = _has_legacy_dvs(log, segs)
+    renames = log.get("renames") or []
     if not pby:
-        df = _with_dv_meta(
-            _read_parquet_at(
-                spark, schema,
-                *[p for s in segs for p in _seg_paths(fs, s, fmap)],
+        parts = []
+        for aliases, group in _era_groups(renames, segs, schema):
+            era_schema = (
+                [[aliases.get(n, n), t] for n, t in schema]
+                if aliases
+                else schema
             )
-        )
+            part = _with_dv_meta(
+                _read_parquet_at(
+                    spark, era_schema,
+                    *[p for s in group for p in _seg_paths(fs, s, fmap)],
+                )
+            )
+            for head, src in aliases.items():
+                part = part.withColumnRenamed(src, head)
+            parts.append(part)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
     else:
         conf = spark.conf
         key = "spark.sql.sources.partitionColumnTypeInference.enabled"
@@ -3346,6 +3410,7 @@ def _scan_with_dv(spark, fs: _TableFS, log: dict, segs, fmap=None):
                         legacy=legacy,
                     ),
                     ext,
+                    aliases=_era_aliases(renames, _seg_version(s), schema),
                 )
                 for s in segs
             ]
@@ -3721,30 +3786,49 @@ def _read_segments(
         # multi-path scan untouched (the common case pays nothing);
         # segments WITH deletes are scanned position-addressed and
         # anti-joined against their DVs (equi-key broadcast-hash, no
-        # data shuffle)
+        # data shuffle). Renamed columns read via one relation per
+        # NAME ERA (scan count ∝ renames, never ∝ segments), each
+        # era's physical names aliased back to the head schema.
         clean = [s for s in segs if not dmap.get(s)]
         dirty = [s for s in segs if dmap.get(s)]
         schema = log.get("schema")
+        renames = log.get("renames") or []
         parts = []
-        if clean:
-            parts.append(
-                _read_parquet_at(
-                    spark, schema,
-                    *[p for s in clean for p in _seg_paths(fs, s, fmap)],
-                )
+        for aliases, group in _era_groups(renames, clean, schema):
+            if not group:
+                continue
+            era_schema = (
+                [[aliases.get(n, n), t] for n, t in schema]
+                if aliases
+                else schema
             )
-        if dirty:
+            part = _read_parquet_at(
+                spark, era_schema,
+                *[p for s in group for p in _seg_paths(fs, s, fmap)],
+            )
+            if aliases:
+                part = _conform_schema(part, schema, aliases)
+            parts.append(part)
+        for aliases, group in _era_groups(renames, dirty, schema):
+            if not group:
+                continue
+            era_schema = (
+                [[aliases.get(n, n), t] for n, t in schema]
+                if aliases
+                else schema
+            )
             raw = _with_dv_meta(
                 _read_parquet_at(
-                    spark, schema,
-                    *[p for s in dirty for p in _seg_paths(fs, s, fmap)],
+                    spark, era_schema,
+                    *[p for s in group for p in _seg_paths(fs, s, fmap)],
                 )
             )
-            parts.append(
-                _anti_dv(raw, _dv_frames(spark, fs, log, dirty)).drop(
-                    _DV_SEG, _DV_FILE, _DV_POS
-                )
+            part = _anti_dv(raw, _dv_frames(spark, fs, log, group)).drop(
+                _DV_SEG, _DV_FILE, _DV_POS
             )
+            if aliases:
+                part = _conform_schema(part, schema, aliases)
+            parts.append(part)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -3793,6 +3877,7 @@ def _read_segments(
     try:
         parts, dirty_parts = [], []
         ext = list(schema) + meta
+        renames = log.get("renames") or []
         for s in segs:
             # basePath keeps partition-column discovery working when
             # the scan is an explicit file-pruned list
@@ -3801,16 +3886,21 @@ def _read_segments(
             )
             if conds is not None:
                 df = df.filter(conds)
+            # pre-rename segments read renamed columns through their
+            # era's physical name (partition columns refuse renames,
+            # so the discovery/conds above never need translation)
+            al = _era_aliases(renames, _seg_version(s), schema)
             if dmap.get(s):
                 # delete-carrying segment: conform WITH the position
                 # address columns so the DV anti-join below can apply
                 dirty_parts.append(
                     _conform_schema(
-                        _with_dv_meta(df, pby=pby, legacy=legacy), ext
+                        _with_dv_meta(df, pby=pby, legacy=legacy), ext,
+                        aliases=al,
                     )
                 )
             else:
-                parts.append(_conform_schema(df, schema))
+                parts.append(_conform_schema(df, schema, aliases=al))
     finally:
         conf.set(key, prev)
     if dirty_parts:
@@ -4097,6 +4187,16 @@ def append_snapshot(
             added = [
                 [name, typ] for name, typ in incoming if name not in have
             ]
+            retired = set(cur.get("retired_names") or ())
+            clash = sorted({n for n, _ in added} & retired)
+            if clash:
+                raise ValueError(
+                    f"append_snapshot: columns {clash} were previously "
+                    "renamed away or dropped from this table — re-adding "
+                    "the name would resurrect the old physical bytes in "
+                    "pre-change segments (this layer has no parquet "
+                    "field-id mapping); use a fresh column name"
+                )
             table = list(table) + added
         elif set(got) != set(have):
             raise ValueError(
@@ -4259,6 +4359,10 @@ def append_snapshot(
             log["deletes"] = cur["deletes"]
         if cur and cur.get("delete_counts"):
             log["delete_counts"] = cur["delete_counts"]
+        if cur and cur.get("renames"):  # column-name eras carry through
+            log["renames"] = cur["renames"]
+        if cur and cur.get("retired_names"):
+            log["retired_names"] = cur["retired_names"]
         try:
             return _write_log(fs, log, prev=cur)
         except ConcurrentWriteError:
@@ -4363,6 +4467,165 @@ def reset_append_watermark(
     # slot is dropped
     log = _log_with_extras(cur, cur["version"] + 1, list(cur["segments"]))
     log["watermarks"].pop(app_id or _DEFAULT_APP, None)
+    return _write_log(fs, log, prev=cur)
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _word_in_predicates(word: str, exps) -> bool:
+    """Conservative reference check: does any expectation predicate
+    string mention ``word`` as a whole identifier?"""
+    pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(word)}(?![A-Za-z0-9_`])")
+    for spec in (exps or {}).values():
+        pred = spec if isinstance(spec, str) else (spec or {}).get("predicate", "")
+        if pat.search(str(pred) or ""):
+            return True
+    return False
+
+
+def _rename_drop_guards(cur: dict, col: str, table_dir: str, what: str):
+    """Shared refusals for rename/drop: the column must exist and must
+    not anchor any structure whose machinery addresses it by its
+    WRITE-TIME name (partition directories, cluster file stats, the
+    UNIQUE constraint, bloom/histogram sidecars, expectations)."""
+    schema = cur.get("schema") or []
+    names = {n for n, _ in schema}
+    if col not in names:
+        raise ValueError(
+            f"{what}: column {col!r} is not in the table schema "
+            f"({sorted(names)})"
+        )
+    for key, label in (
+        ("partition_by", "a partition column"),
+        ("cluster_by", "a cluster_by column"),
+        ("unique_key", "part of the UNIQUE constraint"),
+    ):
+        if col in (cur.get(key) or []):
+            raise ValueError(
+                f"{what}: {col!r} is {label} of {table_dir!r} — its "
+                "directory layout / file stats / constraint machinery "
+                "address it by the write-time name; rewrite the table "
+                "(copy-on-write) to change it"
+            )
+    spec = cur.get("sketch_spec") or {}
+    sketched = set(spec.get("bloom") or ()) | set(
+        (spec.get("histogram") or {}).keys()
+        if isinstance(spec.get("histogram"), dict)
+        else ()
+    )
+    if col in sketched:
+        raise ValueError(
+            f"{what}: {col!r} carries sketch sidecars (spec {spec!r}) "
+            "keyed by the write-time name — the spec is fixed at table "
+            "creation; rewrite the table to change it"
+        )
+    if _word_in_predicates(col, cur.get("expectations")):
+        raise ValueError(
+            f"{what}: {col!r} appears in the table's quality "
+            "expectations — update the expectations first (they are "
+            "predicate strings and would silently stop matching)"
+        )
+
+
+def rename_append_column(
+    table_dir: str, old: str, new: str, spark: SparkSession | None = None
+) -> int:
+    """RENAME a column of an append table — METADATA-ONLY (the Delta
+    `ALTER TABLE RENAME COLUMN` capability, rebuilt without parquet
+    field-id mapping): no data file is touched. The commit rewrites
+    the manifest schema entry and records the rename ERA boundary
+    ``{"at": n, "from": old, "to": new}``; reads resolve each
+    segment's physical name through its creation version (encoded in
+    the segment name), grouped into ONE scan relation per era — scan
+    count ∝ renames, never ∝ segments.
+
+    The old name is RETIRED: re-adding it via schema evolution
+    refuses loudly (the old physical bytes in pre-rename segments
+    would otherwise resurrect under the new column — exactly the
+    hazard Delta's field-ids exist to prevent; retiring the name is
+    the sound jar-free answer). Renaming partition / cluster /
+    unique-key / sketched / expectation-referenced columns refuses —
+    their machinery addresses the write-time name.
+
+    Zone-map pruning note: per-segment stats stay keyed by write-time
+    names, and missing stats always mean KEEP, so predicates on the
+    new name stop pruning segments written before the rename (sound,
+    never wrong) until compaction folds them into the new era.
+
+    Incremental caveat: ``read_append_cdf`` refuses windows that
+    cross a rename (a typed change feed cannot union two name eras);
+    ``read_append_changes`` handles them via the same era-aware scan.
+
+    Returns the new log version."""
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    if not _IDENT_RE.match(new):
+        raise ValueError(
+            f"rename_append_column: {new!r} is not a plain identifier"
+        )
+    _rename_drop_guards(cur, old, table_dir, "rename_append_column")
+    names = {n for n, _ in cur.get("schema") or []}
+    if new in names:
+        raise ValueError(
+            f"rename_append_column: {new!r} already exists in the schema"
+        )
+    if new in set(cur.get("retired_names") or ()):
+        raise ValueError(
+            f"rename_append_column: {new!r} was previously renamed away "
+            "or dropped — reusing it would resurrect old physical bytes; "
+            "pick a fresh name"
+        )
+    n = cur["version"] + 1
+    log = _log_with_extras(cur, n, list(cur["segments"]))
+    log["schema"] = [
+        [new if c == old else c, t] for c, t in cur.get("schema") or []
+    ]
+    log["renames"] = list(cur.get("renames") or ()) + [
+        {"at": n, "from": old, "to": new}
+    ]
+    log["retired_names"] = sorted(
+        set(cur.get("retired_names") or ()) | {old}
+    )
+    return _write_log(fs, log, prev=cur)
+
+
+def drop_append_column(
+    table_dir: str, col: str, spark: SparkSession | None = None
+) -> int:
+    """DROP a column of an append table — METADATA-ONLY: the manifest
+    schema loses the entry, reads stop selecting it, no data file is
+    rewritten (the bytes age out through compaction/vacuum, Delta's
+    drop-without-rewrite model). The name is RETIRED — re-adding it
+    refuses loudly, because pre-drop segments still hold the physical
+    bytes and a same-named new column would resurrect them. The same
+    structural guards as :func:`rename_append_column` apply. Returns
+    the new log version."""
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    _rename_drop_guards(cur, col, table_dir, "drop_append_column")
+    schema = [p for p in (cur.get("schema") or []) if p[0] != col]
+    if not schema:
+        raise ValueError(
+            f"drop_append_column: {col!r} is the table's only column"
+        )
+    n = cur["version"] + 1
+    log = _log_with_extras(cur, n, list(cur["segments"]))
+    log["schema"] = schema
+    log["retired_names"] = sorted(
+        set(cur.get("retired_names") or ()) | {col}
+    )
+    # rename entries whose target is the dropped column stay in the
+    # list: older segments' READS of other columns don't consult them,
+    # and era resolution only walks entries whose "to" is still live
     return _write_log(fs, log, prev=cur)
 
 
@@ -4921,6 +5184,10 @@ def _log_with_extras(cur: dict, n: int, segments: list[str]) -> dict:
         log["sketch_spec"] = cur["sketch_spec"]
     if cur.get("expectations"):
         log["expectations"] = cur["expectations"]
+    if cur.get("renames"):
+        log["renames"] = cur["renames"]
+    if cur.get("retired_names"):
+        log["retired_names"] = cur["retired_names"]
     dmap = {
         s: v for s, v in (cur.get("deletes") or {}).items()
         if s in live and v
@@ -5460,6 +5727,15 @@ def read_append_cdf(
             f"since_version {since_version} is past log version {end}"
         )
     prev = _read_log(fs, since_version) if since_version > 0 else None
+    if len((prev or {}).get("renames") or ()) != len(cur.get("renames") or ()):
+        raise ValueError(
+            f"read_append_cdf: the window ({since_version}, "
+            f"{cur['version']}] crosses a column rename — a typed "
+            "change feed cannot union two column-name eras; consumers "
+            "must re-bootstrap from the snapshot at the rename "
+            "boundary (read_append_changes handles renamed windows "
+            "via the era-aware scan if raw inserts are enough)"
+        )
     prev_segs = set(prev["segments"]) if prev else set()
     prev_dvs = {
         d
@@ -5829,6 +6105,16 @@ def upsert_append_rows(
                 "float→double) evolve under schema_mode='merge'"
             )
         added = [[c, t] for c, t in incoming_pairs if c not in have]
+        clash_retired = sorted(
+            {c for c, _ in added} & set(cur.get("retired_names") or ())
+        )
+        if clash_retired:
+            raise ValueError(
+                f"upsert_append_rows: columns {clash_retired} were "
+                "previously renamed away or dropped — re-adding the "
+                "name would resurrect old physical bytes; use a fresh "
+                "column name"
+            )
         schema = list(schema) + added
     elif incoming != known:
         raise ValueError(

@@ -205,6 +205,7 @@ EXCHANGE_BUDGETS = {
     "incremental_view_distinct": 0,  # r13: the view read is a pinned state scan + hll estimate projection; refresh work ran at maintenance time
     "append_partition_range": 1,  # r13: grouped agg over the partition-range-pruned directory scan
     "append_partition_range_int": 1,  # r14: grouped agg over the TYPED-range-pruned int-partitioned scan (dir values parse to ints before ordering)
+    "append_rename_column": 1,  # r14: grouped agg over the two-ERA union scan (one relation per column-name era, aliased to the head schema)
     "dsir_importance": 5,  # r13: ONE tf shuffle + two vocab-grain count aggs + doc-grain reduce + the left join back to ids — occurrences ride a shuffle once; both model joins run at tf grain
     "dsir_selected_set": 5,  # r14: the dsir_importance plan + TakeOrderedAndProject — the top-k selection adds ZERO exchanges (per-partition heap + driver merge, no global sort)
     "perplexity_buckets": 4,  # r14: the unigram_logprob template (tf agg + count agg + term join + doc agg); bucket assignment is map-side against driver-literal thresholds — the staging sort ran eagerly over slim (score,id) pairs

@@ -412,3 +412,199 @@ def test_int_partition_range_fuzz_soundness(spark, tmp_path):
     ).collect()
     want = full.filter("p >= 7 and p < 17").toPandas()
     assert sorted(got["id"].tolist()) == sorted(want["id"].tolist())
+
+
+# -- column rename / drop (r14, metadata-only schema evolution) -----------
+
+
+def _ids(pdf):
+    return sorted(pdf["id"].tolist())
+
+
+def test_rename_column_metadata_only_two_eras(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import rename_append_column
+
+    d = str(tmp_path / "t")
+    mk = lambda lo, name: Frame(
+        spark.range(lo, lo + 5).select(
+            F.col("id"), (F.col("id") * 10).alias(name)
+        ),
+        (),
+    )
+    append_snapshot(mk(0, "amount"), d, batch_id=0)
+    append_snapshot(mk(5, "amount"), d, batch_id=1)
+    v = rename_append_column(d, "amount", "amt", spark)
+    assert v == 3
+    # post-rename appends use the new name; old segments translate
+    append_snapshot(mk(10, "amt"), d, batch_id=2)
+    got = read_append_snapshot(spark, d).collect()
+    assert list(got.columns) == ["id", "amt"]
+    assert _ids(got) == list(range(15))
+    assert sorted(got["amt"].tolist()) == [i * 10 for i in range(15)]
+    # predicate on the renamed column: exact across both eras (old
+    # segments keep — stats under the old name never prune, residual
+    # guards exactness)
+    got = read_append_snapshot(spark, d, where="amt >= 20 and amt < 110").collect()
+    assert _ids(got) == [2, 3, 4, 5, 6, 7, 8, 9, 10]
+    # batch arriving with the OLD name now refuses (retired)
+    with pytest.raises(ValueError, match="renamed away|do not match"):
+        append_snapshot(mk(99, "amount"), d, batch_id=3)
+    with pytest.raises(ValueError, match="renamed away"):
+        append_snapshot(mk(99, "amount"), d, batch_id=3, schema_mode="merge")
+
+
+def test_rename_chain_three_eras_and_rowlevel_writes(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import (
+        delete_append_rows,
+        rename_append_column,
+        update_append_rows,
+    )
+
+    d = str(tmp_path / "t")
+    mk = lambda lo, name: Frame(
+        spark.range(lo, lo + 4).select(
+            F.col("id"), (F.col("id") + 100).alias(name)
+        ),
+        (),
+    )
+    append_snapshot(mk(0, "a"), d, batch_id=0)
+    rename_append_column(d, "a", "b", spark)
+    append_snapshot(mk(4, "b"), d, batch_id=1)
+    rename_append_column(d, "b", "c", spark)
+    append_snapshot(mk(8, "c"), d, batch_id=2)
+    got = read_append_snapshot(spark, d).collect()
+    assert sorted(got["c"].tolist()) == [i + 100 for i in range(12)]
+    # row-level delete through the renamed column hits ALL eras
+    _, n = delete_append_rows(spark, d, "c >= 102 and c <= 109")
+    assert n == 8
+    got = read_append_snapshot(spark, d).collect()
+    assert sorted(got["c"].tolist()) == [100, 101, 110, 111]
+    # keyed update through the head name
+    n2, _ = update_append_rows(spark, d, "c = 110", {"c": "c + 1000"})
+    got = read_append_snapshot(spark, d).collect()
+    assert sorted(got["c"].tolist()) == [100, 101, 111, 1110]
+
+
+def test_rename_partitioned_nonpartition_column(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import rename_append_column
+
+    d = str(tmp_path / "t")
+    mk = lambda lo, name: Frame(
+        spark.range(lo, lo + 6).select(
+            F.col("id"), (F.col("id") % 3).alias("p"),
+            (F.col("id") * 2).alias(name),
+        ),
+        (),
+    )
+    append_snapshot(mk(0, "v"), d, batch_id=0, partition_by="p")
+    rename_append_column(d, "v", "val", spark)
+    append_snapshot(mk(6, "val"), d, batch_id=1)
+    got = read_append_snapshot(spark, d, partition_filter={"p": 1}).collect()
+    assert sorted(got["val"].tolist()) == [2, 8, 14, 20]
+    # partition columns refuse renames
+    with pytest.raises(ValueError, match="partition column"):
+        rename_append_column(d, "p", "part", spark)
+
+
+def test_drop_column_and_retired_names(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import (
+        drop_append_column,
+        rename_append_column,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.range(4).select(
+        F.col("id"), (F.col("id") * 2).alias("x"), F.lit("k").alias("y")
+    )
+    append_snapshot(Frame(df, ()), d, batch_id=0)
+    drop_append_column(d, "y", spark)
+    got = read_append_snapshot(spark, d).collect()
+    assert list(got.columns) == ["id", "x"]
+    # re-adding the dropped name refuses (old bytes would resurrect)
+    bad = spark.range(4, 6).select(
+        F.col("id"), (F.col("id") * 2).alias("x"), F.lit("new").alias("y")
+    )
+    with pytest.raises(ValueError, match="renamed away or dropped"):
+        append_snapshot(Frame(bad, ()), d, batch_id=1, schema_mode="merge")
+    # rename target may not collide with live or retired names
+    with pytest.raises(ValueError, match="previously renamed away"):
+        rename_append_column(d, "x", "y", spark)
+    with pytest.raises(ValueError, match="only column"):
+        drop_append_column(d, "x", spark)
+        drop_append_column(d, "id", spark)
+
+
+def test_rename_cdf_refusal_and_changes_ok(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import (
+        read_append_cdf,
+        read_append_changes,
+        rename_append_column,
+    )
+
+    d = str(tmp_path / "t")
+    mk = lambda lo, name: Frame(
+        spark.range(lo, lo + 3).select(
+            F.col("id"), (F.col("id") * 10).alias(name)
+        ),
+        (),
+    )
+    append_snapshot(mk(0, "a"), d, batch_id=0)
+    rename_append_column(d, "a", "b", spark)
+    append_snapshot(mk(3, "b"), d, batch_id=1)
+    with pytest.raises(ValueError, match="crosses a column rename"):
+        read_append_cdf(spark, d, 1, 3)
+    # within one era the typed feed still works
+    out = read_append_cdf(spark, d, 2, 3).df.collect()
+    assert sorted(r["id"] for r in out) == [3, 4, 5]
+    # the raw insert feed handles the crossing window era-aware
+    ch = read_append_changes(spark, d, 0, 3).collect()
+    assert sorted(ch["b"].tolist()) == [0, 10, 20, 30, 40, 50]
+
+
+def test_rename_then_compact_and_restore(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import (
+        compact_append_snapshot,
+        rename_append_column,
+        restore_append_snapshot,
+    )
+
+    d = str(tmp_path / "t")
+    mk = lambda lo, name: Frame(
+        spark.range(lo, lo + 4).select(
+            F.col("id"), (F.col("id") * 10).alias(name)
+        ),
+        (),
+    )
+    append_snapshot(mk(0, "a"), d, batch_id=0)
+    append_snapshot(mk(4, "a"), d, batch_id=1)
+    rename_append_column(d, "a", "b", spark)
+    append_snapshot(mk(8, "b"), d, batch_id=2)
+    # compaction folds everything into the NEW era
+    assert compact_append_snapshot(
+        spark, d, target_file_bytes=1, max_live_segments=1
+    ) is not None
+    got = read_append_snapshot(spark, d).collect()
+    assert sorted(got["b"].tolist()) == [i * 10 for i in range(12)]
+    # restore to the pre-rename version brings the old schema back
+    restore_append_snapshot(spark, d, 2)
+    got = read_append_snapshot(spark, d).collect()
+    assert list(got.columns) == ["id", "a"]
+    assert sorted(got["a"].tolist()) == [i * 10 for i in range(8)]
+
+
+def test_rename_upsert_through_head_names(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import rename_append_column
+
+    d = str(tmp_path / "t")
+    mk = lambda rows, name: Frame(
+        spark.createDataFrame(rows, f"id long, {name} long"), ()
+    )
+    append_snapshot(mk([(i, i * 10) for i in range(6)], "a"), d, batch_id=0)
+    rename_append_column(d, "a", "b", spark)
+    v, replaced, appended = upsert_append_rows(
+        mk([(2, 999), (10, 1000)], "b"), d, key="id"
+    )
+    assert replaced == 1 and appended == 2
+    got = read_append_snapshot(spark, d).collect()
+    by_id = dict(zip(got["id"], got["b"]))
+    assert by_id[2] == 999 and by_id[10] == 1000 and by_id[3] == 30
