@@ -4509,10 +4509,14 @@ def _rename_drop_guards(cur: dict, col: str, table_dir: str, what: str):
                 "(copy-on-write) to change it"
             )
     spec = cur.get("sketch_spec") or {}
-    sketched = set(spec.get("bloom") or ()) | set(
-        (spec.get("histogram") or {}).keys()
-        if isinstance(spec.get("histogram"), dict)
-        else ()
+    sketched = (
+        set(spec.get("bloom") or ())
+        | set(spec.get("distinct") or ())
+        | set(
+            (spec.get("histogram") or {}).keys()
+            if isinstance(spec.get("histogram"), dict)
+            else ()
+        )
     )
     if col in sketched:
         raise ValueError(
@@ -5727,7 +5731,9 @@ def read_append_cdf(
             f"since_version {since_version} is past log version {end}"
         )
     prev = _read_log(fs, since_version) if since_version > 0 else None
-    if len((prev or {}).get("renames") or ()) != len(cur.get("renames") or ()):
+    # list compare, not length: a restore inside the window can swap
+    # one rename era for another at equal length
+    if ((prev or {}).get("renames") or []) != (cur.get("renames") or []):
         raise ValueError(
             f"read_append_cdf: the window ({since_version}, "
             f"{cur['version']}] crosses a column rename — a typed "
