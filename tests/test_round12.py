@@ -601,9 +601,12 @@ def test_derive_pfilter_grammar():
     # r13: same-column equality ORs derive an implied IN
     assert f("p == '1' or p == '2'", ["p"]) == {"p": ["1", "2"]}
     # r13: string/date partition ranges derive (order-preserving
-    # rendering); int partition ranges stay underivable ('9' > '10')
+    # rendering); r14: int partition ranges derive TYPED — the raw
+    # int rides through and directory values parse back before
+    # ordering ('9' > '10' is exactly why string-space refused)
     assert f("p > '1'", ["p"]) == {"p": [(">", "1")]}
-    assert f("k > 3", ["k"]) is None
+    assert f("k > 3", ["k"]) == {"k": [(">", 3)]}
+    assert f("k > 3.5", ["k"]) is None  # non-int bound: underivable
     assert f("id == 5", ["p"]) is None  # not a partition column
     assert f("p == '1'", []) is None
 
