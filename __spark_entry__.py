@@ -2550,6 +2550,18 @@ def q_perplexity_buckets(spark, sf_dir):
     return TX.with_perplexity_bucket(docs, n_buckets=3).df
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-size token-window chunking with overlap
+    (``pipeline/text.chunk_documents_tokens``; the RAG / long-doc pretrain
+    preprocessing shape): 64-token windows stepping by 48 (16-token
+    overlap). MAP-SIDE ONLY — split → sequence → explode → slice,
+    zero shuffles in the chunking itself, linear at 100 TB; chunk
+    count/boundaries are integer arithmetic on the token count,
+    bit-identical in the DuckDB oracle (list slicing + range)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents_tokens(docs, chunk_tokens=64, overlap_tokens=16).df
+
+
 def q_dsir_importance(spark, sf_dir):
     """DSIR-style importance scoring
     (``pipeline/text.with_importance_logratio``; Data Selection via
@@ -4613,6 +4625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "dsir_selected_set": q_dsir_selected_set,
         "perplexity_buckets": q_perplexity_buckets,
+        "chunk_documents_tokens": q_chunk_documents,
         "embedding_quantize": q_embedding_quantize,
         "quantized_cosine_topk": q_quantized_cosine_topk,
         "arrange_collated": q_arrange_collated,
@@ -6344,6 +6357,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(CAST(per.dll AS DOUBLE) / per.n_tokens + 0.5)
                         AS BIGINT) / 1e6 AS avg_importance
             FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+        """,
+        "chunk_documents_tokens": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' ')) AS n
+              FROM documents
+            ), c AS (
+              SELECT doc_id, toks, n,
+                     CASE WHEN n <= 64 THEN 1
+                          ELSE CAST((n - 64 + 47) // 48 AS BIGINT) + 1
+                     END AS n_chunks
+              FROM t
+            ), e AS (
+              SELECT doc_id, toks, n,
+                     unnest(range(n_chunks)) AS chunk_idx
+              FROM c
+            )
+            SELECT doc_id,
+                   CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(least(n - chunk_idx * 48, 64) AS BIGINT)
+                       AS n_chunk_tokens,
+                   array_to_string(
+                       toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '
+                   ) AS chunk_text
+            FROM e
         """,
         "perplexity_buckets": """
             WITH toks AS (

@@ -1149,3 +1149,74 @@ def with_perplexity_bucket(
         )
     )
     return Frame(out, ())
+
+
+def chunk_documents_tokens(
+    frame: Frame,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Frame:
+    """Fixed-size token-window chunking with overlap — the
+    RAG / long-document pretraining preprocessing shape, the TOKEN
+    twin of the character-based :func:`chunk_documents` above (LLM
+    budgets are token-denominated; character chunks split words at
+    boundaries): each document explodes into windows of
+    ``chunk_tokens`` whitespace tokens,
+    stepping by ``chunk_tokens - overlap_tokens`` so consecutive
+    chunks share ``overlap_tokens`` of context. The final chunk may
+    be short (it carries the tail); a document at or under one window
+    yields exactly one chunk.
+
+    MAP-SIDE ONLY: split → sequence → explode → slice — zero
+    shuffles, pipelines into any downstream write/groupBy, and scales
+    linearly to a 100 TB corpus (compare sequence packing in
+    ``pipeline/packing.py``, which is the inverse operation and does
+    need a shard-keyed shuffle). Chunk count and boundaries are pure
+    integer arithmetic on the token count — deterministic and
+    bit-identical in the DuckDB oracle.
+
+    Output: ``id_col``, ``chunk_idx`` (int, 0-based), ``n_chunk_tokens``
+    (long), ``chunk_text`` (string)."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not (0 <= overlap_tokens < chunk_tokens):
+        raise ValueError(
+            "overlap_tokens must satisfy 0 <= overlap < chunk_tokens "
+            f"(got chunk={chunk_tokens}, overlap={overlap_tokens})"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunks = 1 when the doc fits one window, else
+    # 1 + ceil((n - chunk) / stride) — integer arithmetic only
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        (
+            (n - F.lit(chunk_tokens) + F.lit(stride - 1))
+            .cast("long") / F.lit(stride)
+        ).cast("long") + F.lit(1)
+    )
+    exploded = frame.df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("__n"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "__i"
+        ),
+    )
+    start = F.col("__i").cast("long") * stride
+    out = exploded.select(
+        F.col(id_col),
+        F.col("__i").cast("int").alias("chunk_idx"),
+        F.least(
+            F.col("__n").cast("long") - start, F.lit(chunk_tokens)
+        ).alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(
+                F.col("__toks"), (start + 1).cast("int"), chunk_tokens
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    return Frame(out, ())

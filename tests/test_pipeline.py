@@ -1430,3 +1430,38 @@ def test_resample_to_mixture_token_mass(spark):
 
     with _pytest.raises(ValueError, match="weight_col"):
         resample_to_mixture(weighted, "src", {"a": 1.0}, weight_col="nope")
+
+
+def test_chunk_documents_tokens_windows_and_overlap(spark):
+    """r14: token-window chunking — boundaries, overlap, tail chunk,
+    single-chunk docs, validation."""
+    from cuplyr_spark.frame import Frame
+    from cuplyr_spark.pipeline.text import chunk_documents_tokens as chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    docs = Frame(
+        spark.createDataFrame(
+            [(1, text), (2, "a b c")], "doc_id long, text string"
+        )
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap_tokens=1).collect()
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_idx")
+    # stride 3: starts 0,3,6 → 3 chunks (a start at 9 would add only
+    # tokens the previous chunk already covers)
+    assert d1["chunk_idx"].tolist() == [0, 1, 2]
+    assert d1["n_chunk_tokens"].tolist() == [4, 4, 4]
+    assert d1["chunk_text"].tolist()[0] == "t0 t1 t2 t3"
+    assert d1["chunk_text"].tolist()[1] == "t3 t4 t5 t6"  # 1-token overlap
+    assert d1["chunk_text"].tolist()[2] == "t6 t7 t8 t9"
+    d2 = out[out["doc_id"] == 2]
+    assert len(d2) == 1 and d2["n_chunk_tokens"].iloc[0] == 3
+    # reconstruction property at zero overlap: concatenation == doc
+    flat = chunk_documents(docs, chunk_tokens=4).collect()
+    d1f = flat[flat["doc_id"] == 1].sort_values("chunk_idx")
+    assert " ".join(d1f["chunk_text"]) == text
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_documents(docs, chunk_tokens=0)
