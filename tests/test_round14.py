@@ -608,3 +608,39 @@ def test_rename_upsert_through_head_names(spark, tmp_path):
     got = read_append_snapshot(spark, d).collect()
     by_id = dict(zip(got["id"], got["b"]))
     assert by_id[2] == 999 and by_id[10] == 1000 and by_id[3] == 30
+
+
+def test_rename_prune_fuzz_soundness(spark, tmp_path):
+    """Property: predicates through a renamed column give identical
+    results to the full scan filtered in Spark — stats under the old
+    name must degrade to KEEP (never prune wrong), the residual stays
+    exact, and post-rename segments still prune."""
+    import random
+
+    from cuplyr_spark.sources.connectors import rename_append_column
+
+    rnd = random.Random(1441)
+    d = str(tmp_path / "rfuzz")
+    mk = lambda lo, n, name: Frame(
+        spark.range(lo, lo + n).select(
+            F.col("id"), (F.col("id") % 97).cast("double").alias(name)
+        ),
+        (),
+    )
+    append_snapshot(mk(0, 60, "v"), d, batch_id=0)
+    append_snapshot(mk(60, 60, "v"), d, batch_id=1)
+    rename_append_column(d, "v", "val", spark)
+    append_snapshot(mk(120, 60, "val"), d, batch_id=2)
+    full = read_append_snapshot(spark, d).df
+    for _ in range(10):
+        op = rnd.choice(["<", "<=", ">", ">=", "=="])
+        b = rnd.randint(0, 100)
+        pred = f"val {op} {b}"
+        got = read_append_snapshot(spark, d, where=pred).collect()
+        want = full.filter(pred).toPandas()
+        assert sorted(got["id"].tolist()) == sorted(want["id"].tolist()), pred
+        # dict stats_filter form too
+        got2 = read_append_snapshot(
+            spark, d, stats_filter={"val": (op.replace("==", "=="), float(b))}
+        ).collect()
+        assert sorted(got2["id"].tolist()) == sorted(want["id"].tolist()), pred
