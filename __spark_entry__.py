@@ -4304,6 +4304,69 @@ def q_append_rename_column(spark, sf_dir):
     )
 
 
+def q_append_multimodal_columns(spark, sf_dir):
+    """Non-scalar columns through the append/log storage layer
+    end-to-end (r15): a training-data lake stores opaque media BYTES
+    (binary), typed metadata (struct), and token arrays next to
+    scalar keys — this proves the full lifecycle on exactly those
+    shapes: append (binary + struct + array payload) → additive
+    schema evolution (scalar ``src_tag`` joins in batch 1,
+    ``schema_mode='merge'``) → merge-on-read DV DELETE driven by a
+    STRUCT-FIELD predicate (``meta.n_chars`` — nested fields carry no
+    zone maps by design, the exact residual filter does the work) →
+    compaction (the parquet rewrite folds the DVs in and must
+    preserve nested values bit-exact) → read grouped by a struct
+    field. Binary fidelity is pinned through ``octet_length`` sums;
+    array fidelity through token-count sums. Oracle: the same
+    pipeline in plain SQL over ``documents``."""
+    import shutil
+
+    from cuplyr_spark.sources.connectors import (
+        append_snapshot,
+        compact_append_snapshot,
+        delete_append_rows,
+        read_append_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").df
+    src = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("media"),
+        F.struct(
+            F.length("text").alias("n_chars"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+    d = _scratch_dir("multimodal_cols")
+    shutil.rmtree(d, ignore_errors=True)
+    append_snapshot(Frame(src.filter("doc_id % 2 = 0"), ()), d, batch_id=0)
+    append_snapshot(
+        Frame(
+            src.filter("doc_id % 2 = 1").withColumn("src_tag", F.lit("b1")),
+            (),
+        ),
+        d,
+        batch_id=1,
+        schema_mode="merge",
+    )
+    delete_append_rows(spark, d, "meta.n_chars < 200")
+    compact_append_snapshot(spark, d)
+    out = read_append_snapshot(spark, d)
+    return out.df.groupBy(
+        F.col("meta").getField("lang").alias("lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("media")).alias("total_bytes"),
+        F.sum(F.col("meta").getField("n_chars").cast("long")).alias(
+            "total_chars"
+        ),
+        F.sum(F.size("toks").cast("long")).alias("total_toks"),
+        F.count("src_tag").alias("n_evolved"),
+        F.sum("doc_id").alias("key_sum"),
+    )
+
+
 def q_separate_rows(spark, sf_dir):
     """tidyr ``separate_rows`` (``Frame.separate_rows``): a delimited
     string column explodes into one row per element — map-side
@@ -4676,6 +4739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_partition_range": q_append_partition_range,
         "append_partition_range_int": q_append_partition_range_int,
         "append_rename_column": q_append_rename_column,
+        "append_multimodal_columns": q_append_multimodal_columns,
         "sidecar_table_stats": q_sidecar_table_stats,
         "dictionary_prune": q_dictionary_prune,
         "bloom_point_lookup": q_bloom_point_lookup,
@@ -6360,8 +6424,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_documents_tokens": """
             WITH t AS (
-              SELECT doc_id, string_split(text, ' ') AS toks,
-                     len(string_split(text, ' ')) AS n
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), ' ') AS toks,
+                     len(string_split(coalesce(text, ''), ' ')) AS n
               FROM documents
             ), c AS (
               SELECT doc_id, toks, n,
@@ -7224,6 +7289,27 @@ def oracle_sql() -> dict[str, str]:
         FROM t
         WHERE price > 120000
         GROUP BY o_orderstatus
+    """
+    out["append_multimodal_columns"] = """
+        WITH src AS (
+            SELECT doc_id, lang,
+                   octet_length(encode(text)) AS nbytes,
+                   length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_toks,
+                   CASE WHEN doc_id % 2 = 1 THEN 'b1' END AS src_tag
+            FROM documents
+        ), kept AS (
+            SELECT * FROM src WHERE NOT (n_chars < 200)
+        )
+        SELECT lang,
+               count(*) AS n,
+               CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_toks) AS BIGINT) AS total_toks,
+               count(src_tag) AS n_evolved,
+               CAST(sum(doc_id) AS BIGINT) AS key_sum
+        FROM kept
+        GROUP BY lang
     """
     out["append_partition_range_int"] = """
         WITH t AS (

@@ -138,16 +138,18 @@ def broadcast_guarded(
     return F.broadcast(df)
 
 
-def _as_column(x: Any) -> Column:
+def _as_column(x: Any, columns=None) -> Column:
     """Interpret a verb argument as a Column expression.
 
     Strings are SQL expressions (plain identifiers become column refs);
     Columns pass through; any other Python scalar becomes a literal.
-    """
+    ``columns`` (the frame's top-level names, when the caller has a
+    frame in hand) lets dotted names resolve as struct-field access
+    when no flat column carries the dotted name."""
     if isinstance(x, Column):
         return x
     if isinstance(x, str):
-        return F.col(x) if x.isidentifier() else compile_expr(x)
+        return F.col(x) if x.isidentifier() else compile_expr(x, columns)
     return F.lit(x)
 
 
@@ -466,7 +468,11 @@ class Frame:
         """
         if not predicates:
             return self
-        cols = [_as_column(p) if not isinstance(p, bool) else F.lit(p) for p in predicates]
+        known = self._df.columns
+        cols = [
+            _as_column(p, known) if not isinstance(p, bool) else F.lit(p)
+            for p in predicates
+        ]
         cond = functools.reduce(operator.and_, cols)
         return self._with(self._df.filter(cond))
 
@@ -517,7 +523,7 @@ class Frame:
                 else:
                     df = df.crossJoin(F.broadcast(agg_row))
             else:
-                df = df.withColumn(name, _as_column(value))
+                df = df.withColumn(name, _as_column(value, df.columns))
         return self._with(df)
 
     def transmute(self, **exprs: Any) -> Frame:

@@ -194,21 +194,39 @@ def _raw(node: ast.AST):
         raise ExprError("argument must be a literal constant")
 
 
-def compile_expr(text: str) -> Column:
+# Top-level column names of the frame being compiled against, when
+# the caller knows them (Frame.filter/mutate pass theirs). Lets the
+# Attribute branch disambiguate `meta.n_chars`: a flat column literally
+# named "meta.n_chars" (join suffixes, bind_cols repairs) wins; else a
+# struct-field access on column `meta`. None = no schema knowledge →
+# the historical flat-column reading.
+_KNOWN_COLUMNS: frozenset | None = None
+
+
+def compile_expr(text: str, columns=None) -> Column:
     """Compile an expression string to a Column.
 
     Tries the R-style grammar first; falls back to Spark SQL
     (``F.expr``) when the string isn't valid Python syntax.
+    ``columns``, when given, is the frame's top-level column names —
+    used to resolve dotted names as struct-field access when no flat
+    column carries the dotted name (multimodal metadata predicates
+    like ``meta.n_chars < 200``).
     """
+    global _KNOWN_COLUMNS
     try:
         tree = ast.parse(text, mode="eval")
     except SyntaxError:
         return F.expr(text)
+    saved = _KNOWN_COLUMNS
+    _KNOWN_COLUMNS = frozenset(columns) if columns is not None else None
     try:
         return _compile(tree.body)
     except ExprError:
         # Parsed as Python but uses something only Spark SQL knows.
         return F.expr(text)
+    finally:
+        _KNOWN_COLUMNS = saved
 
 
 def _compile(node: ast.AST) -> Column:
@@ -218,7 +236,10 @@ def _compile(node: ast.AST) -> Column:
         return F.col(node.id)
     if isinstance(node, ast.Attribute):
         # Dotted names produced by this engine (join suffixes `v.x`,
-        # bind_cols repairs) are top-level columns, not struct fields.
+        # bind_cols repairs) are top-level columns, not struct fields —
+        # UNLESS the caller supplied the frame's columns and no flat
+        # column carries the dotted name while the base is a real
+        # column: then it's a struct-field access (`meta.n_chars`).
         parts = []
         cur: ast.AST = node
         while isinstance(cur, ast.Attribute):
@@ -227,7 +248,17 @@ def _compile(node: ast.AST) -> Column:
         if not isinstance(cur, ast.Name):
             raise ExprError("unsupported attribute base")
         parts.append(cur.id)
-        name = ".".join(reversed(parts))
+        parts.reverse()
+        name = ".".join(parts)
+        if (
+            _KNOWN_COLUMNS is not None
+            and name not in _KNOWN_COLUMNS
+            and parts[0] in _KNOWN_COLUMNS
+        ):
+            out = F.col("`" + parts[0].replace("`", "``") + "`")
+            for fld in parts[1:]:
+                out = out.getField(fld)
+            return out
         return F.col("`" + name.replace("`", "``") + "`")
     if isinstance(node, ast.BinOp):
         fn = _BIN_OPS.get(type(node.op))

@@ -1167,7 +1167,9 @@ def chunk_documents_tokens(
     stepping by ``chunk_tokens - overlap_tokens`` so consecutive
     chunks share ``overlap_tokens`` of context. The final chunk may
     be short (it carries the tail); a document at or under one window
-    yields exactly one chunk.
+    yields exactly one chunk. NULL text is coalesced to the empty
+    string, so NULL and empty documents both yield one
+    single-empty-token chunk instead of silently dropping the row.
 
     MAP-SIDE ONLY: split → sequence → explode → slice — zero
     shuffles, pipelines into any downstream write/groupBy, and scales
@@ -1187,7 +1189,12 @@ def chunk_documents_tokens(
             f"(got chunk={chunk_tokens}, overlap={overlap_tokens})"
         )
     stride = chunk_tokens - overlap_tokens
-    toks = _tokens(F.col(text_col))
+    # NULL text behaves like empty text (one single-empty-token chunk)
+    # rather than silently vanishing: size(split(NULL)) is NULL, and
+    # explode(sequence(0, NULL)) would eliminate the row entirely —
+    # breaking the "at or under one window yields exactly one chunk"
+    # contract that empty-string documents already honor
+    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     # chunks = 1 when the doc fits one window, else
     # 1 + ceil((n - chunk) / stride) — integer arithmetic only

@@ -143,12 +143,14 @@ def http_if_none_match_put(url: str, text: str, timeout: float = 30.0) -> bool:
     """Reference conditional-put backend for S3-compatible HTTP
     endpoints: one PUT with ``If-None-Match: *`` — the store itself
     arbitrates the race and answers 412 Precondition Failed to every
-    loser. 409 Conflict is treated the same way: S3 answers 409
+    loser. A 409 Conflict counts as a CAS loss only when its body
+    carries a conditional-write conflict code (S3 answers 409
     ``ConditionalRequestConflict`` when two conditional PUTs of the
-    same key race each other (rather than hitting an existing
-    object), and Azure answers 409 ``BlobAlreadyExists`` — all three
-    codes mean "you are the CAS loser", which the commit protocol
-    handles by rebasing, never by surfacing an exception. Usable
+    same key race each other, Azure answers 409
+    ``BlobAlreadyExists``) or is empty (bare-409 S3-compatibles) —
+    S3 also uses 409 for NON-race store errors (``OperationAborted``,
+    bucket-state conflicts), and those re-raise instead of melting
+    into an indefinite rebase-retry loop. Usable
     directly as ``register_exclusive_put("s3a",
     lambda url, text: http_if_none_match_put(presign(url), text))``
     with whatever auth/presign wrapper the deployment uses."""
@@ -168,8 +170,28 @@ def http_if_none_match_put(url: str, text: str, timeout: float = 30.0) -> bool:
         with urllib.request.urlopen(req, timeout=timeout):
             return True
     except urllib.error.HTTPError as e:
-        if e.code in (409, 412):
+        if e.code == 412:
             return False
+        if e.code == 409:
+            # S3 answers 409 for NON-race conditions too
+            # (OperationAborted, bucket-state conflicts) — only the
+            # documented conditional-write conflict codes mean "CAS
+            # loser". Anything else is a real store error: surfacing
+            # it beats an indefinite rebase-retry loop in the commit
+            # protocol. An empty body is treated as a CAS loss (some
+            # S3-compatibles answer a bare 409 to the racing PUT).
+            try:
+                body = e.read().decode("utf-8", "replace")
+            except Exception:
+                body = ""
+            race_codes = (
+                "ConditionalRequestConflict",  # S3 racing conditional PUTs
+                "BlobAlreadyExists",           # Azure
+                "PreconditionFailed",
+            )
+            if not body.strip() or any(c in body for c in race_codes):
+                return False
+            raise
         raise
 
 
@@ -1634,15 +1656,26 @@ _TYPE_WIDTH_BYTES = {
 }
 
 
-def _est_row_bytes(types) -> int:
+def _est_row_bytes(types, widths=None) -> int:
     """Estimated broadcast bytes per row for columns of ``types``
     (simpleStrings) — 16 bytes of per-row overhead plus per-type
     widths. Paired with an EXACT row count this beats Catalyst's
     analyzed-plan stats, which ignore aggregation/distinct reduction
-    and routinely inflate a 20k-row key set to gigabytes."""
+    and routinely inflate a 20k-row key set to gigabytes.
+
+    ``widths``, when given, is a parallel iterable of MEASURED
+    per-column max byte widths (None entries fall back to the type
+    default). Variable-width columns (string/binary) must not lean on
+    the 64-byte default when the caller can measure: a key set of long
+    URLs or composite text hashes would be under-estimated by orders
+    of magnitude and force-broadcast past BROADCAST_MAX_BYTES."""
     total = 16
-    for t in types:
-        if isinstance(t, str) and t.startswith("decimal("):
+    ws = list(widths) if widths is not None else None
+    for i, t in enumerate(types):
+        w = ws[i] if ws is not None and i < len(ws) else None
+        if w is not None:
+            total += int(w) + 8  # measured bytes + offset/len overhead
+        elif isinstance(t, str) and t.startswith("decimal("):
             total += 16
         else:
             total += _TYPE_WIDTH_BYTES.get(t, 64)
@@ -2008,9 +2041,18 @@ def _normalize_stats_filter(stats_filter: dict, schema) -> dict:
     for c, conds in stats_filter.items():
         if schema is not None:
             if c not in types:
+                hint = ""
+                if "." in c and c.split(".", 1)[0] in types:
+                    # struct-field paths carry no per-field zone maps;
+                    # the string `where` form handles them (full scan
+                    # of unpruned segments, exact filter)
+                    hint = (
+                        " — struct fields have no zone maps; use the "
+                        f"string where form (e.g. \"{c} < ...\") instead"
+                    )
                 raise ValueError(
                     f"stats_filter: {c!r} is not a column of the table "
-                    f"({sorted(types)})"
+                    f"({sorted(types)}){hint}"
                 )
             if not _stat_eligible(types[c]):
                 raise ValueError(
@@ -2810,6 +2852,17 @@ def _validate_sketch_spec(spec: dict, schema) -> dict:
         if cols is not None and c not in cols:
             raise ValueError(
                 f"sketch_spec: {c!r} is not a column of the table"
+            )
+        if cols is not None and str(cols[c]).startswith(
+            ("struct<", "array<", "map<")
+        ):
+            # refuse at spec validation — the write path would only
+            # fail later inside hll_sketch_agg with a DATATYPE_MISMATCH
+            raise ValueError(
+                f"sketch_spec: {c!r} has nested type {cols[c]!r} — "
+                "sketches need atomic values (sketch a derived scalar "
+                "such as a struct field projected to a column, or a "
+                "hash of the nested value)"
             )
     for c, hspec in hist.items():
         lo, hi, bins = hspec
@@ -4105,6 +4158,29 @@ def append_snapshot(
             if missing:
                 raise ValueError(
                     f"partition_by columns {missing} not in the frame"
+                )
+            ptypes = dict(map(tuple, incoming))
+            bad_p = {
+                c: ptypes[c]
+                for c in pby
+                if ptypes.get(c) == "binary"
+                or str(ptypes.get(c, "")).startswith(
+                    ("struct<", "array<", "map<")
+                )
+            }
+            if bad_p:
+                # refuse HERE with a typed message — Spark's own write
+                # path answers an opaque Py4JJavaError for binary and
+                # a mid-write AnalysisException for nested types
+                raise ValueError(
+                    "append_snapshot: partition_by columns have "
+                    f"non-partitionable types {bad_p} — hive "
+                    "partitioning needs atomic scalar values "
+                    "(string/numeric/date/timestamp/boolean); binary "
+                    "and nested (struct/array/map) columns cannot "
+                    "form directory names. Partition on a derived "
+                    "scalar (e.g. a metadata field projected to a "
+                    "top-level column) instead"
                 )
             spec = (
                 _validate_sketch_spec(sketch_spec, incoming)
@@ -5525,6 +5601,19 @@ def update_append_rows(
             f"schema — append tables are fixed-schema (existing columns: "
             f"{sorted(known)}; pass schema_mode='merge' to add them)"
         )
+    clash_retired = sorted(set(unknown) & set(cur.get("retired_names") or ()))
+    if clash_retired:
+        # same guard append_snapshot / upsert_append_rows enforce: the
+        # retired name still exists as physical bytes in pre-rename/
+        # pre-drop segments, so growing the schema with it would make
+        # _conform_schema resurrect that old data (and alias the same
+        # bytes to two logical columns through the rename era map)
+        raise ValueError(
+            f"update_append_rows: columns {clash_retired} were previously "
+            "renamed away or dropped from this table — re-adding the name "
+            "would resurrect old physical bytes in pre-change segments; "
+            "use a fresh column name"
+        )
     ukey_hit = sorted(set(assignments) & set(cur.get("unique_key") or []))
     if ukey_hit:
         raise ValueError(
@@ -6161,7 +6250,23 @@ def upsert_append_rows(
             segs, _, fmap = _prune_by_stats(
                 spark, fs, cur, segs, filt, with_cond=False
             )
-    n_appended = src.count()
+    from pyspark.sql import functions as F
+
+    # one agg does the batch count AND measures max byte width of any
+    # variable-width key column — the 64-byte string default would
+    # under-size a key set of long URLs / composite hashes and
+    # force-broadcast a relation well past BROADCAST_MAX_BYTES
+    tmap = dict(map(tuple, schema))
+    var_keys = [k for k in keys if tmap.get(k) in ("string", "binary")]
+    _cnt = src.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.max(F.octet_length(F.col(k))).alias(f"__w{i}")
+            for i, k in enumerate(var_keys)
+        ],
+    ).first()
+    n_appended = int(_cnt["__n"])
+    key_width = {k: _cnt[f"__w{i}"] for i, k in enumerate(var_keys)}
     counts: dict = {}
     dv_rel = None
     pby = list(cur.get("partition_by") or [])
@@ -6178,8 +6283,10 @@ def upsert_append_rows(
         # derived batch is inflated by orders of magnitude and would
         # drop the hint, leaving the steady-state MERGE probe plan
         # hanging on an AQE rescue (view-refresh hit exactly this)
-        tmap = dict(map(tuple, schema))
-        kb = int(n_appended) * _est_row_bytes(tmap.get(k) for k in keys)
+        kb = int(n_appended) * _est_row_bytes(
+            (tmap.get(k) for k in keys),
+            widths=(key_width.get(k) for k in keys),
+        )
         matched = scan.join(
             broadcast_guarded(keyset, what="upsert_append_rows key set",
                               known_bytes=kb),

@@ -211,6 +211,7 @@ EXCHANGE_BUDGETS = {
     "perplexity_buckets": 4,  # r14: the unigram_logprob template (tf agg + count agg + term join + doc agg); bucket assignment is map-side against driver-literal thresholds — the staging sort ran eagerly over slim (score,id) pairs
     "near_dedup_keep_best": 5,  # r14: labels read from the CC localCheckpoint; the keep-best argmax is a cluster-partitioned window over members only (labels⋈scores + window + the losers anti-join; quality itself is column math on the corpus scan)
     "chunk_documents_tokens": 0,  # r14: split → sequence → explode → slice, pure map-side — zero shuffles by construction
+    "append_multimodal_columns": 1,  # r15: grouped agg over the compacted nested-column scan (binary/struct/array payload; the evolve/DV/compact work ran eagerly at write time)
 }
 
 # Queries whose plan legitimately contains an unpartitioned window over
