@@ -119,6 +119,7 @@ from cuplyr_spark.sources.connectors import (
     update_append_rows,
     upsert_append_rows,
     read_append_changes,
+    migrate_rename_append_column,
     read_append_snapshot,
     read_snapshot,
     rename_append_column,
@@ -153,6 +154,7 @@ from cuplyr_spark.pipeline.text import (
     with_quality_score,
     with_repetition_stats,
     with_source_stats,
+    with_token_counts,
     with_token_rarity,
     with_token_stats,
 )

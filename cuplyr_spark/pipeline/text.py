@@ -82,6 +82,82 @@ def with_token_stats(frame: Frame, text_col: str = "text") -> Frame:
     )
 
 
+def with_token_counts(
+    frame: Frame,
+    tokenizer=None,
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+    tokens_col: str | None = None,
+) -> Frame:
+    """Token counts (and optionally the token arrays) per document,
+    with a PLUGGABLE tokenizer — the escape hatch that lets every
+    token-denominated operator run on REAL tokenizer counts (BPE,
+    SentencePiece, ...) without forking the operators:
+
+    - ``pack_concat_chunks`` / ``pack_greedy`` read ``token_col=`` —
+      point them at this function's ``out_col``.
+    - ``resample_to_mixture(weight_col=...)`` — same.
+    - ``chunk_documents_tokens(tokenizer=...)`` consumes the token
+      ARRAYS (it passes its tokenizer through here).
+
+    ``tokenizer=None`` (the default, and the only oracle-verified
+    path) counts whitespace tokens ENTIRELY JVM-side — zero Python.
+    A callable ``tokenizer(text: str) -> list[str]`` runs as an
+    Arrow-batched ``mapInPandas``: the Python cost is paid once per
+    document inside columnar batches, never per-token py4j traffic,
+    and the plan stays map-side (no shuffle, pipelines into the
+    downstream pack/mixture/chunk shuffle unchanged). NULL text is
+    treated as the empty string in both paths.
+
+    The tokenizer must be PICKLABLE (a module-level function or a
+    functools.partial over one — not a lambda closing over a live
+    model handle; load heavy vocabularies lazily inside the function
+    so each executor pays the load once per worker, not per row)."""
+    taken = set(frame.df.columns)
+    if out_col in taken or (tokens_col is not None and tokens_col in taken):
+        raise ValueError(
+            f"with_token_counts: output columns ({out_col!r}"
+            + (f", {tokens_col!r}" if tokens_col is not None else "")
+            + ") collide with existing frame columns"
+        )
+    if tokenizer is None:
+        toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+        df = frame.df.withColumn(out_col, F.size(toks).cast("long"))
+        if tokens_col is not None:
+            df = df.withColumn(tokens_col, toks)
+        return Frame(df, frame.group_vars())
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    in_fields = list(frame.df.schema.fields)
+    out_fields = in_fields + [StructField(out_col, LongType())]
+    if tokens_col is not None:
+        out_fields.append(StructField(tokens_col, ArrayType(StringType())))
+    out_schema = StructType(out_fields)
+    want_tokens = tokens_col
+
+    def run(batches):
+        for pdf in batches:
+            texts = pdf[text_col].astype(object)
+            tok_lists = [
+                list(tokenizer(t if isinstance(t, str) else ""))
+                for t in texts
+            ]
+            out = pdf.copy()
+            out[out_col] = [len(t) for t in tok_lists]
+            if want_tokens is not None:
+                out[want_tokens] = tok_lists
+            yield out
+
+    return Frame(frame.df.mapInPandas(run, out_schema), frame.group_vars())
+
+
 def with_quality_score(frame: Frame, text_col: str = "text") -> Frame:
     """Length/punctuation/stopword-ratio quality heuristic in [0,1].
 
@@ -1046,6 +1122,8 @@ def perplexity_thresholds(
     n_buckets: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sample_frac: float | None = None,
+    salt: str = "",
 ) -> list[float]:
     """The ``n_buckets-1`` boundary scores of CCNet-style perplexity
     bucketing (Wenzek et al. 2020 — public art: score a corpus with a
@@ -1062,13 +1140,37 @@ def perplexity_thresholds(
     Wikipedia-LM score distribution, then every CommonCrawl shard
     buckets map-side against the fixed cuts). Cost: one slim global
     sort over (score, id) pairs at doc grain — fine at staging
-    cadence or on a sample; the per-shard scoring NEVER pays it."""
+    cadence; the per-shard scoring NEVER pays it.
+
+    ``sample_frac=`` bounds that sort BY CONSTRUCTION: a
+    deterministic hash-sample of documents (``pipeline/sampling``'s
+    md5 bucketing on ``id_col`` — stable across runs/engines, no RNG)
+    is scored and sorted instead of the full corpus, so the
+    single-partition window holds ~``frac*n`` rows no matter how big
+    the reference corpus is. Quantile cuts from a uniform sample
+    converge to the full-corpus cuts (CCNet itself samples); pick the
+    frac so the sampled (score, id) pairs fit one task — 1e7 rows ≈
+    160 MB is comfortable. ``salt`` decorrelates repeated stagings."""
     import math
 
     from pyspark.sql import Window
 
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
+    if sample_frac is not None:
+        if not (0.0 < sample_frac <= 1.0):
+            raise ValueError(
+                f"sample_frac must be in (0, 1], got {sample_frac}"
+            )
+        from cuplyr_spark.pipeline.sampling import GRANULARITY, hash_bucket
+
+        keep = int(round(sample_frac * GRANULARITY))
+        frame = Frame(
+            frame.df.filter(
+                hash_bucket(F.col(id_col), salt=salt) < F.lit(keep)
+            ),
+            (),
+        )
     per = _doc_micro_nats(frame, text_col, id_col, model)
     scored = per.filter(F.col("n_tokens") > 0).select(
         _avg_micro_nats(F.col("__ll"), F.col("n_tokens")).alias("__avg"),
@@ -1157,6 +1259,8 @@ def chunk_documents_tokens(
     overlap_tokens: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer=None,
+    token_joiner: str | None = None,
 ) -> Frame:
     """Fixed-size token-window chunking with overlap — the
     RAG / long-document pretraining preprocessing shape, the TOKEN
@@ -1170,6 +1274,18 @@ def chunk_documents_tokens(
     yields exactly one chunk. NULL text is coalesced to the empty
     string, so NULL and empty documents both yield one
     single-empty-token chunk instead of silently dropping the row.
+
+    ``tokenizer=`` swaps the whitespace split for a real tokenizer
+    (``tokenizer(text) -> list[str]``, run Arrow-batched through
+    :func:`with_token_counts` — LLM budgets are counted in BPE/
+    SentencePiece tokens, not words; see that function's pickling
+    contract). Window arithmetic is identical either way.
+    ``chunk_text`` is the window's tokens joined by ``token_joiner``
+    — default ``" "`` for the whitespace path (reconstructs the
+    original text) and ``""`` for a custom tokenizer (GPT-style BPE
+    pieces carry their own leading-space marks; pass an explicit
+    joiner to override). The whitespace default stays the
+    oracle-verified path.
 
     MAP-SIDE ONLY: split → sequence → explode → slice — zero
     shuffles, pipelines into any downstream write/groupBy, and scales
@@ -1189,12 +1305,26 @@ def chunk_documents_tokens(
             f"(got chunk={chunk_tokens}, overlap={overlap_tokens})"
         )
     stride = chunk_tokens - overlap_tokens
-    # NULL text behaves like empty text (one single-empty-token chunk)
-    # rather than silently vanishing: size(split(NULL)) is NULL, and
-    # explode(sequence(0, NULL)) would eliminate the row entirely —
-    # breaking the "at or under one window yields exactly one chunk"
-    # contract that empty-string documents already honor
-    toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+    joiner = token_joiner if token_joiner is not None else (
+        " " if tokenizer is None else ""
+    )
+    if tokenizer is None:
+        # NULL text behaves like empty text (one single-empty-token
+        # chunk) rather than silently vanishing: size(split(NULL)) is
+        # NULL, and explode(sequence(0, NULL)) would eliminate the row
+        # entirely — breaking the "at or under one window yields
+        # exactly one chunk" contract empty-string documents honor
+        base = frame.df
+        toks = _tokens(F.coalesce(F.col(text_col), F.lit("")))
+    else:
+        base = with_token_counts(
+            Frame(frame.df.select(id_col, text_col), ()),
+            tokenizer=tokenizer,
+            text_col=text_col,
+            out_col="__n_toks",
+            tokens_col="__toks",
+        ).df
+        toks = F.col("__toks")
     n = F.size(toks)
     # chunks = 1 when the doc fits one window, else
     # 1 + ceil((n - chunk) / stride) — integer arithmetic only
@@ -1204,7 +1334,7 @@ def chunk_documents_tokens(
             .cast("long") / F.lit(stride)
         ).cast("long") + F.lit(1)
     )
-    exploded = frame.df.select(
+    exploded = base.select(
         F.col(id_col),
         toks.alias("__toks"),
         n.alias("__n"),
@@ -1223,7 +1353,7 @@ def chunk_documents_tokens(
             F.slice(
                 F.col("__toks"), (start + 1).cast("int"), chunk_tokens
             ),
-            " ",
+            joiner,
         ).alias("chunk_text"),
     )
     return Frame(out, ())

@@ -55,6 +55,7 @@ import os
 import posixpath
 import re
 import warnings
+from collections.abc import Mapping as _Mapping
 
 from pyspark.sql import SparkSession
 
@@ -1204,19 +1205,176 @@ def _log_delta(prev: dict, new: dict) -> dict | None:
     return d
 
 
+class _LazyFamily(_Mapping):
+    """A segment-keyed checkpoint family (zone-map stats, deletion
+    vectors, partition dirs, ...) loaded from its OWN checkpoint shard
+    on first real access — the cold-read fix for million-segment
+    tables: the dominant cost of reconstructing a huge state is
+    building the per-segment dicts (≈10 s for 1M segments' zone maps,
+    in ANY serialization — measured), and most reads never touch most
+    families (an unpredicated read needs segments + deletes, never
+    stats; vacuum needs deletes, never file_stats). Sharding the
+    checkpoint per family and hydrating lazily makes each read pay
+    only for the families it consults.
+
+    Pending delta operations compose COPY-ON-WRITE
+    (:meth:`with_op`): applying the post-checkpoint delta chain to a
+    lazy state records the ops instead of hydrating, so a head read
+    stays lazy across the walk. Hydration parses the shard once
+    (memoized on the shared loader) and replays the ops in order.
+    Content equality (the delta round-trip check), iteration, and
+    truthiness all behave like the dict they stand for."""
+
+    __slots__ = ("_loader", "_ops", "_data")
+
+    def __init__(self, loader, ops=()):
+        self._loader = loader
+        self._ops = tuple(ops)
+        self._data = None
+
+    def _load(self) -> dict:
+        if self._data is None:
+            base = dict(self._loader())
+            for kind, payload in self._ops:
+                if kind == "set":
+                    base.update(payload)
+                else:
+                    for s in payload:
+                        base.pop(s, None)
+            self._data = base
+        return self._data
+
+    @property
+    def loaded(self) -> bool:
+        return self._data is not None
+
+    def with_op(self, kind: str, payload) -> "_LazyFamily":
+        return _LazyFamily(self._loader, self._ops + ((kind, payload),))
+
+    def __getitem__(self, k):
+        return self._load()[k]
+
+    def __iter__(self):
+        return iter(self._load())
+
+    def __len__(self):
+        return len(self._load())
+
+    def __contains__(self, k):
+        return k in self._load()
+
+    def get(self, k, default=None):
+        return self._load().get(k, default)
+
+    def __bool__(self):
+        # a shard is only written non-empty and "set" ops only grow,
+        # so truthiness needs no hydration unless removals are pending
+        if self._data is None and not any(
+            kind == "rm" for kind, _ in self._ops
+        ):
+            return True
+        return len(self._load()) > 0
+
+    def __eq__(self, other):
+        if isinstance(other, _LazyFamily):
+            return self._load() == other._load()
+        if isinstance(other, dict):
+            return self._load() == other
+        return NotImplemented
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
+
+    __hash__ = None  # mutable-equivalent mapping
+
+
+class _ShardLoader:
+    """Memoized parse of one checkpoint family shard — shared by every
+    :class:`_LazyFamily` derived from the same base version, so a
+    delta chain of lazy states parses the shard at most once."""
+
+    __slots__ = ("_fs", "_name", "_cache")
+
+    def __init__(self, fs: "_TableFS", name: str):
+        self._fs = fs
+        self._name = name
+        self._cache = None
+
+    def __call__(self) -> dict:
+        if self._cache is None:
+            import json as _json
+
+            text = self._fs.read_text(self._name)
+            if text is None:
+                raise FileNotFoundError(
+                    f"checkpoint shard {self._name} missing in "
+                    f"{self._fs.dir!r} — the checkpoint index references "
+                    "it; vacuum sweeps index and shards as one unit, so "
+                    "this indicates out-of-band deletion"
+                )
+            self._cache = _json.loads(text)
+        return self._cache
+
+
+# The segment-keyed families a sharded checkpoint externalizes — the
+# ones whose size grows with the segment count. Everything else
+# (schema, watermarks, renames, sketch_spec, ...) is O(1)-ish and
+# stays in the index for one-read access.
+_CKPT_EXT = ("stats", "file_stats", "partitions", "deletes",
+             "delete_counts")
+# Shard only past this segment count: below it the whole state parses
+# in single-digit milliseconds and extra files would just add stat
+# calls. Tests override this to exercise the sharded path.
+_CKPT_SHARD_MIN_SEGS = 10_000
+
+
+def _ckpt_version(name: str) -> int | None:
+    """The log version a checkpoint file belongs to — the index
+    (``_CHECKPOINT.<n>``) or a family shard (``_CHECKPOINT.<n>.<fam>``);
+    None for non-checkpoint names. Vacuum sweeps index and shards as
+    one unit through this."""
+    if not name.startswith("_CHECKPOINT."):
+        return None
+    head = name[12:].split(".", 1)[0]
+    return int(head) if head.isdigit() else None
+
+
+def _hydrated_state(state: dict) -> dict:
+    """A plain-dict copy of ``state`` with every lazy family
+    materialized — for JSON serialization (full-form log fallback)."""
+    return {
+        k: (dict(v._load()) if isinstance(v, _LazyFamily) else v)
+        for k, v in state.items()
+    }
+
+
 def _apply_log_delta(state: dict, rec: dict) -> dict:
     """Apply one delta record to a materialized state — the reader
-    half of :func:`_log_delta`."""
+    half of :func:`_log_delta`. Families still lazy (unhydrated
+    :class:`_LazyFamily`) take the delta as a pending op instead of
+    hydrating, so the post-checkpoint walk of a huge table stays
+    cheap until a family is actually consulted."""
     out = dict(state)
     rm = set(rec.get("seg_rm") or ())
     segs = [s for s in (state.get("segments") or []) if s not in rm]
     out["segments"] = segs + list(rec.get("seg_add") or ())
     for k, ups in (rec.get("map_set") or {}).items():
-        m = dict(out.get(k) or {})
+        cur = out.get(k)
+        if isinstance(cur, _LazyFamily) and not cur.loaded:
+            out[k] = cur.with_op("set", dict(ups))
+            continue
+        m = dict(cur or {})
         m.update(ups)
         out[k] = m
     for k, rms in (rec.get("map_rm") or {}).items():
-        m = dict(out.get(k) or {})
+        cur = out.get(k)
+        if isinstance(cur, _LazyFamily) and not cur.loaded:
+            # may be empty after hydration; __bool__ loads when rm ops
+            # are pending, so truthiness semantics stay exact
+            out[k] = cur.with_op("rm", list(rms))
+            continue
+        m = dict(cur or {})
         for s in rms:
             m.pop(s, None)
         if m:
@@ -1308,6 +1466,13 @@ def _reconstruct_log(fs: _TableFS, version: int) -> dict:
         text = fs.read_text(f"_CHECKPOINT.{k}")
         if text is not None:
             state = _json.loads(text)
+            ext = state.pop("_ext", None)
+            if ext:
+                # sharded checkpoint: heavy segment-keyed families
+                # live in their own files and hydrate lazily on
+                # first access (see _LazyFamily)
+                for fam, fname in ext.items():
+                    state[fam] = _LazyFamily(_ShardLoader(fs, fname))
             break
         rec = _read_log_rec(fs, k)
         if not rec.get("delta"):
@@ -1508,6 +1673,11 @@ def _write_log(fs: _TableFS, log: dict, prev: dict | None = None) -> int:
         # degrades to the always-sound full form
         if d is not None and _apply_log_delta(prev, d) == log:
             payload = d
+    is_delta = payload is not log
+    if not is_delta:
+        # full-form fallback: materialize any lazy families carried in
+        # by reference (restore/republish paths) before serializing
+        payload = _hydrated_state(log)
     if not fs.write_text_exclusive(
         f"_LOG.{n}", _json.dumps(payload), f".tmp.{n}"
     ):
@@ -1519,7 +1689,7 @@ def _write_log(fs: _TableFS, log: dict, prev: dict | None = None) -> int:
         fs, _LOG_PTR, n, "ptr",
         committed=lambda: _log_probe_committed(fs, n),
     )
-    if payload is not log and n % _CHECKPOINT_EVERY == 0:
+    if is_delta and n % _CHECKPOINT_EVERY == 0:
         _write_checkpoint(fs, log)
     return n
 
@@ -1538,14 +1708,51 @@ def _log_probe_committed(fs: _TableFS, start: int) -> int:
 def _write_checkpoint(fs: _TableFS, state: dict) -> None:
     """Fold the materialized state into ``_CHECKPOINT.<n>`` —
     exclusive-create (racing maintainers: one winner, content
-    identical either way), best-effort: the checkpoint is pure derived
-    data, so a failure only lengthens reconstruction walks."""
+    identical either way — a (table, version) state is immutable, so
+    an already-present file IS this content), best-effort: the
+    checkpoint is pure derived data, so a failure only lengthens
+    reconstruction walks.
+
+    Past ``_CKPT_SHARD_MIN_SEGS`` segments the checkpoint is SHARDED
+    BY FAMILY: each heavy segment-keyed family (``_CKPT_EXT``) lands
+    in its own ``_CHECKPOINT.<n>.<family>`` file and the index keeps
+    only a pointer — cold readers then parse ONLY the families they
+    touch (an unpredicated read skips the dominant zone-map family
+    entirely; ≈10 s of dict-building avoided at 1M segments). Shards
+    are written BEFORE the index, so an index on disk always has its
+    shards (a crash in between leaves orphan shards vacuum sweeps).
+    Small tables keep the legacy single-file form, which readers
+    accept at any version forever."""
     import json as _json
 
     n = state["version"]
     try:
+        if len(state.get("segments") or ()) < _CKPT_SHARD_MIN_SEGS:
+            fs.write_text_exclusive(
+                f"_CHECKPOINT.{n}", _json.dumps(_hydrated_state(state)),
+                f".ck.{n}"
+            )
+            return
+        index = {}
+        ext = {}
+        for k, v in state.items():
+            if k in _CKPT_EXT and v:
+                fam_name = f"_CHECKPOINT.{n}.{k}"
+                body = _json.dumps(
+                    dict(v._load()) if isinstance(v, _LazyFamily) else v
+                )
+                # existing shard == this content (immutable state):
+                # a lost exclusive-create race is success
+                fs.write_text_exclusive(fam_name, body, f".ck.{n}.{k}")
+                ext[k] = fam_name
+            elif not isinstance(v, _LazyFamily):
+                index[k] = v
+            else:
+                index[k] = dict(v._load())
+        if ext:
+            index["_ext"] = ext
         fs.write_text_exclusive(
-            f"_CHECKPOINT.{n}", _json.dumps(state), f".ck.{n}"
+            f"_CHECKPOINT.{n}", _json.dumps(index), f".ck.{n}"
         )
     except Exception:
         pass
@@ -4581,8 +4788,10 @@ def _rename_drop_guards(cur: dict, col: str, table_dir: str, what: str):
             raise ValueError(
                 f"{what}: {col!r} is {label} of {table_dir!r} — its "
                 "directory layout / file stats / constraint machinery "
-                "address it by the write-time name; rewrite the table "
-                "(copy-on-write) to change it"
+                "address it by the write-time name; use "
+                "migrate_rename_append_column (rewrite-backed: one "
+                "full-table rewrite, structures translated, one "
+                "atomic commit) to rename it"
             )
     spec = cur.get("sketch_spec") or {}
     sketched = (
@@ -4598,13 +4807,15 @@ def _rename_drop_guards(cur: dict, col: str, table_dir: str, what: str):
         raise ValueError(
             f"{what}: {col!r} carries sketch sidecars (spec {spec!r}) "
             "keyed by the write-time name — the spec is fixed at table "
-            "creation; rewrite the table to change it"
+            "creation; use migrate_rename_append_column (rewrite-backed) "
+            "to rename it"
         )
     if _word_in_predicates(col, cur.get("expectations")):
         raise ValueError(
             f"{what}: {col!r} appears in the table's quality "
             "expectations — update the expectations first (they are "
-            "predicate strings and would silently stop matching)"
+            "predicate strings and would silently stop matching), or "
+            "use migrate_rename_append_column, which rewrites them"
         )
 
 
@@ -4668,6 +4879,138 @@ def rename_append_column(
     log["renames"] = list(cur.get("renames") or ()) + [
         {"at": n, "from": old, "to": new}
     ]
+    log["retired_names"] = sorted(
+        set(cur.get("retired_names") or ()) | {old}
+    )
+    return _write_log(fs, log, prev=cur)
+
+
+def migrate_rename_append_column(
+    spark: SparkSession,
+    table_dir: str,
+    old: str,
+    new: str,
+    cluster_files: int | None = None,
+) -> int:
+    """Rewrite-backed rename for the columns the METADATA-ONLY
+    :func:`rename_append_column` refuses — partition / cluster /
+    unique-key / sketched / expectation-referenced columns, whose
+    machinery addresses the write-time name. The escape path a user
+    who clustered on ``user_id`` and must rename it actually needs:
+
+    - the CURRENT live rows (deletion vectors applied, every name era
+      resolved) are rewritten as ONE new segment carrying the new
+      physical name — data movement is the open price, one full
+      table read + write, exactly a whole-table compaction;
+    - every structure translates with it: partition directories are
+      laid out under the new name, cluster file stats / zone maps /
+      sketch sidecars are recomputed against the new segment,
+      the UNIQUE constraint and expectation predicates are rewritten
+      (word-boundary substitution — column names are plain
+      identifiers), and pruning works under the new name immediately
+      (no stale-era "missing stats ⇒ keep" window);
+    - published as ONE atomic commit (the standard CAS pointer swap):
+      readers see either the old table or the fully-migrated one.
+      A concurrent commit surfaces as :class:`ConcurrentWriteError` —
+      re-run the migration.
+
+    The old name is retired exactly like the metadata-only path, and
+    prior rename-era entries stay recorded for time travel (the new
+    segment post-dates every era, so head reads alias nothing).
+    Versions before the migration remain readable via ``version=`` —
+    vacuum ages their files out. Returns the new log version."""
+    import re as _re
+    import uuid
+
+    fs = _TableFS(table_dir, spark)
+    cur = _read_log(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no published append log at {table_dir!r} (missing {_LOG_PTR})"
+        )
+    if not _IDENT_RE.match(new):
+        raise ValueError(
+            f"migrate_rename_append_column: {new!r} is not a plain "
+            "identifier"
+        )
+    schema = cur.get("schema") or []
+    names = {n for n, _ in schema}
+    if old not in names:
+        raise ValueError(
+            f"migrate_rename_append_column: column {old!r} is not in the "
+            f"table schema ({sorted(names)})"
+        )
+    if new in names:
+        raise ValueError(
+            f"migrate_rename_append_column: {new!r} already exists in "
+            "the schema"
+        )
+    if new in set(cur.get("retired_names") or ()):
+        raise ValueError(
+            f"migrate_rename_append_column: {new!r} was previously "
+            "renamed away or dropped — reusing it would resurrect old "
+            "physical bytes; pick a fresh name"
+        )
+    df = read_append_snapshot(spark, table_dir).df.withColumnRenamed(
+        old, new
+    )
+    new_schema = [[new if c == old else c, t] for c, t in schema]
+    pby = [new if c == old else c for c in (cur.get("partition_by") or [])]
+    cby = [new if c == old else c for c in (cur.get("cluster_by") or [])]
+    ukey = [new if c == old else c for c in (cur.get("unique_key") or [])]
+    spec = cur.get("sketch_spec")
+    if spec:
+        ren = lambda c: new if c == old else c  # noqa: E731
+        spec = dict(spec)
+        if spec.get("distinct"):
+            spec["distinct"] = [ren(c) for c in spec["distinct"]]
+        if spec.get("histogram"):
+            spec["histogram"] = {
+                ren(c): v for c, v in spec["histogram"].items()
+            }
+        if spec.get("bloom"):
+            spec["bloom"] = {ren(c): v for c, v in spec["bloom"].items()}
+    exps = cur.get("expectations")
+    if exps:
+        pat = _re.compile(rf"(?<![\w`]){_re.escape(old)}(?![\w`])")
+        exps = {
+            k: [pat.sub(new, v[0]), v[1]] for k, v in exps.items()
+        }
+    n = cur["version"] + 1
+    seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
+    conformed = _conform_schema(df, new_schema)
+    if cby:
+        # cluster_files sizes the re-clustered layout (the write-time
+        # knob append_snapshot takes): the migration folds the WHOLE
+        # table into one segment, so pick it ∝ table bytes / target
+        # file size to keep file-grain pruning selective
+        conformed = _cluster_shape(conformed, cby, cluster_files)
+    writer = conformed.write.mode("errorifexists")
+    if pby:
+        writer = writer.partitionBy(*pby)
+    writer.parquet(fs.join(seg))
+    log = _log_with_extras(cur, n, [seg])
+    log["schema"] = new_schema
+    if pby:
+        log["partition_by"] = pby
+        log["partitions"] = {seg: _partition_dirs(fs, seg, len(pby))}
+    if cby:
+        log["cluster_by"] = cby
+    if ukey:
+        log["unique_key"] = ukey
+    if spec is not None and cur.get("sketch_spec"):
+        log["sketch_spec"] = spec
+        _write_segment_sketch(spark, fs, seg, spec)
+    if exps is not None and cur.get("expectations"):
+        log["expectations"] = exps
+    if cur.get("stats"):
+        log["stats"] = {
+            seg: _segment_stats(spark, fs, seg, new_schema, pby)
+        }
+        if cby:
+            log["file_stats"] = {
+                seg: _file_stats(spark, fs, seg, new_schema, cby)
+            }
     log["retired_names"] = sorted(
         set(cur.get("retired_names") or ()) | {old}
     )
@@ -4823,8 +5166,13 @@ def explain_append_scan(
     ``partition``, or NULL for survivors), ``rows``
     (manifest-recorded, NULL when the table carries no stats),
     ``delete_count``, ``live_rows``, ``dv_files``, ``partition_dirs``,
-    and — on clustered tables — ``files_total``/``files_scan``, the
-    file-grain budget the read would actually open per segment.
+    on clustered tables ``files_total``/``files_scan`` (the
+    file-grain budget the read would actually open per segment), and
+    on renamed tables ``era``/``aliases`` — how many rename
+    boundaries the segment post-dates (``era == #renames`` is the
+    head era) and the ``head<-physical`` column names its scan
+    resolves through (NULL when none — the segment already carries
+    head names).
 
     Decision parity is the contract (tested): a segment reported
     ``scan`` is opened by :func:`read_append_snapshot` with the same
@@ -4940,6 +5288,7 @@ def explain_append_scan(
     dmap = log.get("deletes") or {}
     pmap = log.get("partitions") or {}
     fsm = log.get("file_stats") or {}
+    renames = log.get("renames") or []
     keep = set(segs)
     data = []
     for s in log["segments"]:
@@ -4952,6 +5301,17 @@ def explain_append_scan(
             n_scan = len(file_sel[s])
         else:
             n_scan = n_files
+        # column-name era: which rename boundaries this segment
+        # post-dates (era == len(renames) ⇒ head era, zero aliasing)
+        # and the head←physical names its scan resolves through —
+        # answers "why does this table read as N relations" without
+        # reading the manifest by hand. Pure metadata, no read change.
+        sv = _seg_version(s)
+        era = sum(1 for r in renames if int(r["at"]) <= sv)
+        al = _era_aliases(renames, sv, schema)
+        alias_str = (
+            ", ".join(f"{h}<-{p}" for h, p in sorted(al.items())) or None
+        )
         data.append((
             s,
             "fold" if s.startswith("fold=") else "seg",
@@ -4964,13 +5324,15 @@ def explain_append_scan(
             len(pmap.get(s) or []) if pby else None,
             n_files,
             n_scan,
+            era,
+            alias_str,
         ))
     out = spark.createDataFrame(
         data,
         "segment string, kind string, action string, pruned_by string, "
         "rows bigint, delete_count bigint, live_rows bigint, "
         "dv_files int, partition_dirs int, files_total int, "
-        "files_scan int",
+        "files_scan int, era int, aliases string",
     )
     return Frame(out, ())
 
@@ -7371,9 +7733,8 @@ def vacuum_append_snapshot(
         doomed_ckpts = sorted(
             name
             for name in fs.listdir()
-            if name.startswith("_CHECKPOINT.")
-            and name[12:].isdigit()
-            and int(name[12:]) not in keep
+            if _ckpt_version(name) is not None
+            and _ckpt_version(name) not in keep
         )
         return {
             "segments": doomed_segs,
@@ -7406,13 +7767,17 @@ def vacuum_append_snapshot(
             else:
                 os.remove(target)
     # checkpoints are derived data: sweep the ones whose version is no
-    # longer retained (their base role is taken by a kept checkpoint)
+    # longer retained (their base role is taken by a kept checkpoint).
+    # Family shards (_CHECKPOINT.<n>.<family>) sweep with their index
+    # as one unit — a kept index must always find its shards; orphan
+    # shards from a crashed sharded write sweep once their version
+    # ages out of retention like any other checkpoint.
     for name in fs.listdir():
-        if name.startswith("_CHECKPOINT.") and name[12:].isdigit():
-            if int(name[12:]) not in keep:
-                target = fs.join(name)
-                if fs.remote:
-                    fs._fs.delete(fs._jpath(target), False)
-                else:
-                    os.remove(target)
+        v = _ckpt_version(name)
+        if v is not None and v not in keep:
+            target = fs.join(name)
+            if fs.remote:
+                fs._fs.delete(fs._jpath(target), False)
+            else:
+                os.remove(target)
     return doomed_segs

@@ -33,6 +33,7 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
+import cuplyr_spark.sources.connectors as C  # noqa: E402
 from cuplyr_spark.sources.connectors import (  # noqa: E402
     _TableFS,
     _read_log,
@@ -78,10 +79,22 @@ def run(n_segments: int, batch: int) -> dict:
             commit_bytes.append(os.path.getsize(fs.join(f"_LOG.{v}")))
             cur = log
             total += batch
+        # COLD reads (cache cleared = fresh-process shape). r15: past
+        # _CKPT_SHARD_MIN_SEGS the checkpoint shards by family and
+        # hydrates lazily, so a cold read that never consults zone
+        # maps (unpredicated scan planning, vacuum, CDF) skips the
+        # dominant stats family entirely; touching stats pays the
+        # one-time shard parse.
+        C._LOG_STATE_CACHE.clear()
         t0 = time.perf_counter()
         head = _read_log(fs)
-        head_read = time.perf_counter() - t0
         assert len(head["segments"]) == total
+        cold_lazy = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_stats = len(head.get("stats") or {})
+        cold_stats_touch = time.perf_counter() - t0
+        assert n_stats == total
+        head_read = cold_lazy + cold_stats_touch
         # r14: repeated reads in one session amortize through the
         # in-process state cache (validated against the commit
         # record's stat fingerprint) — the second read of an
@@ -113,15 +126,20 @@ def run(n_segments: int, batch: int) -> dict:
             "commit_bytes_median": int(statistics.median(commit_bytes)),
             "commit_bytes_max": max(commit_bytes),
             "commit_sec_median": round(statistics.median(commit_secs), 5),
+            "cold_lazy_read_sec": round(cold_lazy, 4),
+            "cold_stats_touch_sec": round(cold_stats_touch, 4),
             "head_read_sec": round(head_read, 4),
             "cached_read_sec": round(cached_read, 5),
             "roll_forward_read_sec": round(rolled_read, 5),
-            "full_state_bytes": len(json.dumps(head)),
+            "full_state_bytes": len(json.dumps(C._hydrated_state(head))),
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
-    for n, batch in ((1_000, 50), (10_000, 100), (100_000, 500)):
+    scales = [(1_000, 50), (10_000, 100), (100_000, 500)]
+    if "--1m" in sys.argv:
+        scales.append((1_000_000, 5_000))
+    for n, batch in scales:
         print(json.dumps(run(n, batch)), flush=True)

@@ -347,3 +347,400 @@ def test_struct_field_predicates_in_frame_verbs(spark):
     df2 = spark.createDataFrame([(1, 100), (2, 3)], ["id", "v.x"])
     got = Frame(df2, ()).filter("v.x > 50").df.collect()
     assert [r["id"] for r in got] == [1]
+
+
+# -- pluggable tokenizer for token-denominated ops (verdict #2) ------------
+
+
+def test_with_token_counts_custom_tokenizer(spark):
+    from cuplyr_spark.pipeline.text import with_token_counts
+
+    # character-bigram stub: decidedly NOT whitespace, reconstructable
+    # by "".join — defined inside the test so cloudpickle ships it by
+    # value to the Python workers
+    def bigrams(t):
+        return [t[i:i + 2] for i in range(0, len(t), 2)]
+
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "xy"), (3, None), (4, "")],
+        "doc_id int, text string",
+    )
+    out = with_token_counts(
+        Frame(df, ()), tokenizer=bigrams, tokens_col="toks"
+    ).df.collect()
+    got = {r["doc_id"]: r for r in out}
+    assert got[1]["n_tokens"] == 3 and list(got[1]["toks"]) == ["ab", "cd", "ef"]
+    assert got[2]["n_tokens"] == 1
+    # NULL and empty both tokenize as the empty string
+    assert got[3]["n_tokens"] == 0 and list(got[3]["toks"]) == []
+    assert got[4]["n_tokens"] == 0
+    # default (no tokenizer) path counts whitespace tokens JVM-side
+    ws = with_token_counts(Frame(df, ())).df.collect()
+    assert {r["doc_id"]: r["n_tokens"] for r in ws} == {1: 1, 2: 1, 3: 1, 4: 1}
+    # output-name collision refuses
+    with pytest.raises(ValueError, match="collide"):
+        with_token_counts(Frame(df, ()), out_col="text")
+
+
+def test_chunk_pack_mixture_on_custom_tokenizer(spark):
+    from cuplyr_spark.pipeline.packing import pack_greedy
+    from cuplyr_spark.pipeline.sampling import resample_to_mixture
+    from cuplyr_spark.pipeline.text import (
+        chunk_documents_tokens,
+        with_token_counts,
+    )
+
+    def bigrams(t):
+        return [t[i:i + 2] for i in range(0, len(t), 2)]
+
+    rows = [(i, "g1" if i < 6 else "g2", "ab" * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    f = Frame(df, ())
+
+    # 1) chunking on tokenizer tokens: windows count BIGRAMS, and the
+    # zero-overlap chunks re-join ("" joiner) to the original text
+    chunks = chunk_documents_tokens(
+        f, chunk_tokens=3, overlap_tokens=0, tokenizer=bigrams
+    ).df.collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(10):
+        n_bigrams = i + 1
+        want_chunks = max(1, -(-max(n_bigrams - 3, 0) // 3) + (1 if n_bigrams > 3 else 0))
+        parts = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert "".join(p["chunk_text"] for p in parts) == "ab" * (i + 1)
+        assert all(p["n_chunk_tokens"] <= 3 for p in parts)
+
+    # 2) packing budgets count the SAME tokenizer tokens
+    counted = with_token_counts(f, tokenizer=bigrams)
+    packed = pack_greedy(counted, budget=10, id_col="doc_id").df.collect()
+    # every pack holds <= 10 bigrams
+    packs = {}
+    for r in packed:
+        packs.setdefault((r["shard"], r["pack_id"]), 0)
+        packs[(r["shard"], r["pack_id"])] += r["n_tokens"]
+    assert packs and all(v <= 10 for v in packs.values())
+
+    # 3) mixture targets are tokenizer TOKEN shares
+    mixed = resample_to_mixture(
+        counted, "grp", {"g1": 0.5, "g2": 0.5},
+        id_col="doc_id", weight_col="n_tokens",
+    ).df
+    kept = mixed.groupBy("grp").agg(F.sum("n_tokens").alias("tok")).collect()
+    assert {r["grp"] for r in kept} <= {"g1", "g2"} and len(kept) >= 1
+
+
+# -- perplexity_thresholds(sample_frac=) (verdict #5) ----------------------
+
+
+def test_perplexity_thresholds_sampled(spark):
+    from cuplyr_spark.pipeline.text import perplexity_thresholds
+
+    docs = Frame(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), ()
+    )
+    full = perplexity_thresholds(docs, n_buckets=3)
+    sampled = perplexity_thresholds(docs, n_buckets=3, sample_frac=0.5)
+    assert len(full) == len(sampled) == 2
+    # quantile cuts from a 50% deterministic sample sit near the full
+    # cuts (absolute micro-nat tolerance: this corpus's scores cluster
+    # around -3.4, so 0.02 is ~0.6% of the score scale)
+    for f, s in zip(full, sampled):
+        assert abs(f - s) <= 0.02, (full, sampled)
+    # deterministic: the same call reproduces bit-identically
+    assert sampled == perplexity_thresholds(
+        docs, n_buckets=3, sample_frac=0.5
+    )
+    # a different salt re-draws the sample (cuts move, usually)
+    with pytest.raises(ValueError, match="sample_frac"):
+        perplexity_thresholds(docs, n_buckets=3, sample_frac=0.0)
+
+
+# -- explain_append_scan era/aliases (verdict #7) --------------------------
+
+
+def test_explain_scan_reports_eras(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import explain_append_scan
+
+    d = str(tmp_path / "t")
+    mk = lambda lo, name: Frame(
+        spark.range(lo, lo + 3).select(
+            F.col("id"), (F.col("id") * 10).alias(name)
+        ),
+        (),
+    )
+    append_snapshot(mk(0, "a"), d, batch_id=0)
+    rename_append_column(d, "a", "b", spark)
+    append_snapshot(mk(3, "b"), d, batch_id=1)
+    rename_append_column(d, "b", "c", spark)
+    append_snapshot(mk(6, "c"), d, batch_id=2)
+    rep = {
+        r["segment"]: r
+        for r in explain_append_scan(spark, d).df.collect()
+    }
+    by_era = sorted(
+        (r["era"], r["aliases"]) for r in rep.values()
+    )
+    # three segments, three eras: v1 seg pre-both-renames (head c
+    # reads physical a), v3 seg between (c reads b), v5 seg at head
+    assert [e for e, _ in by_era] == [0, 1, 2]
+    assert by_era[0][1] == "c<-a"
+    assert by_era[1][1] == "c<-b"
+    assert by_era[2][1] is None
+    # unrenamed tables: era 0, aliases NULL everywhere
+    d2 = str(tmp_path / "u")
+    append_snapshot(mk(0, "x"), d2, batch_id=0)
+    rows = explain_append_scan(spark, d2).df.collect()
+    assert all(r["era"] == 0 and r["aliases"] is None for r in rows)
+
+
+# -- rewrite-backed rename migration (verdict #3) --------------------------
+
+
+def test_migrate_rename_clustered_column(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import (
+        explain_append_scan,
+        migrate_rename_append_column,
+        read_append_snapshot,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("v")
+    )
+    append_snapshot(
+        Frame(df, ()), d, batch_id=0, cluster_by="user_id",
+        cluster_files=4,
+    )
+    # metadata-only rename refuses and points at the migration
+    with pytest.raises(ValueError, match="migrate_rename_append_column"):
+        rename_append_column(d, "user_id", "uid", spark)
+    migrate_rename_append_column(spark, d, "user_id", "uid", cluster_files=4)
+    got = read_append_snapshot(spark, d).df
+    assert sorted(got.columns) == ["uid", "v"]
+    assert got.count() == 200
+    # pruning works under the NEW name immediately: a point probe
+    # file-prunes within the re-clustered segment
+    rep = explain_append_scan(
+        spark, d, stats_filter={"uid": ("==", 5)}
+    ).df.collect()
+    scan = [r for r in rep if r["action"] == "scan"]
+    assert scan and all(
+        r["files_scan"] is not None and r["files_scan"] < r["files_total"]
+        for r in scan
+    )
+    # and the old name is retired
+    with pytest.raises(ValueError, match="renamed away or dropped"):
+        append_snapshot(
+            Frame(df.withColumnRenamed("v", "user_id"), ()), d,
+            batch_id=1, schema_mode="merge",
+        )
+
+
+def test_migrate_rename_sketched_and_expectation_column(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import (
+        append_quick_stats,
+        migrate_rename_append_column,
+        read_append_snapshot,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("code")
+    )
+    append_snapshot(
+        Frame(df, ()), d, batch_id=0,
+        sketch_spec={"distinct": ["code"]},
+        expectations={"code_ok": ("code >= 0", "fail")},
+    )
+    with pytest.raises(ValueError, match="migrate_rename_append_column"):
+        rename_append_column(d, "code", "kind", spark)
+    migrate_rename_append_column(spark, d, "code", "kind")
+    # sketch sidecars were recomputed under the new name
+    qs = append_quick_stats(spark, d)
+    assert "kind" in str(qs)
+    # the expectation predicate was rewritten and still enforces
+    bad = spark.range(100, 103).select(
+        F.col("id"), F.lit(-1).cast("bigint").alias("kind")
+    )
+    with pytest.raises(ValueError, match="kind_ok|code_ok"):
+        append_snapshot(Frame(bad, ()), d, batch_id=1)
+    # clean rows still append under the new structures
+    ok = spark.range(100, 110).select(
+        F.col("id"), (F.col("id") % 10).alias("kind")
+    )
+    append_snapshot(Frame(ok, ()), d, batch_id=2)
+    assert read_append_snapshot(spark, d).df.count() == 110
+
+
+def test_migrate_rename_partitioned_unique(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import (
+        migrate_rename_append_column,
+        read_append_snapshot,
+        upsert_append_rows,
+    )
+
+    d = str(tmp_path / "t")
+    df = spark.range(60).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("part"),
+        (F.col("id") * 2).alias("v"),
+    )
+    append_snapshot(
+        Frame(df, ()), d, batch_id=0, partition_by="part", unique_key="id",
+    )
+    migrate_rename_append_column(spark, d, "part", "shard")
+    got = read_append_snapshot(
+        spark, d, partition_filter={"shard": "1"}
+    ).df
+    assert got.count() == 20
+    assert sorted(got.columns) == ["id", "shard", "v"]
+    # the UNIQUE constraint survived the migration under the new layout
+    dup = spark.createDataFrame(
+        [(5, "2", 999), (5, "2", 999)], "id long, shard string, v long"
+    )
+    with pytest.raises(ValueError, match="UNIQUE"):
+        append_snapshot(Frame(dup, ()), d, batch_id=1)
+    # upsert keyed on the unchanged key still works over the new table
+    up = spark.createDataFrame(
+        [(5, "2", 999)], "id long, shard string, v long"
+    )
+    upsert_append_rows(Frame(up, ()), d, key="id")
+    row = [
+        r for r in read_append_snapshot(spark, d).df.collect()
+        if r["id"] == 5
+    ]
+    assert len(row) == 1 and row[0]["v"] == 999
+
+
+# -- sharded checkpoints with lazy families (verdict #6) -------------------
+
+
+def _bump_to_checkpoint(spark, d, start, count):
+    for i in range(start, start + count):
+        batch = spark.range(i * 5, i * 5 + 5).select(
+            F.col("id"), (F.col("id") * 2.0).alias("v")
+        )
+        append_snapshot(Frame(batch, ()), d, batch_id=i)
+
+
+def test_sharded_checkpoint_roundtrip(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(C, "_CKPT_SHARD_MIN_SEGS", 1)
+    d = str(tmp_path / "t")
+    _bump_to_checkpoint(spark, d, 0, C._CHECKPOINT_EVERY + 2)
+    fs = C._TableFS(d)
+    n = C._CHECKPOINT_EVERY
+    # the index exists and points at family shards
+    import json
+
+    idx = json.loads(fs.read_text(f"_CHECKPOINT.{n}"))
+    assert "stats" in (idx.get("_ext") or {})
+    assert fs.read_text(f"_CHECKPOINT.{n}.stats") is not None
+    assert "stats" not in idx
+    # a FRESH reconstruction (cache cleared = cold process) reads
+    # through the sharded form and the data comes back intact
+    C._LOG_STATE_CACHE.clear()
+    got = C.read_append_snapshot(spark, d).df
+    assert got.count() == (C._CHECKPOINT_EVERY + 2) * 5
+    # zone maps still prune through the lazy family
+    rep = C.explain_append_scan(
+        spark, d, stats_filter={"id": ("==", 2)}
+    ).df.collect()
+    assert any(r["action"] == "pruned" for r in rep)
+
+
+def test_sharded_checkpoint_lazy_until_touched(spark, tmp_path,
+                                               monkeypatch):
+    monkeypatch.setattr(C, "_CKPT_SHARD_MIN_SEGS", 1)
+    d = str(tmp_path / "t")
+    _bump_to_checkpoint(spark, d, 0, C._CHECKPOINT_EVERY + 2)
+    C._LOG_STATE_CACHE.clear()
+    fs = C._TableFS(d)
+    log = C._read_log(fs)
+    fam = log.get("stats")
+    assert isinstance(fam, C._LazyFamily)
+    # the post-checkpoint delta chain was applied WITHOUT hydrating:
+    # the two post-cadence appends ride as pending ops
+    assert not fam.loaded
+    assert len(fam._ops) == 2
+    # truthiness doesn't hydrate (no removals pending)
+    assert bool(fam) and not fam.loaded
+    # first real access hydrates: every segment's stats are there,
+    # including the post-checkpoint ones folded from the ops
+    segs = log["segments"]
+    assert len(fam) == len(segs)
+    assert fam.loaded
+    assert all(s in fam for s in segs)
+
+
+def test_sharded_checkpoint_delete_update_vacuum(spark, tmp_path,
+                                                 monkeypatch):
+    from cuplyr_spark.sources.connectors import (
+        delete_append_rows,
+        read_append_snapshot,
+        vacuum_append_snapshot,
+    )
+
+    monkeypatch.setattr(C, "_CKPT_SHARD_MIN_SEGS", 1)
+    d = str(tmp_path / "t")
+    _bump_to_checkpoint(spark, d, 0, C._CHECKPOINT_EVERY + 1)
+    delete_append_rows(spark, d, "id < 7")
+    C._LOG_STATE_CACHE.clear()
+    got = read_append_snapshot(spark, d).df
+    assert got.count() == (C._CHECKPOINT_EVERY + 1) * 5 - 7
+    # vacuum sweeps swept versions' index AND shards as one unit
+    _bump_to_checkpoint(
+        spark, d, C._CHECKPOINT_EVERY + 1, C._CHECKPOINT_EVERY
+    )
+    vacuum_append_snapshot(d, keep_last=2, spark=spark, orphan_grace_hours=0.0)
+    import os
+
+    names = os.listdir(d)
+    ck_versions = {
+        C._ckpt_version(x) for x in names if x.startswith("_CHECKPOINT.")
+    }
+    # no shard may survive without its index version retained
+    for name in names:
+        if name.startswith("_CHECKPOINT.") and "." in name[12:]:
+            v = C._ckpt_version(name)
+            assert f"_CHECKPOINT.{v}" in names
+    C._LOG_STATE_CACHE.clear()
+    assert read_append_snapshot(spark, d).df.count() > 0
+
+
+def test_legacy_single_file_checkpoint_still_reads(spark, tmp_path):
+    # default threshold: small tables keep the legacy one-file form
+    d = str(tmp_path / "t")
+    _bump_to_checkpoint(spark, d, 0, C._CHECKPOINT_EVERY + 1)
+    fs = C._TableFS(d)
+    import json
+
+    ck = json.loads(fs.read_text(f"_CHECKPOINT.{C._CHECKPOINT_EVERY}"))
+    assert "_ext" not in ck and "stats" in ck
+    C._LOG_STATE_CACHE.clear()
+    assert C.read_append_snapshot(spark, d).df.count() == (
+        (C._CHECKPOINT_EVERY + 1) * 5
+    )
+
+
+def test_sharded_checkpoint_rewrite_is_idempotent(spark, tmp_path,
+                                                  monkeypatch):
+    # racing maintainers: exclusive-create, one winner, content
+    # identical either way — a second fold of the same immutable
+    # state must neither fail nor corrupt
+    monkeypatch.setattr(C, "_CKPT_SHARD_MIN_SEGS", 1)
+    d = str(tmp_path / "t")
+    _bump_to_checkpoint(spark, d, 0, C._CHECKPOINT_EVERY)
+    fs = C._TableFS(d)
+    n = C._CHECKPOINT_EVERY
+    before = fs.read_text(f"_CHECKPOINT.{n}")
+    assert before is not None
+    C._LOG_STATE_CACHE.clear()
+    state = C._read_log(fs, n)
+    C._write_checkpoint(fs, state)  # loses every exclusive-create
+    assert fs.read_text(f"_CHECKPOINT.{n}") == before
+    C._LOG_STATE_CACHE.clear()
+    assert C.read_append_snapshot(spark, d).df.count() == (
+        C._CHECKPOINT_EVERY * 5
+    )
