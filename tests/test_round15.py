@@ -744,3 +744,108 @@ def test_sharded_checkpoint_rewrite_is_idempotent(spark, tmp_path,
     assert C.read_append_snapshot(spark, d).df.count() == (
         C._CHECKPOINT_EVERY * 5
     )
+
+
+# -- frozen-source coverage: streaming + views over the r15 surface --------
+
+
+def test_stream_append_sink_nested_columns(spark, tmp_path):
+    """The exactly-once streaming append sink carries binary/struct/
+    array columns end-to-end — the storage layer's nested support is
+    reachable from Structured Streaming, not just batch."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cuplyr_spark.sources.connectors import read_append_snapshot
+    from cuplyr_spark.streaming.stream import stream_append_snapshot
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch_file(path, ks):
+        pq.write_table(
+            pa.table({
+                "k": pa.array(ks, pa.int64()),
+                "media": pa.array(
+                    [f"blob-{k}".encode() for k in ks], pa.binary()
+                ),
+                "meta": pa.array(
+                    [{"n": k * 10, "tag": "s"} for k in ks],
+                    pa.struct([("n", pa.int64()), ("tag", pa.string())]),
+                ),
+                "toks": pa.array(
+                    [[f"t{k}", "x"] for k in ks],
+                    pa.list_(pa.string()),
+                ),
+            }),
+            path,
+        )
+
+    batch_file(f"{src}/b0.parquet", [1, 2])
+    batch_file(f"{src}/b1.parquet", [3])
+
+    schema = (
+        "k long, media binary, meta struct<n:long,tag:string>, "
+        "toks array<string>"
+    )
+    q = stream_append_snapshot(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        table,
+        checkpoint=ckpt,
+    )
+    q.awaitTermination()
+    got = {r["k"]: r for r in read_append_snapshot(spark, table).df.collect()}
+    assert set(got) == {1, 2, 3}
+    for k, r in got.items():
+        assert bytes(r["media"]) == f"blob-{k}".encode()
+        assert r["meta"]["n"] == k * 10 and r["meta"]["tag"] == "s"
+        assert list(r["toks"]) == [f"t{k}", "x"]
+
+
+def test_view_over_sharded_checkpoint_base(spark, tmp_path, monkeypatch):
+    """Incremental view refresh over a base table whose log has
+    crossed into the sharded-checkpoint form: the refresh's
+    read_append_changes walk hydrates only what it needs and the view
+    stays exact."""
+    from cuplyr_spark.sources.views import (
+        create_append_view,
+        read_append_view,
+        refresh_append_view,
+    )
+
+    monkeypatch.setattr(C, "_CKPT_SHARD_MIN_SEGS", 1)
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+
+    def batch(i):
+        return Frame(
+            spark.range(i * 5, i * 5 + 5).select(
+                (F.col("id") % 3).cast("string").alias("g"),
+                F.col("id"),
+                (F.col("id") * 2.0).alias("v"),
+            ),
+            (),
+        )
+
+    total = 2 * 5
+    for i in range(2):
+        append_snapshot(batch(i), base, batch_id=i)
+    create_append_view(
+        spark, base, view, "g",
+        {"n": ("count", None), "s": ("sum", "v")},
+    )
+    # push the base past a checkpoint cadence, then refresh cold
+    for i in range(2, C._CHECKPOINT_EVERY + 3):
+        append_snapshot(batch(i), base, batch_id=i)
+        total += 5
+    C._LOG_STATE_CACHE.clear()
+    refresh_append_view(spark, view)
+    got = read_append_view(spark, view).df.collect()
+    assert sum(r["n"] for r in got) == total
+    assert sum(r["s"] for r in got) == sum(i * 2.0 for i in range(total))
