@@ -2385,9 +2385,16 @@ def q_ivf_index_search(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = ivf_centroids(emb, n_cells=16, refine_iters=0)
     d = _scratch_dir("ivf_index")
-    ivf_index(emb, centroids=cents).df.write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(d)
+    # Hash-cluster on the cell before the dynamic-partition write
+    # (same layout rule ivf_index_append enforces): T upstream tasks
+    # x n_cells partitions otherwise open T x n_cells files — measured
+    # 505 files for this 2000-row index at sf0.1, and the probe read
+    # paid the per-file open cost on ~14/16 of them every execution
+    # (guide §6: small files hurt twice). Clustered, the write opens
+    # ~n_cells files and the timed probe read opens one per cell.
+    ivf_index(emb, centroids=cents).df.repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(d)
     idx = Frame(spark.read.parquet(d), ())
     return ivf_cosine_topk(
         emb, k=5, n_probe=4, query_filter="vec_id < 10",

@@ -205,6 +205,19 @@ def minhash_lsh_pairs(
     )
     left = survivors.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
     right = survivors.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
+    # Join strategy note (r15 optimization round, measured): Catalyst
+    # broadcasts one side of this self-join, which duplicates the
+    # signature subtree (shingle md5 + band hash + bucket count run
+    # once per side). Forcing the join back onto the shuffle to reuse
+    # the window's exchange was tried and REJECTED with measurements:
+    # hint("merge") ran 34 s median (equal-key group buffering +
+    # double subtree anyway), hint("shuffle_hash") 1.65 s median —
+    # both far worse than the broadcast plan's 0.76 s at sf0.1, and
+    # neither actually deduplicated the subtree in the initial plan.
+    # The broadcast plan's second compute pass is the cheapest option
+    # because the slim (id, band, bh) build side is tiny; at corpus
+    # scale the `sigs=` stage-once parameter is the real lever (compute
+    # signatures once, persist, reuse across band configs).
     pairs = (
         left.join(right, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
