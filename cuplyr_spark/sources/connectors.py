@@ -1945,7 +1945,64 @@ def _stat_norm_value(v):
     return v
 
 
-def _segment_stats(spark, fs: _TableFS, seg: str, schema, pby) -> dict:
+def _stat_cols(schema, pby) -> list:
+    """The columns a segment's zone-map stats cover: stat-eligible
+    types, minus partition columns (the manifest partition map already
+    prunes on those)."""
+    return [
+        n for n, t in schema
+        if _stat_eligible(t) and n not in set(pby or [])
+    ]
+
+
+def _stats_pass1_aggs(cols, types=None, present=None):
+    """The first-pass stats aggregates (count, min/max/null-count/HLL
+    per column) — shared between the read-back aggregate and the
+    write-riding Observation so both paths record identical stats.
+    ``present`` (the written frame's column set, for the Observation
+    path) replaces absent columns — a ``schema_mode='merge'`` batch
+    omitting a table column — with a typed NULL literal, matching the
+    table-schema-pinned read-back exactly ([None, None, rows])."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = (
+            F.col(c)
+            if present is None or c in present
+            else F.lit(None).cast(types[c])
+        )
+        aggs += [
+            F.min(col).alias(f"mn{i}"),
+            F.max(col).alias(f"mx{i}"),
+            F.sum(F.isnull(col).cast("long")).alias(f"nu{i}"),
+            F.approx_count_distinct(col).alias(f"ad{i}"),
+        ]
+    return aggs
+
+
+def _stats_observe(df, schema, pby):
+    """Attach the segment-stats first pass to the segment WRITE itself
+    (an ``Observation`` riding the write job) so the just-written batch
+    is not re-scanned for stats afterwards — at 100 TB the batch is
+    itself large and the read-back was a second full pass over its
+    bytes (guide §1.2: don't compute things twice). Returns
+    ``(df, observation)``; pass ``observation.get`` to
+    :func:`_segment_stats` as ``first_pass`` after the write."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    aggs = _stats_pass1_aggs(
+        _stat_cols(schema, pby),
+        types=dict(map(tuple, schema)),
+        present=set(df.columns),
+    )
+    return df.observe(obs, *aggs), obs
+
+
+def _segment_stats(
+    spark, fs: _TableFS, seg: str, schema, pby, first_pass=None
+) -> dict:
     """min/max/null-count per stat-eligible column of a just-written
     segment, via ONE column-pruned aggregate over the segment's
     parquet (cost ∝ the batch's bytes, never the table's), plus — for
@@ -1954,26 +2011,24 @@ def _segment_stats(spark, fs: _TableFS, seg: str, schema, pby) -> dict:
     (dictionary zone map: prunes scattered equality keys min/max
     cannot). Partition columns are covered by the manifest partition
     map and skipped. Shape: ``{"rows": n, "cols": {col: [min, max,
-    nulls] | [min, max, nulls, values]}}``."""
+    nulls] | [min, max, nulls, values]}}``.
+
+    ``first_pass`` (a :func:`_stats_observe` result) supplies the
+    first-pass aggregates as observed metrics of the segment write
+    itself; only the conditional dictionary-set pass then touches the
+    parquet, column-pruned to the flagged candidates."""
     from pyspark.sql import functions as F
 
     types = dict(map(tuple, schema))
-    cols = [
-        n for n, t in schema
-        if _stat_eligible(t) and n not in set(pby or [])
-    ]
+    cols = _stat_cols(schema, pby)
     # pinned to the TABLE schema: a schema_mode="merge" batch missing
     # a table column still gets exact stats for it ([None, None, rows])
-    sdf = _read_parquet_at(spark, schema, fs.join(seg))
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for i, c in enumerate(cols):
-        aggs += [
-            F.min(F.col(c)).alias(f"mn{i}"),
-            F.max(F.col(c)).alias(f"mx{i}"),
-            F.sum(F.isnull(F.col(c)).cast("long")).alias(f"nu{i}"),
-            F.approx_count_distinct(F.col(c)).alias(f"ad{i}"),
-        ]
-    row = sdf.agg(*aggs).first()
+    sdf = None
+    if first_pass is not None:
+        row = first_pass
+    else:
+        sdf = _read_parquet_at(spark, schema, fs.join(seg))
+        row = sdf.agg(*_stats_pass1_aggs(cols)).first()
     # second pass only over HLL-flagged candidates (margin over the
     # cap because the estimate is approximate); the set itself is
     # verified exactly driver-side before being recorded
@@ -1984,6 +2039,8 @@ def _segment_stats(spark, fs: _TableFS, seg: str, schema, pby) -> dict:
     ]
     sets: dict = {}
     if cand:
+        if sdf is None:
+            sdf = _read_parquet_at(spark, schema, fs.join(seg))
         row2 = sdf.agg(
             *[F.collect_set(F.col(c)).alias(f"vs{i}") for i, c in cand]
         ).first()
@@ -3619,6 +3676,92 @@ def _has_legacy_dvs(log: dict, segs) -> bool:
     )
 
 
+def _skip_fully_deleted(log: dict, segs):
+    """Drop candidate segments whose EXACT delete count has reached
+    their recorded row count — they hold zero live rows, so a probe
+    scan over them can match nothing and their (ever-growing) DV
+    chains need not be read or anti-joined. The read path already
+    applies this arithmetic (:func:`_read_segments`); the row-level
+    WRITE probes did not, so a merge-heavy table (e.g. a materialized
+    view's state, rewritten keyed-batch by keyed-batch) paid a probe
+    scan + DV anti-join over every dead historical segment on every
+    MERGE until compaction — cost growing linearly with dead segments
+    instead of staying ∝ live rows (r15 optimization round; the
+    delete counts are additive-exact because delete scans read
+    through existing DVs, same soundness argument as the read path)."""
+    cmap = log.get("delete_counts") or {}
+    if not cmap:
+        return segs
+    smap = log.get("stats") or {}
+    return [
+        s
+        for s in segs
+        if not (
+            s in cmap
+            and (smap.get(s) or {}).get("rows") is not None
+            and int(cmap[s]) >= int(smap[s]["rows"])
+        )
+    ]
+
+
+def _rooted_discovery_ok(log: dict) -> bool:
+    """True when partitioned segments can share one scan relation
+    rooted at the TABLE dir — partition discovery then also parses the
+    ``seg=``/``fold=`` dir component as an extra column the schema
+    conform drops. Refused when any head, rename-era, or partition
+    column is itself named ``seg``/``fold``: discovery would shadow
+    the real column with the dir component."""
+    names = {n for n, _ in (log.get("schema") or [])}
+    names |= set(log.get("partition_by") or [])
+    for r in log.get("renames") or ():
+        names.add(r.get("from"))
+        names.add(r.get("to"))
+    return not ({"seg", "fold"} & names)
+
+
+def _partitioned_scan_groups(spark, fs: _TableFS, log: dict, segs, fmap):
+    """Yield ``(aliases, df)`` scan relations covering ``segs`` of a
+    PARTITIONED table. When safe, ONE discovery relation per
+    (column-name era × seg/fold dir kind) rooted at the table dir with
+    the era's explicit read schema — plan size, driver file listing
+    and DV anti-join builds then scale with eras (a handful), never
+    with segment count. The per-segment relations this replaces made a
+    1000-segment partitioned read a 1000-branch union, and the
+    optimizer's anti-join pushdown below that union duplicated the DV
+    broadcast build once per branch (guide §2.4/§3: one scan, one
+    join). The explicit schema keeps mixed physical footers exact
+    (absent columns NULL-fill per file, same as the per-segment
+    conform); partition columns are pinned to STRING (discovery
+    inference is off) and cast by the conform, identical to the
+    per-segment path. Tables with a column literally named
+    ``seg``/``fold`` in any era keep the per-segment fallback."""
+    schema = log.get("schema")
+    pby = set(log.get("partition_by") or [])
+    renames = log.get("renames") or []
+    if _rooted_discovery_ok(log):
+        for aliases, group in _era_groups(renames, segs, schema):
+            era = [
+                [aliases.get(n, n), "string" if n in pby else t]
+                for n, t in schema
+            ]
+            by_kind: dict = {}
+            for s in group:
+                by_kind.setdefault(s.split("=", 1)[0], []).append(s)
+            for kseg in by_kind.values():
+                yield aliases, spark.read.schema(
+                    _schema_ddl(era)
+                ).option("basePath", fs.dir).parquet(
+                    *[p for s in kseg for p in _seg_paths(fs, s, fmap)]
+                )
+    else:
+        for s in segs:
+            yield _era_aliases(renames, _seg_version(s), schema), (
+                spark.read.option("basePath", fs.join(s)).parquet(
+                    *_seg_paths(fs, s, fmap)
+                )
+            )
+
+
 def _scan_with_dv(spark, fs: _TableFS, log: dict, segs, fmap=None):
     """Scan ``segs`` with the row-address columns attached and every
     EXISTING deletion vector already applied — the input the row-level
@@ -3662,17 +3805,13 @@ def _scan_with_dv(spark, fs: _TableFS, log: dict, segs, fmap=None):
             ext = list(schema) + _dv_meta_cols(pby, legacy)
             parts = [
                 _conform_schema(
-                    _with_dv_meta(
-                        spark.read.option("basePath", fs.join(s)).parquet(
-                            *_seg_paths(fs, s, fmap)
-                        ),
-                        pby=pby,
-                        legacy=legacy,
-                    ),
+                    _with_dv_meta(df, pby=pby, legacy=legacy),
                     ext,
-                    aliases=_era_aliases(renames, _seg_version(s), schema),
+                    aliases=aliases,
                 )
-                for s in segs
+                for aliases, df in _partitioned_scan_groups(
+                    spark, fs, log, segs, fmap
+                )
             ]
         finally:
             conf.set(key, prev)
@@ -3895,12 +4034,23 @@ def _probe_existing_keys(spark, fs: _TableFS, cur: dict, keyset, ukey,
     the corpus. Returns a DataFrame of conflicting key tuples."""
     from cuplyr_spark.frame import Frame
 
-    segs = list(cur["segments"]) if segs is None else list(segs)
+    segs = _skip_fully_deleted(
+        cur, list(cur["segments"]) if segs is None else list(segs)
+    )
     fmap: dict = {}
     types = dict(map(tuple, cur.get("schema") or []))
     if len(ukey) == 1 and _stat_eligible(types.get(ukey[0])) and segs:
         filt = join_prune_filter(Frame(keyset, ()), ukey[0])
         if filt is not None:
+            cond = filt.get(ukey[0])
+            if isinstance(cond, tuple) and cond[0] == "in":
+                # the prune collect already holds the exact key set —
+                # probe from a local relation instead of recomputing
+                # the batch distinct inside the join (guide §1.2)
+                keyset = spark.createDataFrame(
+                    [(k,) for k in cond[1]],
+                    schema=f"`{ukey[0]}` {types[ukey[0]]}",
+                )
             segs, _, fmap = _prune_by_stats(
                 spark, fs, cur, segs, filt, with_cond=False
             )
@@ -4137,30 +4287,30 @@ def _read_segments(
     try:
         parts, dirty_parts = [], []
         ext = list(schema) + meta
-        renames = log.get("renames") or []
-        for s in segs:
-            # basePath keeps partition-column discovery working when
-            # the scan is an explicit file-pruned list
-            df = spark.read.option("basePath", fs.join(s)).parquet(
-                *_seg_paths(fs, s, fmap)
-            )
+        # era×kind-grouped discovery relations (scan count ∝ renames,
+        # never ∝ segments); pre-rename segments read renamed columns
+        # through their era's physical name (partition columns refuse
+        # renames, so the discovery/conds never need translation)
+        clean_segs = [s for s in segs if not dmap.get(s)]
+        for aliases, df in _partitioned_scan_groups(
+            spark, fs, log, clean_segs, fmap
+        ):
             if conds is not None:
                 df = df.filter(conds)
-            # pre-rename segments read renamed columns through their
-            # era's physical name (partition columns refuse renames,
-            # so the discovery/conds above never need translation)
-            al = _era_aliases(renames, _seg_version(s), schema)
-            if dmap.get(s):
-                # delete-carrying segment: conform WITH the position
-                # address columns so the DV anti-join below can apply
-                dirty_parts.append(
-                    _conform_schema(
-                        _with_dv_meta(df, pby=pby, legacy=legacy), ext,
-                        aliases=al,
-                    )
+            parts.append(_conform_schema(df, schema, aliases=aliases))
+        for aliases, df in _partitioned_scan_groups(
+            spark, fs, log, dirty_segs, fmap
+        ):
+            if conds is not None:
+                df = df.filter(conds)
+            # delete-carrying segments: conform WITH the position
+            # address columns so the DV anti-join below can apply
+            dirty_parts.append(
+                _conform_schema(
+                    _with_dv_meta(df, pby=pby, legacy=legacy), ext,
+                    aliases=aliases,
                 )
-            else:
-                parts.append(_conform_schema(df, schema, aliases=al))
+            )
     finally:
         conf.set(key, prev)
     if dirty_parts:
@@ -4576,13 +4726,17 @@ def append_snapshot(
     # only the cheap log commit below ever needs to retry
     n = (cur["version"] if cur else 0) + 1
     seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
+    obs = None
+    if collect_stats:  # stats ride the write, not a second batch scan
+        out_df, obs = _stats_observe(out_df, schema, pby)
     writer = out_df.write.mode("errorifexists")
     if pby:
         writer = writer.partitionBy(*pby)
     writer.parquet(fs.join(seg))
     pdirs = _partition_dirs(fs, seg, len(pby)) if pby else None
     seg_stats = (
-        _segment_stats(frame.df.sparkSession, fs, seg, schema, pby)
+        _segment_stats(frame.df.sparkSession, fs, seg, schema, pby,
+                       first_pass=obs.get)
         if collect_stats
         else None
     )
@@ -5667,14 +5821,31 @@ def _prune_by_stats(
     ), fmap
 
 
-def _write_dv(spark, fs: _TableFS, cur: dict, matches, pby):
+# Cap on the number of per-segment observe expressions attached to a
+# DV write (one sum(seg = s) per candidate segment). Past it the
+# expression list itself becomes the cost and the read-back fallback
+# is cheaper; tests shrink it to exercise the fallback.
+_DV_OBSERVE_MAX_SEGS = 256
+
+
+def _write_dv(spark, fs: _TableFS, cur: dict, matches, pby,
+              cand_segs=None):
     """Write the deletion-vector parquet addressing ``matches`` (a
     position-addressed scan from :func:`_scan_with_dv`). Partitioned
     tables get the v2 layout (seg, file-basename, part-composite,
     pos) under ``dv2=``; unpartitioned the (seg, file, pos) layout
     under ``dv=``. Returns ``(dv_rel | None, per-segment counts)`` —
     None when nothing matched (the file is removed, no version
-    published)."""
+    published).
+
+    ``cand_segs`` (the caller's candidate segment list) lets the
+    per-segment counts ride the WRITE itself as observed metrics
+    (one ``sum(seg = s)`` per candidate) instead of a second job
+    re-reading the just-written DV parquet — at 100 TB the DV of a
+    wide delete is itself large, and the read-back was a full second
+    pass over those bytes (guide §1.2: don't compute things twice).
+    Falls back to the read-back when the candidate list is absent or
+    too wide to expand into observe expressions."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -5687,14 +5858,35 @@ def _write_dv(spark, fs: _TableFS, cur: dict, matches, pby):
     if pby:
         sel.append(F.col(_DV_PART).alias("part"))
     sel.append(F.col(_DV_POS).alias("pos"))
-    matches.select(*sel).write.mode("errorifexists").parquet(fs.join(dv_rel))
-    counts = {
-        r["seg"]: r["n"]
-        for r in spark.read.parquet(fs.join(dv_rel))
-        .groupBy("seg")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    out = matches.select(*sel)
+    counts: dict = {}
+    if cand_segs is not None and 0 < len(cand_segs) <= _DV_OBSERVE_MAX_SEGS:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = out.observe(
+            obs,
+            *[
+                F.sum((F.col("seg") == F.lit(s)).cast("long")).alias(f"c{i}")
+                for i, s in enumerate(cand_segs)
+            ],
+        )
+        out.write.mode("errorifexists").parquet(fs.join(dv_rel))
+        got = obs.get
+        counts = {
+            s: int(got[f"c{i}"])
+            for i, s in enumerate(cand_segs)
+            if got.get(f"c{i}")
+        }
+    else:
+        out.write.mode("errorifexists").parquet(fs.join(dv_rel))
+        counts = {
+            r["seg"]: r["n"]
+            for r in spark.read.parquet(fs.join(dv_rel))
+            .groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     if not counts:
         _rm_dir(fs, dv_rel)
         return None, {}
@@ -5827,7 +6019,7 @@ def delete_append_rows(
             "(an unconditional full-table delete is surely a mistake; "
             "pass where=True explicitly if you mean it)"
         )
-    segs = list(cur["segments"])
+    segs = _skip_fully_deleted(cur, list(cur["segments"]))
     segs, pcond = _partition_scope(cur, segs, partition_filter)
     fmap: dict = {}
     if isinstance(where, dict):
@@ -5871,7 +6063,8 @@ def delete_append_rows(
     if residual is not None:
         matches = Frame(matches, ()).filter(residual).df
     dv_rel, counts = _write_dv(
-        spark, fs, cur, matches, list(cur.get("partition_by") or [])
+        spark, fs, cur, matches, list(cur.get("partition_by") or []),
+        cand_segs=segs,
     )
     if dv_rel is None:  # nothing matched: no new version
         return cur["version"], 0
@@ -5990,7 +6183,7 @@ def update_append_rows(
             "(an unconditional full-table update is surely a mistake; "
             "pass where=True explicitly if you mean it)"
         )
-    segs = list(cur["segments"])
+    segs = _skip_fully_deleted(cur, list(cur["segments"]))
     segs, pcond = _partition_scope(cur, segs, partition_filter)
     fmap: dict = {}
     if isinstance(where, dict):
@@ -6031,7 +6224,9 @@ def update_append_rows(
     matches.persist()  # one scan feeds BOTH the DV and the new segment
     try:
         pby = list(cur.get("partition_by") or [])
-        dv_rel, counts = _write_dv(spark, fs, cur, matches, pby)
+        dv_rel, counts = _write_dv(
+            spark, fs, cur, matches, pby, cand_segs=segs,
+        )
         if dv_rel is None:
             return cur["version"], 0
         total = int(sum(counts.values()))
@@ -6057,14 +6252,18 @@ def update_append_rows(
             # the updated copies keep the table's cluster layout, so
             # the NEXT key probe file-prunes over them too
             conformed = _cluster_shape(conformed, cby)
+        obs = None
+        if cur.get("stats"):  # stats ride the write, no re-scan
+            conformed, obs = _stats_observe(conformed, schema, pby)
         writer = conformed.write.mode("errorifexists")
         if pby:
             writer = writer.partitionBy(*pby)
         writer.parquet(fs.join(seg))
         pdirs = _partition_dirs(fs, seg, len(pby)) if pby else None
         seg_stats = (
-            _segment_stats(spark, fs, seg, schema, pby)
-            if cur.get("stats")
+            _segment_stats(spark, fs, seg, schema, pby,
+                           first_pass=obs.get)
+            if obs is not None
             else None
         )
         f_stats = (
@@ -6593,7 +6792,7 @@ def upsert_append_rows(
         # and their values are not appended — as if the batch had
         # been pre-filtered
         src, exp_drops = _enforce_expectations(src, exps, schema)
-    segs = list(cur["segments"])
+    segs = _skip_fully_deleted(cur, list(cur["segments"]))
     # manifest-level candidate pruning by the source's key set (single
     # key only — the stats_filter grammar is per-column; multi-key
     # upserts scan all segments and let the anti-join do the work).
@@ -6601,11 +6800,17 @@ def upsert_append_rows(
     # maps, so pruning is skipped up front — _normalize_stats_filter
     # would reject them — and the plain semi-join does the matching.
     fmap: dict = {}
+    filt_keys = None  # the EXACT distinct non-NULL key list when the
+    # manifest prune collected one — reused below to build the probe
+    # set as a local relation and to size its broadcast from real bytes
     if len(keys) == 1 and _stat_eligible(dict(map(tuple, schema)).get(keys[0])):
         filt = join_prune_filter(
             Frame(src, ()), keys[0], max_keys=max_prune_keys
         )
         if filt is not None:
+            cond = filt.get(keys[0])
+            if isinstance(cond, tuple) and cond[0] == "in":
+                filt_keys = list(cond[1])
             # the key semi-join below IS the exact matcher — skip the
             # residual (a 50k-key IN Column costs ~27s of py4j literal
             # conversion alone, measured)
@@ -6614,21 +6819,25 @@ def upsert_append_rows(
             )
     from pyspark.sql import functions as F
 
-    # one agg does the batch count AND measures max byte width of any
-    # variable-width key column — the 64-byte string default would
-    # under-size a key set of long URLs / composite hashes and
-    # force-broadcast a relation well past BROADCAST_MAX_BYTES
     tmap = dict(map(tuple, schema))
-    var_keys = [k for k in keys if tmap.get(k) in ("string", "binary")]
-    _cnt = src.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.max(F.octet_length(F.col(k))).alias(f"__w{i}")
-            for i, k in enumerate(var_keys)
-        ],
-    ).first()
-    n_appended = int(_cnt["__n"])
-    key_width = {k: _cnt[f"__w{i}"] for i, k in enumerate(var_keys)}
+    n_appended = None  # known up front only on the agg path below;
+    # otherwise observed on the segment write itself (one less batch
+    # scan — guide §1.2)
+    if filt_keys is None:
+        # one agg does the batch count AND measures max byte width of
+        # any variable-width key column — the 64-byte string default
+        # would under-size a key set of long URLs / composite hashes
+        # and force-broadcast a relation well past BROADCAST_MAX_BYTES
+        var_keys = [k for k in keys if tmap.get(k) in ("string", "binary")]
+        _cnt = src.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.max(F.octet_length(F.col(k))).alias(f"__w{i}")
+                for i, k in enumerate(var_keys)
+            ],
+        ).first()
+        n_appended = int(_cnt["__n"])
+        key_width = {k: _cnt[f"__w{i}"] for i, k in enumerate(var_keys)}
     counts: dict = {}
     dv_rel = None
     pby = list(cur.get("partition_by") or [])
@@ -6636,26 +6845,43 @@ def upsert_append_rows(
         from cuplyr_spark.frame import broadcast_guarded
 
         scan = _scan_with_dv(spark, fs, cur, segs, fmap=fmap)
-        keyset = src.select(*keys).distinct()
         # plain-equality semi-join: NULL keys never match on either
         # side (insert-only rows); guarded broadcast keeps it map-side.
-        # The guard is sized from the EXACT batch count already in
-        # hand (distinct keys ≤ batch rows) × a per-type row width —
-        # Catalyst's analyzed-plan estimate of a distinct over a
-        # derived batch is inflated by orders of magnitude and would
-        # drop the hint, leaving the steady-state MERGE probe plan
-        # hanging on an AQE rescue (view-refresh hit exactly this)
-        kb = int(n_appended) * _est_row_bytes(
-            (tmap.get(k) for k in keys),
-            widths=(key_width.get(k) for k in keys),
-        )
+        # The guard is sized from EXACT counts — Catalyst's
+        # analyzed-plan estimate of a distinct over a derived batch is
+        # inflated by orders of magnitude and would drop the hint,
+        # leaving the steady-state MERGE probe plan hanging on an AQE
+        # rescue (view-refresh hit exactly this)
+        if filt_keys is not None:
+            # the prune pass already collected the exact distinct key
+            # set (bounded by max_prune_keys): the probe side becomes
+            # a local relation, so the DV job scans ONLY the candidate
+            # segments instead of re-shuffling the whole batch for a
+            # distinct it computed once already
+            k0 = keys[0]
+            keyset = spark.createDataFrame(
+                [(k,) for k in filt_keys], schema=f"`{k0}` {tmap[k0]}"
+            )
+            w = (
+                max((len(k.encode("utf-8")) for k in filt_keys), default=0)
+                if tmap.get(k0) == "string" else None
+            )
+            kb = len(filt_keys) * _est_row_bytes((tmap.get(k0),), widths=(w,))
+        else:
+            keyset = src.select(*keys).distinct()
+            kb = int(n_appended) * _est_row_bytes(
+                (tmap.get(k) for k in keys),
+                widths=(key_width.get(k) for k in keys),
+            )
         matched = scan.join(
             broadcast_guarded(keyset, what="upsert_append_rows key set",
                               known_bytes=kb),
             on=keys,
             how="left_semi",
         )
-        dv_rel, counts = _write_dv(spark, fs, cur, matched, pby)
+        dv_rel, counts = _write_dv(
+            spark, fs, cur, matched, pby, cand_segs=segs,
+        )
     n_replaced = int(sum(counts.values()))
     n = cur["version"] + 1
     seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
@@ -6665,16 +6891,28 @@ def upsert_append_rows(
         # the merged batch keeps the table's cluster layout, so the
         # NEXT merge's key probe file-prunes over this segment too
         conformed = _cluster_shape(conformed, cby)
+    obs = None
+    if cur.get("stats"):  # stats (and the row count) ride the write
+        conformed, obs = _stats_observe(conformed, schema, pby)
+    elif n_appended is None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        conformed = conformed.observe(
+            obs, F.count(F.lit(1)).alias("__n")
+        )
     writer = conformed.write.mode("errorifexists")
     if pby:
         writer = writer.partitionBy(*pby)
     writer.parquet(fs.join(seg))
     pdirs = _partition_dirs(fs, seg, len(pby)) if pby else None
     seg_stats = (
-        _segment_stats(spark, fs, seg, schema, pby)
+        _segment_stats(spark, fs, seg, schema, pby, first_pass=obs.get)
         if cur.get("stats")
         else None
     )
+    if n_appended is None:
+        n_appended = int(obs.get["__n"])
     f_stats = (
         _file_stats(spark, fs, seg, schema, cby)
         if cby and cur.get("stats")

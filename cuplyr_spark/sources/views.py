@@ -622,8 +622,11 @@ def refresh_append_view(
             for g in group_by:
                 c = F.col(g).isNull()
                 null_cond = c if null_cond is None else null_cond | c
+            # no distinct: batch is one row per group by construction
+            # (_merge_state / _partial_agg output), so the exchange a
+            # distinct would add is pure overhead on the probe job
             null_combos = (
-                batch.filter(null_cond).select(*group_by).distinct()
+                batch.filter(null_cond).select(*group_by)
                 .limit(10_001).collect()
             )
             if len(null_combos) > 10_000:

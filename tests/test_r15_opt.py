@@ -1,0 +1,128 @@
+"""Round-15 optimization-round internals (storage write paths).
+
+Two write-path changes, both invisible to results but load-bearing at
+scale:
+
+- ``_skip_fully_deleted``: row-level WRITE probes (delete / update /
+  upsert / unique-key probe) drop candidate segments whose exact
+  ``delete_counts`` reached their recorded row count — a merge-heavy
+  table (e.g. a materialized view's state) otherwise pays a probe scan
+  + DV anti-join over every dead historical segment on every MERGE,
+  cost growing with dead segments instead of staying ∝ live rows.
+- ``_write_dv(cand_segs=...)``: per-segment DV counts ride the DV
+  write itself as observed metrics instead of a second job re-reading
+  the just-written DV parquet (guide §1.2: don't compute twice). The
+  read-back remains as the fallback past ``_DV_OBSERVE_MAX_SEGS``.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+import cuplyr_spark.sources.connectors as C
+from cuplyr_spark.frame import Frame
+from cuplyr_spark.sources.connectors import (
+    _read_log,
+    _skip_fully_deleted,
+    _TableFS,
+    append_snapshot,
+    delete_append_rows,
+    read_append_snapshot,
+    update_append_rows,
+    upsert_append_rows,
+)
+
+
+def _mk(spark, tmp_path, name, **kw):
+    d = str(tmp_path / name)
+    shutil.rmtree(d, ignore_errors=True)
+    df = spark.range(100).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    append_snapshot(Frame(df.filter("id < 50"), ()), d, batch_id=0, **kw)
+    append_snapshot(Frame(df.filter("id >= 50"), ()), d, batch_id=1, **kw)
+    return d
+
+
+def test_skip_fully_deleted_unit():
+    segs = ["seg=1-a", "seg=2-b", "seg=3-c", "seg=4-d"]
+    log = {
+        "stats": {
+            "seg=1-a": {"rows": 10, "cols": {}},
+            "seg=2-b": {"rows": 10, "cols": {}},
+            "seg=3-c": {"rows": 10, "cols": {}},
+            # seg=4-d has no stats entry (legacy segment)
+        },
+        "delete_counts": {
+            "seg=1-a": 10,   # exhausted -> skipped
+            "seg=2-b": 4,    # partial -> kept
+            "seg=4-d": 10,   # no row count on record -> kept (unknown)
+        },
+    }
+    assert _skip_fully_deleted(log, segs) == ["seg=2-b", "seg=3-c", "seg=4-d"]
+    # no delete_counts at all -> identity
+    assert _skip_fully_deleted({"stats": log["stats"]}, segs) == segs
+
+
+def test_dv_counts_observed_exact(spark, tmp_path):
+    d = _mk(spark, tmp_path, "dvobs")
+    v, n = delete_append_rows(spark, d, {"id": [(">=", 40), ("<", 60)]})
+    assert n == 20
+    cmap = _read_log(_TableFS(d), v)["delete_counts"]
+    assert sorted(cmap.values()) == [10, 10]  # 40-49 in seg 1, 50-59 in seg 2
+    got = sorted(r["id"] for r in read_append_snapshot(spark, d).df.collect())
+    assert got == [*range(40)] + [*range(60, 100)]
+
+
+def test_dv_counts_fallback_readback_matches(spark, tmp_path, monkeypatch):
+    d1 = _mk(spark, tmp_path, "dvobs_a")
+    d2 = _mk(spark, tmp_path, "dvobs_b")
+    delete_append_rows(spark, d1, {"id": [(">=", 45), ("<", 55)]})
+    monkeypatch.setattr(C, "_DV_OBSERVE_MAX_SEGS", 0)  # force read-back
+    delete_append_rows(spark, d2, {"id": [(">=", 45), ("<", 55)]})
+    c1 = _read_log(_TableFS(d1))["delete_counts"]
+    c2 = _read_log(_TableFS(d2))["delete_counts"]
+    assert sorted(c1.values()) == sorted(c2.values()) == [5, 5]
+    assert (
+        read_append_snapshot(spark, d1).df.count()
+        == read_append_snapshot(spark, d2).df.count()
+        == 90
+    )
+
+
+def test_write_probes_skip_dead_segments(spark, tmp_path):
+    d = _mk(spark, tmp_path, "deadseg")
+    # kill segment 0 (id < 50) entirely via row-level delete
+    v, n = delete_append_rows(spark, d, {"id": ("<", 50)})
+    assert n == 50
+    log = _read_log(_TableFS(d))
+    live = _skip_fully_deleted(log, list(log["segments"]))
+    assert len(live) == 1 and len(log["segments"]) == 2
+    # MERGE over the half-dead table: keys spanning both old ranges.
+    # Rows 0-49 are deleted, so upserting id in {45..54} must replace
+    # only 50-54 and append 45-54 fresh — the dead segment contributes
+    # nothing (and is never probed).
+    batch = spark.range(45, 55).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 10).alias("g"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    _, n_replaced, n_appended = upsert_append_rows(
+        Frame(batch, ()), d, key=["id"]
+    )
+    assert (n_replaced, n_appended) == (5, 10)
+    rows = {r["id"]: r["v"] for r in read_append_snapshot(spark, d).df.collect()}
+    assert set(rows) == set(range(45, 100))
+    assert all(rows[i] == -1 for i in range(45, 55))
+    assert all(rows[i] == 2 * i for i in range(55, 100))
+    # UPDATE addressing only the dead range: no match, no new version
+    v_before = _read_log(_TableFS(d))["version"]
+    _, n_upd = update_append_rows(
+        spark, d, {"id": ("<", 40)}, {"v": "v + 1000"}
+    )
+    assert n_upd == 0
+    assert _read_log(_TableFS(d))["version"] == v_before
