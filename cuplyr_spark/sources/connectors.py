@@ -4031,13 +4031,19 @@ def _probe_existing_keys(spark, fs: _TableFS, cur: dict, keyset, ukey,
     manifest stack (zone maps / dictionaries / blooms / file grain)
     when the single key column is stat-eligible, so on a clustered or
     bloom-equipped table the probe reads the key band's bytes, not
-    the corpus. Returns a DataFrame of conflicting key tuples."""
+    the corpus. Returns ``(hits, known_bytes)``: a DataFrame of
+    conflicting key tuples, plus a measured byte bound on it (the
+    conflict set is a subset of the collected key set) when the prune
+    pass collected one — Catalyst's estimate of a semi-join output
+    over a parquet scan is garbage, and without the bound the
+    caller's broadcast hint is dropped."""
     from cuplyr_spark.frame import Frame
 
     segs = _skip_fully_deleted(
         cur, list(cur["segments"]) if segs is None else list(segs)
     )
     fmap: dict = {}
+    known_bytes = None
     types = dict(map(tuple, cur.get("schema") or []))
     if len(ukey) == 1 and _stat_eligible(types.get(ukey[0])) and segs:
         filt = join_prune_filter(Frame(keyset, ()), ukey[0])
@@ -4047,17 +4053,25 @@ def _probe_existing_keys(spark, fs: _TableFS, cur: dict, keyset, ukey,
                 # the prune collect already holds the exact key set —
                 # probe from a local relation instead of recomputing
                 # the batch distinct inside the join (guide §1.2)
+                kvals = list(cond[1])
                 keyset = spark.createDataFrame(
-                    [(k,) for k in cond[1]],
+                    [(k,) for k in kvals],
                     schema=f"`{ukey[0]}` {types[ukey[0]]}",
+                )
+                w = (
+                    max((len(k.encode("utf-8")) for k in kvals), default=0)
+                    if types.get(ukey[0]) == "string" else None
+                )
+                known_bytes = len(kvals) * _est_row_bytes(
+                    (types.get(ukey[0]),), widths=(w,)
                 )
             segs, _, fmap = _prune_by_stats(
                 spark, fs, cur, segs, filt, with_cond=False
             )
     if not segs:
-        return keyset.limit(0)
+        return keyset.limit(0), known_bytes
     scan = _scan_with_dv(spark, fs, cur, segs, fmap=fmap).select(*ukey)
-    return keyset.join(scan, on=list(ukey), how="left_semi")
+    return keyset.join(scan, on=list(ukey), how="left_semi"), known_bytes
 
 
 def _enforce_unique(spark, fs: _TableFS, cur, df, ukey, on_conflict):
@@ -4103,7 +4117,7 @@ def _enforce_unique(spark, fs: _TableFS, cur, df, ukey, on_conflict):
         keyed = keyed.dropDuplicates(list(ukey))
     if cur and cur["segments"]:
         keyset = keyed.select(*ukey).distinct()
-        hits = _probe_existing_keys(spark, fs, cur, keyset, ukey)
+        hits, hit_bytes = _probe_existing_keys(spark, fs, cur, keyset, ukey)
         if on_conflict == "error":
             ex = hits.first()
             if ex is not None:
@@ -4116,7 +4130,8 @@ def _enforce_unique(spark, fs: _TableFS, cur, df, ukey, on_conflict):
                 )
         else:
             keyed = keyed.join(
-                broadcast_guarded(hits, what="unique-key conflict set"),
+                broadcast_guarded(hits, what="unique-key conflict set",
+                                  known_bytes=hit_bytes),
                 on=list(ukey),
                 how="left_anti",
             )
@@ -4867,7 +4882,7 @@ def append_snapshot(
                     hit = _probe_existing_keys(
                         frame.df.sparkSession, fs, cur, ours, ukey,
                         segs=new_segs,
-                    ).first()
+                    )[0].first()
                     if hit is not None:
                         raise ConcurrentWriteError(
                             f"append to {table_dir!r}: a concurrent "
@@ -6645,6 +6660,7 @@ def upsert_append_rows(
     key: str | list[str],
     max_prune_keys: int = 100_000,
     schema_mode: str = "strict",
+    _known_keys: list | None = None,
 ) -> tuple[int, int, int]:
     """Keyed MERGE (upsert) on an append table at merge-on-read cost —
     the Delta ``MERGE WHEN MATCHED UPDATE ALL WHEN NOT MATCHED INSERT
@@ -6668,7 +6684,15 @@ def upsert_append_rows(
     raises on concurrent folds/row-level writes over the touched
     segments.
 
-    Returns ``(published_version, rows_replaced, rows_appended)``."""
+    Returns ``(published_version, rows_replaced, rows_appended)``.
+
+    ``_known_keys`` (private contract, single-key merges): the
+    caller's COMPLETE distinct non-NULL key value list for the batch,
+    when it already holds one — e.g. the view refresh collects the
+    batch's group keys once for its own guards. Passing it skips this
+    function's :func:`join_prune_filter` collect (one fewer driver
+    job over the batch); the values must be exactly what that collect
+    would have returned or pruning turns unsound."""
     import uuid
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -6804,9 +6828,14 @@ def upsert_append_rows(
     # manifest prune collected one — reused below to build the probe
     # set as a local relation and to size its broadcast from real bytes
     if len(keys) == 1 and _stat_eligible(dict(map(tuple, schema)).get(keys[0])):
-        filt = join_prune_filter(
-            Frame(src, ()), keys[0], max_keys=max_prune_keys
-        )
+        if _known_keys is not None:
+            # caller already collected the batch's distinct key set —
+            # same filter join_prune_filter would build, zero jobs
+            filt = {keys[0]: ("in", sorted(_known_keys))}
+        else:
+            filt = join_prune_filter(
+                Frame(src, ()), keys[0], max_keys=max_prune_keys
+            )
         if filt is not None:
             cond = filt.get(keys[0])
             if isinstance(cond, tuple) and cond[0] == "in":

@@ -622,13 +622,33 @@ def refresh_append_view(
             for g in group_by:
                 c = F.col(g).isNull()
                 null_cond = c if null_cond is None else null_cond | c
-            # no distinct: batch is one row per group by construction
-            # (_merge_state / _partial_agg output), so the exchange a
-            # distinct would add is pure overhead on the probe job
-            null_combos = (
-                batch.filter(null_cond).select(*group_by)
-                .limit(10_001).collect()
-            )
+            # ONE bounded collect of the batch's group keys answers
+            # every probe this tail needs — the NULL-combo guard, the
+            # emptiness check, and (single-key views) the MERGE's
+            # prune key set — where it used to launch three driver
+            # jobs over the same cached one-row-per-group batch
+            # (_merge_state / _partial_agg output — no distinct
+            # needed). Past the cap (more groups in one window than
+            # the MERGE's own prune bound) fall back to the separate
+            # bounded probes.
+            known_keys = None
+            krows = batch.select(*group_by).limit(100_001).collect()
+            if len(krows) <= 100_000:
+                null_combos = [
+                    r for r in krows
+                    if any(r[g] is None for g in group_by)
+                ]
+                empty = not krows
+                if len(group_by) == 1:
+                    known_keys = sorted(
+                        {r[0] for r in krows if r[0] is not None}
+                    )
+            else:
+                null_combos = (
+                    batch.filter(null_cond).select(*group_by)
+                    .limit(10_001).collect()
+                )
+                empty = not batch.limit(1).count()
             if len(null_combos) > 10_000:
                 raise ValueError(
                     "refresh_append_view: more than 10000 NULL-keyed groups "
@@ -637,8 +657,9 @@ def refresh_append_view(
             if null_combos:
                 delete_append_rows(spark, state_dir,
                                    _combo_pred(group_by, null_combos))
-            if batch.limit(1).count():
-                upsert_append_rows(Frame(batch, ()), state_dir, key=group_by)
+            if not empty:
+                upsert_append_rows(Frame(batch, ()), state_dir, key=group_by,
+                                   _known_keys=known_keys)
 
         state_log = _read_log(sfs)
         state_v = state_log["version"] if state_log else 0
