@@ -192,36 +192,57 @@ def minhash_lsh_pairs(
         cnt_pred = cnt_pred & (F.col("__bsz") <= max_bucket_size)
     # Bucket-size guard as a WINDOW count, not groupBy + join-back: the
     # window's hash partitioning on (band, bh) is exactly what the
-    # self-join below needs, so Spark shuffles the slim (id, band, bh)
-    # rows ONCE and reuses the exchange for both join sides — the
-    # join-back formulation costs two extra shuffles of the same rows.
-    # (Degenerate buckets land on one task either way, but the window
-    # only counts them — linear, not quadratic.)
+    # bucket aggregation below needs, so Spark shuffles the slim
+    # (id, band, bh) rows ONCE and the collect_list aggregate rides the
+    # same exchange (the window only COUNTS degenerate buckets —
+    # linear, not quadratic — and spills; the list aggregate only ever
+    # buffers buckets the guard already passed, <= max_bucket_size ids).
     wcnt = Window.partitionBy("band", "bh")
     survivors = (
         exploded.withColumn("__bsz", F.count(F.lit(1)).over(wcnt))
         .filter(cnt_pred)
         .drop("__bsz")
     )
-    left = survivors.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
-    right = survivors.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
-    # Join strategy note (r15 optimization round, measured): Catalyst
-    # broadcasts one side of this self-join, which duplicates the
-    # signature subtree (shingle md5 + band hash + bucket count run
-    # once per side). Forcing the join back onto the shuffle to reuse
-    # the window's exchange was tried and REJECTED with measurements:
-    # hint("merge") ran 34 s median (equal-key group buffering +
-    # double subtree anyway), hint("shuffle_hash") 1.65 s median —
-    # both far worse than the broadcast plan's 0.76 s at sf0.1, and
-    # neither actually deduplicated the subtree in the initial plan.
-    # The broadcast plan's second compute pass is the cheapest option
-    # because the slim (id, band, bh) build side is tiny; at corpus
-    # scale the `sigs=` stage-once parameter is the real lever (compute
-    # signatures once, persist, reuse across band configs).
+    # Pair generation (r15 optimization round, measured): a self-join on
+    # (band, bh) was the original formulation, but Catalyst broadcasts
+    # one side, which duplicates the whole signature subtree (shingle
+    # md5 + band hash + window guard run once per side). Forcing the
+    # join onto the shuffle was tried and REJECTED with measurements
+    # (hint("merge") 34 s, hint("shuffle_hash") 1.65 s vs broadcast's
+    # 0.76 s at sf0.1 — neither deduplicated the subtree either).
+    # Collecting each bucket's id list instead computes the subtree
+    # ONCE and emits each unordered in-bucket pair via array transforms
+    # (0.78 s -> 0.43 s median at sf0.1): the aggregate reuses the
+    # window's exchange, so the only shuffles are the band shuffle and
+    # the final pair distinct. Pair emission per bucket stays on one
+    # task, exactly where the broadcast join's probe rows for that
+    # bucket already sat; with the cap disabled the buffered id list is
+    # the same degenerate bucket the quadratic join output already made
+    # pathological, so the guard remains the operative bound.
+    buckets = survivors.groupBy("band", "bh").agg(
+        F.collect_list(F.col(id_col)).alias("__ids")
+    )
+    ids = F.col("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                # slice is 1-based and clamps at the array end: elements
+                # strictly after position i pair with ids[i] exactly once.
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
     pairs = (
-        left.join(right, ["band", "bh"])
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+        # least/greatest of equal ids would emit a degenerate (x, x)
+        # pair; the original join's id_a < id_b filter excluded those,
+        # so keep the exact same predicate.
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
     return Frame(pairs, ())
