@@ -223,14 +223,26 @@ def _zip_index(df: DataFrame, idx: str) -> DataFrame:
     for row in sorted(counts, key=lambda r: r[pid]):
         offsets.append((int(row[pid]), acc))
         acc += int(row["count"])
-    offdf = df.sparkSession.createDataFrame(
-        offsets, schema=f"{pid} int, {off} long"
+    # Per-partition offsets as a MAP LITERAL, not a broadcast-joined
+    # local relation (r15 optimization round): the offsets are one int
+    # per partition, but `createDataFrame(py_rows)` executes as a
+    # pickled-row scan whose every use round-trips a Python worker, and
+    # the join added a broadcast exchange to every zip plan. A map
+    # literal keyed on spark_partition_id is pure JVM expression — same
+    # values, one fewer exchange, no Python boundary (guide §4).
+    omap = F.create_map(
+        *[x for p, o in offsets for x in (F.lit(p), F.lit(o))]
     )
     w = Window.partitionBy(pid).orderBy(mid)
     return (
-        d.join(F.broadcast(offdf), pid)
-        .withColumn(idx, (F.col(off) + F.row_number().over(w) - 1).cast("long"))
-        .drop(pid, mid, off)
+        d.withColumn(
+            idx,
+            (
+                F.coalesce(F.element_at(omap, F.col(pid)), F.lit(0))
+                + F.row_number().over(w) - 1
+            ).cast("long"),
+        )
+        .drop(pid, mid)
     )
 
 

@@ -643,6 +643,24 @@ def refresh_append_view(
                     known_keys = sorted(
                         {r[0] for r in krows if r[0] is not None}
                     )
+                # The merged batch is provably small (the collect just
+                # bounded it at <= 100k one-row-per-group rows) but it
+                # inherits the state scan's partitioning — AQE's
+                # parallelismFirst keeps ~n_cores near-empty partitions
+                # through tiny shuffles, so each refresh wrote the
+                # state segment AND its deletion vector as ~26 files of
+                # a few rows, and every later refresh re-paid the
+                # per-file open on both (guide §6: small files hurt
+                # twice; measured r15: 27 files per 64-row segment,
+                # upsert 1.37 s/iter of a 1.71 s refresh). Draining the
+                # PINNED batch into one partition makes the segment one
+                # file and the DV scan one task — steady-state refresh
+                # cost stops accreting file overhead. (Flipping
+                # parallelismFirst=false session-wide was tried and
+                # REJECTED with measurements: right for this write, but
+                # it collapses compute-bound stages everywhere —
+                # window_topn_per_group 0.31 s -> 0.79 s at sf0.1.)
+                batch = batch.coalesce(1)
             else:
                 null_combos = (
                     batch.filter(null_cond).select(*group_by)

@@ -126,3 +126,101 @@ def test_write_probes_skip_dead_segments(spark, tmp_path):
     )
     assert n_upd == 0
     assert _read_log(_TableFS(d))["version"] == v_before
+
+
+def test_local_relation_matches_row_path(spark):
+    # the Arrow-backed local relation must be value- and type-identical
+    # to the pickled-row construction it replaces (upsert/unique-probe
+    # key sets); exotic inputs fall back to the row path
+    import datetime
+
+    cases = [
+        ({"k": [3, 1, 2]}, "`k` bigint"),
+        ({"k": ["b", "a", ""]}, "`k` string"),
+        ({"k": [1.5, -2.25]}, "`k` double"),
+        (
+            {"k": [datetime.date(2024, 1, 2), datetime.date(1999, 12, 31)]},
+            "`k` date",
+        ),
+        ({"k": []}, "`k` int"),
+    ]
+    for vals, ddl in cases:
+        fast = C._local_relation(spark, vals, ddl)
+        slow = spark.createDataFrame(
+            [(v,) for v in vals["k"]], schema=ddl
+        )
+        assert fast.schema == slow.schema, ddl
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        ), ddl
+
+
+def test_refresh_writes_single_file_state_segments(spark, tmp_path):
+    # steady-state view refresh: the merged batch is provably <= the
+    # key-collect bound, so the state segment and its deletion vector
+    # must land as ONE data file each — not one near-empty file per
+    # AQE partition (the small-file tax every later refresh re-pays)
+    import glob
+    import os
+
+    from cuplyr_spark.sources.views import (
+        create_append_view,
+        refresh_append_view,
+    )
+
+    base = str(tmp_path / "sf_base")
+    view = str(tmp_path / "sf_view")
+    src = spark.range(2000).select(
+        (F.col("id") % 16).alias("g"), F.col("id").alias("v")
+    )
+    append_snapshot(Frame(src, ()), base, batch_id=0)
+    create_append_view(
+        spark, base, view, "g", {"s": ("sum", "v"), "n": ("count", None)}
+    )
+    refresh_append_view(spark, view)
+    append_snapshot(Frame(src.filter("id < 500"), ()), base, batch_id=1)
+    refresh_append_view(spark, view)
+    state = os.path.join(view, "state")
+    log = _read_log(_TableFS(state))
+    latest_seg = sorted(
+        log["segments"], key=lambda s: int(s.split("=")[1].split("-")[0])
+    )[-1]
+    seg_files = glob.glob(os.path.join(state, latest_seg, "*.parquet"))
+    assert len(seg_files) == 1, seg_files
+    dv_dirs = [r for rels in (log.get("deletes") or {}).values() for r in rels]
+    assert dv_dirs
+    dv_files = glob.glob(os.path.join(state, dv_dirs[-1], "*.parquet"))
+    assert len(dv_files) == 1, dv_files
+    # and the view still reads exactly the merged totals
+    from cuplyr_spark.sources.views import read_append_view
+
+    rows = {r["g"]: (r["s"], r["n"]) for r in read_append_view(spark, view).df.collect()}
+    import collections
+
+    exp = collections.defaultdict(lambda: [0, 0])
+    for i in range(2000):
+        exp[i % 16][0] += i
+        exp[i % 16][1] += 1
+    for i in range(500):
+        exp[i % 16][0] += i
+        exp[i % 16][1] += 1
+    assert rows == {g: tuple(v) for g, v in exp.items()}
+
+
+def test_zip_index_map_literal_no_broadcast_join():
+    # bind_cols' row zip: per-partition offsets are a map literal, not
+    # a broadcast-joined local relation — no join, no Python-worker
+    # scan in the zip plan, same contiguous 0-based index
+    from cuplyr_spark.frame import _zip_index
+    from cuplyr_spark.session import get_session
+
+    spark = get_session()
+    df = spark.range(1000).select((F.col("id") * 3).alias("x")).repartition(7)
+    z = _zip_index(df, "__i")
+    idx = sorted(r["__i"] for r in z.collect())
+    assert idx == list(range(1000))
+    plan = z._sc._jvm.PythonSQLUtils.explainString(
+        z._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastExchange" not in plan
+    assert "Join" not in plan
