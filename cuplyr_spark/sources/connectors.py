@@ -6936,48 +6936,77 @@ def upsert_append_rows(
             on=keys,
             how="left_semi",
         )
-        dv_rel, counts = _write_dv(
-            spark, fs, cur, matched, pby, cand_segs=segs,
-        )
-    n_replaced = int(sum(counts.values()))
+    # the DV job (candidate-segment scan + DV parquet) and the segment
+    # write chain below are independent until the log commit — both
+    # write to fresh paths nothing references until _write_log — so
+    # the DV runs on its own thread and the two jobs overlap instead
+    # of serializing (measured: 0.33 s DV + 0.32 s segment chain per
+    # steady-state view refresh at sf0.1 → max() of the two). Failure
+    # on either side leaves only an unreferenced dir, exactly like the
+    # sequential order did; InheritableThread carries the caller's job
+    # group/description onto the DV job.
+    dv_thread = None
+    dv_out: dict = {}
+    if segs:
+        def _run_dv(matched=matched):
+            try:
+                dv_out["ok"] = _write_dv(
+                    spark, fs, cur, matched, pby, cand_segs=segs,
+                )
+            except BaseException as e:  # re-raised on join below
+                dv_out["err"] = e
+
+        from pyspark import InheritableThread
+
+        dv_thread = InheritableThread(target=_run_dv, daemon=True)
+        dv_thread.start()
     n = cur["version"] + 1
     seg = f"seg={n}-{uuid.uuid4().hex[:8]}"
-    conformed = _conform_schema(src, schema)
-    cby = list(cur.get("cluster_by") or [])
-    if cby:
-        # the merged batch keeps the table's cluster layout, so the
-        # NEXT merge's key probe file-prunes over this segment too
-        conformed = _cluster_shape(conformed, cby)
-    obs = None
-    if cur.get("stats"):  # stats (and the row count) ride the write
-        conformed, obs = _stats_observe(conformed, schema, pby)
-    elif n_appended is None:
-        from pyspark.sql import Observation
+    try:
+        conformed = _conform_schema(src, schema)
+        cby = list(cur.get("cluster_by") or [])
+        if cby:
+            # the merged batch keeps the table's cluster layout, so the
+            # NEXT merge's key probe file-prunes over this segment too
+            conformed = _cluster_shape(conformed, cby)
+        obs = None
+        if cur.get("stats"):  # stats (and the row count) ride the write
+            conformed, obs = _stats_observe(conformed, schema, pby)
+        elif n_appended is None:
+            from pyspark.sql import Observation
 
-        obs = Observation()
-        conformed = conformed.observe(
-            obs, F.count(F.lit(1)).alias("__n")
+            obs = Observation()
+            conformed = conformed.observe(
+                obs, F.count(F.lit(1)).alias("__n")
+            )
+        writer = conformed.write.mode("errorifexists")
+        if pby:
+            writer = writer.partitionBy(*pby)
+        writer.parquet(fs.join(seg))
+        pdirs = _partition_dirs(fs, seg, len(pby)) if pby else None
+        seg_stats = (
+            _segment_stats(spark, fs, seg, schema, pby, first_pass=obs.get)
+            if cur.get("stats")
+            else None
         )
-    writer = conformed.write.mode("errorifexists")
-    if pby:
-        writer = writer.partitionBy(*pby)
-    writer.parquet(fs.join(seg))
-    pdirs = _partition_dirs(fs, seg, len(pby)) if pby else None
-    seg_stats = (
-        _segment_stats(spark, fs, seg, schema, pby, first_pass=obs.get)
-        if cur.get("stats")
-        else None
-    )
-    if n_appended is None:
-        n_appended = int(obs.get["__n"])
-    f_stats = (
-        _file_stats(spark, fs, seg, schema, cby)
-        if cby and cur.get("stats")
-        else None
-    )
-    spec = cur.get("sketch_spec")
-    if spec is not None:
-        _write_segment_sketch(spark, fs, seg, spec)
+        if n_appended is None:
+            n_appended = int(obs.get["__n"])
+        f_stats = (
+            _file_stats(spark, fs, seg, schema, cby)
+            if cby and cur.get("stats")
+            else None
+        )
+        spec = cur.get("sketch_spec")
+        if spec is not None:
+            _write_segment_sketch(spark, fs, seg, spec)
+    finally:
+        if dv_thread is not None:
+            dv_thread.join()
+    if dv_thread is not None:
+        if "err" in dv_out:
+            raise dv_out["err"]
+        dv_rel, counts = dv_out["ok"]
+    n_replaced = int(sum(counts.values()))
     touched = sorted(counts)
     for _ in range(6):
         n = cur["version"] + 1

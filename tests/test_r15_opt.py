@@ -224,3 +224,31 @@ def test_zip_index_map_literal_no_broadcast_join():
     )
     assert "BroadcastExchange" not in plan
     assert "Join" not in plan
+
+
+def test_upsert_dv_thread_error_propagates(spark, tmp_path, monkeypatch):
+    # the DV write runs on its own InheritableThread so it overlaps the
+    # segment write (guide §2.6); a failure there must still surface to
+    # the caller and leave the log unpublished (only unreferenced dirs
+    # on disk, exactly like the old sequential order)
+    d = _mk(spark, tmp_path, "dvthread_err")
+    v_before = _read_log(_TableFS(d))["version"]
+
+    def _boom(*a, **kw):
+        raise RuntimeError("dv write failed (injected)")
+
+    monkeypatch.setattr(C, "_write_dv", _boom)
+    batch = spark.range(40, 60).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 10).alias("g"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected"):
+        upsert_append_rows(Frame(batch, ()), d, key=["id"])
+    log = _read_log(_TableFS(d))
+    assert log["version"] == v_before  # nothing committed
+    assert not (log.get("deletes") or {})
+    # table reads exactly the pre-upsert rows
+    assert read_append_snapshot(spark, d).df.count() == 100
