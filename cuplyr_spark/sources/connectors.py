@@ -2009,22 +2009,38 @@ def _stats_pass1_aggs(cols, types=None, present=None):
     return aggs
 
 
-def _stats_observe(df, schema, pby):
+def _stats_observe(df, schema, pby, with_sets=False):
     """Attach the segment-stats first pass to the segment WRITE itself
     (an ``Observation`` riding the write job) so the just-written batch
     is not re-scanned for stats afterwards — at 100 TB the batch is
     itself large and the read-back was a second full pass over its
     bytes (guide §1.2: don't compute things twice). Returns
     ``(df, observation)``; pass ``observation.get`` to
-    :func:`_segment_stats` as ``first_pass`` after the write."""
-    from pyspark.sql import Observation
+    :func:`_segment_stats` as ``first_pass`` after the write.
 
+    ``with_sets`` additionally rides ``collect_set`` per stat column so
+    the conditional dictionary-set pass needs NO second job at all —
+    safe ONLY when the caller proves the batch is small (each set
+    buffers up to one value per row): the bounded-MERGE path passes it
+    when its own key collect has already capped the batch at 100k
+    rows. Unbounded batches must keep the two-pass shape — a
+    high-cardinality column would otherwise buffer the whole batch in
+    the observation (guide §5)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    cols = _stat_cols(schema, pby)
+    types = dict(map(tuple, schema))
+    present = set(df.columns)
     obs = Observation()
-    aggs = _stats_pass1_aggs(
-        _stat_cols(schema, pby),
-        types=dict(map(tuple, schema)),
-        present=set(df.columns),
-    )
+    aggs = _stats_pass1_aggs(cols, types=types, present=present)
+    if with_sets:
+        aggs += [
+            F.collect_set(
+                F.col(c) if c in present else F.lit(None).cast(types[c])
+            ).alias(f"vs{i}")
+            for i, c in enumerate(cols)
+        ]
     return df.observe(obs, *aggs), obs
 
 
@@ -2067,11 +2083,17 @@ def _segment_stats(
     ]
     sets: dict = {}
     if cand:
-        if sdf is None:
-            sdf = _read_parquet_at(spark, schema, fs.join(seg))
-        row2 = sdf.agg(
-            *[F.collect_set(F.col(c)).alias(f"vs{i}") for i, c in cand]
-        ).first()
+        if first_pass is not None and f"vs{cand[0][0]}" in row:
+            # the write observation already carried the exact sets
+            # (bounded-batch path, _stats_observe(with_sets=True)) —
+            # same values the read-back below would return, zero jobs
+            row2 = row
+        else:
+            if sdf is None:
+                sdf = _read_parquet_at(spark, schema, fs.join(seg))
+            row2 = sdf.agg(
+                *[F.collect_set(F.col(c)).alias(f"vs{i}") for i, c in cand]
+            ).first()
         for i, c in cand:
             vals = row2[f"vs{i}"]
             if not vals or len(vals) > _STAT_SET_CAP:
@@ -6689,6 +6711,7 @@ def upsert_append_rows(
     max_prune_keys: int = 100_000,
     schema_mode: str = "strict",
     _known_keys: list | None = None,
+    _rows_bounded: int | None = None,
 ) -> tuple[int, int, int]:
     """Keyed MERGE (upsert) on an append table at merge-on-read cost —
     the Delta ``MERGE WHEN MATCHED UPDATE ALL WHEN NOT MATCHED INSERT
@@ -6720,7 +6743,14 @@ def upsert_append_rows(
     batch's group keys once for its own guards. Passing it skips this
     function's :func:`join_prune_filter` collect (one fewer driver
     job over the batch); the values must be exactly what that collect
-    would have returned or pruning turns unsound."""
+    would have returned or pruning turns unsound.
+
+    ``_rows_bounded`` (private contract): the caller's proof that the
+    batch holds at most this many ROWS (e.g. the view refresh already
+    collected the one-row-per-group batch's keys). When ≤ 100k, the
+    dictionary-set stats ride the segment write's observation instead
+    of a second job over the just-written segment — the sets are
+    bounded by the row count, so the observation buffers are too."""
     import uuid
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -6971,7 +7001,12 @@ def upsert_append_rows(
             conformed = _cluster_shape(conformed, cby)
         obs = None
         if cur.get("stats"):  # stats (and the row count) ride the write
-            conformed, obs = _stats_observe(conformed, schema, pby)
+            conformed, obs = _stats_observe(
+                conformed, schema, pby,
+                with_sets=(
+                    _rows_bounded is not None and _rows_bounded <= 100_000
+                ),
+            )
         elif n_appended is None:
             from pyspark.sql import Observation
 

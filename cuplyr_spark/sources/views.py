@@ -566,8 +566,12 @@ def refresh_append_view(
                 delete_append_rows(spark, state_dir, "1 = 1")
                 n_rows = batch.count()
                 if n_rows:
-                    upsert_append_rows(Frame(batch, ()), state_dir,
-                                       key=group_by)
+                    upsert_append_rows(
+                        Frame(batch, ()), state_dir, key=group_by,
+                        _rows_bounded=(
+                            n_rows if n_rows <= 100_000 else None
+                        ),
+                    )
         else:
             since = last["base_version"]
             pinned_state = read_append_snapshot(
@@ -632,8 +636,13 @@ def refresh_append_view(
             # the MERGE's own prune bound) fall back to the separate
             # bounded probes.
             known_keys = None
+            n_bounded = None  # proven batch row bound: the collect
+            # below caps the one-row-per-group batch at 100k rows, so
+            # the MERGE's dictionary-set stats can ride its segment
+            # write instead of a second job (upsert _rows_bounded)
             krows = batch.select(*group_by).limit(100_001).collect()
             if len(krows) <= 100_000:
+                n_bounded = len(krows)
                 null_combos = [
                     r for r in krows
                     if any(r[g] is None for g in group_by)
@@ -677,7 +686,8 @@ def refresh_append_view(
                                    _combo_pred(group_by, null_combos))
             if not empty:
                 upsert_append_rows(Frame(batch, ()), state_dir, key=group_by,
-                                   _known_keys=known_keys)
+                                   _known_keys=known_keys,
+                                   _rows_bounded=n_bounded)
 
         state_log = _read_log(sfs)
         state_v = state_log["version"] if state_log else 0
