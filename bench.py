@@ -173,10 +173,12 @@ def _setup_view_refresh_action(spark):
 # side-effecting maintenance paths timed per-call (no reusable plan).
 # view_refresh_incremental has a PINNED noise band (BENCH_REFERENCE.md
 # "view_refresh_incremental noise band", scripts/pin_view_refresh_band
-# .py): judge a reading against the calibration-scaled band
-# [2.67, 3.33] s, not against round-over-round deltas — the query is
-# dominated by fixed per-job overhead at sf0.1 and its readings swung
-# 1.9 → 2.65 s across rounds on identical code.
+# .py): judge a reading against the calibration-scaled band —
+# [0.65, 0.86] s @ calibration 0.505 after the r15 optimization round
+# (the pre-optimization pin was [2.67, 3.33] @ 0.715) — not against
+# round-over-round deltas: the query is dominated by fixed per-job
+# overhead at sf0.1 and its readings swung 1.9 → 2.65 s across rounds
+# on identical code before the band existed.
 ACTIONS = {
     "view_refresh_incremental": _setup_view_refresh_action,
 }
