@@ -174,7 +174,7 @@ def _setup_view_refresh_action(spark):
 # view_refresh_incremental has a PINNED noise band (BENCH_REFERENCE.md
 # "view_refresh_incremental noise band", scripts/pin_view_refresh_band
 # .py): judge a reading against the calibration-scaled band —
-# [0.65, 0.86] s @ calibration 0.505 after the r15 optimization round
+# [0.61, 0.86] s @ calibration 0.506 after the r15 optimization round
 # (the pre-optimization pin was [2.67, 3.33] @ 0.715) — not against
 # round-over-round deltas: the query is dominated by fixed per-job
 # overhead at sf0.1 and its readings swung 1.9 → 2.65 s across rounds

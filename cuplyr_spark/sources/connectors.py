@@ -3754,6 +3754,70 @@ def _skip_fully_deleted(log: dict, segs):
     ]
 
 
+def _provably_covered(cur: dict, segs, k0: str, ktype: str, keyset):
+    """Candidate segments whose EVERY row provably carries a merge key
+    in ``keyset`` — their live rows are all replaced by this MERGE, so
+    the DV scan can skip them and the commit tombstones them
+    arithmetically (``delete_counts`` → rows) with no DV parquet at
+    all. The proof uses only recorded EXACT stats of the immutable
+    segment (guide §8: use what you know that the optimizer does not):
+
+    - the key column's recorded null-count is 0 (a NULL key never
+      matches, so any NULL row would survive), AND
+    - the recorded dictionary set is a subset of ``keyset``
+      (int/string/boolean keys), OR the key is an integer type and
+      ``keyset`` contains every integer in the recorded [min, max]
+      zone-map range (sorted-list bisect count == max−min+1 — the
+      keys are distinct, so counting them inside the window proves
+      full enumeration).
+
+    Stats cover ALL rows of the segment (recorded at write, before
+    any deletes), and live rows are a subset — so the proof over all
+    rows covers every live row. Returns ``(covered, rest)``."""
+    import bisect
+
+    smap = cur.get("stats") or {}
+    if not smap or not keyset:
+        return [], list(segs)
+    dict_ok = ktype in (
+        "tinyint", "smallint", "int", "bigint", "string", "boolean",
+    )
+    range_ok = ktype in ("tinyint", "smallint", "int", "bigint")
+    if not dict_ok:
+        return [], list(segs)
+    kset = set(keyset)
+    skeys = sorted(kset) if range_ok else None
+    covered, rest = [], []
+    for s in segs:
+        st = smap.get(s)
+        ent = (st or {}).get("cols", {}).get(k0)
+        if (
+            st is None
+            or st.get("rows") is None
+            or ent is None
+            or int(ent[2]) != 0  # NULL keys would survive the merge
+        ):
+            rest.append(s)
+            continue
+        if len(ent) > 3 and set(ent[3]) <= kset:
+            covered.append(s)
+            continue
+        mn, mx = ent[0], ent[1]
+        if (
+            range_ok
+            and mn is not None
+            and mx is not None
+            and (
+                bisect.bisect_right(skeys, mx)
+                - bisect.bisect_left(skeys, mn)
+            ) == mx - mn + 1
+        ):
+            covered.append(s)
+            continue
+        rest.append(s)
+    return covered, rest
+
+
 def _rooted_discovery_ok(log: dict) -> bool:
     """True when partitioned segments can share one scan relation
     rooted at the TABLE dir — partition discovery then also parses the
@@ -5968,8 +6032,18 @@ def _dv_conflict_check(cur: dict, new: dict, touched) -> None:
     data (Delta raises on concurrent row-level ops the same way)."""
     live = set(new["segments"])
     old_d, new_d = cur.get("deletes") or {}, new.get("deletes") or {}
+    # delete_counts compared too: a full-coverage tombstone advances a
+    # segment's count with NO new DV file, so the file-list diff alone
+    # would miss that concurrent row-level write
+    old_c = cur.get("delete_counts") or {}
+    new_c = new.get("delete_counts") or {}
     gone = [s for s in touched if s not in live]
-    changed = [s for s in touched if new_d.get(s, []) != old_d.get(s, [])]
+    changed = [
+        s
+        for s in touched
+        if new_d.get(s, []) != old_d.get(s, [])
+        or int(new_c.get(s, 0)) != int(old_c.get(s, 0))
+    ]
     if gone or changed:
         raise ConcurrentWriteError(
             "row-level write lost a race: "
@@ -6463,6 +6537,14 @@ def read_append_cdf(
         for files in ((prev or {}).get("deletes") or {}).values()
         for d in files
     }
+    # tombstone tracking: a full-coverage MERGE advances a segment's
+    # delete_counts to its row count with NO new DV file (see
+    # upsert_append_rows), so the DV-file walk alone would silently
+    # drop those deletes from the feed — track the per-segment file
+    # lists and counts and emit the still-live-at-(k-1) rows instead
+    prev_log = prev
+    prev_dmap = dict((prev or {}).get("deletes") or {})
+    prev_counts = dict((prev or {}).get("delete_counts") or {})
     parts = []
     # run of contiguous insert-only versions of an unpartitioned table
     # awaiting one batched scan: [(version, [seg, ...]), ...]
@@ -6679,8 +6761,33 @@ def read_append_cdf(
                         "_change_type", F.lit("delete")
                     ).withColumn("_commit_version", F.lit(k).cast("long"))
                 )
+        cnts_k = log_k.get("delete_counts") or {}
+        dmap_k = log_k.get("deletes") or {}
+        tomb = sorted(
+            s
+            for s in cnts_k
+            if s in prev_segs
+            and int(cnts_k[s]) > int(prev_counts.get(s, 0))
+            and dmap_k.get(s, []) == prev_dmap.get(s, [])
+        )
+        if tomb:
+            # counts advanced with no new DV file: the version
+            # tombstoned these segments whole — their deleted rows are
+            # exactly the rows still live at k-1, read through the
+            # previous log state (cost ∝ the tombstoned segments, the
+            # same contract as the DV read-back above)
+            flush_inserts()
+            dels = _read_segments(spark, fs, prev_log, tomb)
+            parts.append(
+                dels.withColumn(
+                    "_change_type", F.lit("delete")
+                ).withColumn("_commit_version", F.lit(k).cast("long"))
+            )
         prev_segs = set(log_k["segments"])
         prev_dvs = dvs_k
+        prev_dmap = dmap_k
+        prev_counts = cnts_k
+        prev_log = log_k
     flush_inserts()
     if not parts:
         schema = cur.get("schema") or []
@@ -6928,6 +7035,28 @@ def upsert_append_rows(
     counts: dict = {}
     dv_rel = None
     pby = list(cur.get("partition_by") or [])
+    # full-coverage tombstones: candidate segments whose every row
+    # provably carries a key in the batch's exact key set need no DV
+    # scan and no DV parquet at all — their live rows are all replaced,
+    # so the commit just advances delete_counts to the recorded row
+    # count (the same arithmetic the fully-deleted read skip already
+    # trusts). This is the steady-state materialized-view shape: every
+    # refresh replaces every live state row, and without the proof it
+    # paid a candidate scan + DV write ∝ the state per refresh.
+    # Guarded to rename-free tables (stats are recorded under era
+    # names) and stat-proof key types; everything else keeps the DV
+    # path unchanged.
+    full_counts: dict = {}
+    if filt_keys is not None and segs and not cur.get("renames"):
+        covered, segs = _provably_covered(
+            cur, segs, keys[0], tmap.get(keys[0]), filt_keys
+        )
+        prior = cur.get("delete_counts") or {}
+        smap = cur.get("stats") or {}
+        full_counts = {
+            s: int(smap[s]["rows"]) - int(prior.get(s, 0))
+            for s in covered
+        }
     if segs:
         from cuplyr_spark.frame import broadcast_guarded
 
@@ -7041,6 +7170,9 @@ def upsert_append_rows(
         if "err" in dv_out:
             raise dv_out["err"]
         dv_rel, counts = dv_out["ok"]
+    dv_segs = set(counts)  # segments whose rows the DV parquet holds;
+    # tombstoned segments advance counts with NO file reference
+    counts = {**counts, **full_counts}
     n_replaced = int(sum(counts.values()))
     touched = sorted(counts)
     for _ in range(6):
@@ -7081,11 +7213,12 @@ def upsert_append_rows(
                         f"this batch's widening to {g!r} — re-run"
                     )
             log["schema"] = new_schema
-        if dv_rel is not None:
+        if counts:
             dmap = dict(log.get("deletes") or {})
             cmap = dict(log.get("delete_counts") or {})
             for s in touched:
-                dmap[s] = list(dmap.get(s, [])) + [dv_rel]
+                if dv_rel is not None and s in dv_segs:
+                    dmap[s] = list(dmap.get(s, [])) + [dv_rel]
                 cmap[s] = int(cmap.get(s, 0)) + int(counts[s])
             log["deletes"], log["delete_counts"] = dmap, cmap
         if pby:

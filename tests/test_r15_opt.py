@@ -170,8 +170,12 @@ def test_refresh_writes_single_file_state_segments(spark, tmp_path):
 
     base = str(tmp_path / "sf_base")
     view = str(tmp_path / "sf_view")
+    # gapped keys (40 distinct, > the 32-value dictionary cap, range
+    # not contiguous): full coverage is NOT provable from stats, so the
+    # MERGE keeps its DV write — the path this test pins. The provable
+    # shape (dense keys) is covered by the tombstone tests below.
     src = spark.range(2000).select(
-        (F.col("id") % 16).alias("g"), F.col("id").alias("v")
+        ((F.col("id") % 40) * 3).alias("g"), F.col("id").alias("v")
     )
     append_snapshot(Frame(src, ()), base, batch_id=0)
     create_append_view(
@@ -199,11 +203,11 @@ def test_refresh_writes_single_file_state_segments(spark, tmp_path):
 
     exp = collections.defaultdict(lambda: [0, 0])
     for i in range(2000):
-        exp[i % 16][0] += i
-        exp[i % 16][1] += 1
+        exp[(i % 40) * 3][0] += i
+        exp[(i % 40) * 3][1] += 1
     for i in range(500):
-        exp[i % 16][0] += i
-        exp[i % 16][1] += 1
+        exp[(i % 40) * 3][0] += i
+        exp[(i % 40) * 3][1] += 1
     assert rows == {g: tuple(v) for g, v in exp.items()}
 
 
@@ -300,3 +304,174 @@ def test_bounded_upsert_dict_sets_ride_the_write(spark, tmp_path, monkeypatch):
     a = sorted(map(tuple, read_append_snapshot(spark, da).df.collect()))
     b = sorted(map(tuple, read_append_snapshot(spark, db).df.collect()))
     assert a == b
+
+
+# -- full-coverage tombstones (MERGE skips the DV entirely) -----------------
+
+
+def test_provably_covered_unit():
+    from cuplyr_spark.sources.connectors import _provably_covered
+
+    cur = {
+        "stats": {
+            "seg=1-a": {"rows": 10, "cols": {"k": [0, 9, 0]}},          # dense range
+            "seg=2-b": {"rows": 5, "cols": {"k": [0, 9, 0, [0, 3, 9]]}},  # dictionary
+            "seg=3-c": {"rows": 5, "cols": {"k": [0, 9, 1]}},           # NULL keys
+            "seg=4-d": {"rows": 5, "cols": {"k": [0, 20, 0]}},          # range too wide
+            "seg=5-e": {"rows": 5, "cols": {}},                          # no key stats
+            "seg=6-f": {"rows": None, "cols": {"k": [0, 9, 0]}},        # no row count
+            "seg=7-g": {"rows": 4, "cols": {"k": [0, 11, 0, [0, 3, 11]]}},  # dict outside
+        }
+    }
+    segs = [f"seg={i}-{c}" for i, c in zip(range(1, 8), "abcdefg")]
+    keys = list(range(10))
+    covered, rest = _provably_covered(cur, segs, "k", "bigint", keys)
+    assert covered == ["seg=1-a", "seg=2-b"]
+    assert rest == ["seg=3-c", "seg=4-d", "seg=5-e", "seg=6-f", "seg=7-g"]
+    # gapped key list: dense range proof must fail, dictionary still works
+    covered, rest = _provably_covered(cur, segs, "k", "bigint", [0, 3, 9])
+    assert covered == ["seg=2-b"]
+    # string keys: dictionary proof only
+    cur_s = {"stats": {"seg=1-a": {"rows": 3, "cols": {"k": ["a", "c", 0, ["a", "b", "c"]]}}}}
+    covered, rest = _provably_covered(cur_s, ["seg=1-a"], "k", "string", ["a", "b", "c", "d"])
+    assert covered == ["seg=1-a"]
+    covered, rest = _provably_covered(cur_s, ["seg=1-a"], "k", "string", ["a", "b"])
+    assert covered == []
+    # unprovable key type: everything stays on the DV path
+    covered, rest = _provably_covered(cur, segs, "k", "double", keys)
+    assert covered == [] and rest == segs
+
+
+def _glob_dvs(d):
+    import glob
+    import os
+
+    return sorted(glob.glob(os.path.join(d, "_delete", "*")))
+
+
+def test_full_coverage_merge_tombstones_without_dv(spark, tmp_path):
+    d = str(tmp_path / "tomb")
+    df = spark.range(100).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    append_snapshot(Frame(df, ()), d, batch_id=0)
+    batch = df.select("id", "g", (F.col("v") + 1).alias("v"))
+    v, n_rep, n_app = upsert_append_rows(Frame(batch, ()), d, key=["id"])
+    assert (n_rep, n_app) == (100, 100)
+    log = _read_log(_TableFS(d))
+    old_seg = log["segments"][0]
+    # tombstoned: counts advanced to rows, NO DV file anywhere
+    assert log["delete_counts"] == {old_seg: 100}
+    assert not log.get("deletes")
+    assert _glob_dvs(d) == []
+    got = sorted(
+        (r["id"], r["v"]) for r in read_append_snapshot(spark, d).df.collect()
+    )
+    assert got == [(i, 2 * i + 1) for i in range(100)]
+    # time travel to the pre-merge version still sees the old rows
+    old = sorted(
+        (r["id"], r["v"])
+        for r in read_append_snapshot(spark, d, version=1).df.collect()
+    )
+    assert old == [(i, 2 * i) for i in range(100)]
+
+
+def test_partial_coverage_merge_keeps_dv(spark, tmp_path):
+    d = str(tmp_path / "tomb_partial")
+    df = spark.range(100).select(
+        F.col("id").cast("long"), (F.col("id") % 10).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    append_snapshot(Frame(df, ()), d, batch_id=0)
+    batch = df.filter("id < 37").select("id", "g", (F.col("v") + 1).alias("v"))
+    v, n_rep, n_app = upsert_append_rows(Frame(batch, ()), d, key=["id"])
+    assert (n_rep, n_app) == (37, 37)
+    log = _read_log(_TableFS(d))
+    old_seg = log["segments"][0]
+    assert log["delete_counts"] == {old_seg: 37}
+    assert log["deletes"][old_seg]  # real DV recorded
+    got = sorted(
+        (r["id"], r["v"]) for r in read_append_snapshot(spark, d).df.collect()
+    )
+    assert got == [(i, 2 * i + 1 if i < 37 else 2 * i) for i in range(100)]
+
+
+def test_tombstone_after_prior_partial_deletes(spark, tmp_path):
+    # prior partial DV, then a full-coverage merge: tombstone adds only
+    # the REMAINING live rows and the old DV file stays for time travel
+    from cuplyr_spark.sources.connectors import delete_append_rows
+
+    d = str(tmp_path / "tomb_prior")
+    df = spark.range(100).select(
+        F.col("id").cast("long"), (F.col("id") % 10).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    append_snapshot(Frame(df, ()), d, batch_id=0)
+    delete_append_rows(spark, d, {"id": [("<", 30)]})
+    batch = df.select("id", "g", (F.col("v") + 7).alias("v"))
+    v, n_rep, n_app = upsert_append_rows(Frame(batch, ()), d, key=["id"])
+    assert (n_rep, n_app) == (70, 100)  # only the live 70 replaced
+    log = _read_log(_TableFS(d))
+    old_seg = log["segments"][0]
+    assert log["delete_counts"][old_seg] == 100
+    assert len(log["deletes"][old_seg]) == 1  # only the partial delete's DV
+    got = sorted(
+        (r["id"], r["v"]) for r in read_append_snapshot(spark, d).df.collect()
+    )
+    assert got == [(i, 2 * i + 7) for i in range(100)]
+
+
+def test_cdf_emits_tombstoned_rows_as_deletes(spark, tmp_path):
+    from cuplyr_spark.sources.connectors import read_append_cdf
+
+    d = str(tmp_path / "tomb_cdf")
+    df = spark.range(20).select(
+        F.col("id").cast("long"), (F.col("id") % 4).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    append_snapshot(Frame(df, ()), d, batch_id=0)
+    batch = df.select("id", "g", (F.col("v") + 1).alias("v"))
+    upsert_append_rows(Frame(batch, ()), d, key=["id"])
+    log = _read_log(_TableFS(d))
+    assert not log.get("deletes")  # tombstoned, no DV parquet
+    cdf = read_append_cdf(spark, d, 1).df
+    dels = sorted(
+        (r["id"], r["v"])
+        for r in cdf.filter("_change_type = 'delete'").collect()
+    )
+    ins = sorted(
+        (r["id"], r["v"])
+        for r in cdf.filter("_change_type = 'insert'").collect()
+    )
+    assert dels == [(i, 2 * i) for i in range(20)]      # the OLD copies
+    assert ins == [(i, 2 * i + 1) for i in range(20)]   # the new segment
+    vers = {r["_commit_version"] for r in cdf.select("_commit_version").collect()}
+    assert vers == {2}
+    # mirror replay: v1 state + v2 changes == v2 snapshot
+    base = {(r["id"], r["v"]) for r in read_append_snapshot(spark, d, version=1).df.collect()}
+    mirrored = (base - set(dels)) | set(ins)
+    now = {(r["id"], r["v"]) for r in read_append_snapshot(spark, d).df.collect()}
+    assert mirrored == now
+
+
+def test_tombstone_conflict_detected_via_counts(spark, tmp_path):
+    # _dv_conflict_check must see a concurrent tombstone (counts moved,
+    # DV file lists identical)
+    import pytest
+
+    from cuplyr_spark.sources.connectors import (
+        ConcurrentWriteError,
+        _dv_conflict_check,
+    )
+
+    cur = {"segments": ["seg=1-a"], "deletes": {},
+           "delete_counts": {}}
+    new = {"segments": ["seg=1-a"], "deletes": {},
+           "delete_counts": {"seg=1-a": 10}}
+    with pytest.raises(ConcurrentWriteError):
+        _dv_conflict_check(cur, new, ["seg=1-a"])
+    # unchanged counts still pass
+    _dv_conflict_check(cur, {"segments": ["seg=1-a"], "deletes": {},
+                             "delete_counts": {}}, ["seg=1-a"])
