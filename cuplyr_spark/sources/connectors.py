@@ -7635,6 +7635,14 @@ def compact_append_snapshot(
     every partition — Delta's OPTIMIZE ZORDER semantics. Z-ordering a
     partition column itself is refused (constant per directory).
 
+    Fully-deleted segments — EXACT delete count equal to the recorded
+    row count, whether via deletion vectors or a counts-only tombstone
+    (full-coverage MERGE) — are dropped from the new log outright:
+    they hold zero live rows, so they contribute nothing to any fold,
+    and dropping the reference is what lets a later vacuum reclaim
+    their files. A compaction whose only work is dropping dead
+    segments publishes a metadata-only version (no data rewritten).
+
     Older log versions keep referencing the original segments, so time
     travel spans the compaction until vacuum prunes it; incremental
     readers (``read_append_changes``) skip ``fold=`` segments, so a
@@ -7675,6 +7683,27 @@ def compact_append_snapshot(
         )
 
     dmap = cur.get("deletes") or {}
+    cmap = cur.get("delete_counts") or {}
+    smap0 = cur.get("stats") or {}
+
+    def fully_dead(s: str) -> bool:
+        # EXACT delete count reached the recorded row count: zero live
+        # rows (the read path already skips such segments —
+        # _skip_fully_deleted). Compaction drops them from the new log
+        # outright: they would contribute no rows to any fold, their
+        # files become vacuumable once older versions age out, and
+        # their dead rows must never be summed into a fold's
+        # stats/sketches. Covers both DV-carrying segments whose DV
+        # chain marked every row and counts-only tombstones (a
+        # full-coverage MERGE advances delete_counts with no DV file).
+        return (
+            s in cmap
+            and (smap0.get(s) or {}).get("rows") is not None
+            and int(cmap[s]) >= int(smap0[s]["rows"])
+        )
+
+    dead = [s for s in cur["segments"] if fully_dead(s)]
+    alive = [s for s in cur["segments"] if not fully_dead(s)]
 
     def needs_fold(s: str) -> bool:
         # a delete-carrying segment joins the fold when asked
@@ -7682,8 +7711,8 @@ def compact_append_snapshot(
         # so the fold materializes the deletes and drops the DVs
         return fragmented(stats[s]) or (purge_deletes and bool(dmap.get(s)))
 
-    fold = [s for s in cur["segments"] if needs_fold(s)]
-    keep = [s for s in cur["segments"] if not needs_fold(s)]
+    fold = [s for s in alive if needs_fold(s)]
+    keep = [s for s in alive if not needs_fold(s)]
     if max_live_segments is not None:
         # pull smallest right-sized segments into the fold until the
         # new log's live count (keep + one fold) fits the knob
@@ -7692,24 +7721,38 @@ def compact_append_snapshot(
             victim = by_size.pop(0)
             keep.remove(victim)
             fold.append(victim)
-    if not fold:
-        return None
+    if not keep and not fold and dead:
+        # EVERY segment is fully dead: dropping them all would publish
+        # an empty segments list, which readers treat as corruption —
+        # fold them into one EMPTY segment instead (the fold read
+        # skips dead segments, so zero rows are written and the
+        # recomputed stats record rows=0)
+        fold, dead = dead, []
     fold_sizes = [b for s in fold for b in stats[s]]
     n_target = max(1, -(-sum(fold_sizes) // target_file_bytes))
     if (
         len(fold) == 1
         and len(fold_sizes) <= n_target
         and not zorder_by
-        and not dmap.get(fold[0])  # rewriting purges its deletes: not 1:1
+        # rewriting purges its deletes: not 1:1 (counts checked too —
+        # a count-carrying segment holds arithmetic tombstones)
+        and not dmap.get(fold[0])
+        and not cmap.get(fold[0])
     ):
-        return None  # folding a lone compact segment rewrites it 1:1
+        # folding a lone compact segment rewrites it 1:1; keep it
+        # (the dead-segment drop below may still publish)
+        keep.append(fold.pop())
+    if not fold and not dead:
+        return None
     import uuid
 
-    df = _read_segments(spark, fs, cur, fold)
     n = cur["version"] + 1
-    seg = f"fold={n}-{uuid.uuid4().hex[:8]}"
+    seg = f"fold={n}-{uuid.uuid4().hex[:8]}" if fold else None
+    df = _read_segments(spark, fs, cur, fold) if fold else None
     cby = list(cur.get("cluster_by") or [])
-    if zorder_by:
+    if not fold:
+        pass  # metadata-only publish: dead segments dropped, no fold
+    elif zorder_by:
         from cuplyr_spark.sources.readers import write_parquet_zorder
 
         write_parquet_zorder(
@@ -7752,13 +7795,21 @@ def compact_append_snapshot(
             df.repartition(n_target) if shuffle else df.coalesce(n_target)
         )
         shaped.write.mode("errorifexists").parquet(fs.join(seg))
-    ordered = [s for s in cur["segments"] if s in set(keep)] + [seg]
-    fold_has_dv = any(dmap.get(s) for s in fold)
+    ordered = [s for s in cur["segments"] if s in set(keep)] + (
+        [seg] if seg else []
+    )
+    # count-carrying fold members are delete-carrying too: a segment
+    # whose delete_counts advanced holds rows the fold data does NOT
+    # contain, so its recorded stats/sketch must not be summed into
+    # the fold's — recompute from the written fold instead
+    fold_has_dv = any(dmap.get(s) or cmap.get(s) for s in fold)
     # _log_with_extras restricts every metadata family to the surviving
     # segments: kept segments keep their deletion vectors, while the
     # folded segments' DVs are DROPPED — the fold read them through
     # _read_segments, so the deletes are now materialized in the data
     log = _log_with_extras(cur, n, ordered)
+    if seg is None:
+        return _write_log(fs, log, prev=cur)
     if pby:
         log["partitions"] = {
             **(log.get("partitions") or {}),
