@@ -288,11 +288,24 @@ def test_bounded_upsert_dict_sets_ride_the_write(spark, tmp_path, monkeypatch):
     )
 
     reads.clear()
+    arrow_sets: list = []
+    orig_ds = C._dict_sets_arrow
+
+    def spy_ds(*a, **kw):
+        arrow_sets.append(a[2])
+        return orig_ds(*a, **kw)
+
+    monkeypatch.setattr(C, "_dict_sets_arrow", spy_ds)
     upsert_append_rows(Frame(batch, ()), db, key=["id"])  # two-pass path
     lb = _read_log(_TableFS(db))
     seg_b = lb["segments"][-1]
-    assert any(seg_b in p for p in reads), (
+    # r16: the unbounded second pass is the vectorized pyarrow read of
+    # just the candidate columns — never a Spark read-back aggregate
+    assert seg_b in arrow_sets, (
         "unbounded upsert keeps the two-pass dictionary stats"
+    )
+    assert not any(seg_b in p for p in reads), (
+        "the dictionary pass must not re-read via a Spark aggregate"
     )
 
     # recorded stats identical between the two paths
