@@ -194,42 +194,31 @@ def _raw(node: ast.AST):
         raise ExprError("argument must be a literal constant")
 
 
-# Top-level column names of the frame being compiled against, when
-# the caller knows them (Frame.filter/mutate pass theirs). Lets the
-# Attribute branch disambiguate `meta.n_chars`: a flat column literally
-# named "meta.n_chars" (join suffixes, bind_cols repairs) wins; else a
-# struct-field access on column `meta`. None = no schema knowledge →
-# the historical flat-column reading.
-_KNOWN_COLUMNS: frozenset | None = None
-
-
 def compile_expr(text: str, columns=None) -> Column:
     """Compile an expression string to a Column.
 
     Tries the R-style grammar first; falls back to Spark SQL
     (``F.expr``) when the string isn't valid Python syntax.
     ``columns``, when given, is the frame's top-level column names —
-    used to resolve dotted names as struct-field access when no flat
-    column carries the dotted name (multimodal metadata predicates
-    like ``meta.n_chars < 200``).
+    threaded down the recursive compile as a parameter (the engine
+    runs driver threads, so no module-global context) and used to
+    resolve dotted names as struct-field access when no flat column
+    carries the dotted name (multimodal metadata predicates like
+    ``meta.n_chars < 200``).
     """
-    global _KNOWN_COLUMNS
     try:
         tree = ast.parse(text, mode="eval")
     except SyntaxError:
         return F.expr(text)
-    saved = _KNOWN_COLUMNS
-    _KNOWN_COLUMNS = frozenset(columns) if columns is not None else None
+    known = frozenset(columns) if columns is not None else None
     try:
-        return _compile(tree.body)
+        return _compile(tree.body, known)
     except ExprError:
         # Parsed as Python but uses something only Spark SQL knows.
         return F.expr(text)
-    finally:
-        _KNOWN_COLUMNS = saved
 
 
-def _compile(node: ast.AST) -> Column:
+def _compile(node: ast.AST, known: frozenset | None) -> Column:
     if isinstance(node, ast.Constant):
         return F.lit(node.value)
     if isinstance(node, ast.Name):
@@ -251,9 +240,9 @@ def _compile(node: ast.AST) -> Column:
         parts.reverse()
         name = ".".join(parts)
         if (
-            _KNOWN_COLUMNS is not None
-            and name not in _KNOWN_COLUMNS
-            and parts[0] in _KNOWN_COLUMNS
+            known is not None
+            and name not in known
+            and parts[0] in known
         ):
             out = F.col("`" + parts[0].replace("`", "``") + "`")
             for fld in parts[1:]:
@@ -264,23 +253,23 @@ def _compile(node: ast.AST) -> Column:
         fn = _BIN_OPS.get(type(node.op))
         if fn is None:
             raise ExprError(f"unsupported operator {ast.dump(node.op)}")
-        return fn(_compile(node.left), _compile(node.right))
+        return fn(_compile(node.left, known), _compile(node.right, known))
     if isinstance(node, ast.UnaryOp):
         if isinstance(node.op, ast.USub):
-            return -_compile(node.operand)
+            return -_compile(node.operand, known)
         if isinstance(node.op, (ast.Not, ast.Invert)):
-            return ~_compile(node.operand)
+            return ~_compile(node.operand, known)
         raise ExprError("unsupported unary op")
     if isinstance(node, ast.BoolOp):
         op = operator.and_ if isinstance(node.op, ast.And) else operator.or_
-        cols = [_compile(v) for v in node.values]
+        cols = [_compile(v, known) for v in node.values]
         out = cols[0]
         for c in cols[1:]:
             out = op(out, c)
         return out
     if isinstance(node, ast.Compare):
         out = None
-        left = _compile(node.left)
+        left = _compile(node.left, known)
         for cmp_op, comparator in zip(node.ops, node.comparators):
             if isinstance(cmp_op, (ast.In, ast.NotIn)):
                 if not isinstance(comparator, (ast.List, ast.Tuple, ast.Set)):
@@ -293,25 +282,25 @@ def _compile(node: ast.AST) -> Column:
                 fn = _CMP_OPS.get(type(cmp_op))
                 if fn is None:
                     raise ExprError("unsupported comparison")
-                right = _compile(comparator)
+                right = _compile(comparator, known)
                 piece = fn(left, right)
                 left = right  # chained comparisons: a < b < c
             out = piece if out is None else (out & piece)
         return out
     if isinstance(node, ast.Call):
-        return _compile_call(node)
+        return _compile_call(node, known)
     if isinstance(node, ast.IfExp):
-        return F.when(_compile(node.test), _compile(node.body)).otherwise(
-            _compile(node.orelse)
-        )
+        return F.when(
+            _compile(node.test, known), _compile(node.body, known)
+        ).otherwise(_compile(node.orelse, known))
     raise ExprError(f"unsupported syntax: {ast.dump(node)[:60]}")
 
 
-def _compile_call(node: ast.Call) -> Column:
+def _compile_call(node: ast.Call, known: frozenset | None) -> Column:
     if not isinstance(node.func, ast.Name):
         raise ExprError("only simple function names are supported")
     name = _FN_ALIASES.get(node.func.id, node.func.id)
-    args = [_compile(a) for a in node.args]
+    args = [_compile(a, known) for a in node.args]
     if name == "expr_if_else":
         if len(args) != 3:
             raise ExprError("if_else(cond, yes, no)")
