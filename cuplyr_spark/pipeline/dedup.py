@@ -543,12 +543,36 @@ def flag_contaminated(
     return Frame(out, corpus.group_vars())
 
 
+def benchmark_grams(
+    benchmark: Frame, text_col: str = "text", ngram: int = 13
+) -> Frame:
+    """The DISTINCT n-gram set of a benchmark/eval corpus, as a
+    one-column (``gram``) frame — the stage-once artifact for
+    decontamination sweeps: compute once, write it to parquet, and
+    pass the read-back to :func:`flag_contaminated_hashed` (``grams=``)
+    so each corpus sweep skips the eval-side explode+distinct
+    entirely. The eval set is fixed across sweeps while the corpus
+    changes, so without staging every sweep paid the eval subtree
+    TWICE (hash build + exact verify — two Generates of the same
+    explode in the plan)."""
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    out = (
+        benchmark.df.select(
+            F.explode(_word_shingles(F.col(text_col), ngram)).alias("gram")
+        )
+        .distinct()
+    )
+    return Frame(out, ())
+
+
 def flag_contaminated_hashed(
     corpus: Frame,
-    benchmark: Frame,
+    benchmark: Frame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 13,
+    grams: Frame | None = None,
 ) -> Frame:
     """:func:`flag_contaminated` for benchmark-gram sets too large to
     broadcast as strings: the broadcast prefilter carries only the
@@ -563,16 +587,26 @@ def flag_contaminated_hashed(
     is an internal expression, not exposed to SQL/DataFrame in 4.x;
     a 64-bit hash set is the same prefilter idea with zero false
     positives in practice and no tuning surface.)
+
+    ``grams=`` accepts the pre-staged distinct eval-gram set from
+    :func:`benchmark_grams` (typically read back from parquet — the
+    stage-once deployment shape): the eval explode+distinct subtree
+    then appears in NO sweep plan at all, instead of twice per sweep
+    (once under the broadcast hash build, once under the exact-verify
+    join). Must have been built with the same ``ngram``; results are
+    identical to the inline path by construction.
     """
     if ngram < 1:
         raise ValueError("ngram must be >= 1")
+    if (benchmark is None) == (grams is None):
+        raise ValueError("pass exactly one of benchmark= or grams=")
     gram, gh = "__decon_gram", "__decon_gh"
-    bench_grams = (
-        benchmark.df.select(
-            F.explode(_word_shingles(F.col(text_col), ngram)).alias(gram)
+    if grams is not None:
+        bench_grams = grams.df.select(F.col("gram").alias(gram))
+    else:
+        bench_grams = benchmark_grams(benchmark, text_col, ngram).df.select(
+            F.col("gram").alias(gram)
         )
-        .distinct()
-    )
     bench_hashes = bench_grams.select(F.xxhash64(F.col(gram)).alias(gh)).distinct()
     candidates = (
         corpus.df.select(
