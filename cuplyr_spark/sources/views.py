@@ -619,105 +619,234 @@ def refresh_append_view(
                     )
                 if vrows:
                     _delete_groups(spark, state_dir, group_by, vrows)
-            # NULL-keyed groups can't be replaced by the equality MERGE —
-            # pre-delete their CURRENT state rows (including provisional
-            # junk from a crashed refresh), then the upsert re-appends them
-            null_cond = None
-            for g in group_by:
-                c = F.col(g).isNull()
-                null_cond = c if null_cond is None else null_cond | c
-            # ONE bounded collect of the batch's group keys answers
-            # every probe this tail needs — the NULL-combo guard, the
-            # emptiness check, and (single-key views) the MERGE's
-            # prune key set — where it used to launch three driver
-            # jobs over the same cached one-row-per-group batch
-            # (_merge_state / _partial_agg output — no distinct
-            # needed). Past the cap (more groups in one window than
-            # the MERGE's own prune bound) fall back to the separate
-            # bounded probes.
-            known_keys = None
-            n_bounded = None  # proven batch row bound: the collect
-            # below caps the one-row-per-group batch at 100k rows, so
-            # the MERGE's dictionary-set stats can ride its segment
-            # write instead of a second job (upsert _rows_bounded)
-            krows = batch.select(*group_by).limit(100_001).collect()
-            if len(krows) <= 100_000:
-                n_bounded = len(krows)
-                null_combos = [
-                    r for r in krows
-                    if any(r[g] is None for g in group_by)
-                ]
-                empty = not krows
-                if len(group_by) == 1:
-                    known_keys = sorted(
-                        {r[0] for r in krows if r[0] is not None}
-                    )
-                # The merged batch is provably small (the collect just
-                # bounded it at <= 100k one-row-per-group rows) but it
-                # inherits the state scan's partitioning — AQE's
-                # parallelismFirst keeps ~n_cores near-empty partitions
-                # through tiny shuffles, so each refresh wrote the
-                # state segment AND its deletion vector as ~26 files of
-                # a few rows, and every later refresh re-paid the
-                # per-file open on both (guide §6: small files hurt
-                # twice; measured r15: 27 files per 64-row segment,
-                # upsert 1.37 s/iter of a 1.71 s refresh). Draining the
-                # PINNED batch into one partition makes the segment one
-                # file and the DV scan one task — steady-state refresh
-                # cost stops accreting file overhead. (Flipping
-                # parallelismFirst=false session-wide was tried and
-                # REJECTED with measurements: right for this write, but
-                # it collapses compute-bound stages everywhere —
-                # window_topn_per_group 0.31 s -> 0.79 s at sf0.1.)
-                batch = batch.coalesce(1)
-            else:
-                null_combos = (
-                    batch.filter(null_cond).select(*group_by)
-                    .limit(10_001).collect()
-                )
-                empty = not batch.limit(1).count()
-            if len(null_combos) > 10_000:
-                raise ValueError(
-                    "refresh_append_view: more than 10000 NULL-keyed groups "
-                    "in one window — run refresh_append_view(..., full=True)"
-                )
-            if null_combos:
-                delete_append_rows(spark, state_dir,
-                                   _combo_pred(group_by, null_combos))
-            if not empty:
-                upsert_append_rows(Frame(batch, ()), state_dir, key=group_by,
-                                   _known_keys=known_keys,
-                                   _rows_bounded=n_bounded)
+            _commit_merged_batch(spark, state_dir, group_by, batch)
 
-        state_log = _read_log(sfs)
-        state_v = state_log["version"] if state_log else 0
-        seq = (last["seq"] + 1) if last else 1
-        record = {
-            "seq": seq,
-            "base_version": end,
-            "state_version": state_v,
-            "full": bool(full or first),
-        }
-        # pre-commit parent check: the state version we are about to pin
-        # must still be the one our commits produced (best-effort guard
-        # against a concurrent refresher — single-maintainer contract)
-        if state_log is None or sfs.read_text(f"_LOG.{state_v}") is None:
-            raise ConcurrentWriteError(
-                f"refresh_append_view: state table at {state_dir!r} changed "
-                "under the refresh — another refresher is running"
-            )
-        if not fs.write_text_exclusive(
-            f"_REFRESH.{seq}", json.dumps(record), f".tmp.{seq}"
-        ):
-            raise ConcurrentWriteError(
-                f"refresh record {seq} at {view_dir!r} was committed by "
-                "another refresher — re-run refresh_append_view (it "
-                "converges over the overlap)"
-            )
-        return end
+        return _write_refresh_record(
+            fs, sfs, view_dir, state_dir, last, end, bool(full or first)
+        )
     finally:
         for df in cached:
             df.unpersist()
+
+
+def _commit_merged_batch(spark, state_dir: str, group_by: list[str], batch):
+    """The incremental refresh's state-MERGE tail, shared with
+    :func:`append_refresh`: one bounded collect of the merged batch's
+    group keys answers every probe (NULL-combo guard, emptiness,
+    single-key MERGE prune set), the pinned small batch drains to one
+    file, and the upsert rides the proven row bound."""
+    # NULL-keyed groups can't be replaced by the equality MERGE —
+    # pre-delete their CURRENT state rows (including provisional
+    # junk from a crashed refresh), then the upsert re-appends them
+    null_cond = None
+    for g in group_by:
+        c = F.col(g).isNull()
+        null_cond = c if null_cond is None else null_cond | c
+    # ONE bounded collect of the batch's group keys answers
+    # every probe this tail needs — the NULL-combo guard, the
+    # emptiness check, and (single-key views) the MERGE's
+    # prune key set — where it used to launch three driver
+    # jobs over the same cached one-row-per-group batch
+    # (_merge_state / _partial_agg output — no distinct
+    # needed). Past the cap (more groups in one window than
+    # the MERGE's own prune bound) fall back to the separate
+    # bounded probes.
+    known_keys = None
+    n_bounded = None  # proven batch row bound: the collect
+    # below caps the one-row-per-group batch at 100k rows, so
+    # the MERGE's dictionary-set stats can ride its segment
+    # write instead of a second job (upsert _rows_bounded)
+    krows = batch.select(*group_by).limit(100_001).collect()
+    if len(krows) <= 100_000:
+        n_bounded = len(krows)
+        null_combos = [
+            r for r in krows
+            if any(r[g] is None for g in group_by)
+        ]
+        empty = not krows
+        if len(group_by) == 1:
+            known_keys = sorted(
+                {r[0] for r in krows if r[0] is not None}
+            )
+        # The merged batch is provably small (the collect just
+        # bounded it at <= 100k one-row-per-group rows) but it
+        # inherits the state scan's partitioning — AQE's
+        # parallelismFirst keeps ~n_cores near-empty partitions
+        # through tiny shuffles, so each refresh wrote the
+        # state segment AND its deletion vector as ~26 files of
+        # a few rows, and every later refresh re-paid the
+        # per-file open on both (guide §6: small files hurt
+        # twice; measured r15: 27 files per 64-row segment,
+        # upsert 1.37 s/iter of a 1.71 s refresh). Draining the
+        # PINNED batch into one partition makes the segment one
+        # file and the DV scan one task — steady-state refresh
+        # cost stops accreting file overhead. (Flipping
+        # parallelismFirst=false session-wide was tried and
+        # REJECTED with measurements: right for this write, but
+        # it collapses compute-bound stages everywhere —
+        # window_topn_per_group 0.31 s -> 0.79 s at sf0.1.)
+        batch = batch.coalesce(1)
+    else:
+        null_combos = (
+            batch.filter(null_cond).select(*group_by)
+            .limit(10_001).collect()
+        )
+        empty = not batch.limit(1).count()
+    if len(null_combos) > 10_000:
+        raise ValueError(
+            "refresh_append_view: more than 10000 NULL-keyed groups "
+            "in one window — run refresh_append_view(..., full=True)"
+        )
+    if null_combos:
+        delete_append_rows(spark, state_dir,
+                           _combo_pred(group_by, null_combos))
+    if not empty:
+        upsert_append_rows(Frame(batch, ()), state_dir, key=group_by,
+                           _known_keys=known_keys,
+                           _rows_bounded=n_bounded)
+
+
+def _write_refresh_record(
+    fs: _TableFS, sfs: _TableFS, view_dir: str, state_dir: str,
+    last: dict | None, end: int, full_flag: bool,
+) -> int:
+    state_log = _read_log(sfs)
+    state_v = state_log["version"] if state_log else 0
+    seq = (last["seq"] + 1) if last else 1
+    record = {
+        "seq": seq,
+        "base_version": end,
+        "state_version": state_v,
+        "full": full_flag,
+    }
+    # pre-commit parent check: the state version we are about to pin
+    # must still be the one our commits produced (best-effort guard
+    # against a concurrent refresher — single-maintainer contract)
+    if state_log is None or sfs.read_text(f"_LOG.{state_v}") is None:
+        raise ConcurrentWriteError(
+            f"refresh_append_view: state table at {state_dir!r} changed "
+            "under the refresh — another refresher is running"
+        )
+    if not fs.write_text_exclusive(
+        f"_REFRESH.{seq}", json.dumps(record), f".tmp.{seq}"
+    ):
+        raise ConcurrentWriteError(
+            f"refresh record {seq} at {view_dir!r} was committed by "
+            "another refresher — re-run refresh_append_view (it "
+            "converges over the overlap)"
+        )
+    return end
+
+
+def append_refresh(
+    spark: SparkSession,
+    view_dir: str,
+    batch: Frame,
+    batch_id: int | None = None,
+    app_id: str | None = None,
+) -> int:
+    """OPT-IN overlapped maintenance step: append ``batch`` to the
+    view's BASE table and advance the view to the appended version in
+    one scheduler window — the equivalent of ``append_snapshot(batch,
+    base); refresh_append_view(view)`` with the same end state, but
+    the refresh's READ-side work (pinned-state scan + delta partial
+    aggregate + merged-batch key collect) runs on the driver thread
+    concurrently with the base append's segment write (guide §2.6:
+    independent jobs back-fill each other's stragglers). The delta
+    comes from the CALLER'S batch frame, which for an insert-only
+    single-version window is exactly what the change feed would
+    return.
+
+    Atomicity story (what the opt-in does NOT change): the base
+    commit and the view's state commit remain two separate table
+    commits in the sequential order — base first, state only after
+    the base commit succeeded, refresh record last. A crash between
+    them leaves the base appended and the view un-advanced (or a
+    provisional state version), exactly the sequential form's crash
+    window, and the next refresh recovers both. Only READ work is
+    overlapped; no commit ever moves ahead of its dependency.
+
+    Falls back to ``append_snapshot`` + ``refresh_append_view``
+    (correct, just not overlapped) whenever the fast path cannot
+    serve: first refresh, view behind the base already, exact-distinct
+    aggregates (their state needs the CDF rescan path), a batch-id
+    replay, or a concurrent base writer landing inside the window.
+    Returns the base version the view is now current to."""
+    fs = _TableFS(view_dir, spark)
+    spec = _load_spec(fs)
+    group_by = list(spec["group_by"])
+    base_dir = spec["base"]
+    bfs = _TableFS(base_dir, spark)
+    cur = _read_log(bfs)
+    last = _latest_refresh(fs)
+    sfs = _state_fs(spark, fs, spec)
+    state_dir = sfs.dir
+    schema = dict(map(tuple, (cur or {}).get("schema") or []))
+    specs = (
+        _normalize_aggs(
+            {k: tuple(v) for k, v in spec["aggs"].items()}, schema, group_by
+        )
+        if cur is not None and schema
+        else None
+    )
+    v_before = cur["version"] if cur else 0
+    fast_ok = (
+        cur is not None
+        and last is not None
+        and _read_log(sfs) is not None
+        and last["base_version"] >= v_before  # view current pre-append
+        and specs is not None
+        and not any(s["op"] == "n_distinct_exact" for s in specs)
+    )
+    if not fast_ok:
+        append_snapshot(batch, base_dir, batch_id=batch_id, app_id=app_id)
+        return refresh_append_view(spark, view_dir)
+
+    from pyspark import InheritableThread
+
+    res: dict = {}
+
+    def _run_append():
+        try:
+            res["v"] = append_snapshot(
+                batch, base_dir, batch_id=batch_id, app_id=app_id
+            )
+        except BaseException as e:  # re-raised after join
+            res["err"] = e
+
+    th = InheritableThread(target=_run_append, daemon=True)
+    th.start()
+    merged = None
+    try:
+        try:
+            pinned_state = read_append_snapshot(
+                spark, state_dir, version=last["state_version"]
+            ).df
+            dpart = _partial_agg(batch.df, group_by, specs)
+            merged = _merge_state(
+                pinned_state, dpart, group_by, specs
+            ).persist()
+            # materializes the WHOLE persisted merge NOW, overlapping
+            # the append's write; the commit tail's key collect then
+            # reads the cache
+            merged.count()
+        finally:
+            th.join()
+        if "err" in res:
+            raise res["err"]
+        v_new = res["v"]
+        if v_new != v_before + 1:
+            # batch-id replay (nothing appended) or a concurrent
+            # writer in the window: the precomputed merge does not
+            # describe the published window — converge sequentially
+            return refresh_append_view(spark, view_dir) or v_new
+        _commit_merged_batch(spark, state_dir, group_by, merged)
+        return _write_refresh_record(
+            fs, sfs, view_dir, state_dir, last, v_new, False
+        )
+    finally:
+        if merged is not None:
+            merged.unpersist()
 
 
 def read_append_view(
