@@ -73,6 +73,19 @@ HEADLINE = [
     # read a 100 TB consumer pays per query.
     "append_clustered_probe",   # key-clustered file-pruned range read
     "append_dv_partitioned",    # DV-carrying partitioned read (anti-join tax)
+    # r16: ADDITIVE x8 compute leg — the r15 driver's 8-vs-32-core
+    # scaling block showed 14/20 queries at ratio ~1.0 (sf0.1 is a
+    # fixed per-job-overhead floor for them), so the compute-bearing
+    # subset is also measured over deterministically 8x-inflated
+    # inputs (see __spark_entry__._docs_x8: replicas are id-offset and
+    # text-perturbed so dedup-shaped work scales like a real corpus).
+    # Existing entries are untouched; these are new names with their
+    # own oracles.
+    "minhash_signatures_x8",
+    "minhash_lsh_pairs_x8",
+    "decontaminate_hashed_x8",
+    "paragraph_dedup_x8",
+    "tpch_q9_x8",
 ]
 
 
@@ -140,6 +153,7 @@ def _setup_view_refresh_action(spark):
     from cuplyr_spark.frame import Frame
     from cuplyr_spark.sources.connectors import append_snapshot
     from cuplyr_spark.sources.views import (
+        append_refresh,
         create_append_view,
         refresh_append_view,
     )
@@ -163,9 +177,14 @@ def _setup_view_refresh_action(spark):
     state = {"i": 1}
 
     def run():
-        append_snapshot(batch, base_dir, batch_id=state["i"])
+        # r16: the overlapped maintenance step (append_refresh) — the
+        # library's base-append ∥ refresh-read-side driver-thread
+        # overlap (guide §2.6). Same per-iteration work and identical
+        # end state as append_snapshot + refresh_append_view (pinned
+        # by test_append_refresh_matches_sequential); measured
+        # interleaved A/B at sf0.1: 0.95 vs 1.17 s/iter steady state.
+        append_refresh(spark, view_dir, batch, batch_id=state["i"])
         state["i"] += 1
-        refresh_append_view(spark, view_dir)
 
     return run
 
@@ -174,11 +193,16 @@ def _setup_view_refresh_action(spark):
 # view_refresh_incremental has a PINNED noise band (BENCH_REFERENCE.md
 # "view_refresh_incremental noise band", scripts/pin_view_refresh_band
 # .py): judge a reading against the calibration-scaled band —
-# [0.61, 0.86] s @ calibration 0.506 after the r15 optimization round
-# (the pre-optimization pin was [2.67, 3.33] @ 0.715) — not against
-# round-over-round deltas: the query is dominated by fixed per-job
-# overhead at sf0.1 and its readings swung 1.9 → 2.65 s across rounds
-# on identical code before the band existed.
+# [0.64, 0.90] s @ calibration 0.611 after the r16 overlapped
+# append_refresh landed (r15 sequential pin was [0.61, 0.86] @ 0.506,
+# i.e. [0.74, 1.04] scaled to 0.611 — the overlap moved the band down
+# ~15%, matching the interleaved A/B's 0.95 vs 1.17 s/iter; the r16
+# pin run's 5th block hit a host-noise burst — 2.81 median at the
+# same tree, recorded and excluded; pre-r15 pin was [2.67, 3.33] @
+# 0.715) — not against round-over-round deltas: the query is
+# dominated by fixed per-job overhead at sf0.1 and its readings swung
+# 1.9 → 2.65 s across rounds on identical code before the band
+# existed.
 ACTIONS = {
     "view_refresh_incremental": _setup_view_refresh_action,
 }

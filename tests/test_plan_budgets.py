@@ -130,6 +130,13 @@ EXCHANGE_BUDGETS = {
     "salted_join": 2,           # salted equi-join + segment agg
     "tpch_q2": 5,               # int-key offer agg + part-min window + winner dim joins + sort
     "tpch_q9": 2,               # dims broadcast; (nation, year) agg + sort
+    # r16 x8 compute leg: same shapes as the base entries over the
+    # 8x-inflated inputs (the inflation explode is map-side)
+    "minhash_signatures_x8": 1,
+    "minhash_lsh_pairs_x8": 5,
+    "decontaminate_hashed_x8": 3,
+    "paragraph_dedup_x8": 2,
+    "tpch_q9_x8": 2,
     "tpch_q11": 4,              # per-part value agg + global scalar + threshold sort
     "tpch_q12": 2,              # orders join (2 cols) + linestatus agg
     "tpch_q16": 4,              # distinct pair grain + attr-group countDistinct
