@@ -28,7 +28,7 @@ def main() -> None:
     qs = entrymod.queries()
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r15",
+        "plans", os.environ.get("PLANS_ROUND", "r16"),
     )
     os.makedirs(outdir, exist_ok=True)
     for name in names:

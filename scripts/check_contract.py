@@ -127,6 +127,14 @@ def main():
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    # --time-spark-only: additionally record a bench-comparable
+    # `spark_sec` per query (noop sink, 1 warmup + median of 3 — the
+    # bench's methodology), so ledger-to-ledger perf deltas mean
+    # something; the default `sec` still covers spark + duckdb +
+    # compare and is unchanged for older-ledger comparability.
+    time_spark = "--time-spark-only" in argv
+    if time_spark:
+        argv.remove("--time-spark-only")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     con = duckdb.connect()
@@ -172,7 +180,20 @@ def main():
         n_pass += ok
         n_fail += not ok
         elapsed = time.time() - t0
-        print(f"{status} {name}: {note} ({len(got)} rows, {elapsed:.1f}s)")
+        spark_sec = None
+        if time_spark and ok:
+            import statistics as _st
+
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warmup
+            samples = []
+            for _ in range(3):
+                s0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - s0)
+            spark_sec = round(_st.median(samples), 4)
+        extra = f", spark {spark_sec}s" if spark_sec is not None else ""
+        print(f"{status} {name}: {note} ({len(got)} rows, {elapsed:.1f}s{extra})")
         ledger[name] = {
             "status": status,
             "note": note,
@@ -181,6 +202,8 @@ def main():
             "sec": round(elapsed, 2),
             "err": None if ok else note,
         }
+        if spark_sec is not None:
+            ledger[name]["spark_sec"] = spark_sec
     print(f"\n{n_pass} pass, {n_fail} fail")
     if json_out:
         import json
