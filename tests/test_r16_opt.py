@@ -157,11 +157,17 @@ def _adversarial_df(spark):
             bool(i % 2),                              # b boolean
             float("inf") if i == 3 else (float("-inf") if i == 4 else i / 3.0),
             None if i % 3 == 0 else i * 7,            # nully bigint
+            float(i) * 0.25 - 3,                      # f float (32-bit)
+            datetime.datetime(2019, 7, 4, 23, 59, 59)
+            + datetime.timedelta(seconds=i),          # tsn timestamp_ntz
+            i % 128,                                  # ti tinyint
+            i % 1000,                                 # si smallint
         ))
     ddl = (
         "l bigint, dict_i int, d double, s string, dict_s string, "
         "all_null string, dt date, ts timestamp, dec decimal(10,2), "
-        "b boolean, inf_d double, nully bigint"
+        "b boolean, inf_d double, nully bigint, f float, "
+        "tsn timestamp_ntz, ti tinyint, si smallint"
     )
     return spark.createDataFrame(rows, schema=ddl)
 
